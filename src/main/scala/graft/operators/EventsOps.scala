@@ -1,0 +1,222 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.QueryDef.q
+import graft.functions.Fns._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics over the `events` table — the batch twins of
+  * the reference's streaming stages (reference diagram.svg:3):
+  * suspicious-actor detection (A1), inter-arrival signature (W3),
+  * high-traffic windows (A4), popularity top-K (A2), partition-column
+  * derivation (F5), JSON payload extraction.
+  *
+  * Time buckets are computed as epoch-second arithmetic (bigint), not
+  * engine-specific window structs, so the DuckDB oracle is exact. In the
+  * streaming twin the same groupBy runs under a watermark
+  * (graft.streaming).
+  */
+object EventsOps {
+
+  val defs: Seq[QueryDef] = Seq(
+    // ----------------------------------------------------------------
+    q("q13_hourly_user_counts",
+      """Per-user hourly event counts — the core of the reference's
+        |suspicious-IP batch job (SURVEY.md A1, reference
+        |generator.py:117-164). groupBy(user, hour_bucket): one shuffle,
+        |partial counts combine map-side so a hot user (bot, 10x traffic)
+        |costs one reducer a few extra merged rows, not a skewed
+        |shuffle.""".stripMargin,
+      """SELECT user_id,
+        |  (epoch_us(ts) // 3600000000) * 3600 AS hour_start,
+        |  count(*) AS n_events
+        |FROM events
+        |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"),
+          ((epochS(col("ts")).divide(3600)).cast("bigint") * 3600).as("hour_start"))
+        .agg(count(lit(1)).as("n_events"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q14_high_traffic_windows",
+      """High-traffic alerting windows (SURVEY.md A4 → K5 notification
+        |sink): total events per 6-hour tumbling window, keep windows over
+        |threshold. Low-cardinality key → trivial shuffle.""".stripMargin,
+      """SELECT (epoch_us(ts) // 21600000000) * 21600 AS win_start, count(*) AS n_events
+        |FROM events
+        |GROUP BY 1
+        |HAVING count(*) > 8""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(((epochS(col("ts")).divide(21600)).cast("bigint") * 21600).as("win_start"))
+        .agg(count(lit(1)).as("n_events"))
+        .filter(col("n_events") > 8)
+    },
+
+    // ----------------------------------------------------------------
+    q("q15_interarrival_gaps",
+      """Per-user inter-arrival signature (SURVEY.md W3: bots ~16ms gaps,
+        |humans >=3.6s; reference generator.py:126,147-150). lag() over
+        |(user, ts) — one shuffle+sort per user partition; min/avg gap in
+        |exact integer microseconds.""".stripMargin,
+      """WITH gaps AS (
+        |  SELECT user_id,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        |  FROM events)
+        |SELECT user_id, count(gap_us) AS n_gaps,
+        |  min(gap_us) AS min_gap_us,
+        |  CAST(CAST(sum(gap_us) AS DOUBLE) / count(gap_us) AS DOUBLE) AS avg_gap_us
+        |FROM gaps
+        |WHERE gap_us IS NOT NULL
+        |GROUP BY user_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("gap_us", epochUs(col("ts")) - lag(epochUs(col("ts")), 1).over(w))
+        .filter(col("gap_us").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(count(col("gap_us")).as("n_gaps"),
+          min(col("gap_us")).as("min_gap_us"),
+          (sum(col("gap_us")).cast("double") / count(col("gap_us"))).as("avg_gap_us"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q16_suspicious_users",
+      """The suspicious-actor detector itself (SURVEY.md A1 + W3 fused):
+        |flag users whose peak hourly rate exceeds a threshold OR whose
+        |median-ish gap is bot-like. Output is the deny-set that feeds the
+        |KV store (K4) and the anti-join filter (F1/J2).""".stripMargin,
+      """WITH hourly AS (
+        |  SELECT user_id, (epoch_us(ts) // 3600000000) * 3600 AS h, count(*) AS c
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id, max(c) AS peak_hourly, count(*) AS active_hours
+        |FROM hourly
+        |GROUP BY user_id
+        |HAVING max(c) >= 3""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"),
+          ((epochS(col("ts")).divide(3600)).cast("bigint") * 3600).as("h"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("user_id"))
+        .agg(max(col("c")).as("peak_hourly"), count(lit(1)).as("active_hours"))
+        .filter(col("peak_hourly") >= 3)
+    },
+
+    // ----------------------------------------------------------------
+    q("q17_event_type_stats",
+      """Per-type value stats (SURVEY.md A6): exact-decimal sum/avg,
+        |raw min/max (comparison only — bit-stable).""".stripMargin,
+      """SELECT event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value) AS DOUBLE) AS avg_value,
+        |  min(value) AS min_value,
+        |  max(value) AS max_value
+        |FROM events GROUP BY event_type""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          dsum(col("value")).as("sum_value"),
+          davg(col("value")).as("avg_value"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q18_partition_columns",
+      """Partition-column derivation (SURVEY.md F5: year/month/day/hour
+        |from ts — the Hive-style layout of the reference's hourly S3
+        |drops, generator.py:244). At scale these become physical
+        |partition keys for the curated zone write (K6).""".stripMargin,
+      """SELECT CAST(year(ts) AS INT) AS y, CAST(month(ts) AS INT) AS m,
+        |  CAST(day(ts) AS INT) AS d, count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1, 2, 3""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(year(col("ts")).as("y"), month(col("ts")).as("m"),
+          dayofmonth(col("ts")).as("d"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q19_json_props",
+      """Semi-structured payload extraction + NULL-sentinel normalization
+        |(SURVEY.md F4, S6: OpenX-JsonSerDe-style schema-on-read). Pull
+        |int k out of the JSON props column via regexp (engine-neutral),
+        |treat 0 as the NULL sentinel, aggregate the nullable result —
+        |count/avg must skip SQL NULLs identically.""".stripMargin,
+      """WITH x AS (
+        |  SELECT event_type,
+        |    nullif(CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT), 0) AS k
+        |  FROM events)
+        |SELECT event_type, count(k) AS n_nonnull, count(*) AS n_rows,
+        |  CAST(sum(k) AS DOUBLE) / count(k) AS avg_k
+        |FROM x GROUP BY event_type""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("k",
+          nullif(regexp_extract(col("props"), "[0-9]+", 0).cast("bigint"), lit(0)))
+        .groupBy(col("event_type"))
+        .agg(count(col("k")).as("n_nonnull"),
+          count(lit(1)).as("n_rows"),
+          (sum(col("k")).cast("double") / count(col("k"))).as("avg_k"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q20_popular_items_topk",
+      """Most-popular-per-window top-K (SURVEY.md A2: the Kinesis
+        |Analytics popularity stage): count events per (day, event_type),
+        |rank within day, keep top 2. Two shuffles total (agg + window on
+        |day); rank ties broken by name for determinism.""".stripMargin,
+      """WITH counts AS (
+        |  SELECT (epoch_us(ts) // 86400000000) * 86400 AS day_start, event_type, count(*) AS c
+        |  FROM events GROUP BY 1, 2)
+        |SELECT day_start, event_type, c, rk FROM (
+        |  SELECT day_start, event_type, c,
+        |    rank() OVER (PARTITION BY day_start ORDER BY c DESC, event_type) AS rk
+        |  FROM counts)
+        |WHERE rk <= 2""".stripMargin) { (s, dir) =>
+      val counts = Tables.events(s, dir)
+        .groupBy(((epochS(col("ts")).divide(86400)).cast("bigint") * 86400).as("day_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("day_start")).orderBy(col("c").desc, col("event_type"))
+      counts.withColumn("rk", rank().over(w)).filter(col("rk") <= 2)
+    },
+
+    // ----------------------------------------------------------------
+    q("q21_sessionize",
+      """Sessionization via gap-threshold (lag + cumulative sum of
+        |session-break markers): a new session starts after a >2h gap.
+        |Classic two-window pattern — both windows share the same
+        |(user_id, ts) partitioning+sort, so Spark plans ONE shuffle and
+        |ONE sort. Output: per-session row counts and bounds in epoch
+        |seconds.""".stripMargin,
+      """WITH marked AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 7200000000
+        |         OR lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |    THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |sessions AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM marked)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  min(epoch_us(ts) // 1000000) AS session_start_s,
+        |  max(epoch_us(ts) // 1000000) AS session_end_s
+        |FROM sessions
+        |GROUP BY user_id, session_id""".stripMargin) { (s, dir) =>
+      val byTs = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val gap = epochUs(col("ts")) - lag(epochUs(col("ts")), 1).over(byTs)
+      Tables.events(s, dir)
+        .withColumn("brk", when(gap > 7200000000L || gap.isNull, 1).otherwise(0))
+        .withColumn("session_id", sum(col("brk")).over(
+          byTs.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(epochS(col("ts"))).as("session_start_s"),
+          max(epochS(col("ts"))).as("session_end_s"))
+    })
+}
