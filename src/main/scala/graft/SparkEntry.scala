@@ -14,7 +14,10 @@ object SparkEntry {
   /** All registered operator queries, in presentation order. */
   val all: Seq[QueryDef] =
     operators.Relational.defs ++
-      operators.EventsOps.defs
+      operators.EventsOps.defs ++
+      operators.TextOps.defs ++
+      operators.Dedup.defs ++
+      operators.Similarity.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,232 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.QueryDef.q
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication suite over `documents`: exact hash dedup, MinHash+LSH
+  * near-dup candidates, n-gram Jaccard verification, and SimHash
+  * bucketing — the standard large-corpus training-data pipeline stack.
+  *
+  * Everything is built from cross-engine-deterministic primitives so the
+  * DuckDB oracle can replay it exactly: word 3-gram shingles, md5-based
+  * minhash (lexicographic min over hex digests per seed), md5-nibble
+  * SimHash bits.
+  *
+  * Scale design (the part that matters at 100 TB):
+  *   - exact dedup = groupBy(fingerprint) — one hash shuffle, map-side
+  *     partial counts; pick min(doc_id) as survivor, no sort.
+  *   - MinHash: explode to (doc, shingle) → per-doc signature via
+  *     min-per-seed aggregation (one shuffle on doc_id), then explode to
+  *     (band_key) and self-join *within band buckets only* — the LSH
+  *     trick that replaces the O(n²) pair space with bucket-local joins.
+  *   - Jaccard verify runs ONLY on LSH candidate pairs (candidate set is
+  *     orders of magnitude smaller than n²).
+  *   - SimHash: 16-bit signature via bit-position explode (16x row blowup,
+  *     still linear); identical-signature buckets are the candidates.
+  */
+object Dedup {
+
+  val NumSeeds = 8   // minhash signature length
+  val BandSize = 2   // rows per LSH band => 4 bands, sim threshold ~ (1/4)^(1/2) = 0.5
+  val NumBands: Int = NumSeeds / BandSize
+
+  /** (doc_id, shingle): distinct word-3-gram shingles per doc.
+    * Guard sequence() against <3-token docs (Spark sequence descends when
+    * stop<start). */
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("i", explode(when(size(col("w")) >= 3,
+        sequence(lit(1), size(col("w")) - 2)).otherwise(array())))
+      .select(col("doc_id"), concat_ws(" ", slice(col("w"), col("i"), lit(3))).as("sh"))
+      .distinct()
+
+  /** Same shingle set in DuckDB SQL (list slice is 1-based inclusive). */
+  private val shinglesSql =
+    """SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS sh
+      |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |     unnest(range(1, greatest(len(w) - 1, 1))) AS t(i)""".stripMargin
+
+  /** Per-doc minhash signature rows: (doc_id, seed, mh). */
+  private def signature(s: SparkSession, dir: String): DataFrame =
+    shingles(s, dir)
+      .withColumn("seed", explode(sequence(lit(0), lit(NumSeeds - 1))))
+      .groupBy(col("doc_id"), col("seed"))
+      .agg(min(md5(concat(col("sh"), lit(":"), col("seed")))).as("mh"))
+
+  private val signatureSql =
+    s"""SELECT doc_id, seed, min(md5(sh || ':' || seed)) AS mh
+       |FROM ($shinglesSql), unnest(range(0, $NumSeeds)) AS s(seed)
+       |GROUP BY doc_id, seed""".stripMargin
+
+  /** LSH band keys: (doc_id, band, band_key = md5 of the band's minhashes). */
+  private def bands(s: SparkSession, dir: String): DataFrame =
+    signature(s, dir)
+      .withColumn("band", (col("seed") / BandSize).cast("int"))
+      .groupBy(col("doc_id"), col("band"))
+      // per (doc,band) the mh set is tiny; sort_array makes the band key
+      // order-independent across engines
+      .agg(md5(concat_ws(",", sort_array(collect_list(col("mh"))))).as("band_key"))
+
+  private val bandsSql =
+    s"""SELECT doc_id, CAST(seed // $BandSize AS INT) AS band,
+       |  md5(array_to_string(list_sort(list(mh)), ',')) AS band_key
+       |FROM ($signatureSql)
+       |GROUP BY doc_id, CAST(seed // $BandSize AS INT)""".stripMargin
+
+  /** Candidate near-dup pairs: docs sharing >=1 LSH band bucket. */
+  private def candidates(s: SparkSession, dir: String): DataFrame = {
+    val b = bands(s, dir)
+    val a = b.select(col("band").as("band_a"), col("band_key").as("key_a"), col("doc_id").as("doc_a"))
+    val c = b.select(col("band").as("band_b"), col("band_key").as("key_b"), col("doc_id").as("doc_b"))
+    a.join(c, col("band_a") === col("band_b") && col("key_a") === col("key_b") &&
+        col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(countDistinct(col("band_a")).as("n_shared_bands"))
+  }
+
+  private val candidatesSql =
+    s"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  count(DISTINCT a.band) AS n_shared_bands
+       |FROM ($bandsSql) a JOIN ($bandsSql) b
+       |  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+       |GROUP BY a.doc_id, b.doc_id""".stripMargin
+
+  val defs: Seq[QueryDef] = Seq(
+    // ----------------------------------------------------------------
+    q("q26_dedup_exact",
+      """Exact dedup via content fingerprint: per-lang doc counts vs
+        |distinct-fingerprint counts plus the surviving min(doc_id) set
+        |size. One shuffle on the fingerprint; survivor choice is
+        |min(doc_id) (no sort, just a min agg).""".stripMargin,
+      """WITH fp AS (
+        |  SELECT lang, md5(text) AS f, min(doc_id) AS survivor_id
+        |  FROM documents GROUP BY lang, md5(text))
+        |SELECT lang, count(*) AS n_unique, min(survivor_id) AS first_survivor
+        |FROM fp GROUP BY lang""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy(col("lang"), md5(col("text")).as("f"))
+        .agg(min(col("doc_id")).as("survivor_id"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_unique"), min(col("survivor_id")).as("first_survivor"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q27_minhash_signatures",
+      """MinHash signatures (8 seeds, md5-based): the per-doc sketch that
+        |feeds LSH. Output is every (doc, seed, minhash) row — the full
+        |signature matrix is the strongest cross-engine check of the
+        |sketch computation.""".stripMargin,
+      signatureSql) { (s, dir) => signature(s, dir) },
+
+    // ----------------------------------------------------------------
+    q("q28_lsh_candidates",
+      """MinHash-LSH near-dup candidate pairs (4 bands x 2 rows): docs
+        |sharing at least one band bucket, with the shared-band count.
+        |The self-join runs inside band buckets only — at 100 TB this is
+        |the difference between O(n^2) and linear-with-small-buckets.""".stripMargin,
+      candidatesSql) { (s, dir) => candidates(s, dir) },
+
+    // ----------------------------------------------------------------
+    q("q29_neardup_jaccard",
+      """n-gram Jaccard verification of LSH candidates: exact 3-gram
+        |shingle Jaccard computed ONLY for candidate pairs (intersection
+        |via shingle join, union by inclusion-exclusion). Keeps pairs with
+        |J >= 0.2. Jaccard is a ratio of exact integers — bitwise
+        |deterministic.""".stripMargin,
+      s"""WITH cand AS ($candidatesSql),
+        |  sh AS ($shinglesSql),
+        |  sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |  inter AS (
+        |    SELECT c.doc_a, c.doc_b, count(*) AS n_common
+        |    FROM cand c
+        |    JOIN sh sa ON sa.doc_id = c.doc_a
+        |    JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+        |    GROUP BY c.doc_a, c.doc_b)
+        |SELECT i.doc_a, i.doc_b, i.n_common,
+        |  CAST(i.n_common AS DOUBLE) / (za.n + zb.n - i.n_common) AS jaccard
+        |FROM inter i
+        |JOIN sizes za ON za.doc_id = i.doc_a
+        |JOIN sizes zb ON zb.doc_id = i.doc_b
+        |WHERE CAST(i.n_common AS DOUBLE) / (za.n + zb.n - i.n_common) >= 0.2""".stripMargin) { (s, dir) =>
+      val cand = candidates(s, dir)
+      val sh = shingles(s, dir)
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = cand
+        .join(sh.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("n_common"))
+      val j = inter
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+        .withColumn("jaccard",
+          col("n_common").cast("double") / (col("na") + col("nb") - col("n_common")))
+        .filter(col("jaccard") >= 0.2)
+        .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
+      j
+    },
+
+    // ----------------------------------------------------------------
+    q("q30_simhash",
+      """16-bit SimHash from md5 nibbles: per-token hash bits weighted
+        |+1/-1, sign-aggregated per bit position, recomposed to a 16-bit
+        |signature; identical signatures = near-dup bucket (bucket size
+        |via window sharing the same shuffle). Bit math is integer
+        |div/mod only — exactly portable.""".stripMargin,
+      """WITH toks AS (
+        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |nib AS (
+        |  SELECT doc_id, w,
+        |    strpos('0123456789abcdef', substr(md5(w), 1, 1)) - 1 AS v1,
+        |    strpos('0123456789abcdef', substr(md5(w), 2, 1)) - 1 AS v2,
+        |    strpos('0123456789abcdef', substr(md5(w), 3, 1)) - 1 AS v3,
+        |    strpos('0123456789abcdef', substr(md5(w), 4, 1)) - 1 AS v4
+        |  FROM toks),
+        |bits AS (
+        |  SELECT doc_id, p,
+        |    sum(CASE WHEN ((CASE p // 4 WHEN 0 THEN v1 WHEN 1 THEN v2 WHEN 2 THEN v3 ELSE v4 END)
+        |          // (CASE p % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)) % 2 = 1
+        |        THEN 1 ELSE -1 END) AS bsum
+        |  FROM nib, unnest(range(0, 16)) AS t(p)
+        |  GROUP BY doc_id, p),
+        |sig AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN bsum >= 0 THEN
+        |      (CASE p WHEN 0 THEN 32768 WHEN 1 THEN 16384 WHEN 2 THEN 8192 WHEN 3 THEN 4096
+        |              WHEN 4 THEN 2048 WHEN 5 THEN 1024 WHEN 6 THEN 512 WHEN 7 THEN 256
+        |              WHEN 8 THEN 128 WHEN 9 THEN 64 WHEN 10 THEN 32 WHEN 11 THEN 16
+        |              WHEN 12 THEN 8 WHEN 13 THEN 4 WHEN 14 THEN 2 ELSE 1 END)
+        |      ELSE 0 END) AS BIGINT) AS simhash16
+        |  FROM bits GROUP BY doc_id)
+        |SELECT doc_id, simhash16,
+        |  count(*) OVER (PARTITION BY simhash16) AS bucket_size
+        |FROM sig""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .distinct()
+      val nib = toks.select(col("doc_id") +: (1 to 4).map(i =>
+        (instr(lit("0123456789abcdef"), substring(md5(col("w")), i, 1)) - 1).as(s"v$i")): _*)
+      val bits = nib
+        .withColumn("p", explode(sequence(lit(0), lit(15))))
+        .withColumn("nibv",
+          when(expr("p div 4") === 0, col("v1"))
+            .when(expr("p div 4") === 1, col("v2"))
+            .when(expr("p div 4") === 2, col("v3"))
+            .otherwise(col("v4")))
+        .withColumn("mask", expr("CASE p % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END"))
+        .withColumn("bit", expr("(nibv div mask) % 2"))
+        .groupBy(col("doc_id"), col("p"))
+        .agg(sum(when(col("bit") === 1, 1).otherwise(-1)).as("bsum"))
+      val sig = bits
+        .withColumn("weight", expr("shiftleft(1, 15 - p)"))
+        .groupBy(col("doc_id"))
+        .agg(sum(when(col("bsum") >= 0, col("weight")).otherwise(0)).cast("bigint").as("simhash16"))
+      sig.withColumn("bucket_size", count(lit(1)).over(Window.partitionBy(col("simhash16"))))
+        .select(col("doc_id"), col("simhash16"), col("bucket_size"))
+    })
+}

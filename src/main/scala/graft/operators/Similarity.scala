@@ -1,0 +1,109 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.QueryDef.q
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (Array[Float] vectors).
+  *
+  * Two paths:
+  *   - q31 brute-force top-k: the exact baseline. Array-native dot
+  *     products via zip_with + aggregate — no explode, no shuffle for the
+  *     scoring itself; the only shuffle is the per-query top-k window.
+  *     The query side is a handful of vectors, broadcast against the
+  *     corpus — at 100 TB-scale corpora this is one scan.
+  *   - q32 IVF-cell search: restrict scoring to the query's coarse cell
+  *     (the `label` column stands in for a k-means cell assignment).
+  *     Same join, but the cell equi-join prunes the candidate space —
+  *     the linear-scan → inverted-file trade.
+  *
+  * Determinism: elements are quantized to DECIMAL(9,4) before any
+  * arithmetic, so dot products and squared norms are exact decimals in
+  * both engines; a single double division + sqrt + round(4) yields the
+  * score, and ranking ties break on neighbor id.
+  */
+object Similarity {
+
+  private val QueryVecs = 10 // vec_id < 10 are the query set
+  private val TopK = 5
+
+  /** Quantized embedding column: array<decimal(9,4)>. */
+  private def quant(c: String): String =
+    s"transform($c, x -> CAST(round(CAST(x AS DOUBLE), 4) AS DECIMAL(9,4)))"
+
+  /** Exact decimal dot product of two quantized arrays, as double. */
+  private def dotExpr(a: String, b: String): String =
+    s"CAST(aggregate(zip_with($a, $b, (x, y) -> x * y), " +
+      s"CAST(0 AS DECIMAL(38,8)), (acc, v) -> CAST(acc + v AS DECIMAL(38,8))) AS DOUBLE)"
+
+  private def corpus(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .withColumn("qv", expr(quant("embedding")))
+      .withColumn("nrm", expr(dotExpr("qv", "qv")))
+
+  /** Shared oracle CTE: per-element quantized rows + per-vector norms. */
+  private val oracleBase =
+    """e AS (
+      |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+      |    CAST(round(CAST(unnest(embedding) AS DOUBLE), 4) AS DECIMAL(9,4)) AS v
+      |  FROM embeddings),
+      |nrm AS (SELECT vec_id, CAST(sum(v * v) AS DOUBLE) AS nrm FROM e GROUP BY vec_id)""".stripMargin
+
+  private def oracleTopK(cellFilter: String): String =
+    s"""WITH $oracleBase,
+       |dots AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    CAST(sum(a.v * b.v) AS DOUBLE) AS dot
+       |  FROM e a JOIN e b ON a.i = b.i
+       |  WHERE a.vec_id < $QueryVecs AND b.vec_id <> a.vec_id $cellFilter
+       |  GROUP BY 1, 2),
+       |cos AS (
+       |  SELECT d.query_id, d.neighbor_id,
+       |    round(d.dot / (sqrt(na.nrm) * sqrt(nb.nrm)), 4) AS sim
+       |  FROM dots d
+       |  JOIN nrm na ON na.vec_id = d.query_id
+       |  JOIN nrm nb ON nb.vec_id = d.neighbor_id)
+       |SELECT query_id, neighbor_id, sim, rk FROM (
+       |  SELECT query_id, neighbor_id, sim,
+       |    rank() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+       |  FROM cos)
+       |WHERE rk <= $TopK""".stripMargin
+
+  private def sparkTopK(s: SparkSession, dir: String, sameCell: Boolean): DataFrame = {
+    val c = corpus(s, dir)
+    val queries = c.filter(col("vec_id") < QueryVecs)
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+        col("qv").as("qa"), col("nrm").as("na"))
+    val targets = c.select(col("vec_id").as("neighbor_id"), col("label").as("n_label"),
+      col("qv").as("qb"), col("nrm").as("nb"))
+    val joinCond =
+      if (sameCell) col("query_id") =!= col("neighbor_id") && col("q_label") === col("n_label")
+      else col("query_id") =!= col("neighbor_id")
+    val scored = targets
+      .join(broadcast(queries), joinCond)
+      .withColumn("sim", round(expr(dotExpr("qa", "qb")) / (sqrt(col("na")) * sqrt(col("nb"))), 4))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+    scored
+      .withColumn("rk", rank().over(w))
+      .filter(col("rk") <= TopK)
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("rk"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    q("q31_knn_bruteforce",
+      """Brute-force cosine top-5 for 10 query vectors against the full
+        |corpus: broadcast the queries, score array-natively (zip_with +
+        |aggregate, exact decimal accumulation), window top-k per query.
+        |The exact-search baseline every ANN variant is judged against.""".stripMargin,
+      oracleTopK("")) { (s, dir) => sparkTopK(s, dir, sameCell = false) },
+
+    q("q32_knn_ivf_cell",
+      """IVF-style cell-restricted top-5: identical scoring but the
+        |candidate set is pruned to the query's coarse cell (label =
+        |k-means cell stand-in). The equi-join on cell id is the inverted
+        |file: at scale the corpus is hash-partitioned by cell and each
+        |query probes one partition instead of scanning all.""".stripMargin,
+      oracleTopK("AND b.label = a.label")) { (s, dir) => sparkTopK(s, dir, sameCell = true) })
+}

@@ -1,0 +1,117 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.QueryDef.q
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline over the
+  * `documents` table: token counting, quality scoring, language-ID
+  * heuristic, document fingerprinting.
+  *
+  * All of these are embarrassingly parallel row-level transforms — no
+  * shuffle, full whole-stage codegen, and at 100 TB they scan-bound
+  * exactly like the reference's review-text stages (SURVEY.md §2.9 M2,
+  * reference generator.py:63,181-183 lowercase/split normalization).
+  *
+  * Determinism notes: tokenization is whitespace split (the corpus is
+  * pre-normalized), hashes are md5 hex (identical in Spark and DuckDB),
+  * ratios are double divisions of exact integers.
+  */
+object TextOps {
+
+  /** Stopword list used for quality scoring / language ID. */
+  val Stopwords = Seq("the", "a", "of", "and", "to")
+
+  val defs: Seq[QueryDef] = Seq(
+    // ----------------------------------------------------------------
+    q("q22_token_stats",
+      """Token counting (whitespace + alpha-token regex — the BPE-ish
+        |pre-tokenizer shape): per-doc token/char counts.""".stripMargin,
+      """SELECT doc_id, lang,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  len(regexp_extract_all(text, '[a-z]+')) AS n_alpha_tokens,
+        |  length(text) AS n_chars_measured,
+        |  n_chars
+        |FROM documents""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"), col("lang"),
+        size(split(col("text"), " ")).cast("bigint").as("n_tokens"),
+        size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0))).cast("bigint").as("n_alpha_tokens"),
+        length(col("text")).cast("bigint").as("n_chars_measured"),
+        col("n_chars"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q23_quality_score",
+      """Quality scoring: length, stopword ratio, mean token length —
+        |the standard pre-training heuristics (C4/Gopher-style rules).
+        |Pure scalar math over exact integer counts; the score is a
+        |single double expression so both engines agree bitwise.""".stripMargin,
+      s"""WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      x -> x IN ('the','a','of','and','to'))) AS BIGINT) AS n_stop,
+        |    CAST(length(text) AS BIGINT) AS n_chars
+        |  FROM documents)
+        |SELECT doc_id, lang, n_tokens, n_stop,
+        |  CAST(n_stop AS DOUBLE) / n_tokens AS stop_ratio,
+        |  CAST(n_chars - n_tokens + 1 AS DOUBLE) / n_tokens AS avg_token_len,
+        |  CASE WHEN n_tokens >= 20 AND n_tokens <= 1000
+        |        AND CAST(n_stop AS DOUBLE) / n_tokens >= 0.01 THEN 1 ELSE 0 END AS keep_flag
+        |FROM t""".stripMargin) { (s, dir) =>
+      val stopList = Stopwords.map(w => s"'$w'").mkString(",")
+      Tables.documents(s, dir)
+        .withColumn("n_tokens", size(split(col("text"), " ")).cast("bigint"))
+        .withColumn("n_stop",
+          size(expr(s"filter(split(text, ' '), x -> x IN ($stopList))")).cast("bigint"))
+        .withColumn("n_chars_m", length(col("text")).cast("bigint"))
+        .select(
+          col("doc_id"), col("lang"), col("n_tokens"), col("n_stop"),
+          (col("n_stop").cast("double") / col("n_tokens")).as("stop_ratio"),
+          ((col("n_chars_m") - col("n_tokens") + 1).cast("double") / col("n_tokens")).as("avg_token_len"),
+          when(col("n_tokens").between(20, 1000) &&
+            col("n_stop").cast("double") / col("n_tokens") >= 0.01, 1)
+            .otherwise(0).as("keep_flag"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q24_lang_id",
+      """Language-ID heuristic (marker-token n-gram scoring) evaluated as
+        |a confusion matrix vs the labeled lang column. On this synthetic
+        |corpus the text is English-ish regardless of label, so the value
+        |is the deterministic evaluation plumbing, not accuracy.""".stripMargin,
+      """WITH pred AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN len(list_filter(string_split(text, ' '),
+        |      x -> x IN ('the','a','of','and','to'))) > 0 THEN 'en' ELSE 'und' END AS lang_pred
+        |  FROM documents)
+        |SELECT lang, lang_pred, count(*) AS n_docs
+        |FROM pred GROUP BY lang, lang_pred""".stripMargin) { (s, dir) =>
+      val stopList = Stopwords.map(w => s"'$w'").mkString(",")
+      Tables.documents(s, dir)
+        .withColumn("lang_pred",
+          when(size(expr(s"filter(split(text, ' '), x -> x IN ($stopList))")) > 0, "en")
+            .otherwise("und"))
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n_docs"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q25_fingerprint",
+      """Document fingerprinting: md5 of whitespace-normalized text plus
+        |per-fingerprint duplicate count (window). The fingerprint is the
+        |exact-dedup key at scale — grouping by it is a plain
+        |hash-shuffle, and the window shares that shuffle.""".stripMargin,
+      """SELECT doc_id,
+        |  md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
+        |  count(*) OVER (PARTITION BY md5(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS dup_count
+        |FROM documents""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val fp = md5(regexp_replace(lower(col("text")), "\\s+", " "))
+      Tables.documents(s, dir)
+        .withColumn("fp", fp)
+        .withColumn("dup_count", count(lit(1)).over(Window.partitionBy(col("fp"))))
+        .select(col("doc_id"), col("fp"), col("dup_count"))
+    })
+}
