@@ -1,0 +1,74 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Sources/sinks for the reference's physical layouts (SURVEY.md §2.1/2.2):
+  * hourly CSV drops, JSON-lines events, dimension CSVs, spam TSV, and the
+  * partitioned curated zone.
+  */
+object EventLog {
+
+  /** views schema as ingested (all strings — schema-on-read like the
+    * reference's Glue DDL, glue_cf_template.json:59-72). */
+  val viewsRawSchema: StructType = StructType(Seq(
+    StructField("item_id", StringType),
+    StructField("ts", StringType),
+    StructField("device_type", StringType),
+    StructField("device_id", StringType),
+    StructField("user_ip", StringType)))
+
+  val reviewsRawSchema: StructType = StructType(viewsRawSchema.fields ++ Seq(
+    StructField("review_title", StringType),
+    StructField("review_text", StringType),
+    StructField("review_stars", IntegerType)))
+
+  /** S1: hourly-partitioned CSV scan — reads `prefix/YYYY/MM/DD/HH.csv`
+    * (reference generator.py:244 layout). Partition values are derivable
+    * from ts (ViewsPipeline.withPartitionColumns); the glob keeps hour
+    * files addressable for incremental high-water-mark scans. */
+  def readHourlyCsv(s: SparkSession, prefix: String, schema: StructType = viewsRawSchema): DataFrame =
+    s.read.schema(schema).option("header", "true")
+      .csv(s"$prefix/*/*/*/*.csv")
+
+  /** K1-compatible writer: one directory per hour (multi-file inside —
+    * single-file is a compat mode via coalesce(1), deliberately not the
+    * default: it serializes the write). */
+  def writeHourlyCsv(df: DataFrame, prefix: String, singleFile: Boolean = false): Unit = {
+    val out = if (singleFile) df.coalesce(1) else df
+    out.write.option("header", "true").mode("overwrite").csv(prefix)
+  }
+
+  /** S2/S3: JSON-lines scan (batch flavor; the streaming twin is
+    * Streams.viewsStream). */
+  def readJsonLines(s: SparkSession, path: String, schema: StructType = viewsRawSchema): DataFrame =
+    s.read.schema(schema).json(path)
+
+  /** S4: items dimension CSV (with header, generator.py:110-114). */
+  def readItemsCsv(s: SparkSession, path: String): DataFrame =
+    s.read.option("header", "true").csv(path)
+
+  /** S5: users dimension CSV (no header, generator.py:100-107). */
+  def readUsersCsv(s: SparkSession, path: String): DataFrame =
+    s.read.schema(StructType(Seq(
+        StructField("user_ip", StringType),
+        StructField("device_type", StringType),
+        StructField("device_id", StringType),
+        StructField("is_bot", StringType))))
+      .csv(path)
+
+  /** S8: labeled spam corpus TSV `label\ttext` (generator.py:45-68). */
+  def readSpamTsv(s: SparkSession, path: String): DataFrame =
+    s.read.option("sep", "\t")
+      .schema(StructType(Seq(
+        StructField("label", StringType), StructField("text", StringType))))
+      .csv(path)
+
+  /** K6: curated-zone write — parquet partitioned by the derived hour
+    * columns, the layout every downstream query prunes on. */
+  def writeCurated(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite")
+      .partitionBy("year", "month", "day", "hour")
+      .parquet(path)
+}

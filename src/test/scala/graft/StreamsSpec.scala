@@ -1,0 +1,70 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.operators.ViewsPipeline
+import graft.sources.DataGen
+import graft.streaming.Streams
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+class StreamsSpec extends SparkSpec {
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory(s"graft-$name").toString
+
+  test("file-stream IP filter: snapshot-filtered hourly-partitioned sink") {
+    val users = DataGen.users(20, seed = 11L)
+    val items = DataGen.items(50)
+    val hourStart = 1700000000L - (1700000000L % 3600)
+    val views = DataGen.hourOfViews(users, items, hourStart, seed = 13L)
+    val botIps = users.filter(_.isBot).map(_.userIp).toSet
+    assert(botIps.nonEmpty)
+
+    val inDir = tmp("in"); val outDir = tmp("out"); val ckpt = tmp("ckpt"); val snap = tmp("snap")
+
+    // land the hour as JSON-lines (the Kinesis stand-in)
+    DataGen.viewsDF(spark, views).write.mode("overwrite").json(inDir)
+
+    // suspicious snapshot from the batch detector (the feedback loop K4)
+    val cleaned = ViewsPipeline.clean(spark.read.schema(
+      graft.sources.EventLog.viewsRawSchema).json(inDir))
+    ViewsPipeline.suspiciousSnapshot(
+      ViewsPipeline.detectSuspicious(cleaned), current_timestamp(), 24)
+      .write.mode("overwrite").parquet(snap)
+
+    // stream with per-batch snapshot re-read into the partitioned sink
+    val stream = Streams.viewsStream(spark, inDir)
+    Streams.runToCompletion(Streams.filteredSink(stream, snap, outDir, ckpt))
+
+    val out = spark.read.parquet(outDir)
+    val humanRows = views.count(v => !botIps.contains(v.userIp))
+    assert(out.count() == humanRows)
+    assert(out.filter(col("user_ip").isin(botIps.toSeq: _*)).count() == 0)
+    // hourly partition layout present
+    assert(out.columns.toSet.intersect(Set("year", "month", "day", "hour")).size == 4)
+  }
+
+  test("watermarked windowed popularity emits finalized windows (append mode)") {
+    val users = DataGen.users(10, seed = 23L)
+    val items = DataGen.items(20)
+    val h0 = 1700000000L - (1700000000L % 3600)
+    // two hours so the watermark can finalize the first
+    val views = DataGen.hourOfViews(users, items, h0, seed = 29L) ++
+      DataGen.hourOfViews(users, items, h0 + 3600, seed = 31L)
+    val inDir = tmp("pop-in")
+    DataGen.viewsDF(spark, views).write.mode("overwrite").json(inDir)
+
+    val q = Streams.popularity(Streams.viewsStream(spark, inDir),
+        windowDur = "10 minutes", watermark = "15 minutes")
+      .writeStream.format("memory").queryName("pop_test")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val got = spark.table("pop_test")
+    assert(got.count() > 0)
+    // windows align to 10 minutes and counts are positive
+    assert(got.filter(expr("minute(window_start) % 10 != 0")).count() == 0)
+    assert(got.filter(col("c") <= 0).count() == 0)
+  }
+}
