@@ -34,14 +34,20 @@ object Dedup {
 
   /** (doc_id, shingle): distinct word-3-gram shingles per doc.
     * Guard sequence() against <3-token docs (Spark sequence descends when
-    * stop<start). */
+    * stop<start). Cached: the LSH candidate self-join and the Jaccard
+    * verify both walk this lineage several times — without the cache the
+    * whole shingle+minhash pipeline would be recomputed per branch. */
+  private val shingleCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
   private def shingles(s: SparkSession, dir: String): DataFrame =
-    Tables.documents(s, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("w"))
-      .withColumn("i", explode(when(size(col("w")) >= 3,
-        sequence(lit(1), size(col("w")) - 2)).otherwise(array())))
-      .select(col("doc_id"), concat_ws(" ", slice(col("w"), col("i"), lit(3))).as("sh"))
-      .distinct()
+    shingleCache.getOrElseUpdate(dir + "#" + s.hashCode, {
+      Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .withColumn("i", explode(when(size(col("w")) >= 3,
+          sequence(lit(1), size(col("w")) - 2)).otherwise(array())))
+        .select(col("doc_id"), concat_ws(" ", slice(col("w"), col("i"), lit(3))).as("sh"))
+        .distinct()
+        .cache()
+    })
 
   /** Same shingle set in DuckDB SQL (list slice is 1-based inclusive). */
   private val shinglesSql =
@@ -49,26 +55,47 @@ object Dedup {
       |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |     unnest(range(1, greatest(len(w) - 1, 1))) AS t(i)""".stripMargin
 
-  /** Per-doc minhash signature rows: (doc_id, seed, mh). */
-  private def signature(s: SparkSession, dir: String): DataFrame =
-    shingles(s, dir)
-      .withColumn("seed", explode(sequence(lit(0), lit(NumSeeds - 1))))
-      .groupBy(col("doc_id"), col("seed"))
-      .agg(min(md5(concat(col("sh"), lit(":"), col("seed")))).as("mh"))
+  /** Wide per-doc minhash signature: one row per doc, one min-agg column
+    * per seed. This is the scale-friendly shape: no seed-explode (8x row
+    * blowup avoided), a single shuffle on doc_id, and all 8 mins combine
+    * map-side in one pass. Cached — signatures feed q27, bands and the
+    * Jaccard verify. */
+  private val sigCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private def signatureWide(s: SparkSession, dir: String): DataFrame =
+    sigCache.getOrElseUpdate(dir + "#" + s.hashCode, {
+      val aggs = (0 until NumSeeds).map(i =>
+        min(md5(concat(col("sh"), lit(s":$i")))).as(s"mh$i"))
+      shingles(s, dir).groupBy(col("doc_id"))
+        .agg(aggs.head, aggs.tail: _*)
+        .cache()
+    })
+
+  /** Row view (doc_id, seed, mh) of the wide signature — the
+    * cross-engine-checkable shape. */
+  private def signature(s: SparkSession, dir: String): DataFrame = {
+    val stackArgs = (0 until NumSeeds).map(i => s"${i}L, mh$i").mkString(", ")
+    signatureWide(s, dir)
+      .selectExpr("doc_id", s"stack($NumSeeds, $stackArgs) AS (seed, mh)")
+  }
 
   private val signatureSql =
     s"""SELECT doc_id, seed, min(md5(sh || ':' || seed)) AS mh
        |FROM ($shinglesSql), unnest(range(0, $NumSeeds)) AS s(seed)
        |GROUP BY doc_id, seed""".stripMargin
 
-  /** LSH band keys: (doc_id, band, band_key = md5 of the band's minhashes). */
-  private def bands(s: SparkSession, dir: String): DataFrame =
-    signature(s, dir)
-      .withColumn("band", (col("seed") / BandSize).cast("int"))
-      .groupBy(col("doc_id"), col("band"))
-      // per (doc,band) the mh set is tiny; sort_array makes the band key
-      // order-independent across engines
-      .agg(md5(concat_ws(",", sort_array(collect_list(col("mh"))))).as("band_key"))
+  /** LSH band keys: (doc_id, band, band_key = md5 of the band's sorted
+    * minhashes). Derived from the wide signature with NO extra shuffle:
+    * each band key is a row-local expression; the sort inside a band
+    * keeps the key order-independent (matches the oracle's
+    * list_sort-over-groups). */
+  private def bands(s: SparkSession, dir: String): DataFrame = {
+    val bandCols = (0 until NumBands).map { b =>
+      val ms = (b * BandSize until (b + 1) * BandSize).map(i => s"mh$i").mkString(", ")
+      s"${b}, md5(array_join(array_sort(array($ms)), ','))"
+    }.mkString(", ")
+    signatureWide(s, dir)
+      .selectExpr("doc_id", s"stack($NumBands, $bandCols) AS (band, band_key)")
+  }
 
   private val bandsSql =
     s"""SELECT doc_id, CAST(seed // $BandSize AS INT) AS band,
