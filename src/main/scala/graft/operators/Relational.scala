@@ -259,6 +259,26 @@ object Relational {
     },
 
     // ----------------------------------------------------------------
+    q("q35_sql_catalog",
+      """The Athena/catalog tier (SURVEY.md S6/J4, reference
+        |run_flow.py:147-160 create_athena_table): register every table
+        |as a catalog view and run the query through spark.sql — same
+        |Catalyst plan as the DataFrame path, proving the SQL surface.""".stripMargin,
+      """SELECT n_name, count(DISTINCT c_custkey) AS n_customers,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin) { (s, dir) =>
+      graft.Tables.registerAll(s, dir)
+      s.sql(
+        """SELECT n_name, count(DISTINCT c_custkey) AS n_customers,
+          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+          |FROM orders JOIN customer ON o_custkey = c_custkey
+          |JOIN nation ON c_nationkey = n_nationkey
+          |GROUP BY n_name""".stripMargin)
+    },
+
+    // ----------------------------------------------------------------
     q("q12_distinct_stats",
       """Count-distinct tier (SURVEY.md A5: distinct IPs/devices per
         |window). Exact countDistinct for oracle parity; the scale path is

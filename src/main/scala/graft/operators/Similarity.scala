@@ -99,6 +99,24 @@ object Similarity {
         |The exact-search baseline every ANN variant is judged against.""".stripMargin,
       oracleTopK("")) { (s, dir) => sparkTopK(s, dir, sameCell = false) },
 
+    QueryDef.rowsOnly("q34_knn_codegen",
+      """Fast-path brute-force top-5 using the native codegen'd
+        |cosine_sim expression (graft.plans.CosineSimilarity): one fused
+        |dot+norms loop inlined into whole-stage codegen, float math.
+        |Same shape as q31 but the scale path — not decimal-exact, so
+        |rows-only.""".stripMargin) { (s, dir) =>
+      graft.plans.GraftFunctions.register(s)
+      val c = Tables.embeddings(s, dir)
+      val queries = c.filter(col("vec_id") < QueryVecs)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val scored = c.select(col("vec_id").as("neighbor_id"), col("embedding").as("ne"))
+        .join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
+        .withColumn("sim", call_function("cosine_sim", col("qe"), col("ne")))
+      val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
+      scored.withColumn("rk", rank().over(w)).filter(col("rk") <= TopK)
+        .select(col("query_id"), col("neighbor_id"), col("sim"), col("rk"))
+    },
+
     q("q32_knn_ivf_cell",
       """IVF-style cell-restricted top-5: identical scoring but the
         |candidate set is pruned to the query's coarse cell (label =

@@ -1,0 +1,35 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Registration of graft's native expressions.
+  *
+  * Two entry points:
+  *   - config `spark.sql.extensions=graft.plans.GraftExtensions` (the
+  *     production wiring via SparkSessionExtensions), or
+  *   - `GraftFunctions.register(spark)` for an existing session (what
+  *     queries/tests use — the driver owns session construction).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftFunctions.descriptors.foreach(e.injectFunction)
+}
+
+object GraftFunctions {
+  type Descriptor =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  val descriptors: Seq[Descriptor] = Seq(
+    (FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (children: Seq[Expression]) => CosineSimilarity(children.head, children(1))))
+
+  /** Idempotent in-session registration. */
+  def register(spark: SparkSession): Unit =
+    descriptors.foreach { case (ident, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
+    }
+}

@@ -1,0 +1,41 @@
+package graft
+
+import graft.plans.GraftFunctions
+import org.apache.spark.sql.functions._
+
+class CosineSimilaritySpec extends SparkSpec {
+
+  test("codegen cosine_sim matches a reference computation and handles nulls/zero vectors") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq(
+      (Array(1f, 0f, 0f), Array(1f, 0f, 0f)),   // identical -> 1.0
+      (Array(1f, 0f, 0f), Array(0f, 1f, 0f)),   // orthogonal -> 0.0
+      (Array(1f, 2f, 3f), Array(4f, 5f, 6f)),
+      (Array(0f, 0f, 0f), Array(1f, 1f, 1f)))   // zero norm -> null
+      .toDF("a", "b")
+    val r = df.select(call_function("cosine_sim", col("a"), col("b")).as("s")).collect()
+    assert(math.abs(r(0).getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(r(1).getDouble(0)) < 1e-12)
+    val expected = {
+      val (a, b) = (Array(1f, 2f, 3f), Array(4f, 5f, 6f))
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      dot / math.sqrt(a.map(x => x.toDouble * x).sum * b.map(x => x.toDouble * x).sum)
+    }
+    assert(math.abs(r(2).getDouble(0) - expected) < 1e-9)
+    assert(r(3).isNullAt(0))
+    // null input -> null
+    val n = df.select(call_function("cosine_sim", lit(null).cast("array<float>"), col("b"))).collect()
+    assert(n.forall(_.isNullAt(0)))
+  }
+
+  test("fast KNN agrees with the exact-decimal path on neighbor sets") {
+    val exact = SparkEntry.queries("q31_knn_bruteforce")(spark, "/root/testdata/sf0.001")
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fast = SparkEntry.queries("q34_knn_codegen")(spark, "/root/testdata/sf0.001")
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // quantization can flip borderline ranks; require >=90% agreement
+    val inter = exact.intersect(fast).size.toDouble
+    assert(inter / exact.size >= 0.9, s"agreement ${inter / exact.size}")
+  }
+}
