@@ -117,6 +117,36 @@ object Similarity {
         .select(col("query_id"), col("neighbor_id"), col("sim"), col("rk"))
     },
 
+    q("q36_neardup_embedding",
+      """Embedding-cosine near-dup pairs (the semantic-dedup variant):
+        |all same-cell pairs (a<b) with quantized cosine >= 0.4. The cell
+        |(label) equi-join bounds the pair space exactly like LSH bands
+        |bound the MinHash pair space — at 100 TB you never score the
+        |full n^2.""".stripMargin,
+      s"""WITH $oracleBase,
+         |lbl AS (SELECT vec_id, label FROM embeddings),
+         |dots AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    CAST(sum(a.v * b.v) AS DOUBLE) AS dot
+         |  FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id AND a.label = b.label
+         |  GROUP BY 1, 2)
+         |SELECT d.vec_a, d.vec_b,
+         |  round(d.dot / (sqrt(na.nrm) * sqrt(nb.nrm)), 4) AS sim
+         |FROM dots d
+         |JOIN nrm na ON na.vec_id = d.vec_a
+         |JOIN nrm nb ON nb.vec_id = d.vec_b
+         |WHERE round(d.dot / (sqrt(na.nrm) * sqrt(nb.nrm)), 4) >= 0.4""".stripMargin) { (s, dir) =>
+      val c = corpus(s, dir)
+      val a = c.select(col("vec_id").as("vec_a"), col("label").as("la"),
+        col("qv").as("qa"), col("nrm").as("na"))
+      val b = c.select(col("vec_id").as("vec_b"), col("label").as("lb"),
+        col("qv").as("qb"), col("nrm").as("nb"))
+      a.join(b, col("vec_a") < col("vec_b") && col("la") === col("lb"))
+        .withColumn("sim", round(expr(dotExpr("qa", "qb")) / (sqrt(col("na")) * sqrt(col("nb"))), 4))
+        .filter(col("sim") >= 0.4)
+        .select(col("vec_a"), col("vec_b"), col("sim"))
+    },
+
     q("q32_knn_ivf_cell",
       """IVF-style cell-restricted top-5: identical scoring but the
         |candidate set is pruned to the query's coarse cell (label =
