@@ -14,6 +14,7 @@ object SparkEntry {
   /** All registered operator queries, in presentation order. */
   val all: Seq[QueryDef] =
     operators.Relational.defs ++
+      operators.AdvancedOps.defs ++
       operators.EventsOps.defs ++
       operators.TextOps.defs ++
       operators.Dedup.defs ++

@@ -1,0 +1,142 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.QueryDef.q
+import graft.functions.Fns._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Second ring of the SQL surface: frame-window aggregates, CUBE,
+  * navigation functions, exact percentiles, multi-partition union scans,
+  * LIKE/regexp predicates. Everything a user of the reference's Athena
+  * tier could type that the first ring didn't cover.
+  */
+object AdvancedOps {
+
+  val defs: Seq[QueryDef] = Seq(
+    // ----------------------------------------------------------------
+    q("q37_moving_avg",
+      """Frame-window moving aggregate: per-user 3-row moving average of
+        |value (exact decimal sum over the frame, one double division).
+        |Shares the (user, ts) shuffle+sort with every other per-user
+        |window — Catalyst plans ONE exchange for all frames on the same
+        |spec.""".stripMargin,
+      """SELECT user_id, event_id,
+        |  CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |       / count(value) OVER w AS DOUBLE) AS mavg3
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-2, Window.currentRow)
+      Tables.events(s, dir).select(
+        col("user_id"), col("event_id"),
+        (sum(dec(col("value"))).over(w).cast("double") / count(col("value")).over(w))
+          .cast("double").as("mavg3"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q38_cube",
+      """CUBE over (region, order status): all 4 grouping combinations in
+        |one Expand+HashAggregate pass — the full OLAP rollup surface
+        |beyond q9's ROLLUP.""".stripMargin,
+      """SELECT r_name, o_orderstatus,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |  count(*) AS n
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY CUBE (r_name, o_orderstatus)""".stripMargin) { (s, dir) =>
+      val dims = Tables.customer(s, dir)
+        .join(Tables.nation(s, dir), col("c_nationkey") === col("n_nationkey"))
+        .join(Tables.region(s, dir), col("n_regionkey") === col("r_regionkey"))
+      Tables.orders(s, dir)
+        .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+        .cube(col("r_name"), col("o_orderstatus"))
+        .agg(dsum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q39_window_nav",
+      """Navigation window functions: per-user first/last event type over
+        |the full frame (unbounded both sides). One row per user via
+        |distinct — both frames share the same sort.""".stripMargin,
+      """SELECT DISTINCT user_id,
+        |  first_value(event_type) OVER w AS first_type,
+        |  last_value(event_type) OVER w AS last_type,
+        |  count(*) OVER w AS n_events
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.events(s, dir).select(
+        col("user_id"),
+        first(col("event_type")).over(w).as("first_type"),
+        last(col("event_type")).over(w).as("last_type"),
+        count(lit(1)).over(w).as("n_events")).distinct()
+    },
+
+    // ----------------------------------------------------------------
+    q("q40_percentiles",
+      """Exact discrete percentiles (median, p90) per event type —
+        |percentile_disc picks an actual element, so results are
+        |bit-identical across engines with no interpolation arithmetic.
+        |The approx path at scale is approx_percentile/HLL-style sketches;
+        |disc is the oracle-checkable baseline.""".stripMargin,
+      """SELECT event_type,
+        |  quantile_disc(value, 0.5) AS p50,
+        |  quantile_disc(value, 0.9) AS p90,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)").as("p50"),
+          expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY value)").as("p90"),
+          count(lit(1)).as("n"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q41_union_partition_scan",
+      """Multi-partition union scan (the S1 multi-hour shape): two
+        |disjoint date-range scans unioned then aggregated. Each branch
+        |pushes its own range predicate to the scan; at scale these are
+        |disjoint partition sets read in one pass.""".stripMargin,
+      """SELECT src, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |FROM (
+        |  SELECT 'y1996' AS src, l_quantity FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  UNION ALL
+        |  SELECT 'y1997' AS src, l_quantity FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00' AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00')
+        |GROUP BY src""".stripMargin) { (s, dir) =>
+      def slice(tag: String, lo: String, hi: String) =
+        Tables.lineitem(s, dir)
+          .filter(col("l_shipdate") >= lit(lo).cast("timestamp"))
+          .filter(col("l_shipdate") < lit(hi).cast("timestamp"))
+          .select(lit(tag).as("src"), col("l_quantity"))
+      slice("y1996", "1996-01-01 00:00:00", "1997-01-01 00:00:00")
+        .unionByName(slice("y1997", "1997-01-01 00:00:00", "1998-01-01 00:00:00"))
+        .groupBy(col("src"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q42_like_regexp",
+      """LIKE / regexp predicate pushdown surface: widget parts by brand
+        |pattern, with a regexp-extracted brand number. StartsWith/Contains
+        |push to the parquet scan; the regexp runs post-scan in
+        |codegen.""".stripMargin,
+      """SELECT p_partkey, p_name, p_brand,
+        |  CAST(regexp_extract(p_brand, '[0-9]+', 0) AS BIGINT) AS brand_num
+        |FROM part
+        |WHERE p_name LIKE '%widget%' AND p_type LIKE 'ECONOMY%'""".stripMargin) { (s, dir) =>
+      Tables.part(s, dir)
+        .filter(col("p_name").like("%widget%") && col("p_type").like("ECONOMY%"))
+        .select(col("p_partkey"), col("p_name"), col("p_brand"),
+          regexp_extract(col("p_brand"), "[0-9]+", 0).cast("bigint").as("brand_num"))
+    })
+}
