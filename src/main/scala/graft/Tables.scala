@@ -39,7 +39,12 @@ object Tables {
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 
   /** Register every table as a temp view (≈ the reference's Glue catalog
-    * tier, SURVEY.md §3.3) so `spark.sql` works against bare names. */
+    * tier, SURVEY.md §3.3) so `spark.sql` works against bare names.
+    * Memoized per (session, dir): registration re-reads ten parquet
+    * footers, which is pointless to repeat per query. */
+  private val registered = scala.collection.concurrent.TrieMap.empty[String, Unit]
   def registerAll(spark: SparkSession, dir: String): Unit =
-    names.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+    registered.getOrElseUpdate(dir + "#" + spark.hashCode, {
+      names.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+    })
 }

@@ -136,12 +136,20 @@ object Similarity {
          |JOIN nrm na ON na.vec_id = d.vec_a
          |JOIN nrm nb ON nb.vec_id = d.vec_b
          |WHERE round(d.dot / (sqrt(na.nrm) * sqrt(nb.nrm)), 4) >= 0.4""".stripMargin) { (s, dir) =>
+      // Two-phase: a codegen'd float prescreen (cosine_sim, one fused
+      // loop) drops the vast majority of pairs; the exact-decimal score
+      // runs only on survivors. The 0.05 margin dwarfs the max
+      // quantization+float error (~1e-3), so the final exact filter
+      // returns exactly the oracle's pairs — this is the generic
+      // sketch-then-verify shape every 100 TB near-dup pass uses.
+      graft.plans.GraftFunctions.register(s)
       val c = corpus(s, dir)
       val a = c.select(col("vec_id").as("vec_a"), col("label").as("la"),
-        col("qv").as("qa"), col("nrm").as("na"))
+        col("embedding").as("ea"), col("qv").as("qa"), col("nrm").as("na"))
       val b = c.select(col("vec_id").as("vec_b"), col("label").as("lb"),
-        col("qv").as("qb"), col("nrm").as("nb"))
+        col("embedding").as("eb"), col("qv").as("qb"), col("nrm").as("nb"))
       a.join(b, col("vec_a") < col("vec_b") && col("la") === col("lb"))
+        .filter(call_function("cosine_sim", col("ea"), col("eb")) >= 0.4 - 0.05)
         .withColumn("sim", round(expr(dotExpr("qa", "qb")) / (sqrt(col("na")) * sqrt(col("nb"))), 4))
         .filter(col("sim") >= 0.4)
         .select(col("vec_a"), col("vec_b"), col("sim"))
