@@ -1,0 +1,51 @@
+package graft.jobs
+
+import graft.operators.ViewsPipeline
+import graft.sources.{EventLog, IncrementalScan}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's Glue ETL job as a library job (reference
+  * glue_cf_template.json:121-147: read viewsInputS3Path, filter against
+  * the suspicious-IP table, write outputJobS3Path, job bookmarks on) —
+  * composed entirely from the engine's operators:
+  *
+  *   S1 hourly CSV scan → F3-F8 clean → F1/F2 TTL'd IP filter →
+  *   F5 partition columns → K6 curated parquet, processed incrementally
+  *   (IncrementalScan = the bookmark).
+  *
+  * One call = one EMR-step/Glue-run equivalent (SURVEY.md §3.3/§3.4).
+  */
+object BatchViewsJob {
+
+  final case class Result(rowsProcessed: Long)
+
+  def run(s: SparkSession, inPrefix: String, snapshotPath: String,
+      outPath: String, markPath: String): Result = {
+    val raw = EventLog.readHourlyCsv(s, inPrefix)
+    val cleaned = ViewsPipeline.clean(raw)
+    val snapshot =
+      try s.read.parquet(snapshotPath)
+      catch { case _: Throwable =>
+        import s.implicits._
+        Seq.empty[(String, java.sql.Timestamp)].toDF("user_ip", "expires_at")
+      }
+    val partitioned = ViewsPipeline.withPartitionColumns(cleaned)
+    val n = IncrementalScan.step(s, partitioned, markPath,
+      df => ViewsPipeline.filterSuspicious(df, snapshot, current_timestamp()),
+      outPath)
+    Result(n)
+  }
+
+  /** The companion detection job (the "Batch Job to find out suspicious
+    * IPs" EMR step): scan the curated/raw hours, detect, refresh the
+    * TTL'd snapshot (K4). */
+  def detectAndSnapshot(s: SparkSession, inPrefix: String, snapshotPath: String,
+      ttlHours: Int = 24): Long = {
+    val cleaned = ViewsPipeline.clean(EventLog.readHourlyCsv(s, inPrefix))
+    val detected = ViewsPipeline.detectSuspicious(cleaned)
+    val snap = ViewsPipeline.suspiciousSnapshot(detected, current_timestamp(), ttlHours)
+    snap.write.mode("overwrite").parquet(snapshotPath)
+    s.read.parquet(snapshotPath).count()
+  }
+}

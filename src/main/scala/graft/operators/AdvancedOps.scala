@@ -125,6 +125,21 @@ object AdvancedOps {
     },
 
     // ----------------------------------------------------------------
+    QueryDef.rowsOnly("q43_approx_sketches",
+      """The sketch tier for 100 TB cardinalities: HyperLogLog++ distinct
+        |counts and quantile sketches per event type. Sketches are
+        |mergeable across partitions (one shuffle of fixed-size state, no
+        |matter the row count) — the scale path behind q12/q40's exact
+        |baselines. Engine-specific sketch internals → rows-only.""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
+          percentile_approx(col("value"), lit(0.5), lit(1000)).as("approx_p50"),
+          count(lit(1)).as("n"))
+    },
+
+    // ----------------------------------------------------------------
     q("q42_like_regexp",
       """LIKE / regexp predicate pushdown surface: widget parts by brand
         |pattern, with a regexp-extracted brand number. StartsWith/Contains
