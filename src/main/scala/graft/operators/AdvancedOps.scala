@@ -125,6 +125,39 @@ object AdvancedOps {
     },
 
     // ----------------------------------------------------------------
+    q("q44_asof_join",
+      """As-of join — each purchase matched to the user's most recent
+        |signup at-or-before it. Spark lacks a native ASOF operator;
+        |per the extension ladder this composes existing ops: tag both
+        |sides, union, and carry the last signup time forward with one
+        |running window (partition user, order ts with signups sorting
+        |first on ties). ONE shuffle+sort total — cheaper than the
+        |classic equi-join + per-pair filter + argmax, which shuffles
+        |twice and blows up on hot users. DuckDB's native ASOF JOIN is
+        |the oracle.""".stripMargin,
+      """SELECT p.event_id, p.user_id,
+        |  epoch_us(p.ts) AS purchase_us,
+        |  epoch_us(s.ts) AS signup_us
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+        |  ON p.user_id = s.user_id AND p.ts >= s.ts""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), lit(1).as("side"))
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("event_id"), col("user_id"), col("ts"), lit(0).as("side"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("side"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      purchases.unionByName(signups)
+        .withColumn("signup_us",
+          last(when(col("side") === 0, epochUs(col("ts"))), ignoreNulls = true).over(w))
+        .filter(col("side") === 1)
+        .select(col("event_id"), col("user_id"),
+          epochUs(col("ts")).as("purchase_us"), col("signup_us"))
+    },
+
+    // ----------------------------------------------------------------
     QueryDef.rowsOnly("q43_approx_sketches",
       """The sketch tier for 100 TB cardinalities: HyperLogLog++ distinct
         |counts and quantile sketches per event type. Sketches are
