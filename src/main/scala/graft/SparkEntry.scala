@@ -15,6 +15,7 @@ object SparkEntry {
   val all: Seq[QueryDef] =
     operators.Relational.defs ++
       operators.AdvancedOps.defs ++
+      operators.ExtendedOps.defs ++
       operators.EventsOps.defs ++
       operators.TextOps.defs ++
       operators.Dedup.defs ++

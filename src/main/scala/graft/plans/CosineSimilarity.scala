@@ -51,18 +51,29 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (x, y) => {
+      // Fresh names: this expression can occur several times in one
+      // whole-stage-codegen scope (e.g. a prescreen + rescore pair), and
+      // fixed local names would collide ("Redefinition of local variable")
+      // and silently drop the whole stage to interpreted mode.
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val nx = ctx.freshName("nx")
+      val ny = ctx.freshName("ny")
+      val i = ctx.freshName("i")
+      val xi = ctx.freshName("xi")
+      val yi = ctx.freshName("yi")
       s"""
-         |int n = Math.min($x.numElements(), $y.numElements());
-         |double dot = 0.0, nx = 0.0, ny = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  float xi = $x.getFloat(i);
-         |  float yi = $y.getFloat(i);
-         |  dot += xi * yi; nx += xi * xi; ny += yi * yi;
+         |int $n = Math.min($x.numElements(), $y.numElements());
+         |double $dot = 0.0, $nx = 0.0, $ny = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  float $xi = $x.getFloat($i);
+         |  float $yi = $y.getFloat($i);
+         |  $dot += $xi * $yi; $nx += $xi * $xi; $ny += $yi * $yi;
          |}
-         |if (nx == 0.0 || ny == 0.0) {
+         |if ($nx == 0.0 || $ny == 0.0) {
          |  ${ev.isNull} = true;
          |} else {
-         |  ${ev.value} = dot / Math.sqrt(nx * ny);
+         |  ${ev.value} = $dot / Math.sqrt($nx * $ny);
          |}
        """.stripMargin
     })

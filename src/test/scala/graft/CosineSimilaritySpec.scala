@@ -29,6 +29,21 @@ class CosineSimilaritySpec extends SparkSpec {
     assert(n.forall(_.isNullAt(0)))
   }
 
+  test("two cosine_sim instances compile in one codegen stage (fresh local names)") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    // With fixed local names this stage fails janino compilation
+    // ("Redefinition of local variable i") and silently drops to
+    // interpreted mode; fallback=false turns that into a hard error.
+    withSQLConf("spark.sql.codegen.fallback" -> "false") {
+      val df = Seq((Array(1f, 2f), Array(2f, 1f), Array(1f, 1f))).toDF("a", "b", "c")
+      val r = df.select(
+        call_function("cosine_sim", col("a"), col("b")).as("s1"),
+        call_function("cosine_sim", col("a"), col("c")).as("s2")).collect()
+      assert(r(0).getDouble(0) > 0 && r(0).getDouble(1) > 0)
+    }
+  }
+
   test("fast KNN agrees with the exact-decimal path on neighbor sets") {
     val exact = SparkEntry.queries("q31_knn_bruteforce")(spark, "/root/testdata/sf0.001")
       .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
