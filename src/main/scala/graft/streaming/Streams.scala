@@ -24,6 +24,40 @@ object Streams {
       .json(dir)
       .transform(ViewsPipeline.clean)
 
+  /** S3 streaming twin: JSON-lines reviews stream from a directory. */
+  def reviewsStream(s: SparkSession, dir: String, maxFilesPerTrigger: Int = 10): DataFrame =
+    s.readStream
+      .schema(EventLog.reviewsRawSchema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .json(dir)
+      .transform(ViewsPipeline.clean)
+
+  /** Stream-stream inner join: each review matched to the same user's
+    * view of the same item within the preceding `horizon`. Both sides
+    * carry watermarks and the join condition bounds event-time distance,
+    * so Spark can size and expire the join state on both sides —
+    * unbounded state is the failure mode of naive stream-stream joins at
+    * scale, and the time bound is what prevents it. State is
+    * hash-partitioned by the (item_id, user_ip) equi keys.
+    */
+  def reviewAttribution(views: DataFrame, reviews: DataFrame,
+      horizon: String = "1 hour", watermark: String = "30 minutes"): DataFrame = {
+    val v = views
+      .withWatermark("ts", watermark)
+      .select(col("item_id").as("v_item"), col("user_ip").as("v_ip"),
+        col("ts").as("view_ts"))
+    val r = reviews
+      .withWatermark("ts", watermark)
+      .select(col("item_id"), col("user_ip"), col("ts").as("review_ts"),
+        col("review_stars"))
+    r.join(v,
+      col("v_item") === col("item_id") && col("v_ip") === col("user_ip") &&
+        col("view_ts") <= col("review_ts") &&
+        col("view_ts") >= col("review_ts") - expr(s"INTERVAL $horizon"))
+      .select(col("item_id"), col("user_ip"), col("review_ts"),
+        col("review_stars"), col("view_ts"))
+  }
+
   /** A2 streaming twin: windowed popularity counts with watermark
     * (append mode emits only finalized windows — the late-data policy
     * ST3). */

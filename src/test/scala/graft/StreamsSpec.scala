@@ -45,6 +45,43 @@ class StreamsSpec extends SparkSpec {
     assert(out.columns.toSet.intersect(Set("year", "month", "day", "hour")).size == 4)
   }
 
+  test("stream-stream review attribution joins within the horizon only") {
+    import graft.sources.DataGen.{Review, TsFormat, View}
+    import java.time.Instant
+    def fmt(s: Long): String = TsFormat.format(Instant.ofEpochSecond(s))
+    val t0 = 1700000000L - (1700000000L % 3600)
+
+    // u1 views item 1000 twice within the hour before reviewing it -> 2 matches
+    // u2 reviews an item it never viewed -> no match
+    // u3's only view is 3h before its review -> outside horizon -> no match
+    val views = Seq(
+      View("1000", fmt(t0), "mobile:ios", "111111", "20.0.0.1"),
+      View("1000", fmt(t0 + 600), "mobile:ios", "111111", "20.0.0.1"),
+      View("1001", fmt(t0), "mobile:android", "222222", "20.0.0.2"),
+      View("1003", fmt(t0), "other", "NULL", "20.0.0.3"))
+    val reviews = Seq(
+      Review("1000", fmt(t0 + 1200), "mobile:ios", "111111", "20.0.0.1", "great", "stuff", 5),
+      Review("1002", fmt(t0 + 1200), "mobile:android", "222222", "20.0.0.2", "never", "viewed", 1),
+      Review("1003", fmt(t0 + 3 * 3600), "other", "NULL", "20.0.0.3", "too", "late", 3))
+
+    val vDir = tmp("ss-views"); val rDir = tmp("ss-reviews")
+    graft.sources.DataGen.viewsDF(spark, views).write.mode("overwrite").json(vDir)
+    graft.sources.DataGen.reviewsDF(spark, reviews).write.mode("overwrite").json(rDir)
+
+    val joined = Streams.reviewAttribution(
+      Streams.viewsStream(spark, vDir), Streams.reviewsStream(spark, rDir))
+    val q = joined.writeStream.format("memory").queryName("attr_test")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val got = spark.table("attr_test").collect()
+    assert(got.length == 2, s"expected 2 matched rows, got ${got.length}")
+    assert(got.forall(_.getAs[String]("user_ip") == "20.0.0.1"))
+    assert(got.forall(_.getAs[Int]("review_stars") == 5))
+    assert(got.map(_.getAs[java.sql.Timestamp]("view_ts").getTime / 1000L).toSet
+      == Set(t0, t0 + 600))
+  }
+
   test("watermarked windowed popularity emits finalized windows (append mode)") {
     val users = DataGen.users(10, seed = 23L)
     val items = DataGen.items(20)
