@@ -80,6 +80,36 @@ object Streams {
       .filter(col("c") > threshold)
       .select(col("w.start").as("window_start"), col("c"))
 
+  /** Streaming exact dedup: drops redundant deliveries of the same
+    * logical event (the at-least-once Kinesis producer retries,
+    * reference generator.py:210) keyed by the natural event identity.
+    * dropDuplicatesWithinWatermark keeps per-key state only until the
+    * watermark passes — bounded state, unlike a plain dropDuplicates
+    * which accretes keys forever on a stream. */
+  def dedupedStream(events: DataFrame, watermark: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("user_ip", "item_id", "ts")
+
+  /** A2/A3 variant with session windows: per-user activity sessions
+    * closed after `gap` of inactivity — the streaming twin of the batch
+    * gap-threshold sessionization (q21). State is merged per key as
+    * windows coalesce; watermark finalizes and evicts closed sessions. */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes",
+      watermark: String = "30 minutes"): DataFrame = {
+    // Chaining after another stateful op (e.g. dedupedStream) already
+    // defines the watermark, and Spark forbids redefining it — only add
+    // one when the upstream hasn't.
+    val alreadyWatermarked = events.queryExecution.analyzed.find(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark]).isDefined
+    val src = if (alreadyWatermarked) events else events.withWatermark("ts", watermark)
+    src
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_ip"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
+        col("user_ip"), col("n_events"))
+  }
+
   /** F1 streaming twin: IP filter with a per-micro-batch snapshot
     * re-read. Spark caches a static join side for the life of the query;
     * re-reading inside foreachBatch is what keeps the deny-set fresh

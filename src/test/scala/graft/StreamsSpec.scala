@@ -82,6 +82,42 @@ class StreamsSpec extends SparkSpec {
       == Set(t0, t0 + 600))
   }
 
+  test("streaming dedup drops at-least-once redelivery; session windows close on gap") {
+    import graft.sources.DataGen.{TsFormat, View}
+    import java.time.Instant
+    def fmt(s: Long): String = TsFormat.format(Instant.ofEpochSecond(s))
+    val t0 = 1700000000L - (1700000000L % 3600)
+    // duplicate delivery of the same event + one distinct event 5s later,
+    // then a second burst >30min later -> 2 sessions for the user
+    val views = Seq(
+      View("1000", fmt(t0), "mobile:ios", "111111", "20.0.0.9"),
+      View("1000", fmt(t0), "mobile:ios", "111111", "20.0.0.9"), // redelivery
+      View("1001", fmt(t0 + 5), "mobile:ios", "111111", "20.0.0.9"),
+      View("1002", fmt(t0 + 3600), "mobile:ios", "111111", "20.0.0.9"))
+    val inDir = tmp("dedup-in")
+    graft.sources.DataGen.viewsDF(spark, views).write.mode("overwrite").json(inDir)
+
+    val dq = Streams.dedupedStream(Streams.viewsStream(spark, inDir))
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    dq.awaitTermination()
+    assert(spark.table("dedup_test").count() == 3)
+
+    // chained stateful operators: dedup -> session aggregation in ONE
+    // query. Append mode emits a session only once the watermark passes
+    // its end, so only the first (closed) session appears; the final
+    // burst's session is still open when the bounded input ends.
+    val sq = Streams.sessionCounts(
+        Streams.dedupedStream(Streams.viewsStream(spark, inDir), "10 minutes"),
+        gap = "10 minutes", watermark = "10 minutes")
+      .writeStream.format("memory").queryName("session_test")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    sq.awaitTermination()
+    val sessions = spark.table("session_test").collect()
+    assert(sessions.length == 1, s"expected 1 closed session, got ${sessions.length}")
+    assert(sessions.head.getAs[Long]("n_events") == 2L) // redelivery removed
+  }
+
   test("watermarked windowed popularity emits finalized windows (append mode)") {
     val users = DataGen.users(10, seed = 23L)
     val items = DataGen.items(20)
