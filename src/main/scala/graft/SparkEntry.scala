@@ -16,6 +16,7 @@ object SparkEntry {
     operators.Relational.defs ++
       operators.AdvancedOps.defs ++
       operators.ExtendedOps.defs ++
+      operators.ArrayOps.defs ++
       operators.EventsOps.defs ++
       operators.TextOps.defs ++
       operators.Dedup.defs ++

@@ -1,0 +1,116 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.QueryDef.q
+import graft.functions.Fns._
+import org.apache.spark.sql.functions._
+
+/** Nested-type surface: array higher-order functions, collect-to-array
+  * aggregation, unpivot/melt, time-spine gap fill, and arg-max. The
+  * reference's own type surface is flat (SURVEY.md §1.3), but the
+  * training-data extensions (§2.11) carry array<float> embeddings, so
+  * first-class array operators belong in the engine.
+  */
+object ArrayOps {
+
+  val defs: Seq[QueryDef] = Seq(
+    // ----------------------------------------------------------------
+    q("q54_array_hof",
+      """Array higher-order functions on the embedding column: per-vector
+        |dimension count and L2 norm via transform + aggregate (a fused
+        |codegen fold — no explode, no shuffle, no UDF). Both engines
+        |fold left-to-right over the same element order, double-precision
+        |from the first multiply, so the result is bit-stable.""".stripMargin,
+      """SELECT vec_id, len(embedding) AS dim,
+        |  sqrt(list_sum(list_transform(embedding,
+        |       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS l2
+        |FROM embeddings""".stripMargin) { (s, dir) =>
+      Tables.embeddings(s, dir).select(
+        col("vec_id"),
+        size(col("embedding")).cast("bigint").as("dim"),
+        sqrt(aggregate(
+          transform(col("embedding"), x => x.cast("double") * x.cast("double")),
+          lit(0.0), (acc, x) => acc + x)).as("l2"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q55_collect_sorted",
+      """Collect-to-array aggregation with deterministic order:
+        |per-event-type sorted distinct user list. collect_set is
+        |order-nondeterministic under parallel merge — sort_array is what
+        |makes the result reproducible (and hash-comparable) at any
+        |parallelism.""".stripMargin,
+      """SELECT event_type, list_sort(list(DISTINCT user_id)) AS users
+        |FROM events GROUP BY event_type""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(sort_array(collect_set(col("user_id"))).as("users"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q56_unpivot",
+      """Unpivot/melt: three lineitem measures folded into (metric, val)
+        |rows, then aggregated per (returnflag, metric). Expand-based —
+        |one scan, no join; the row-count 3x happens inside codegen ahead
+        |of the partial aggregate, so the shuffle carries only group
+        |totals.""".stripMargin,
+      """SELECT l_returnflag, metric,
+        |  CAST(sum(CAST(val AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM (UNPIVOT lineitem ON l_quantity, l_extendedprice, l_discount
+        |      INTO NAME metric VALUE val)
+        |GROUP BY l_returnflag, metric""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .unpivot(
+          Array(col("l_returnflag")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "metric", "val")
+        .groupBy(col("l_returnflag"), col("metric"))
+        .agg(dsum(col("val")).as("total"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q57_gapfill",
+      """Time-spine gap fill: hourly event counts joined onto a complete
+        |generated hour spine so silent hours surface as explicit zeros —
+        |the shape every monitoring/alerting consumer needs (a missing
+        |hour is a signal, not an absence). The spine is sequence+explode
+        |over the [min,max] hour bounds (one tiny row), broadcast against
+        |the aggregated counts — input scale only affects the first
+        |aggregate.""".stripMargin,
+      """WITH hc AS (SELECT date_trunc('hour', ts) AS hr, count(*) AS n
+        |            FROM events GROUP BY 1),
+        |bounds AS (SELECT min(hr) AS lo, max(hr) AS hi FROM hc),
+        |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+        |          FROM bounds)
+        |SELECT s.hr, coalesce(hc.n, 0) AS n
+        |FROM spine s LEFT JOIN hc USING (hr)""".stripMargin) { (s, dir) =>
+      val hc = Tables.events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("cnt"))
+      val spine = hc.agg(min(col("hr")).as("lo"), max(col("hr")).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR"))).as("hr"))
+      spine.join(hc, Seq("hr"), "left")
+        .select(col("hr"), coalesce(col("cnt"), lit(0L)).as("n"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q58_argmax",
+      """Arg-max aggregation: per event type, the single busiest user via
+        |max_by over a (count, user) struct — struct ordering gives the
+        |deterministic tie-break that bare max_by lacks. One aggregate
+        |over the counts, no rank window, no second shuffle.""".stripMargin,
+      """SELECT event_type, user_id AS top_user, n AS top_n FROM (
+        |  SELECT event_type, user_id, count(*) AS n,
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY count(*) DESC, user_id DESC) AS rk
+        |  FROM events GROUP BY event_type, user_id)
+        |WHERE rk = 1""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("event_type"))
+        .agg(
+          max_by(col("user_id"), struct(col("n"), col("user_id"))).as("top_user"),
+          max(struct(col("n"), col("user_id"))).getField("n").as("top_n"))
+    })
+}
