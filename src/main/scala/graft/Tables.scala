@@ -45,6 +45,13 @@ object Tables {
   private val registered = scala.collection.concurrent.TrieMap.empty[String, Unit]
   def registerAll(spark: SparkSession, dir: String): Unit =
     registered.getOrElseUpdate(dir + "#" + spark.hashCode, {
-      names.foreach(n => apply(spark, dir, n).createOrReplaceTempView(n))
+      names.foreach { n =>
+        // events must go through its nanos-aware loader — a raw read
+        // fails on TIMESTAMP(NANOS) unless some earlier query happened
+        // to set the legacy conf (an ordering dependency we don't want),
+        // and the view should expose a true timestamp anyway.
+        val df = if (n == "events") events(spark, dir) else apply(spark, dir, n)
+        df.createOrReplaceTempView(n)
+      }
     })
 }
