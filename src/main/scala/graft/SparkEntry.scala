@@ -17,6 +17,7 @@ object SparkEntry {
       operators.AdvancedOps.defs ++
       operators.ExtendedOps.defs ++
       operators.ArrayOps.defs ++
+      operators.TpchOps.defs ++
       operators.EventsOps.defs ++
       operators.TextOps.defs ++
       operators.Dedup.defs ++

@@ -1,0 +1,151 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.QueryDef.q
+import graft.functions.Fns._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Classic TPC-H-shaped analytical queries over the driver's TPC-H-ish
+  * tables — the canonical multi-join star-schema workloads an analytics
+  * engine must own (the reference's Athena tier runs exactly this class
+  * of query over its catalog, diagram.svg:3 "Analytical queries").
+  * Shapes follow the public TPC-H spec queries, adapted to the columns
+  * the test schema actually has; money math is exact-decimal.
+  */
+object TpchOps {
+
+  val defs: Seq[QueryDef] = Seq(
+    // ----------------------------------------------------------------
+    q("q59_shipping_priority",
+      """TPC-H Q3 shape (shipping priority): top-10 unshipped orders by
+        |revenue at a cutoff date. Two hash joins on the fact's own keys,
+        |decimal-exact revenue, TakeOrdered top-k with a key tie-break —
+        |no global sort of the join output at any scale.""".stripMargin,
+      """SELECT o_orderkey, o_orderdate,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |         * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin) { (s, dir) =>
+      val cutoff = lit("1997-01-01 00:00:00").cast("timestamp")
+      val cust = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      Tables.orders(s, dir).filter(col("o_orderdate") < cutoff)
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(Tables.lineitem(s, dir).filter(col("l_shipdate") > cutoff),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg(sum(discPrice(col("l_extendedprice"), col("l_discount")))
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    },
+
+    // ----------------------------------------------------------------
+    q("q60_local_supplier_volume",
+      """TPC-H Q5 shape (local supplier volume): revenue per nation where
+        |customer and supplier share the nation, one region, one year.
+        |The region/nation dims broadcast; lineitem joins orders and
+        |supplier on its own keys; the c_nationkey = s_nationkey
+        |condition rides the customer join — the only shuffles are the
+        |two fact-fact joins.""".stripMargin,
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |         * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name""".stripMargin) { (s, dir) =>
+      val asiaNations = Tables.nation(s, dir)
+        .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val cust = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+      val sup = Tables.supplier(s, dir)
+        .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_nationkey"), col("n_name"))
+      Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
+        .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(cust, col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(discPrice(col("l_extendedprice"), col("l_discount")))
+          .cast("double").as("revenue"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q61_returned_items",
+      """TPC-H Q10 shape (returned-item reporting): top-20 customers by
+        |revenue lost to returns. Fact-fact join then broadcast customer
+        |attributes onto the (small) aggregated result, not the raw
+        |fact — at scale the join order is what keeps the wide customer
+        |row out of the shuffle.""".stripMargin,
+      """SELECT c_custkey, c_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |         * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin) { (s, dir) =>
+      val perCust = Tables.orders(s, dir)
+        .join(Tables.lineitem(s, dir).filter(col("l_returnflag") === "R"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(sum(discPrice(col("l_extendedprice"), col("l_discount")))
+          .cast("double").as("revenue"))
+      perCust
+        .join(Tables.customer(s, dir).select(col("c_custkey"), col("c_name")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+
+    // ----------------------------------------------------------------
+    q("q62_window_distribution",
+      """Distribution window functions over per-(type,user) activity:
+        |quartile (ntile), percent_rank, cume_dist, lead, and
+        |greatest/least clamps. All frames share one (event_type)
+        |partitioning and (n, user_id) sort — Catalyst plans a single
+        |shuffle+sort for the lot. percent_rank/cume_dist are integer
+        |ratios, so bit-stable across engines.""".stripMargin,
+      """SELECT event_type, user_id, n,
+        |  ntile(4) OVER w AS quartile,
+        |  CAST(percent_rank() OVER w AS DOUBLE) AS pr,
+        |  CAST(cume_dist() OVER w AS DOUBLE) AS cd,
+        |  lead(user_id) OVER w AS next_user,
+        |  greatest(n, CAST(25 AS BIGINT)) AS n_floor25,
+        |  least(n, CAST(25 AS BIGINT)) AS n_cap25
+        |FROM (SELECT event_type, user_id, count(*) AS n
+        |      FROM events GROUP BY 1, 2)
+        |WINDOW w AS (PARTITION BY event_type ORDER BY n, user_id)""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("event_type")).orderBy(col("n"), col("user_id"))
+      Tables.events(s, dir)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("event_type"), col("user_id"), col("n"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).cast("double").as("pr"),
+          cume_dist().over(w).cast("double").as("cd"),
+          lead(col("user_id"), 1).over(w).as("next_user"),
+          greatest(col("n"), lit(25L)).as("n_floor25"),
+          least(col("n"), lit(25L)).as("n_cap25"))
+    })
+}
