@@ -21,6 +21,7 @@ object SparkEntry {
       operators.EventsOps.defs ++
       operators.TextOps.defs ++
       operators.Dedup.defs ++
+      operators.Curation.defs ++
       operators.Similarity.defs ++
       operators.Multimodal.defs
 

@@ -127,6 +127,55 @@ object Dedup {
        |  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
        |GROUP BY a.doc_id, b.doc_id""".stripMargin
 
+  /** The q29 result as a reusable stage: LSH-candidate pairs verified by
+    * exact shingle Jaccard >= `minJaccard`. Consumed by the curation
+    * pipeline (Curation.scala) for near-dup removal. */
+  private[operators] def neardupPairs(s: SparkSession, dir: String,
+      minJaccard: Double = 0.2): DataFrame = {
+    val cand = candidates(s, dir)
+    // The candidate set is orders of magnitude smaller than the corpus
+    // (that's the whole point of LSH) — so first semi-filter the shingle
+    // table down to candidate docs with one broadcast semi-join (no
+    // shuffle of the big side), then run the intersection join on the
+    // tiny remainder. Without this the (doc_b, sh) join shuffles every
+    // shingle in the corpus; with it, only candidates' shingles move.
+    val candDocs = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val sh = shingles(s, dir)
+      .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val inter = broadcast(cand)
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("jaccard",
+        col("n_common").cast("double") / (col("na") + col("nb") - col("n_common")))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
+  }
+
+  /** DuckDB equivalent of [[neardupPairs]] at the default threshold. */
+  private[operators] val neardupSql: String =
+    s"""WITH cand AS ($candidatesSql),
+       |  sh AS ($shinglesSql),
+       |  sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |  inter AS (
+       |    SELECT c.doc_a, c.doc_b, count(*) AS n_common
+       |    FROM cand c
+       |    JOIN sh sa ON sa.doc_id = c.doc_a
+       |    JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+       |    GROUP BY c.doc_a, c.doc_b)
+       |SELECT i.doc_a, i.doc_b, i.n_common,
+       |  CAST(i.n_common AS DOUBLE) / (za.n + zb.n - i.n_common) AS jaccard
+       |FROM inter i
+       |JOIN sizes za ON za.doc_id = i.doc_a
+       |JOIN sizes zb ON zb.doc_id = i.doc_b
+       |WHERE CAST(i.n_common AS DOUBLE) / (za.n + zb.n - i.n_common) >= 0.2""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
     // ----------------------------------------------------------------
     q("q26_dedup_exact",
@@ -169,46 +218,8 @@ object Dedup {
         |via shingle join, union by inclusion-exclusion). Keeps pairs with
         |J >= 0.2. Jaccard is a ratio of exact integers — bitwise
         |deterministic.""".stripMargin,
-      s"""WITH cand AS ($candidatesSql),
-        |  sh AS ($shinglesSql),
-        |  sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        |  inter AS (
-        |    SELECT c.doc_a, c.doc_b, count(*) AS n_common
-        |    FROM cand c
-        |    JOIN sh sa ON sa.doc_id = c.doc_a
-        |    JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
-        |    GROUP BY c.doc_a, c.doc_b)
-        |SELECT i.doc_a, i.doc_b, i.n_common,
-        |  CAST(i.n_common AS DOUBLE) / (za.n + zb.n - i.n_common) AS jaccard
-        |FROM inter i
-        |JOIN sizes za ON za.doc_id = i.doc_a
-        |JOIN sizes zb ON zb.doc_id = i.doc_b
-        |WHERE CAST(i.n_common AS DOUBLE) / (za.n + zb.n - i.n_common) >= 0.2""".stripMargin) { (s, dir) =>
-      val cand = candidates(s, dir)
-      // The candidate set is orders of magnitude smaller than the corpus
-      // (that's the whole point of LSH) — so first semi-filter the shingle
-      // table down to candidate docs with one broadcast semi-join (no
-      // shuffle of the big side), then run the intersection join on the
-      // tiny remainder. Without this the (doc_b, sh) join shuffles every
-      // shingle in the corpus; with it, only candidates' shingles move.
-      val candDocs = cand.select(col("doc_a").as("doc_id"))
-        .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-      val sh = shingles(s, dir)
-        .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
-      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val inter = broadcast(cand)
-        .join(sh.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
-        .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
-        .groupBy(col("doc_a"), col("doc_b"))
-        .agg(count(lit(1)).as("n_common"))
-      val j = inter
-        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
-        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
-        .withColumn("jaccard",
-          col("n_common").cast("double") / (col("na") + col("nb") - col("n_common")))
-        .filter(col("jaccard") >= 0.2)
-        .select(col("doc_a"), col("doc_b"), col("n_common"), col("jaccard"))
-      j
+      neardupSql) { (s, dir) =>
+      neardupPairs(s, dir)
     },
 
     // ----------------------------------------------------------------
