@@ -94,6 +94,63 @@ object ArrayOps {
     },
 
     // ----------------------------------------------------------------
+    q("q64_json_extract",
+      """Schema-on-read JSON parsing (the S6 OpenX-JsonSerDe shape done
+        |right): from_json with an explicit schema pulls typed fields out
+        |of the props payload in one codegen'd expression — no regexp, no
+        |UDF — then buckets on the extracted value. At scale the parse
+        |cost is the scan cost; nothing shuffles until the tiny bucket
+        |aggregate.""".stripMargin,
+      """SELECT CAST(json_extract(props, '$.k') AS INT) // 10 AS k_bucket,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS k_sum
+        |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .select(from_json(col("props"),
+          org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k").as("k"))
+        .groupBy(expr("k div 10").as("k_bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).cast("bigint").as("k_sum"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q65_struct_map",
+      """Struct and map construction surface: named_struct packed from
+        |row values (and written as a real nested parquet column) plus a
+        |map literal lookup. Nested output exercises the writer/reader
+        |path the multimodal metadata columns rely on.""".stripMargin,
+      """SELECT event_id,
+        |  {'t': event_type, 'u': user_id} AS rec,
+        |  map(['w'], [CAST(1 AS INT)])['w'][1] AS w
+        |FROM events""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir).select(
+        col("event_id"),
+        struct(col("event_type").as("t"), col("user_id").as("u")).as("rec"),
+        element_at(map_from_arrays(array(lit("w")), array(lit(1))), "w").as("w"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q66_safe_casts",
+      """Error-safe expression surface: try_cast returns NULL instead of
+        |failing the job on malformed input, try_divide absorbs
+        |divide-by-zero — the difference between one bad row poisoning a
+        |100 TB job and a null that the next filter handles.""".stripMargin,
+      """SELECT event_id,
+        |  TRY_CAST(event_type AS INT) AS et_int,
+        |  TRY_CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT) AS k,
+        |  CASE WHEN TRY_CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT) = 0
+        |       THEN NULL
+        |       ELSE CAST(1 AS DOUBLE) / TRY_CAST(regexp_extract(props, '[0-9]+', 0) AS BIGINT)
+        |  END AS inv_k
+        |FROM events""".stripMargin) { (s, dir) =>
+      val k = expr("try_cast(regexp_extract(props, '[0-9]+', 0) AS bigint)")
+      Tables.events(s, dir).select(
+        col("event_id"),
+        expr("try_cast(event_type AS int)").as("et_int"),
+        k.as("k"),
+        try_divide(lit(1.0), k).as("inv_k"))
+    },
+
+    // ----------------------------------------------------------------
     q("q58_argmax",
       """Arg-max aggregation: per event type, the single busiest user via
         |max_by over a (count, user) struct — struct ordering gives the
