@@ -111,6 +111,33 @@ object DataGen {
     }
   }
 
+  /** Distributed views generation: same distributions as [[hourOfViews]]
+    * but synthesized executor-side — one task per user slice, a
+    * deterministic per-(user,hour) RNG seed, no driver-side row
+    * materialization. This is the 100 TB-shaped generator: scaling
+    * users/hours scales tasks, not driver memory. */
+  def distViews(s: SparkSession, us: Seq[User], is: Seq[Item], startEpochS: Long,
+      hours: Int, seed: Long = 13L, minLines: Int = 100, maxLines: Int = 1000): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val users = us.toArray
+    val items = is.toArray
+    val slices = math.min(users.length, 256)
+    s.sparkContext.parallelize(users.indices, slices)
+      .flatMap { ui =>
+        val u = users(ui)
+        (0 until hours).iterator.flatMap { h =>
+          val rnd = new Random(seed ^ (ui.toLong << 20) ^ h.toLong)
+          eventTimesForHour(u.isBot, startEpochS + h * 3600L, rnd, minLines, maxLines)
+            .map { tMillis =>
+              val item = items(rnd.nextInt(items.length))
+              View(item.itemId, TsFormat.format(Instant.ofEpochSecond(tMillis / 1000)),
+                u.deviceType, u.deviceId, u.userIp)
+            }
+        }
+      }
+      .toDF("item_id", "ts", "device_type", "device_id", "user_ip")
+  }
+
   /** Deterministic stand-in for the SMS spam corpus (label, lowercase text). */
   def smsCorpus(n: Int = 400, seed: Long = 19L, spamRatio: Double = 0.13): Seq[LabeledSms] = {
     val rnd = new Random(seed)

@@ -37,6 +37,23 @@ class DataGenSpec extends SparkSpec {
     assert(views.map(_.ts) == views.map(_.ts).sorted)
   }
 
+  test("distributed generation is deterministic and keeps the rate envelope") {
+    val us = DataGen.users(30, seed = 31L)
+    val is = DataGen.items(40)
+    def gen() = DataGen.distViews(spark, us, is, 1700000000L, hours = 1, seed = 7L)
+    val a = gen().collect().map(_.toString).sorted.toSeq
+    val b = gen().collect().map(_.toString).sorted.toSeq
+    assert(a == b, "same seed must produce identical rows")
+    // per-user rates stay inside the reference envelope: humans <= 1000/hr
+    val perUser = gen().groupBy("user_ip").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bots = us.filter(_.isBot).map(_.userIp).toSet
+    perUser.foreach { case (ip, n) =>
+      if (bots.contains(ip)) assert(n > 100, s"bot $ip only $n rows")
+      else assert(n >= 100 && n <= 1000, s"human $ip has $n rows")
+    }
+  }
+
   test("sms corpus is labeled, lowercase, mixed") {
     val c = DataGen.smsCorpus(200)
     assert(c.size == 200)
