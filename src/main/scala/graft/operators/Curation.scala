@@ -77,5 +77,68 @@ object Curation {
       kept.groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).cast("bigint").as("total_tokens"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q68_dup_clusters",
+      """Duplicate-cluster formation: connected components of the
+        |verified near-dup graph, each doc labeled with its component's
+        |min doc_id (the canonical survivor). Implemented as iterative
+        |min-label propagation over DataFrames — O(diameter) rounds, each
+        |one join + one aggregate, lineage cut per round with
+        |localCheckpoint; this is the shape that scales where a
+        |recursive CTE (the DuckDB oracle here) or union-find on the
+        |driver cannot. Cluster sizes ride the final label
+        |partitioning.""".stripMargin,
+      s"""WITH RECURSIVE jp AS (${Dedup.neardupSql}),
+        |edges AS (SELECT doc_a AS a, doc_b AS b FROM jp
+        |          UNION ALL SELECT doc_b, doc_a FROM jp),
+        |nodes AS (SELECT DISTINCT a AS d FROM edges),
+        |walk(d, lbl) AS (
+        |  SELECT d, d FROM nodes
+        |  UNION
+        |  SELECT e.b, w.lbl FROM walk w JOIN edges e ON e.a = w.d
+        |  WHERE w.lbl < e.b),
+        |lab AS (SELECT d AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY d)
+        |SELECT doc_id, cluster_id,
+        |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        |FROM lab""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val pairs = Dedup.neardupPairs(s, dir).select(col("doc_a"), col("doc_b"))
+      // The dup graph is orders of magnitude smaller than the corpus
+      // (only verified near-dup docs appear). Size the per-round shuffle
+      // to the graph, not to the session default — at corpus scale the
+      // same holds: partition by |edges|, not |docs|.
+      val graphParts = 4
+      val edges = pairs
+        .union(pairs.select(col("doc_b"), col("doc_a")))
+        .toDF("src", "dst")
+        .repartition(graphParts, col("src"))
+        .localCheckpoint(true)
+      var labels = edges.select(col("src").as("doc_id")).distinct()
+        .withColumn("label", col("doc_id"))
+        .repartition(graphParts, col("doc_id"))
+        .localCheckpoint(true)
+      var changed = true
+      var iter = 0
+      while (changed && iter < 50) {
+        val prop = edges.join(labels, col("src") === col("doc_id"))
+          .groupBy(col("dst")).agg(min(col("label")).as("nlabel"))
+        val next = labels.join(prop, col("doc_id") === col("dst"), "left")
+          .select(col("doc_id"),
+            least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+          .repartition(graphParts, col("doc_id"))
+          .localCheckpoint(true)
+        changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
+          .filter(col("label") =!= col("old")).limit(1).count() > 0
+        // release the previous round's checkpoint blocks — otherwise the
+        // executor storage fills with dead per-round state
+        labels.unpersist(false)
+        labels = next
+        iter += 1
+      }
+      System.err.println(s"[q68] converged after $iter rounds")
+      labels.select(col("doc_id"), col("label").as("cluster_id"),
+        count(lit(1)).over(Window.partitionBy(col("label"))).as("cluster_size"))
     })
 }

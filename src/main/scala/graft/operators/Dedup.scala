@@ -129,9 +129,18 @@ object Dedup {
 
   /** The q29 result as a reusable stage: LSH-candidate pairs verified by
     * exact shingle Jaccard >= `minJaccard`. Consumed by the curation
-    * pipeline (Curation.scala) for near-dup removal. */
+    * pipeline (Curation.scala) for near-dup removal and clustering.
+    * Cached: the verified pair set is tiny (hundreds of rows at sf0.1)
+    * and three operators consume it — recomputing the intersection joins
+    * per consumer would triple the dedup-suite cost. */
+  private val pairCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
   private[operators] def neardupPairs(s: SparkSession, dir: String,
-      minJaccard: Double = 0.2): DataFrame = {
+      minJaccard: Double = 0.2): DataFrame =
+    pairCache.getOrElseUpdate(s"$dir#${s.hashCode}#$minJaccard",
+      neardupPairsUncached(s, dir, minJaccard).cache())
+
+  private def neardupPairsUncached(s: SparkSession, dir: String,
+      minJaccard: Double): DataFrame = {
     val cand = candidates(s, dir)
     // The candidate set is orders of magnitude smaller than the corpus
     // (that's the whole point of LSH) — so first semi-filter the shingle

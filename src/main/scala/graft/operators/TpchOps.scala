@@ -119,6 +119,36 @@ object TpchOps {
     },
 
     // ----------------------------------------------------------------
+    q("q67_market_basket",
+      """Co-occurrence (frequent-itemset shape): part pairs appearing in
+        |>= 2 common orders. Instead of a self-join (which shuffles the
+        |distinct line set twice), parts are collected per order into a
+        |sorted array — one shuffle on the order key — and ordered pairs
+        |are expanded inside codegen with array HOFs; fan-out is bounded
+        |by per-order line count squared, the same bounded-bucket
+        |argument as LSH bands. The only other shuffle carries the pair
+        |counts.""".stripMargin,
+      """SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |  count(*) AS n_orders
+        |FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
+        |JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+        .select(explode(expr(
+          """flatten(transform(ps, (x, i) ->
+            |  transform(slice(ps, i + 2, size(ps)),
+            |            y -> struct(x AS part_a, y AS part_b))))""".stripMargin))
+          .as("p"))
+        .select(col("p.part_a"), col("p.part_b"))
+        .groupBy(col("part_a"), col("part_b"))
+        .agg(count(lit(1)).as("n_orders"))
+        .filter(col("n_orders") >= 2)
+    },
+
+    // ----------------------------------------------------------------
     q("q62_window_distribution",
       """Distribution window functions over per-(type,user) activity:
         |quartile (ntile), percent_rank, cume_dist, lead, and
