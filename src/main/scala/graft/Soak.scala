@@ -42,11 +42,34 @@ object Soak {
     val tp = (detected & truthBots).size
     val precision = if (detected.isEmpty) 1.0 else tp.toDouble / detected.size
     val recall = if (truthBots.isEmpty) 1.0 else tp.toDouble / truthBots.size
+
+    // Streaming phase: land the same workload as JSON-lines (the Kinesis
+    // stand-in), turn the detected set into the TTL'd snapshot, and run
+    // the checkpointed streaming IP filter to the partitioned sink —
+    // the full K3 path, measured end to end.
+    import org.apache.spark.sql.functions.current_timestamp
+    val base = java.nio.file.Files.createTempDirectory("graft-soak").toString
+    val (inDir, outDir, ckpt, snap) =
+      (s"$base/in", s"$base/out", s"$base/ckpt", s"$base/snap")
+    DataGen.distViews(spark, users, items, startEpochS = 1700000000L, hours = hours)
+      .write.mode("overwrite").json(inDir)
+    ViewsPipeline.suspiciousSnapshot(
+      ViewsPipeline.detectSuspicious(cleaned), current_timestamp(), 24)
+      .write.mode("overwrite").parquet(snap)
+    val t2 = System.nanoTime()
+    streaming.Streams.runToCompletion(streaming.Streams.filteredSink(
+      streaming.Streams.viewsStream(spark, inDir, maxFilesPerTrigger = 64),
+      snap, outDir, ckpt))
+    val streamS = (System.nanoTime() - t2) / 1e9
+    val nFiltered = spark.read.parquet(outDir).count()
+
     println(
       s"""{"metric":"soak","rows":$nRows,"users":$nUsers,"hours":$hours,""" +
         s""""gen_sec":$genS,"detect_sec":$detectS,""" +
         s""""detect_rows_per_sec":${(nRows / detectS).toLong},""" +
-        s""""precision":$precision,"recall":$recall}""")
+        s""""precision":$precision,"recall":$recall,""" +
+        s""""stream_sec":$streamS,"stream_rows_per_sec":${(nRows / streamS).toLong},""" +
+        s""""stream_rows_out":$nFiltered}""")
     spark.stop()
   }
 }
