@@ -67,8 +67,12 @@ object EventLog {
 
   /** K6: curated-zone write — parquet partitioned by the derived hour
     * columns, the layout every downstream query prunes on. */
-  def writeCurated(df: DataFrame, path: String): Unit =
+  /** K6: curated-zone write, hour-partitioned. Parquet by default; ORC
+    * supported for lakes standardized on it (both get predicate pushdown
+    * + vectorized reads from Spark). */
+  def writeCurated(df: DataFrame, path: String, format: String = "parquet"): Unit =
     df.write.mode("overwrite")
       .partitionBy("year", "month", "day", "hour")
-      .parquet(path)
+      .format(format)
+      .save(path)
 }

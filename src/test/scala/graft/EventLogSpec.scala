@@ -31,6 +31,21 @@ class EventLogSpec extends SparkSpec {
     assert(hours == 2)
   }
 
+  test("curated zone round-trips through ORC with identical rows and partitions") {
+    val views = DataGen.hourOfViews(users, items, h0, seed = 77L)
+    val cleaned = ViewsPipeline.withPartitionColumns(
+      ViewsPipeline.clean(DataGen.viewsDF(spark, views)))
+    val pq = Files.createTempDirectory("graft-cur-pq").toString
+    val orc = Files.createTempDirectory("graft-cur-orc").toString
+    EventLog.writeCurated(cleaned, pq)
+    EventLog.writeCurated(cleaned, orc, format = "orc")
+    val a = spark.read.parquet(pq).collect().map(_.toString).sorted.toSeq
+    val b = spark.read.orc(orc).collect().map(_.toString).sorted.toSeq
+    assert(a == b && a.nonEmpty)
+    // hour partition directories exist in both layouts
+    assert(new java.io.File(orc).listFiles().exists(_.getName.startsWith("year=")))
+  }
+
   test("spam TSV reader parses label\\ttext") {
     val f = Files.createTempDirectory("graft-tsv").resolve("corpus.tsv")
     val corpus = DataGen.smsCorpus(50)
