@@ -16,7 +16,10 @@ object Prof {
       .foreach { d =>
         for (rep <- 1 to 2) {
           val t0 = System.nanoTime()
-          d.run(spark, sfDir).count()
+          // noop sink, not count(): count() lets ColumnPruning drop the
+          // projections under test, so projection-only queries would
+          // time nothing but the scan
+          d.run(spark, sfDir).write.format("noop").mode("overwrite").save()
           println(f"${d.name} rep$rep ${(System.nanoTime() - t0) / 1e9}%.2fs")
         }
       }

@@ -27,10 +27,16 @@ object Soak {
     val items = DataGen.items(200)
     val truthBots = users.filter(_.isBot).map(_.userIp).toSet
 
+    // generate ONCE: land the workload as JSON-lines (it doubles as the
+    // streaming phase's source), then run the batch tier off the files
+    val base = java.nio.file.Files.createTempDirectory("graft-soak").toString
+    val (inDir, outDir, ckpt, snap) =
+      (s"$base/in", s"$base/out", s"$base/ckpt", s"$base/snap")
     val t0 = System.nanoTime()
+    DataGen.distViews(spark, users, items, startEpochS = 1700000000L, hours = hours)
+      .write.mode("overwrite").json(inDir)
     val cleaned = ViewsPipeline.clean(
-      DataGen.distViews(spark, users, items, startEpochS = 1700000000L, hours = hours))
-      .persist()
+      sources.EventLog.readJsonLines(spark, inDir)).persist()
     val nRows = cleaned.count()
     val genS = (System.nanoTime() - t0) / 1e9
 
@@ -43,16 +49,10 @@ object Soak {
     val precision = if (detected.isEmpty) 1.0 else tp.toDouble / detected.size
     val recall = if (truthBots.isEmpty) 1.0 else tp.toDouble / truthBots.size
 
-    // Streaming phase: land the same workload as JSON-lines (the Kinesis
-    // stand-in), turn the detected set into the TTL'd snapshot, and run
-    // the checkpointed streaming IP filter to the partitioned sink —
-    // the full K3 path, measured end to end.
+    // Streaming phase: turn the detected set into the TTL'd snapshot and
+    // replay the landed JSON through the checkpointed streaming IP
+    // filter to the partitioned sink — the full K3 path, end to end.
     import org.apache.spark.sql.functions.current_timestamp
-    val base = java.nio.file.Files.createTempDirectory("graft-soak").toString
-    val (inDir, outDir, ckpt, snap) =
-      (s"$base/in", s"$base/out", s"$base/ckpt", s"$base/snap")
-    DataGen.distViews(spark, users, items, startEpochS = 1700000000L, hours = hours)
-      .write.mode("overwrite").json(inDir)
     ViewsPipeline.suspiciousSnapshot(
       ViewsPipeline.detectSuspicious(cleaned), current_timestamp(), 24)
       .write.mode("overwrite").parquet(snap)

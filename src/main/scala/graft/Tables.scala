@@ -40,11 +40,14 @@ object Tables {
 
   /** Register every table as a temp view (≈ the reference's Glue catalog
     * tier, SURVEY.md §3.3) so `spark.sql` works against bare names.
-    * Memoized per (session, dir): registration re-reads ten parquet
-    * footers, which is pointless to repeat per query. */
-  private val registered = scala.collection.concurrent.TrieMap.empty[String, Unit]
-  def registerAll(spark: SparkSession, dir: String): Unit =
-    registered.getOrElseUpdate(dir + "#" + spark.hashCode, {
+    * The view namespace is session-GLOBAL, so memoization must track the
+    * last dir registered per session — a per-(session, dir) memo would
+    * skip re-registration after another dir overwrote the views,
+    * silently serving that other dir's data. Registration re-reads ten
+    * parquet footers, so it is still skipped when the dir is unchanged. */
+  private val lastRegistered = scala.collection.concurrent.TrieMap.empty[Int, String]
+  def registerAll(spark: SparkSession, dir: String): Unit = synchronized {
+    if (!lastRegistered.get(spark.hashCode).contains(dir)) {
       names.foreach { n =>
         // events must go through its nanos-aware loader — a raw read
         // fails on TIMESTAMP(NANOS) unless some earlier query happened
@@ -53,5 +56,7 @@ object Tables {
         val df = if (n == "events") events(spark, dir) else apply(spark, dir, n)
         df.createOrReplaceTempView(n)
       }
-    })
+      lastRegistered.put(spark.hashCode, dir)
+    }
+  }
 }

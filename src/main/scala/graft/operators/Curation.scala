@@ -131,12 +131,16 @@ object Curation {
           .localCheckpoint(true)
         changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
           .filter(col("label") =!= col("old")).limit(1).count() > 0
-        // release the previous round's checkpoint blocks — otherwise the
-        // executor storage fills with dead per-round state
-        labels.unpersist(false)
+        // dead per-round checkpoint blocks are reclaimed by the
+        // ContextCleaner once the dropped reference is GC'd (Dataset
+        // unpersist does not reach localCheckpoint RDD storage)
         labels = next
         iter += 1
       }
+      // a silent cap would return plausible-but-wrong cluster ids; a
+      // >50-diameter dup chain must fail loudly instead
+      if (changed) throw new IllegalStateException(
+        s"q68 label propagation did not converge within $iter rounds")
       System.err.println(s"[q68] converged after $iter rounds")
       labels.select(col("doc_id"), col("label").as("cluster_id"),
         count(lit(1)).over(Window.partitionBy(col("label"))).as("cluster_size"))

@@ -65,8 +65,6 @@ object EventLog {
         StructField("label", StringType), StructField("text", StringType))))
       .csv(path)
 
-  /** K6: curated-zone write — parquet partitioned by the derived hour
-    * columns, the layout every downstream query prunes on. */
   /** K6: curated-zone write, hour-partitioned. Parquet by default; ORC
     * supported for lakes standardized on it (both get predicate pushdown
     * + vectorized reads from Spark). */
