@@ -80,6 +80,35 @@ object Streams {
       .filter(col("c") > threshold)
       .select(col("w.start").as("window_start"), col("c"))
 
+  /** A2/A3 completed: windowed counts stream into foreachBatch, where
+    * the per-window rank + top-k cut runs on the (tiny) finalized
+    * aggregate rows and appends to `outPath`. Rank is not expressible
+    * inside a streaming agg — per the diagram this is exactly the
+    * Kinesis-Analytics → downstream-consumer split: heavy count state
+    * lives in the stream, the top-k is a per-batch decoration. Update
+    * mode emits refinements; the sink keeps the latest per window via
+    * overwrite-by-window semantics being left to the reader (append log).
+    */
+  def popularityTopK(events: DataFrame, outPath: String, checkpoint: String,
+      k: Int = 3, windowDur: String = "10 minutes",
+      watermark: String = "15 minutes"): DataStreamWriter[Row] =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur).as("w"), col("item_id"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("w.start").as("window_start"), col("item_id"), col("c"))
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        import org.apache.spark.sql.expressions.Window
+        val rw = Window.partitionBy(col("window_start"))
+          .orderBy(col("c").desc, col("item_id"))
+        batch.withColumn("rk", rank().over(rw)).filter(col("rk") <= k)
+          .write.mode("append").parquet(outPath)
+        ()
+      }
+
   /** Streaming exact dedup: drops redundant deliveries of the same
     * logical event (the at-least-once Kinesis producer retries,
     * reference generator.py:210) keyed by the natural event identity.
