@@ -119,6 +119,71 @@ object TpchOps {
     },
 
     // ----------------------------------------------------------------
+    q("q69_promo_revenue",
+      """TPC-H Q14 shape (promotion effect): share of one month's revenue
+        |from PROMO parts. Conditional aggregation over one broadcast
+        |join — both sums ride a single pass; the final ratio is one
+        |double division of two exact decimals, so it is bit-stable.""".stripMargin,
+      """SELECT
+        |  CAST(CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+        |        THEN CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * (1 - CAST(l_discount AS DECIMAL(18,2)))
+        |        ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        |     / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |    AS DOUBLE) AS promo_share,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'""".stripMargin) { (s, dir) =>
+      val disc = discPrice(col("l_extendedprice"), col("l_discount"))
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-03-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01 00:00:00").cast("timestamp"))
+        .join(broadcast(Tables.part(s, dir).select(col("p_partkey"), col("p_type"))),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          (sum(when(col("p_type").like("PROMO%"), disc)
+            .otherwise(lit(0).cast("decimal(18,2)"))).cast("double") /
+            sum(disc).cast("double")).cast("double").as("promo_share"),
+          count(lit(1)).as("n_lines"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q70_bracket_predicates",
+      """TPC-H Q19 shape (discounted revenue under OR'd brackets): three
+        |brand/size/quantity bracket disjuncts. The predicate splits
+        |across the join — part-only conjuncts (brand, size) push into
+        |the part scan, lineitem bounds (quantity envelope) into the fact
+        |scan — and the residual OR evaluates post-join in codegen.""".stripMargin,
+      """SELECT count(*) AS n_lines,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |         * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 1 AND 20)
+        |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+        |       AND l_quantity BETWEEN 10 AND 30)
+        |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+        |       AND l_quantity BETWEEN 20 AND 40)""".stripMargin) { (s, dir) =>
+      val bracket =
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+          col("l_quantity").between(1, 20)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(10, 30) &&
+            col("l_quantity").between(10, 30)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(20, 50) &&
+            col("l_quantity").between(20, 40))
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)
+          .select(col("p_partkey"), col("p_brand"), col("p_size"))),
+          col("l_partkey") === col("p_partkey"))
+        .filter(bracket)
+        .agg(count(lit(1)).as("n_lines"),
+          sum(discPrice(col("l_extendedprice"), col("l_discount")))
+            .cast("double").as("revenue"))
+    },
+
+    // ----------------------------------------------------------------
     q("q67_market_basket",
       """Co-occurrence (frequent-itemset shape): part pairs appearing in
         |>= 2 common orders. Instead of a self-join (which shuffles the
