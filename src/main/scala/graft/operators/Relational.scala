@@ -245,16 +245,22 @@ object Relational {
     // ----------------------------------------------------------------
     q("q11_set_ops",
       """Set operations: nations that have customers but no suppliers
-        |(EXCEPT = distinct anti semantics). Both inputs reduce to tiny
-        |distinct sets before the except.""".stripMargin,
+        |(EXCEPT = distinct anti semantics). The fact sides reduce to
+        |distinct int keys FIRST (map-side partial distinct collapses
+        |each to <=|nations| rows before any shuffle), then broadcast as
+        |semi-filters onto the tiny nation dim — the except never sees a
+        |fact-sized input. The naive shape (join then except over names)
+        |shuffles every fact row's string.""".stripMargin,
       """SELECT n_name FROM nation JOIN customer ON c_nationkey = n_nationkey
         |EXCEPT
         |SELECT n_name FROM nation JOIN supplier ON s_nationkey = n_nationkey""".stripMargin) { (s, dir) =>
       val n = Tables.nation(s, dir)
-      val withCust = n.join(Tables.customer(s, dir), col("c_nationkey") === col("n_nationkey"))
-        .select(col("n_name"))
-      val withSupp = n.join(Tables.supplier(s, dir), col("s_nationkey") === col("n_nationkey"))
-        .select(col("n_name"))
+      val custKeys = Tables.customer(s, dir).select(col("c_nationkey")).distinct()
+      val suppKeys = Tables.supplier(s, dir).select(col("s_nationkey")).distinct()
+      val withCust = n.join(broadcast(custKeys),
+        col("n_nationkey") === col("c_nationkey"), "left_semi").select(col("n_name"))
+      val withSupp = n.join(broadcast(suppKeys),
+        col("n_nationkey") === col("s_nationkey"), "left_semi").select(col("n_name"))
       withCust.except(withSupp)
     },
 
