@@ -43,11 +43,15 @@ object Tables {
     * The view namespace is session-GLOBAL, so memoization must track the
     * last dir registered per session — a per-(session, dir) memo would
     * skip re-registration after another dir overwrote the views,
-    * silently serving that other dir's data. Registration re-reads ten
-    * parquet footers, so it is still skipped when the dir is unchanged. */
-  private val lastRegistered = scala.collection.concurrent.TrieMap.empty[Int, String]
-  def registerAll(spark: SparkSession, dir: String): Unit = synchronized {
-    if (!lastRegistered.get(spark.hashCode).contains(dir)) {
+    * silently serving that other dir's data. Keyed by the session OBJECT
+    * (weakly, so dead sessions evict); a lost race between two callers
+    * just re-registers the same views, which is idempotent, so no lock
+    * is held across the ten footer reads. */
+  private val lastRegistered =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, String]())
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    if (lastRegistered.get(spark) != dir) {
       names.foreach { n =>
         // events must go through its nanos-aware loader — a raw read
         // fails on TIMESTAMP(NANOS) unless some earlier query happened
@@ -56,7 +60,6 @@ object Tables {
         val df = if (n == "events") events(spark, dir) else apply(spark, dir, n)
         df.createOrReplaceTempView(n)
       }
-      lastRegistered.put(spark.hashCode, dir)
+      lastRegistered.put(spark, dir)
     }
-  }
 }

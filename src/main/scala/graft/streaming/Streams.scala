@@ -80,32 +80,30 @@ object Streams {
       .filter(col("c") > threshold)
       .select(col("w.start").as("window_start"), col("c"))
 
-  /** A2/A3 completed: windowed counts stream into foreachBatch, where
-    * the per-window rank + top-k cut runs on the (tiny) finalized
-    * aggregate rows and appends to `outPath`. Rank is not expressible
-    * inside a streaming agg — per the diagram this is exactly the
+  /** A2/A3 completed: [[popularity]]'s windowed counts stream into
+    * foreachBatch, where the per-window rank + top-k cut runs on the
+    * (tiny) finalized aggregate rows. Rank is not expressible inside a
+    * streaming agg — per the diagram this is exactly the
     * Kinesis-Analytics → downstream-consumer split: heavy count state
-    * lives in the stream, the top-k is a per-batch decoration. Update
-    * mode emits refinements; the sink keeps the latest per window via
-    * overwrite-by-window semantics being left to the reader (append log).
-    */
+    * lives in the stream, the top-k is a per-batch decoration. Append
+    * mode: each window is emitted exactly once after the watermark
+    * finalizes it, so the sink is a log of closed windows. Each batch
+    * writes (overwrite) to its own `batch=<id>` directory — a retried
+    * batch replaces its previous partial output instead of appending
+    * duplicates, keeping the sink idempotent under failure replay. */
   def popularityTopK(events: DataFrame, outPath: String, checkpoint: String,
       k: Int = 3, windowDur: String = "10 minutes",
       watermark: String = "15 minutes"): DataStreamWriter[Row] =
-    events
-      .withWatermark("ts", watermark)
-      .groupBy(window(col("ts"), windowDur).as("w"), col("item_id"))
-      .agg(count(lit(1)).as("c"))
-      .select(col("w.start").as("window_start"), col("item_id"), col("c"))
+    popularity(events, windowDur, watermark)
       .writeStream
       .option("checkpointLocation", checkpoint)
       .outputMode("append")
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, id: Long) =>
         import org.apache.spark.sql.expressions.Window
         val rw = Window.partitionBy(col("window_start"))
           .orderBy(col("c").desc, col("item_id"))
         batch.withColumn("rk", rank().over(rw)).filter(col("rk") <= k)
-          .write.mode("append").parquet(outPath)
+          .write.mode("overwrite").parquet(s"$outPath/batch=$id")
         ()
       }
 
@@ -142,13 +140,17 @@ object Streams {
   /** F1 streaming twin: IP filter with a per-micro-batch snapshot
     * re-read. Spark caches a static join side for the life of the query;
     * re-reading inside foreachBatch is what keeps the deny-set fresh
-    * (SURVEY.md §7 "stream-static staleness"). The filtered batch is
-    * appended to `outPath` partitioned by hour — the K3 long-term sink. */
+    * (SURVEY.md §7 "stream-static staleness"). Each batch lands
+    * (overwrite) in its own `batch=<id>` directory with hour partitions
+    * nested inside — the K3 long-term sink, idempotent under batch
+    * replay: a retried batch replaces its partial output instead of
+    * appending duplicates. Readers load `outPath` and prune on the
+    * year/month/day/hour partition columns as before. */
   def filteredSink(events: DataFrame, snapshotPath: String, outPath: String,
       checkpoint: String): DataStreamWriter[Row] =
     events.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, id: Long) =>
         val s = batch.sparkSession
         val snapshot =
           try s.read.parquet(snapshotPath)
@@ -158,8 +160,8 @@ object Streams {
           }
         val filtered = ViewsPipeline.filterSuspicious(batch, snapshot, current_timestamp())
         ViewsPipeline.withPartitionColumns(filtered)
-          .write.mode("append").partitionBy("year", "month", "day", "hour")
-          .parquet(outPath)
+          .write.mode("overwrite").partitionBy("year", "month", "day", "hour")
+          .parquet(s"$outPath/batch=$id")
         ()
       }
 
