@@ -214,6 +214,55 @@ object TpchOps {
     },
 
     // ----------------------------------------------------------------
+    q("q71_moment_stats",
+      """Statistical aggregates (stddev, correlation) computed from exact
+        |decimal moments: Σx, Σx², Σy, Σy², Σxy accumulate as decimals
+        |(order-independent, partial-agg friendly), then one identical
+        |double formula on both engines. Native stddev/corr use
+        |incremental float updates whose low bits depend on visit order —
+        |unusable for cross-engine (or even re-run) reproducibility at
+        |scale; moments are the distributed-safe formulation.""".stripMargin,
+      """WITH m AS (
+        |  SELECT l_returnflag,
+        |    count(*) AS n,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sx2,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+        |           * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sy2,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, n,
+        |  sqrt((CAST(n AS DOUBLE) * sx2 - sx * sx)
+        |     / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))) AS stddev_price,
+        |  (CAST(n AS DOUBLE) * sxy - sx * sy)
+        |    / (sqrt(CAST(n AS DOUBLE) * sx2 - sx * sx)
+        |     * sqrt(CAST(n AS DOUBLE) * sy2 - sy * sy)) AS corr_price_qty
+        |FROM m""".stripMargin) { (s, dir) =>
+      val x = dec(col("l_extendedprice"))
+      val y = dec(col("l_quantity"))
+      val m = Tables.lineitem(s, dir)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          sum(x).cast("double").as("sx"),
+          sum(x * x).cast("double").as("sx2"),
+          sum(y).cast("double").as("sy"),
+          sum(y * y).cast("double").as("sy2"),
+          sum(x * y).cast("double").as("sxy"))
+      val nD = col("n").cast("double")
+      m.select(col("l_returnflag"), col("n"),
+        sqrt((nD * col("sx2") - col("sx") * col("sx")) / (nD * (nD - 1)))
+          .as("stddev_price"),
+        ((nD * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(nD * col("sx2") - col("sx") * col("sx")) *
+            sqrt(nD * col("sy2") - col("sy") * col("sy"))))
+          .as("corr_price_qty"))
+    },
+
+    // ----------------------------------------------------------------
     q("q62_window_distribution",
       """Distribution window functions over per-(type,user) activity:
         |quartile (ntile), percent_rank, cume_dist, lead, and
