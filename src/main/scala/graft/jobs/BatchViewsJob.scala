@@ -24,12 +24,7 @@ object BatchViewsJob {
       outPath: String, markPath: String): Result = {
     val raw = EventLog.readHourlyCsv(s, inPrefix)
     val cleaned = ViewsPipeline.clean(raw)
-    val snapshot =
-      try s.read.parquet(snapshotPath)
-      catch { case _: Throwable =>
-        import s.implicits._
-        Seq.empty[(String, java.sql.Timestamp)].toDF("user_ip", "expires_at")
-      }
+    val snapshot = ViewsPipeline.readSnapshotOrEmpty(s, snapshotPath)
     val partitioned = ViewsPipeline.withPartitionColumns(cleaned)
     val n = IncrementalScan.step(s, partitioned, markPath,
       df => ViewsPipeline.filterSuspicious(df, snapshot, current_timestamp()),

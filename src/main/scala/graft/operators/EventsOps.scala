@@ -35,7 +35,7 @@ object EventsOps {
         |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
       Tables.events(s, dir)
         .groupBy(col("user_id"),
-          ((epochS(col("ts")).divide(3600)).cast("bigint") * 3600).as("hour_start"))
+          bucketS(col("ts"), 3600).as("hour_start"))
         .agg(count(lit(1)).as("n_events"))
     },
 
@@ -49,7 +49,7 @@ object EventsOps {
         |GROUP BY 1
         |HAVING count(*) > 8""".stripMargin) { (s, dir) =>
       Tables.events(s, dir)
-        .groupBy(((epochS(col("ts")).divide(21600)).cast("bigint") * 21600).as("win_start"))
+        .groupBy(bucketS(col("ts"), 21600).as("win_start"))
         .agg(count(lit(1)).as("n_events"))
         .filter(col("n_events") > 8)
     },
@@ -95,7 +95,7 @@ object EventsOps {
         |HAVING max(c) >= 3""".stripMargin) { (s, dir) =>
       Tables.events(s, dir)
         .groupBy(col("user_id"),
-          ((epochS(col("ts")).divide(3600)).cast("bigint") * 3600).as("h"))
+          bucketS(col("ts"), 3600).as("h"))
         .agg(count(lit(1)).as("c"))
         .groupBy(col("user_id"))
         .agg(max(col("c")).as("peak_hourly"), count(lit(1)).as("active_hours"))
@@ -177,7 +177,7 @@ object EventsOps {
         |  FROM counts)
         |WHERE rk <= 2""".stripMargin) { (s, dir) =>
       val counts = Tables.events(s, dir)
-        .groupBy(((epochS(col("ts")).divide(86400)).cast("bigint") * 86400).as("day_start"),
+        .groupBy(bucketS(col("ts"), 86400).as("day_start"),
           col("event_type"))
         .agg(count(lit(1)).as("c"))
       val w = Window.partitionBy(col("day_start")).orderBy(col("c").desc, col("event_type"))

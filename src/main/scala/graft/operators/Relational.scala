@@ -144,10 +144,11 @@ object Relational {
         |2001-01-01. The deny side is aggregated/broadcast; at scale this
         |is a broadcast anti join, never a shuffle of the big side.""".stripMargin,
       """SELECT c_custkey, c_name
-        |FROM customer
-        |WHERE c_custkey NOT IN (
-        |  SELECT o_custkey FROM orders
-        |  WHERE o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')""".stripMargin) { (s, dir) =>
+        |FROM customer c
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey
+        |    AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')""".stripMargin) { (s, dir) =>
       val recent = Tables.orders(s, dir)
         .filter(col("o_orderdate") >= lit("2001-01-01 00:00:00").cast("timestamp"))
         .select(col("o_custkey"))

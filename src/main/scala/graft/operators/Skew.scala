@@ -19,9 +19,17 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Round-robin salt: monotonically_increasing_id embeds the partition
+    * id in its high bits and a per-partition counter in the low 33, so
+    * pmod over it spreads rows of one key evenly across `salts`. One
+    * definition — both utilities must salt identically to be reasoned
+    * about together. */
+  private def saltCol(salts: Int): Column =
+    pmod(monotonically_increasing_id(), lit(salts))
+
   /** Exact two-phase count per key through a salt. */
   def saltedCount(df: DataFrame, key: Column, salts: Int = 16): DataFrame =
-    df.withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+    df.withColumn("__salt", saltCol(salts))
       .groupBy(key.as("k"), col("__salt"))
       .agg(count(lit(1)).as("partial"))
       .groupBy(col("k"))
@@ -30,8 +38,7 @@ object Skew {
   /** Broadcast-free equi-join where `big`'s key distribution is skewed:
     * salt the big side, replicate the small side across all salts. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, salts: Int = 16): DataFrame = {
-    val saltedBig = big.withColumn("__salt",
-      pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+    val saltedBig = big.withColumn("__salt", saltCol(salts))
     val replicated = small
       .withColumn("__salt", explode(sequence(lit(0L), lit(salts - 1L))))
     saltedBig.join(replicated, Seq(key, "__salt")).drop("__salt")

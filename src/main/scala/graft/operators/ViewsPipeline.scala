@@ -70,6 +70,22 @@ object ViewsPipeline {
       .union(suspiciousByGap(events, minGapMs))
       .distinct()
 
+  /** Load the suspicious-IP snapshot, or an empty deny set when none has
+    * been written yet (bootstrap). The missing-path case is detected by
+    * an explicit existence check — a blanket catch would also swallow
+    * transient read failures (throttling, corrupt footer) and silently
+    * let bot traffic through as "nothing suspicious". Real read errors
+    * propagate and fail the job/batch, which retries. */
+  def readSnapshotOrEmpty(s: org.apache.spark.sql.SparkSession, snapshotPath: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(snapshotPath)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) s.read.parquet(snapshotPath)
+    else {
+      import s.implicits._
+      Seq.empty[(String, java.sql.Timestamp)].toDF("user_ip", "expires_at")
+    }
+  }
+
   /** K4: turn a detected-IP set into the KV snapshot with TTL
     * (reference DynamoDB TTL semantics → (user_ip, expires_at)). */
   def suspiciousSnapshot(detected: DataFrame, detectedAt: Column, ttlHours: Int = 24): DataFrame =

@@ -29,8 +29,19 @@ object Bucketing {
   def bucketedJoin(s: SparkSession, left: String, right: String, key: String): DataFrame =
     s.table(left).join(s.table(right), key)
 
-  /** True when the executed plan contains no shuffle exchange — the
-    * property bucketing exists to guarantee. */
-  def hasNoShuffle(df: DataFrame): Boolean =
-    !df.queryExecution.executedPlan.toString.contains("Exchange")
+  /** True when the executed plan contains no SHUFFLE exchange — the
+    * property bucketing exists to guarantee. Checked structurally: a
+    * string match on "Exchange" would also hit BroadcastExchange /
+    * ReusedExchange, mis-reporting genuinely shuffle-free broadcast
+    * plans, and is fragile under AQE's plan rendering. */
+  def hasNoShuffle(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def shuffles(p: SparkPlan): Seq[SparkPlan] = p.collect {
+      case e: ShuffleExchangeLike => e
+      case a: AdaptiveSparkPlanExec if shuffles(a.executedPlan).nonEmpty => a
+    }
+    shuffles(df.queryExecution.executedPlan).isEmpty
+  }
 }

@@ -45,19 +45,29 @@ object IncrementalScan {
     mark.fold(partitioned)(m => partitioned.filter(hourKey > m))
 
   /** One incremental step: read the new hours, apply `job`, append to
-    * the curated zone, advance the mark. Returns rows processed. */
+    * the curated zone, advance the mark. Returns rows processed.
+    *
+    * The input is persisted for the duration of the step so the mark,
+    * the written rows, and the returned count all come from ONE snapshot
+    * of the (possibly live) ingest directory — with separate lazy
+    * evaluations, an hour file landing mid-step would be written but not
+    * covered by the advanced mark and re-appended (duplicated) by the
+    * next run. */
   def step(s: SparkSession, partitioned: DataFrame, markPath: String,
       job: DataFrame => DataFrame, outPath: String): Long = {
-    val fresh = newSince(partitioned, readMark(s, markPath))
-    val maxKey = fresh.agg(max(hourKey)).head()
-    if (maxKey.isNullAt(0)) 0L
-    else {
-      val result = job(fresh)
-      result.write.mode("append")
-        .partitionBy("year", "month", "day", "hour").parquet(outPath)
-      writeMark(s, markPath, maxKey.getLong(0))
-      // count what landed this step (cheap at partition granularity)
-      fresh.count()
+    val fresh = newSince(partitioned, readMark(s, markPath)).persist()
+    try {
+      val head = fresh.agg(max(hourKey), count(lit(1))).head()
+      if (head.isNullAt(0)) 0L
+      else {
+        job(fresh).write.mode("append")
+          .partitionBy("year", "month", "day", "hour").parquet(outPath)
+        writeMark(s, markPath, head.getLong(0))
+        head.getLong(1)
+      }
+    } finally {
+      fresh.unpersist(false)
+      ()
     }
   }
 }

@@ -46,6 +46,11 @@ object StatefulDetect {
             val evs = it.toSeq.sortBy(_.ts.getTime)
             var st = state.getOption.getOrElse(UserStats(-1L, 0L, -1L, Long.MaxValue, flagged = false))
             val wasFlagged = st.flagged
+            // the rate signal must be checked at every threshold crossing
+            // INSIDE the fold: an hour rollover later in the same batch
+            // resets the counter, and a post-fold check would miss a
+            // spike that completed within the batch
+            var rateHit = false
             evs.foreach { e =>
               val us = e.ts.getTime * 1000L
               val hour = us / 3600000000L
@@ -54,16 +59,17 @@ object StatefulDetect {
               // late data — they must not produce negative "gaps", and
               // their hours don't reset the current-hour count.
               val gap = if (st.lastUs >= 0 && us >= st.lastUs) us - st.lastUs else Long.MaxValue
+              val n2 = if (hour == st.hourStart) st.n + 1
+                       else if (hour > st.hourStart) 1L
+                       else st.n
+              if (n2 > maxHourly) rateHit = true
               st = UserStats(
                 hourStart = math.max(hour, st.hourStart),
-                n = if (hour == st.hourStart) st.n + 1
-                    else if (hour > st.hourStart) 1L
-                    else st.n,
+                n = n2,
                 lastUs = math.max(us, st.lastUs),
                 minGapUs = math.min(st.minGapUs, gap),
                 flagged = st.flagged)
             }
-            val rateHit = st.n > maxHourly
             val gapHit = st.minGapUs < minGapMs * 1000L
             st = st.copy(flagged = st.flagged || rateHit || gapHit)
             state.update(st)

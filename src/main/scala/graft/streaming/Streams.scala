@@ -152,12 +152,9 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, id: Long) =>
         val s = batch.sparkSession
-        val snapshot =
-          try s.read.parquet(snapshotPath)
-          catch { case _: Throwable => // no snapshot yet -> nothing suspicious
-            import s.implicits._
-            Seq.empty[(String, java.sql.Timestamp)].toDF("user_ip", "expires_at")
-          }
+        // existence-checked: a transient read failure must fail (and
+        // retry) the batch, not silently pass bots with an empty deny set
+        val snapshot = ViewsPipeline.readSnapshotOrEmpty(s, snapshotPath)
         val filtered = ViewsPipeline.filterSuspicious(batch, snapshot, current_timestamp())
         ViewsPipeline.withPartitionColumns(filtered)
           .write.mode("overwrite").partitionBy("year", "month", "day", "hour")
