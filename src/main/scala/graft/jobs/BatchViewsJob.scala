@@ -22,7 +22,11 @@ object BatchViewsJob {
 
   def run(s: SparkSession, inPrefix: String, snapshotPath: String,
       outPath: String, markPath: String): Result = {
-    val raw = EventLog.readHourlyCsv(s, inPrefix)
+    // prune done hours at the filesystem listing (O(new), not
+    // O(history) — the bookmark contract); IncrementalScan re-applies
+    // the same predicate on the derived columns as defense in depth
+    val raw = EventLog.readHourlyCsvSince(s, inPrefix,
+      IncrementalScan.readMark(s, markPath))
     val cleaned = ViewsPipeline.clean(raw)
     val snapshot = ViewsPipeline.readSnapshotOrEmpty(s, snapshotPath)
     val partitioned = ViewsPipeline.withPartitionColumns(cleaned)

@@ -40,6 +40,32 @@ object EventLog {
     out.write.option("header", "true").mode("overwrite").csv(prefix)
   }
 
+  /** S1 incremental flavor: list the hour entries under the reference
+    * layout `prefix/YYYY/MM/DD/HH.csv` and read ONLY those strictly
+    * newer than `sinceKey` (yyyyMMddHH). The pruning happens at the
+    * FILESYSTEM listing — one metadata glob, no bytes of done hours are
+    * read — which is what makes the bookmark job O(new hours) instead of
+    * O(history) on a flat CSV lake (hour values live in the path, not in
+    * physical partition columns Spark could prune on). */
+  def readHourlyCsvSince(s: SparkSession, prefix: String, sinceKey: Option[Long],
+      schema: StructType = viewsRawSchema): DataFrame = {
+    val base = new org.apache.hadoop.fs.Path(prefix)
+    val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val all = fs.globStatus(new org.apache.hadoop.fs.Path(s"$prefix/*/*/*/*.csv"))
+    val fresh = Option(all).getOrElse(Array.empty).map(_.getPath).filter { p =>
+      val hh = p.getName.stripSuffix(".csv")
+      val dd = p.getParent.getName
+      val mm = p.getParent.getParent.getName
+      val yyyy = p.getParent.getParent.getParent.getName
+      val key = s"$yyyy$mm$dd$hh".toLong
+      sinceKey.forall(key > _)
+    }
+    if (fresh.isEmpty)
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else
+      s.read.schema(schema).option("header", "true").csv(fresh.map(_.toString): _*)
+  }
+
   /** S2/S3: JSON-lines scan (batch flavor; the streaming twin is
     * Streams.viewsStream). */
   def readJsonLines(s: SparkSession, path: String, schema: StructType = viewsRawSchema): DataFrame =
