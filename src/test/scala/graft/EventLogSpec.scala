@@ -31,6 +31,29 @@ class EventLogSpec extends SparkSpec {
     assert(hours == 2)
   }
 
+  test("incremental hourly read lists only files newer than the mark") {
+    val prefix = Files.createTempDirectory("graft-prune").toString
+    Seq(h0, h0 + 3600, h0 + 7200).foreach { h =>
+      val t = java.time.Instant.ofEpochSecond(h).atZone(java.time.ZoneOffset.UTC)
+      val dir = f"$prefix/${t.getYear}%04d/${t.getMonthValue}%02d/${t.getDayOfMonth}%02d/${t.getHour}%02d.csv"
+      EventLog.writeHourlyCsv(
+        DataGen.viewsDF(spark, DataGen.hourOfViews(users, items, h, seed = h)), dir)
+    }
+    val t1 = java.time.Instant.ofEpochSecond(h0 + 3600).atZone(java.time.ZoneOffset.UTC)
+    val mark = t1.getYear.toLong * 1000000 + t1.getMonthValue * 10000 +
+      t1.getDayOfMonth * 100 + t1.getHour
+    val fresh = EventLog.readHourlyCsvSince(spark, prefix, Some(mark))
+    // the pruning is at the LISTING: only hour-3 files appear as inputs
+    val hours = fresh.inputFiles.map(_.split("/").takeRight(2).head).toSet
+    val wantHour = f"${java.time.Instant.ofEpochSecond(h0 + 7200)
+      .atZone(java.time.ZoneOffset.UTC).getHour}%02d.csv"
+    assert(hours == Set(wantHour), s"listed $hours, want only $wantHour")
+    assert(fresh.count() > 0)
+    // no mark -> everything
+    assert(EventLog.readHourlyCsvSince(spark, prefix, None).inputFiles.length
+      > fresh.inputFiles.length)
+  }
+
   test("curated zone round-trips through ORC with identical rows and partitions") {
     val views = DataGen.hourOfViews(users, items, h0, seed = 77L)
     val cleaned = ViewsPipeline.withPartitionColumns(

@@ -35,4 +35,31 @@ class StatefulDetectSpec extends SparkSpec {
     // emitted exactly once per bot even across micro-batches
     assert(got.length == botIps.size)
   }
+
+  test("rate spike is flagged even when the same batch rolls into the next hour") {
+    import graft.sources.DataGen.{TsFormat, View}
+    import java.time.Instant
+    def fmt(s: Long): String = TsFormat.format(Instant.ofEpochSecond(s))
+    val t0 = 1700000000L - (1700000000L % 3600)
+    // 1200 events in hour t0 (over the 1000/hr threshold, but >=2s apart
+    // so the gap signal stays silent) followed by ONE event in the next
+    // hour, all in a single file -> a single micro-batch. A detector
+    // that checks the rate only after folding the whole batch sees the
+    // counter already reset by the rollover event and never flags.
+    val views = (0 until 1200).map(i =>
+      View("1000", fmt(t0 + i * 2), "mobile:ios", "111111", "20.0.0.77")) :+
+      View("1000", fmt(t0 + 3600 + 5), "mobile:ios", "111111", "20.0.0.77")
+    val inDir = Files.createTempDirectory("graft-state-roll").toString
+    DataGen.viewsDF(spark, views).coalesce(1).write.mode("overwrite").json(inDir)
+
+    val q = StatefulDetect.suspicious(
+        Streams.viewsStream(spark, inDir, maxFilesPerTrigger = 10), idleTtl = None)
+      .writeStream.format("memory").queryName("suspicious_rollover")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("suspicious_rollover").collect()
+    assert(got.length == 1 && got.head.getString(1) == "rate",
+      s"expected one 'rate' flag, got ${got.mkString(",")}")
+  }
 }
