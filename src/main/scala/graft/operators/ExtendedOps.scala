@@ -189,6 +189,34 @@ object ExtendedOps {
     },
 
     // ----------------------------------------------------------------
+    q("q72_full_outer",
+      """Full outer join: daily high-value purchase counts reconciled
+        |against daily high-value error counts — days that appear on only
+        |one side survive with an explicit zero on the other (both
+        |one-sided cases occur in the test data). Both inputs are already
+        |aggregated to one row per day, so the outer join's shuffle
+        |carries day-grain rows, not events.""".stripMargin,
+      """WITH a AS (SELECT date_trunc('day', ts) AS d, count(*) AS n
+        |  FROM events WHERE event_type = 'purchase' AND value > 300 GROUP BY 1),
+        |b AS (SELECT date_trunc('day', ts) AS d, count(*) AS m
+        |  FROM events WHERE event_type = 'error' AND value > 300 GROUP BY 1)
+        |SELECT coalesce(a.d, b.d) AS day,
+        |  coalesce(n, 0) AS hi_purchases, coalesce(m, 0) AS hi_errors
+        |FROM a FULL OUTER JOIN b ON a.d = b.d""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      def daily(tpe: String, out: String) = ev
+        .filter(col("event_type") === tpe && col("value") > 300)
+        .groupBy(date_trunc("day", col("ts")).as("d"))
+        .agg(count(lit(1)).as(out))
+      val a = daily("purchase", "n")
+      val b = daily("error", "m").withColumnRenamed("d", "d2")
+      a.join(b, col("d") === col("d2"), "full_outer")
+        .select(coalesce(col("d"), col("d2")).as("day"),
+          coalesce(col("n"), lit(0L)).as("hi_purchases"),
+          coalesce(col("m"), lit(0L)).as("hi_errors"))
+    },
+
+    // ----------------------------------------------------------------
     q("q52_calendar_profile",
       """Datetime extraction surface: day-of-week × hour activity
         |profile. Both extracts are codegen'd scalar ops on the scan; the
