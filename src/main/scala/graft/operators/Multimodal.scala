@@ -38,8 +38,18 @@ object Multimodal {
       col(payloadCol).cast("binary").as("media"),
       struct(
         lit("application/octet-stream").as("mime"),
-        length(col(payloadCol)).cast("long").as("n_bytes"),
+        // BYTE length of the binary payload — length(string) counts
+        // characters and undercounts multi-byte UTF-8, which would make
+        // block sampling silently drop payload tails
+        length(col(payloadCol).cast("binary")).cast("long").as("n_bytes"),
         col(sourceCol).as("source")).as("meta"))
+
+  /** Assert `df` is a canonical media frame ([[mediaSchema]] shape). */
+  def validateMediaFrame(df: DataFrame): Unit = {
+    val got = df.schema.map(f => (f.name, f.dataType.simpleString))
+    val want = mediaSchema.map(f => (f.name, f.dataType.simpleString))
+    require(got == want, s"not a canonical media frame: got $got, want $want")
+  }
 
   /** STUB decoder: deterministic 8-dim feature vector from the payload
     * bytes (rolling byte sums). Replace with a real codec+model; the
@@ -58,6 +68,7 @@ object Multimodal {
     * mapPartitions so per-partition init (codec, model session) happens
     * once, not per row. */
   def extractFeatures(media: DataFrame, dims: Int = 8): DataFrame = {
+    validateMediaFrame(media)
     val outSchema = StructType(media.schema.fields.filterNot(_.name == "media") :+
       StructField("features", ArrayType(FloatType, containsNull = false), nullable = true))
     val enc = Encoders.row(outSchema)
@@ -75,11 +86,16 @@ object Multimodal {
 
   /** Frame-sampling stub: pick every k-th fixed-size block of the payload
     * (the video-frame-sample shape: linear scan, bounded output). */
-  def sampleBlocks(media: DataFrame, blockSize: Int = 64, every: Int = 4): DataFrame =
+  def sampleBlocks(media: DataFrame, blockSize: Int = 64, every: Int = 4): DataFrame = {
+    validateMediaFrame(media)
     media.withColumn("blocks",
-      expr(s"transform(sequence(0, CAST(greatest(ceil(meta.n_bytes / $blockSize / $every) - 1, 0) AS INT)), " +
-        s"i -> substring(media, i * $blockSize * $every + 1, $blockSize))"))
+      // empty payload -> empty block list (greatest(-1,0)=0 would emit
+      // one spurious empty block via sequence(0,0))
+      expr(s"CASE WHEN meta.n_bytes = 0 THEN CAST(array() AS ARRAY<BINARY>) ELSE " +
+        s"transform(sequence(0, CAST(greatest(ceil(meta.n_bytes / $blockSize / $every) - 1, 0) AS INT)), " +
+        s"i -> substring(media, i * $blockSize * $every + 1, $blockSize)) END"))
       .drop("media")
+  }
 
   val defs: Seq[QueryDef] = Seq(
     rowsOnly("q33_multimodal_features",

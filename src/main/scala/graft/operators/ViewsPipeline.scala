@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
   */
 object ViewsPipeline {
 
-  val TsPattern = "yyyy-MM-dd'T'HH:mm:ss'Z'"
+  val TsPattern: String = graft.sources.EventLog.TsPattern
 
   /** F3/F4/F8: parse ISO ts, normalize "NULL" sentinel, cast ids.
     * Keeps raw columns out; emits typed event rows. */
@@ -40,6 +40,10 @@ object ViewsPipeline {
     * map-combine into one row per partition). */
   def suspiciousByRate(events: DataFrame, maxHumanPerHour: Int = 1000): DataFrame =
     events
+      // clean() nulls unparseable timestamps; without this filter every
+      // null-ts row of an IP lands in ONE null-window group, so enough
+      // malformed rows over any time span would flag a legitimate user
+      .filter(col("ts").isNotNull)
       .groupBy(col("user_ip"), window(col("ts"), "1 hour").as("w"))
       .agg(count(lit(1)).as("c"))
       .filter(col("c") > maxHumanPerHour)
@@ -100,7 +104,12 @@ object ViewsPipeline {
     events.join(broadcast(live), Seq("user_ip"), "left_anti")
   }
 
-  /** J1: enrich with item dims (broadcast — 100 rows in the reference). */
+  /** J1: enrich with item dims (broadcast — 100 rows in the reference).
+    * INNER join by design: an event whose item_id is missing from the
+    * dim cannot contribute to the category aggregates downstream (A3).
+    * Operationally this means a stale/incomplete dim silently drops
+    * those facts — monitor the match rate, or pass a left-joined frame
+    * when unmatched facts must survive. */
   def enrich(events: DataFrame, items: DataFrame): DataFrame =
     events.join(broadcast(items), Seq("item_id"))
 

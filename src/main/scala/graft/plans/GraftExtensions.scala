@@ -25,7 +25,14 @@ object GraftFunctions {
   val descriptors: Seq[Descriptor] = Seq(
     (FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-      (children: Seq[Expression]) => CosineSimilarity(children.head, children(1))))
+      (children: Seq[Expression]) => {
+        // arity-check before indexing: a 1-arg call would otherwise die
+        // with IndexOutOfBounds instead of an analysis-time error, and
+        // extra args would be silently ignored
+        require(children.size == 2,
+          s"cosine_sim expects exactly 2 arguments, got ${children.size}")
+        CosineSimilarity(children.head, children(1))
+      }))
 
   /** Idempotent in-session registration. */
   def register(spark: SparkSession): Unit =

@@ -38,7 +38,7 @@ object DataGen {
   final case class LabeledSms(label: String, text: String)
 
   val TsFormat: DateTimeFormatter =
-    DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss'Z'").withZone(ZoneOffset.UTC)
+    DateTimeFormatter.ofPattern(EventLog.TsPattern).withZone(ZoneOffset.UTC)
 
   def items(n: Int = 100, seed: Long = 7L): Seq[Item] = {
     val rnd = new Random(seed)
@@ -121,7 +121,7 @@ object DataGen {
     import s.implicits._
     val users = us.toArray
     val items = is.toArray
-    val slices = math.min(users.length, 256)
+    val slices = math.max(1, math.min(users.length, 256)) // 0 slices is illegal
     s.sparkContext.parallelize(users.indices, slices)
       .flatMap { ui =>
         val u = users(ui)

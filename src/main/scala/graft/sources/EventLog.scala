@@ -10,6 +10,12 @@ import org.apache.spark.sql.types._
   */
 object EventLog {
 
+  /** The event-log timestamp format (reference generator.py:42) — the
+    * ONE definition shared by the generator (DataGen.TsFormat) and the
+    * parser (ViewsPipeline.clean); a drift between the two would
+    * silently null every parsed ts. */
+  val TsPattern = "yyyy-MM-dd'T'HH:mm:ss'Z'"
+
   /** views schema as ingested (all strings — schema-on-read like the
     * reference's Glue DDL, glue_cf_template.json:59-72). */
   val viewsRawSchema: StructType = StructType(Seq(

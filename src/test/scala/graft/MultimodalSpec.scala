@@ -17,6 +17,13 @@ class MultimodalSpec extends SparkSpec {
     assert(m.schema("media").dataType.typeName == "binary")
     val meta = m.filter(col("media_id") === 1).select("meta.n_bytes").head().getLong(0)
     assert(meta == "hello media world".length)
+    // n_bytes counts BYTES: multi-byte UTF-8 must not undercount
+    import spark.implicits._
+    val utf8 = Multimodal.asMediaFrame(
+      Seq((9L, "héllo wörld", "s")).toDF("doc_id", "text", "source"),
+      "doc_id", "text", "source")
+    assert(utf8.select("meta.n_bytes").head().getLong(0)
+      == "héllo wörld".getBytes("UTF-8").length)
   }
 
   test("batched stub decode yields deterministic fixed-width features; nulls pass through") {
