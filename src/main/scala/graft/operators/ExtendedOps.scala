@@ -231,6 +231,37 @@ object ExtendedOps {
     },
 
     // ----------------------------------------------------------------
+    q("q73_session_window",
+      """Native session windows in BATCH mode: per-user sessions closed
+        |after 30 minutes of inactivity via session_window — Spark's
+        |merging session state, not a manual lag+cumsum composition. The
+        |oracle replays the exact merge semantics (break when the gap
+        |reaches the threshold, session end = last event + gap) with the
+        |two-window formulation, pinning the two constructions
+        |equal.""".stripMargin,
+      """WITH marked AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |           (PARTITION BY user_id ORDER BY ts, event_id) >= 1800000000
+        |         OR lag(epoch_us(ts)) OVER
+        |           (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |    THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |s AS (SELECT user_id, ts,
+        |  sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked)
+        |SELECT user_id, min(epoch_us(ts)) AS start_us,
+        |  max(epoch_us(ts)) + 1800000000 AS end_us, count(*) AS n
+        |FROM s GROUP BY user_id, sid""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"), epochUs(col("w.start")).as("start_us"),
+          epochUs(col("w.end")).as("end_us"), col("n"))
+    },
+
+    // ----------------------------------------------------------------
     q("q53_string_funcs",
       """String scalar-function surface in one projection: case mapping,
         |length, substring, replace, split_part, concat_ws, lpad. Pure
