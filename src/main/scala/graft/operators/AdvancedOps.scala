@@ -179,7 +179,7 @@ object AdvancedOps {
         |push to the parquet scan; the regexp runs post-scan in
         |codegen.""".stripMargin,
       """SELECT p_partkey, p_name, p_brand,
-        |  CAST(regexp_extract(p_brand, '[0-9]+', 0) AS BIGINT) AS brand_num
+        |  TRY_CAST(regexp_extract(p_brand, '[0-9]+', 0) AS BIGINT) AS brand_num
         |FROM part
         |WHERE p_name LIKE '%widget%' AND p_type LIKE 'ECONOMY%'""".stripMargin) { (s, dir) =>
       Tables.part(s, dir)

@@ -84,9 +84,12 @@ object ArrayOps {
         |          FROM bounds)
         |SELECT s.hr, coalesce(hc.n, 0) AS n
         |FROM spine s LEFT JOIN hc USING (hr)""".stripMargin) { (s, dir) =>
+      // materialized once: hc feeds both the spine bounds and the join —
+      // without the checkpoint the events scan + hour aggregate runs twice
       val hc = Tables.events(s, dir)
         .groupBy(date_trunc("hour", col("ts")).as("hr"))
         .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true)
       val spine = hc.agg(min(col("hr")).as("lo"), max(col("hr")).as("hi"))
         .select(explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR"))).as("hr"))
       spine.join(hc, Seq("hr"), "left")

@@ -7,18 +7,24 @@ import org.apache.spark.sql.functions._
 /** The end-to-end training-data curation pipeline: the §2.11 operators
   * composed the way a 100 TB pre-training corpus job actually runs them.
   *
-  *   1. quality filter (token count window + stopword ratio — Gopher-ish)
-  *   2. language filter (marker-token heuristic, keep 'en')
-  *   3. exact dedup (normalized-text fingerprint, min-doc_id survivor)
-  *   4. near-dup removal (MinHash-LSH candidates → exact Jaccard >= 0.2,
-  *      drop the higher doc_id of each verified pair)
-  *   5. corpus accounting (docs + tokens per lang — what actually ships)
+  *   1. quality filter (token count window + stopword ratio — Gopher-ish;
+  *      the stopword-presence test doubles as the language marker, so
+  *      quality+lang collapse into one predicate)
+  *   2. exact dedup (normalized-text fingerprint, min-doc_id survivor)
+  *   3. near-dup removal (MinHash-LSH candidates → exact Jaccard >= 0.2;
+  *      drop the higher doc_id of a verified pair ONLY when its lower
+  *      partner ships — if the partner was filtered out, the higher doc
+  *      is the sole copy of that content and must survive)
+  *   4. corpus accounting (docs + tokens per lang — what actually ships)
   *
-  * Stage order matters at scale: the scalar filters (1-2) run first in
-  * one codegen pass over the scan so every later shuffle (fingerprint
-  * groupBy, LSH self-join) sees only surviving rows. Near-dup removal
-  * joins against a provably-small drop list (verified pairs), so it is a
-  * broadcast anti-join on the big side.
+  * Stage order: the scalar filters run first in one codegen pass over
+  * the scan, so the fingerprint groupBy shuffles only surviving rows.
+  * The near-dup pair graph is DELIBERATELY computed corpus-wide via
+  * Dedup.neardupPairs — it is shared (cached) with q28/q29/q68 rather
+  * than recomputed per filter state, and the survivor condition is
+  * applied to the tiny pair list, not the corpus. Near-dup removal then
+  * joins a provably-small drop list, so it is a broadcast anti-join on
+  * the big side.
   */
 object Curation {
 
@@ -30,10 +36,9 @@ object Curation {
         |strongest whole-pipeline cross-engine check (any stage drifting
         |by one doc changes the totals).""".stripMargin,
       s"""WITH jp AS (${Dedup.neardupSql}),
-        |drop_b AS (SELECT DISTINCT doc_b AS doc_id FROM jp),
         |feat AS (
         |  SELECT doc_id, lang,
-        |    md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS f,
+        |    md5(regexp_replace(lower(text), '[ \\t\\n\\r\\f]+', ' ', 'g')) AS f,
         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
         |    CAST(len(list_filter(string_split(text, ' '),
         |      x -> x IN ('the','a','of','and','to'))) AS BIGINT) AS n_stop
@@ -41,9 +46,11 @@ object Curation {
         |qual AS (
         |  SELECT * FROM feat
         |  WHERE n_tokens BETWEEN 20 AND 1000
-        |    AND CAST(n_stop AS DOUBLE) / n_tokens >= 0.01
-        |    AND n_stop > 0),
+        |    AND CAST(n_stop AS DOUBLE) / n_tokens >= 0.01),
         |surv AS (SELECT min(doc_id) AS doc_id FROM qual GROUP BY f),
+        |drop_b AS (
+        |  SELECT DISTINCT doc_b AS doc_id FROM jp
+        |  WHERE doc_a IN (SELECT doc_id FROM qual)),
         |kept AS (
         |  SELECT q.lang, q.n_tokens FROM qual q
         |  JOIN surv s ON s.doc_id = q.doc_id
@@ -54,26 +61,30 @@ object Curation {
       val stopList = TextOps.Stopwords.map(w => s"'$w'").mkString(",")
       val feat = Tables.documents(s, dir).select(
         col("doc_id"), col("lang"),
-        md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("f"),
+        md5(regexp_replace(lower(col("text")), "[ \\t\\n\\r\\f]+", " ")).as("f"),
         size(split(col("text"), " ")).cast("bigint").as("n_tokens"),
         size(expr(s"filter(split(text, ' '), x -> x IN ($stopList))"))
           .cast("bigint").as("n_stop"))
-      // stages 1+2: one codegen'd filter pass over the scan
+      // stage 1: one codegen'd filter pass over the scan (the stop-ratio
+      // conjunct subsumes the language-marker test: ratio >= 0.01
+      // implies n_stop >= 1)
       val qual = feat.filter(
         col("n_tokens").between(20, 1000) &&
-          col("n_stop").cast("double") / col("n_tokens") >= 0.01 &&
-          col("n_stop") > 0)
-      // stage 3: exact-dedup survivors (min doc_id per fingerprint),
+          col("n_stop").cast("double") / col("n_tokens") >= 0.01)
+      // stage 2: exact-dedup survivors (min doc_id per fingerprint),
       // rejoined as a semi-filter so kept rows keep their columns
       val surv = qual.groupBy(col("f")).agg(min(col("doc_id")).as("doc_id"))
         .select(col("doc_id"))
-      // stage 4: near-dup drop list — verified pairs only, tiny, broadcast
-      val dropB = Dedup.neardupPairs(s, dir)
+      // stage 3: near-dup drop list — verified pairs whose LOWER partner
+      // survived the filters (else the higher doc is the only copy of
+      // that content and must ship); pair list is tiny, broadcast
+      val dropB = broadcast(Dedup.neardupPairs(s, dir))
+        .join(qual.select(col("doc_id").as("doc_a")), Seq("doc_a"))
         .select(col("doc_b").as("doc_id")).distinct()
       val kept = qual
         .join(surv, Seq("doc_id"), "left_semi")
         .join(broadcast(dropB), Seq("doc_id"), "left_anti")
-      // stage 5: corpus accounting
+      // stage 4: corpus accounting
       kept.groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).cast("bigint").as("total_tokens"))

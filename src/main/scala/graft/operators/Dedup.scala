@@ -32,14 +32,31 @@ object Dedup {
   val BandSize = 2   // rows per LSH band => 4 bands, sim threshold ~ (1/4)^(1/2) = 0.5
   val NumBands: Int = NumSeeds / BandSize
 
+  /** Per-session, per-key DataFrame cache. Keyed WEAKLY by the session
+    * OBJECT: keying by hashCode (an identity hash, reused after GC)
+    * could hand a new session a dead session's cached frame, and pinned
+    * entries for the JVM lifetime. Same pattern as Tables.registerAll. */
+  private final class SessionCache {
+    private val m = new java.util.WeakHashMap[
+      SparkSession, scala.collection.mutable.Map[String, DataFrame]]()
+    def getOrElseUpdate(s: SparkSession, key: String)(mk: => DataFrame): DataFrame = {
+      val inner = m.synchronized {
+        var v = m.get(s)
+        if (v == null) { v = scala.collection.mutable.Map.empty; m.put(s, v) }
+        v
+      }
+      inner.synchronized(inner.getOrElseUpdate(key, mk))
+    }
+  }
+
   /** (doc_id, shingle): distinct word-3-gram shingles per doc.
     * Guard sequence() against <3-token docs (Spark sequence descends when
     * stop<start). Cached: the LSH candidate self-join and the Jaccard
     * verify both walk this lineage several times — without the cache the
     * whole shingle+minhash pipeline would be recomputed per branch. */
-  private val shingleCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val shingleCache = new SessionCache
   private def shingles(s: SparkSession, dir: String): DataFrame =
-    shingleCache.getOrElseUpdate(dir + "#" + s.hashCode, {
+    shingleCache.getOrElseUpdate(s, dir) {
       Tables.documents(s, dir)
         .select(col("doc_id"), split(col("text"), " ").as("w"))
         .withColumn("i", explode(when(size(col("w")) >= 3,
@@ -47,7 +64,7 @@ object Dedup {
         .select(col("doc_id"), concat_ws(" ", slice(col("w"), col("i"), lit(3))).as("sh"))
         .distinct()
         .cache()
-    })
+    }
 
   /** Same shingle set in DuckDB SQL (list slice is 1-based inclusive). */
   private val shinglesSql =
@@ -60,15 +77,15 @@ object Dedup {
     * blowup avoided), a single shuffle on doc_id, and all 8 mins combine
     * map-side in one pass. Cached — signatures feed q27, bands and the
     * Jaccard verify. */
-  private val sigCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val sigCache = new SessionCache
   private def signatureWide(s: SparkSession, dir: String): DataFrame =
-    sigCache.getOrElseUpdate(dir + "#" + s.hashCode, {
+    sigCache.getOrElseUpdate(s, dir) {
       val aggs = (0 until NumSeeds).map(i =>
         min(md5(concat(col("sh"), lit(s":$i")))).as(s"mh$i"))
       shingles(s, dir).groupBy(col("doc_id"))
         .agg(aggs.head, aggs.tail: _*)
         .cache()
-    })
+    }
 
   /** Row view (doc_id, seed, mh) of the wide signature — the
     * cross-engine-checkable shape. */
@@ -107,9 +124,9 @@ object Dedup {
     * Cached: q28 emits it directly and q29 references it twice (once for
     * the doc-id semi-filter broadcast, once as the pair list) — without
     * the cache the band self-join would run three times. */
-  private val candCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val candCache = new SessionCache
   private def candidates(s: SparkSession, dir: String): DataFrame =
-    candCache.getOrElseUpdate(dir + "#" + s.hashCode, {
+    candCache.getOrElseUpdate(s, dir) {
       val b = bands(s, dir)
       val a = b.select(col("band").as("band_a"), col("band_key").as("key_a"), col("doc_id").as("doc_a"))
       val c = b.select(col("band").as("band_b"), col("band_key").as("key_b"), col("doc_id").as("doc_b"))
@@ -118,7 +135,7 @@ object Dedup {
         .groupBy(col("doc_a"), col("doc_b"))
         .agg(countDistinct(col("band_a")).as("n_shared_bands"))
         .cache()
-    })
+    }
 
   private val candidatesSql =
     s"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -133,10 +150,10 @@ object Dedup {
     * Cached: the verified pair set is tiny (hundreds of rows at sf0.1)
     * and three operators consume it — recomputing the intersection joins
     * per consumer would triple the dedup-suite cost. */
-  private val pairCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val pairCache = new SessionCache
   private[operators] def neardupPairs(s: SparkSession, dir: String,
       minJaccard: Double = 0.2): DataFrame =
-    pairCache.getOrElseUpdate(s"$dir#${s.hashCode}#$minJaccard",
+    pairCache.getOrElseUpdate(s, s"$dir#$minJaccard")(
       neardupPairsUncached(s, dir, minJaccard).cache())
 
   private def neardupPairsUncached(s: SparkSession, dir: String,

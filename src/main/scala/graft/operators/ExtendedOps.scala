@@ -171,11 +171,15 @@ object ExtendedOps {
         |FROM spans s LEFT JOIN errs e ON e.e_us >= s.lo_us AND e.e_us <= s.hi_us
         |GROUP BY s.user_id, s.n""".stripMargin) { (s, dir) =>
       val ev = Tables.events(s, dir)
+      // materialized once: spans feeds both the broadcast range join and
+      // the final zero-recovery join — without the checkpoint the
+      // events aggregate + global top-k sort would execute twice
       val spans = ev.groupBy(col("user_id"))
         .agg(min(epochUs(col("ts"))).as("lo_us"), max(epochUs(col("ts"))).as("hi_us"),
           count(lit(1)).as("n_user_events"))
         .orderBy(col("n_user_events").desc, col("user_id"))
         .limit(50)
+        .localCheckpoint(true)
       val errs = ev.filter(col("event_type") === "error")
         .select(epochUs(col("ts")).as("e_us"))
       val hits = errs

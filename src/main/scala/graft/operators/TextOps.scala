@@ -104,11 +104,11 @@ object TextOps {
         |exact-dedup key at scale — grouping by it is a plain
         |hash-shuffle, and the window shares that shuffle.""".stripMargin,
       """SELECT doc_id,
-        |  md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
-        |  count(*) OVER (PARTITION BY md5(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS dup_count
+        |  md5(regexp_replace(lower(text), '[ \t\n\r\f]+', ' ', 'g')) AS fp,
+        |  count(*) OVER (PARTITION BY md5(regexp_replace(lower(text), '[ \t\n\r\f]+', ' ', 'g'))) AS dup_count
         |FROM documents""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val fp = md5(regexp_replace(lower(col("text")), "\\s+", " "))
+      val fp = md5(regexp_replace(lower(col("text")), "[ \t\n\r\f]+", " "))
       Tables.documents(s, dir)
         .withColumn("fp", fp)
         .withColumn("dup_count", count(lit(1)).over(Window.partitionBy(col("fp"))))

@@ -58,13 +58,20 @@ object EventLog {
     val base = new org.apache.hadoop.fs.Path(prefix)
     val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
     val all = fs.globStatus(new org.apache.hadoop.fs.Path(s"$prefix/*/*/*/*.csv"))
+    // Only strictly-conforming zero-padded components are hour data
+    // (generator.py:244 writes %04d/%02d/%02d/%02d): an unguarded toLong
+    // would crash on a stray notes.csv, and an unpadded segment would
+    // parse to a tiny key and be silently "already processed". Anything
+    // non-conforming is skipped loudly.
+    val HourPath = """(\d{4})/(\d{2})/(\d{2})/(\d{2})\.csv$""".r.unanchored
     val fresh = Option(all).getOrElse(Array.empty).map(_.getPath).filter { p =>
-      val hh = p.getName.stripSuffix(".csv")
-      val dd = p.getParent.getName
-      val mm = p.getParent.getParent.getName
-      val yyyy = p.getParent.getParent.getParent.getName
-      val key = s"$yyyy$mm$dd$hh".toLong
-      sinceKey.forall(key > _)
+      p.toString match {
+        case HourPath(yyyy, mm, dd, hh) =>
+          sinceKey.forall(s"$yyyy$mm$dd$hh".toLong > _)
+        case _ =>
+          System.err.println(s"[readHourlyCsvSince] skipping non-hour entry $p")
+          false
+      }
     }
     if (fresh.isEmpty)
       s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
