@@ -97,6 +97,40 @@ object ArrayOps {
     },
 
     // ----------------------------------------------------------------
+    q("q74_array_setops",
+      """Array set operations: per-event-type distinct-user arrays
+        |(bounded — one row per type) pairwise combined with
+        |array_intersect / array_except / array_union. The oracle derives
+        |the same counts relationally (joins + inclusion-exclusion), so
+        |the array set semantics are pinned against set algebra. The
+        |array side is the scale pattern for small-cardinality audience
+        |overlap; user-pair-level overlap at scale goes through joins
+        |(q67's shape), not arrays.""".stripMargin,
+      """WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+        |n AS (SELECT event_type, count(*) AS c FROM tu GROUP BY 1),
+        |common AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_common
+        |  FROM tu a JOIN tu b ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT c.type_a, c.type_b, c.n_common,
+        |  na.c - c.n_common AS n_only_a,
+        |  na.c + nb.c - c.n_common AS n_union
+        |FROM common c
+        |JOIN n na ON na.event_type = c.type_a
+        |JOIN n nb ON nb.event_type = c.type_b""".stripMargin) { (s, dir) =>
+      val arrs = Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(collect_set(col("user_id")).as("us"))
+      val a = arrs.select(col("event_type").as("type_a"), col("us").as("ua"))
+      val b = arrs.select(col("event_type").as("type_b"), col("us").as("ub"))
+      a.join(b, col("type_a") < col("type_b"))
+        .select(col("type_a"), col("type_b"),
+          size(array_intersect(col("ua"), col("ub"))).cast("bigint").as("n_common"),
+          size(array_except(col("ua"), col("ub"))).cast("bigint").as("n_only_a"),
+          size(array_union(col("ua"), col("ub"))).cast("bigint").as("n_union"))
+    },
+
+    // ----------------------------------------------------------------
     q("q64_json_extract",
       """Schema-on-read JSON parsing (the S6 OpenX-JsonSerDe shape done
         |right): from_json with an explicit schema pulls typed fields out
