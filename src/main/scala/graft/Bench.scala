@@ -34,15 +34,30 @@ object Bench {
     try ordered.find(_.name == "q3_project_cast").foreach(exec)
     catch { case _: Throwable => () }
 
-    val results = ordered.map { d =>
+    // failures are RECORDED, never swallowed: a query that throws would
+    // otherwise log a tiny wall-time and read as a speedup in the
+    // round-over-round trend
+    val results: Seq[(String, Double, Option[String])] = ordered.map { d =>
       val t0 = System.nanoTime()
-      try exec(d) catch { case _: Throwable => () }
-      d.name -> (System.nanoTime() - t0) / 1e9
+      val err = try { exec(d); None } catch {
+        case e: Throwable =>
+          Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+      }
+      (d.name, (System.nanoTime() - t0) / 1e9, err)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def jstr(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case '\r' => "\\r"; case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val qs = results.map { case (k, v, _) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
+    val errs = results.map { case (k, _, e) =>
+      jstr(k) + ":" + e.map(jstr).getOrElse("null")
+    }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"err":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

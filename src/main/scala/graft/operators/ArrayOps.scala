@@ -39,12 +39,24 @@ object ArrayOps {
         |per-event-type sorted distinct user list. collect_set is
         |order-nondeterministic under parallel merge — sort_array is what
         |makes the result reproducible (and hash-comparable) at any
-        |parallelism.""".stripMargin,
-      """SELECT event_type, list_sort(list(DISTINCT user_id)) AS users
+        |parallelism. The array is emitted CSV-joined (sorted numerically
+        |FIRST, stringified after) so the harness comparator — which sorts
+        |rows with pandas and cannot hash raw arrays — sees a scalar
+        |column; n_users pins the cardinality independently of the string
+        |form. Cardinality contract: |users| = distinct users per type,
+        |bounded by the user dimension (~10^5 here); for unbounded-key
+        |audience lists at 100 TB use the join shape (q67/q74 oracle),
+        |not collect.""".stripMargin,
+      """SELECT event_type,
+        |  array_to_string(list_sort(list(DISTINCT user_id)), ',') AS users,
+        |  count(DISTINCT user_id) AS n_users
         |FROM events GROUP BY event_type""".stripMargin) { (s, dir) =>
       Tables.events(s, dir)
         .groupBy(col("event_type"))
-        .agg(sort_array(collect_set(col("user_id"))).as("users"))
+        .agg(
+          array_join(transform(sort_array(collect_set(col("user_id"))),
+            u => u.cast("string")), ",").as("users"),
+          countDistinct(col("user_id")).as("n_users"))
     },
 
     // ----------------------------------------------------------------
@@ -138,30 +150,40 @@ object ArrayOps {
         |UDF — then buckets on the extracted value. At scale the parse
         |cost is the scan cost; nothing shuffles until the tiny bucket
         |aggregate.""".stripMargin,
-      """SELECT CAST(json_extract(props, '$.k') AS INT) // 10 AS k_bucket,
+      """SELECT CAST(floor(CAST(json_extract(props, '$.k') AS INT) / 10.0) AS BIGINT) AS k_bucket,
         |  count(*) AS n,
         |  CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS k_sum
         |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
       Tables.events(s, dir)
         .select(from_json(col("props"),
           org.apache.spark.sql.types.StructType.fromDDL("k INT")).getField("k").as("k"))
-        .groupBy(expr("k div 10").as("k_bucket"))
+        // floor(k/10), not `div`: div truncates toward zero, floor rounds
+        // down — they differ on negative k, and the oracle floors. Data is
+        // non-negative today; floor keeps the engines aligned if that
+        // domain assumption ever breaks.
+        .groupBy(floor(col("k") / 10.0).as("k_bucket"))
         .agg(count(lit(1)).as("n"), sum(col("k")).cast("bigint").as("k_sum"))
     },
 
     // ----------------------------------------------------------------
     q("q65_struct_map",
       """Struct and map construction surface: named_struct packed from
-        |row values (and written as a real nested parquet column) plus a
-        |map literal lookup. Nested output exercises the writer/reader
-        |path the multimodal metadata columns rely on.""".stripMargin,
+        |row values plus a map literal lookup. The struct is built as a
+        |real nested value and then serialized with to_json for the
+        |harness (the comparator sorts rows with pandas, which cannot
+        |hash dicts); both engines render field order t,u with no
+        |whitespace, and both columns are non-null in this table so the
+        |null-field-omission divergence (Spark drops null JSON fields,
+        |DuckDB keeps them) cannot bite. The genuinely-nested
+        |writer/reader path is exercised by MultimodalSpec's parquet
+        |round-trip, not here.""".stripMargin,
       """SELECT event_id,
-        |  {'t': event_type, 'u': user_id} AS rec,
+        |  to_json({'t': event_type, 'u': user_id}) AS rec,
         |  map(['w'], [CAST(1 AS INT)])['w'][1] AS w
         |FROM events""".stripMargin) { (s, dir) =>
       Tables.events(s, dir).select(
         col("event_id"),
-        struct(col("event_type").as("t"), col("user_id").as("u")).as("rec"),
+        to_json(struct(col("event_type").as("t"), col("user_id").as("u"))).as("rec"),
         element_at(map_from_arrays(array(lit("w")), array(lit(1))), "w").as("w"))
     },
 

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import graft.QueryDef.q
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** The end-to-end training-data curation pipeline: the §2.11 operators
@@ -11,31 +12,122 @@ import org.apache.spark.sql.functions._
   *      the stopword-presence test doubles as the language marker, so
   *      quality+lang collapse into one predicate)
   *   2. exact dedup (normalized-text fingerprint, min-doc_id survivor)
-  *   3. near-dup removal (MinHash-LSH candidates → exact Jaccard >= 0.2;
-  *      drop the higher doc_id of a verified pair ONLY when its lower
-  *      partner ships — if the partner was filtered out, the higher doc
-  *      is the sole copy of that content and must survive)
+  *   3. near-dup removal (MinHash-LSH candidates → exact Jaccard >= 0.2
+  *      → connected components → ONE representative per duplicate
+  *      cluster: the min surviving doc_id. Cluster-level dedup is the
+  *      standard large-corpus policy: every cluster with at least one
+  *      doc that passed the earlier stages ships exactly one doc, so no
+  *      content family is lost outright. The known tradeoff — Jaccard
+  *      is not transitive, so a chain can connect docs that are pairwise
+  *      dissimilar to the kept representative — is accepted and stated,
+  *      not hidden behind a pairwise rule whose survivors depend on
+  *      which partner happened to be filtered first.)
   *   4. corpus accounting (docs + tokens per lang — what actually ships)
   *
   * Stage order: the scalar filters run first in one codegen pass over
   * the scan, so the fingerprint groupBy shuffles only surviving rows.
   * The near-dup pair graph is DELIBERATELY computed corpus-wide via
   * Dedup.neardupPairs — it is shared (cached) with q28/q29/q68 rather
-  * than recomputed per filter state, and the survivor condition is
-  * applied to the tiny pair list, not the corpus. Near-dup removal then
-  * joins a provably-small drop list, so it is a broadcast anti-join on
-  * the big side.
+  * than recomputed per filter state, and the cluster labels are shared
+  * with q68 through [[dupClusters]]. Near-dup removal then joins a
+  * provably-small drop list, so it is a broadcast anti-join on the big
+  * side.
   */
 object Curation {
+
+  /** Per-round shuffle width for label propagation, derived from the
+    * edge count: ~1M edge rows (tens of MB) per partition, floor 1 so
+    * tiny test graphs stay single-partition, capped at 2048 — past that
+    * per-round task-launch overhead dominates any parallelism gain. The
+    * dup graph is orders of magnitude smaller than the corpus (only
+    * verified near-dup docs appear), so this is sized by |edges|, never
+    * by |docs|. */
+  private[graft] def graphPartsFor(nEdges: Long): Int = {
+    val target = 1L << 20
+    math.min(2048L, math.max(1L, (nEdges + target - 1) / target)).toInt
+  }
+
+  /** Connected components of an undirected pair graph via iterative
+    * min-label propagation — O(diameter) rounds, each one join + one
+    * aggregate, lineage cut per round with localCheckpoint; this is the
+    * shape that scales where a recursive CTE (the DuckDB oracle) or
+    * union-find on the driver cannot. Input: (doc_a, doc_b) pairs;
+    * output: (doc_id, cluster_id = component min doc_id).
+    *
+    * The one driver-side action before the loop is a count() of the
+    * pair list — it sizes the per-round shuffle and is over the already
+    * cached, provably-small verified-pair set, not the corpus. */
+  private[graft] def clusterLabels(pairs: DataFrame): DataFrame = {
+    val p = pairs.select(col("doc_a"), col("doc_b"))
+    val graphParts = graphPartsFor(2L * p.count())
+    val edges = p
+      .union(p.select(col("doc_b"), col("doc_a")))
+      .toDF("src", "dst")
+      .repartition(graphParts, col("src"))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("label", col("doc_id"))
+      .repartition(graphParts, col("doc_id"))
+      .localCheckpoint(true)
+    var changed = true
+    var iter = 0
+    while (changed && iter < 50) {
+      val prop = edges.join(labels, col("src") === col("doc_id"))
+        .groupBy(col("dst")).agg(min(col("label")).as("nlabel"))
+      val next = labels.join(prop, col("doc_id") === col("dst"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .repartition(graphParts, col("doc_id"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
+        .filter(col("label") =!= col("old")).limit(1).count() > 0
+      // dead per-round checkpoint blocks are reclaimed by the
+      // ContextCleaner once the dropped reference is GC'd (Dataset
+      // unpersist does not reach localCheckpoint RDD storage)
+      labels = next
+      iter += 1
+    }
+    // a silent cap would return plausible-but-wrong cluster ids; a
+    // >50-diameter dup chain must fail loudly instead
+    if (changed) throw new IllegalStateException(
+      s"label propagation did not converge within $iter rounds")
+    System.err.println(s"[clusterLabels] converged after $iter rounds")
+    labels.select(col("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** Cluster labels of the verified near-dup graph — shared (cached)
+    * between q68's cluster report and q63's near-dup removal stage, so
+    * the iterative propagation runs once per (session, dir). */
+  private val clusterCache = new Dedup.SessionCache
+  private[graft] def dupClusters(
+      s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    clusterCache.getOrElseUpdate(s, dir)(
+      clusterLabels(Dedup.neardupPairs(s, dir)).cache())
+
+  /** DuckDB twin of [[dupClusters]]: recursive min-label walk over the
+    * verified pair graph. Expects a CTE named `jp` (the neardup pairs)
+    * to be in scope; yields `lab(doc_id, cluster_id)`. */
+  private val clustersSqlCtes =
+    """edges AS (SELECT doc_a AS a, doc_b AS b FROM jp
+      |          UNION ALL SELECT doc_b, doc_a FROM jp),
+      |nodes AS (SELECT DISTINCT a AS d FROM edges),
+      |walk(d, lbl) AS (
+      |  SELECT d, d FROM nodes
+      |  UNION
+      |  SELECT e.b, w.lbl FROM walk w JOIN edges e ON e.a = w.d
+      |  WHERE w.lbl < e.b),
+      |lab AS (SELECT d AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY d)""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
     q("q63_curation_pipeline",
       """Full curation pipeline output accounting: per-lang surviving doc
         |and token counts after quality filter -> lang filter -> exact
-        |dedup -> near-dup removal. One number pair per lang — the
+        |dedup -> near-dup cluster dedup (one representative per
+        |connected near-dup component). One number pair per lang — the
         |strongest whole-pipeline cross-engine check (any stage drifting
         |by one doc changes the totals).""".stripMargin,
-      s"""WITH jp AS (${Dedup.neardupSql}),
+      s"""WITH RECURSIVE jp AS (${Dedup.neardupSql}),
+        |$clustersSqlCtes,
         |feat AS (
         |  SELECT doc_id, lang,
         |    md5(regexp_replace(lower(text), '[ \\t\\n\\r\\f]+', ' ', 'g')) AS f,
@@ -48,13 +140,19 @@ object Curation {
         |  WHERE n_tokens BETWEEN 20 AND 1000
         |    AND CAST(n_stop AS DOUBLE) / n_tokens >= 0.01),
         |surv AS (SELECT min(doc_id) AS doc_id FROM qual GROUP BY f),
+        |kept0 AS (
+        |  SELECT q.doc_id, q.lang, q.n_tokens FROM qual q
+        |  JOIN surv s ON s.doc_id = q.doc_id),
+        |clustered AS (
+        |  SELECT k.doc_id, l.cluster_id FROM kept0 k JOIN lab l USING (doc_id)),
+        |rep AS (SELECT cluster_id, min(doc_id) AS rep_id
+        |        FROM clustered GROUP BY cluster_id),
         |drop_b AS (
-        |  SELECT DISTINCT doc_b AS doc_id FROM jp
-        |  WHERE doc_a IN (SELECT doc_id FROM qual)),
+        |  SELECT c.doc_id FROM clustered c JOIN rep r USING (cluster_id)
+        |  WHERE c.doc_id != r.rep_id),
         |kept AS (
-        |  SELECT q.lang, q.n_tokens FROM qual q
-        |  JOIN surv s ON s.doc_id = q.doc_id
-        |  WHERE q.doc_id NOT IN (SELECT doc_id FROM drop_b))
+        |  SELECT lang, n_tokens FROM kept0
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM drop_b))
         |SELECT lang, count(*) AS n_docs,
         |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens
         |FROM kept GROUP BY lang""".stripMargin) { (s, dir) =>
@@ -75,15 +173,20 @@ object Curation {
       // rejoined as a semi-filter so kept rows keep their columns
       val surv = qual.groupBy(col("f")).agg(min(col("doc_id")).as("doc_id"))
         .select(col("doc_id"))
-      // stage 3: near-dup drop list — verified pairs whose LOWER partner
-      // survived the filters (else the higher doc is the only copy of
-      // that content and must ship); pair list is tiny, broadcast
-      val dropB = broadcast(Dedup.neardupPairs(s, dir))
-        .join(qual.select(col("doc_id").as("doc_a")), Seq("doc_a"))
-        .select(col("doc_b").as("doc_id")).distinct()
-      val kept = qual
-        .join(surv, Seq("doc_id"), "left_semi")
-        .join(broadcast(dropB), Seq("doc_id"), "left_anti")
+      val kept0 = qual.join(surv, Seq("doc_id"), "left_semi")
+      // stage 3: near-dup cluster dedup — among docs still standing,
+      // keep the min doc_id of each connected near-dup component and
+      // drop the rest. The labels frame covers only docs in the dup
+      // graph (tiny), so both joins broadcast; the drop list is a
+      // strict subset of that, anti-joined against the big side.
+      val lab = broadcast(dupClusters(s, dir))
+      val clustered = kept0.select(col("doc_id")).join(lab, "doc_id")
+      val rep = clustered.groupBy(col("cluster_id"))
+        .agg(min(col("doc_id")).as("rep_id"))
+      val dropB = clustered.join(rep, "cluster_id")
+        .filter(col("doc_id") =!= col("rep_id"))
+        .select(col("doc_id"))
+      val kept = kept0.join(broadcast(dropB), Seq("doc_id"), "left_anti")
       // stage 4: corpus accounting
       kept.groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
@@ -95,65 +198,18 @@ object Curation {
       """Duplicate-cluster formation: connected components of the
         |verified near-dup graph, each doc labeled with its component's
         |min doc_id (the canonical survivor). Implemented as iterative
-        |min-label propagation over DataFrames — O(diameter) rounds, each
-        |one join + one aggregate, lineage cut per round with
-        |localCheckpoint; this is the shape that scales where a
-        |recursive CTE (the DuckDB oracle here) or union-find on the
-        |driver cannot. Cluster sizes ride the final label
-        |partitioning.""".stripMargin,
+        |min-label propagation over DataFrames (see clusterLabels) with
+        |the per-round shuffle width derived from the edge count.
+        |Cluster sizes ride the final label partitioning.""".stripMargin,
       s"""WITH RECURSIVE jp AS (${Dedup.neardupSql}),
-        |edges AS (SELECT doc_a AS a, doc_b AS b FROM jp
-        |          UNION ALL SELECT doc_b, doc_a FROM jp),
-        |nodes AS (SELECT DISTINCT a AS d FROM edges),
-        |walk(d, lbl) AS (
-        |  SELECT d, d FROM nodes
-        |  UNION
-        |  SELECT e.b, w.lbl FROM walk w JOIN edges e ON e.a = w.d
-        |  WHERE w.lbl < e.b),
-        |lab AS (SELECT d AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY d)
+        |$clustersSqlCtes
         |SELECT doc_id, cluster_id,
         |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
         |FROM lab""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val pairs = Dedup.neardupPairs(s, dir).select(col("doc_a"), col("doc_b"))
-      // The dup graph is orders of magnitude smaller than the corpus
-      // (only verified near-dup docs appear). Size the per-round shuffle
-      // to the graph, not to the session default — at corpus scale the
-      // same holds: partition by |edges|, not |docs|.
-      val graphParts = 4
-      val edges = pairs
-        .union(pairs.select(col("doc_b"), col("doc_a")))
-        .toDF("src", "dst")
-        .repartition(graphParts, col("src"))
-        .localCheckpoint(true)
-      var labels = edges.select(col("src").as("doc_id")).distinct()
-        .withColumn("label", col("doc_id"))
-        .repartition(graphParts, col("doc_id"))
-        .localCheckpoint(true)
-      var changed = true
-      var iter = 0
-      while (changed && iter < 50) {
-        val prop = edges.join(labels, col("src") === col("doc_id"))
-          .groupBy(col("dst")).agg(min(col("label")).as("nlabel"))
-        val next = labels.join(prop, col("doc_id") === col("dst"), "left")
-          .select(col("doc_id"),
-            least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-          .repartition(graphParts, col("doc_id"))
-          .localCheckpoint(true)
-        changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
-          .filter(col("label") =!= col("old")).limit(1).count() > 0
-        // dead per-round checkpoint blocks are reclaimed by the
-        // ContextCleaner once the dropped reference is GC'd (Dataset
-        // unpersist does not reach localCheckpoint RDD storage)
-        labels = next
-        iter += 1
-      }
-      // a silent cap would return plausible-but-wrong cluster ids; a
-      // >50-diameter dup chain must fail loudly instead
-      if (changed) throw new IllegalStateException(
-        s"q68 label propagation did not converge within $iter rounds")
-      System.err.println(s"[q68] converged after $iter rounds")
-      labels.select(col("doc_id"), col("label").as("cluster_id"),
-        count(lit(1)).over(Window.partitionBy(col("label"))).as("cluster_size"))
+      dupClusters(s, dir)
+        .select(col("doc_id"), col("cluster_id"),
+          count(lit(1)).over(Window.partitionBy(col("cluster_id")))
+            .as("cluster_size"))
     })
 }

@@ -32,19 +32,28 @@ object Dedup {
   val BandSize = 2   // rows per LSH band => 4 bands, sim threshold ~ (1/4)^(1/2) = 0.5
   val NumBands: Int = NumSeeds / BandSize
 
-  /** Per-session, per-key DataFrame cache. Keyed WEAKLY by the session
-    * OBJECT: keying by hashCode (an identity hash, reused after GC)
-    * could hand a new session a dead session's cached frame, and pinned
-    * entries for the JVM lifetime. Same pattern as Tables.registerAll. */
-  private final class SessionCache {
-    private val m = new java.util.WeakHashMap[
+  /** Per-session, per-key DataFrame cache, keyed by the session OBJECT
+    * (identity), evicted by a listener on application end. Weak keying
+    * cannot work here: the cached DataFrames strongly reference their
+    * SparkSession (df.queryExecution → session), so a WeakHashMap whose
+    * values are DataFrames keeps its own keys strongly reachable and
+    * never evicts — the leak it was meant to prevent. The listener fires
+    * when the session's SparkContext stops, dropping the entry (and with
+    * it the cached plans and the session reference). A session whose
+    * context is already stopped is never inserted. */
+  private[operators] final class SessionCache {
+    private val m = new java.util.concurrent.ConcurrentHashMap[
       SparkSession, scala.collection.mutable.Map[String, DataFrame]]()
     def getOrElseUpdate(s: SparkSession, key: String)(mk: => DataFrame): DataFrame = {
-      val inner = m.synchronized {
-        var v = m.get(s)
-        if (v == null) { v = scala.collection.mutable.Map.empty; m.put(s, v) }
-        v
-      }
+      val inner = m.computeIfAbsent(s, { sess =>
+        sess.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onApplicationEnd(
+                e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit =
+              m.remove(sess)
+          })
+        scala.collection.mutable.Map.empty[String, DataFrame]
+      })
       inner.synchronized(inner.getOrElseUpdate(key, mk))
     }
   }

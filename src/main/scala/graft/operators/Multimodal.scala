@@ -102,10 +102,18 @@ object Multimodal {
       """Binary-column pipeline on the documents payload: canonical media
         |frame (binary + metadata struct) → batched stub decode →
         |8-dim feature vectors. Not SQL-expressible (mapPartitions stage);
-        |rows-only check.""".stripMargin) { (s, dir) =>
+        |rows-only check. The vector is emitted CSV-joined plus an L2
+        |norm — the harness comparator sorts rows with pandas, which
+        |cannot hash raw float arrays; the scalar forms carry the same
+        |information for a rows-only signal.""".stripMargin) { (s, dir) =>
       val media = asMediaFrame(Tables.documents(s, dir), "doc_id", "text", "source")
       extractFeatures(media)
         .select(col("media_id"), col("meta.n_bytes").as("n_bytes"),
-          col("meta.source").as("source"), col("features"))
+          col("meta.source").as("source"),
+          array_join(transform(col("features"), f => f.cast("string")), ",")
+            .as("features_csv"),
+          sqrt(aggregate(transform(col("features"),
+            f => f.cast("double") * f.cast("double")),
+            lit(0.0), (acc, x) => acc + x)).as("l2"))
     })
 }
