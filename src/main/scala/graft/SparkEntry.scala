@@ -23,7 +23,8 @@ object SparkEntry {
       operators.Dedup.defs ++
       operators.Curation.defs ++
       operators.Similarity.defs ++
-      operators.Multimodal.defs
+      operators.Multimodal.defs ++
+      sources.SchemaDrift.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

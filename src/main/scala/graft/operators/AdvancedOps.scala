@@ -158,18 +158,39 @@ object AdvancedOps {
     },
 
     // ----------------------------------------------------------------
-    QueryDef.rowsOnly("q43_approx_sketches",
+    q("q43_approx_sketches",
       """The sketch tier for 100 TB cardinalities: HyperLogLog++ distinct
         |counts and quantile sketches per event type. Sketches are
         |mergeable across partitions (one shuffle of fixed-size state, no
         |matter the row count) — the scale path behind q12/q40's exact
-        |baselines. Engine-specific sketch internals → rows-only.""".stripMargin) { (s, dir) =>
+        |baselines. Sketch internals are engine-specific, so the query
+        |validates itself: it emits the exact values beside tolerance
+        |verdicts — HLL within 10% of exact countDistinct (5 sigma at
+        |rsd=0.02), approx p50 between the exact p40/p60 discrete
+        |quantiles — and the oracle asserts the exact values and that
+        |every verdict is true. A broken sketch turns the row red.""".stripMargin,
+      """SELECT event_type,
+        |  count(DISTINCT user_id) AS exact_users,
+        |  TRUE AS hll_ok,
+        |  TRUE AS p50_ok,
+        |  count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin) { (s, dir) =>
       Tables.events(s, dir)
         .groupBy(col("event_type"))
         .agg(
+          countDistinct(col("user_id")).as("exact_users"),
           approx_count_distinct(col("user_id"), rsd = 0.02).as("approx_users"),
           percentile_approx(col("value"), lit(0.5), lit(1000)).as("approx_p50"),
+          expr("percentile_disc(0.4) WITHIN GROUP (ORDER BY value)").as("p40"),
+          expr("percentile_disc(0.6) WITHIN GROUP (ORDER BY value)").as("p60"),
           count(lit(1)).as("n"))
+        .select(
+          col("event_type"),
+          col("exact_users"),
+          (abs(col("approx_users") - col("exact_users")).cast("double")
+            / col("exact_users") <= 0.10).as("hll_ok"),
+          col("approx_p50").between(col("p40"), col("p60")).as("p50_ok"),
+          col("n"))
     },
 
     // ----------------------------------------------------------------

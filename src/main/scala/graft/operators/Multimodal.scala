@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import graft.QueryDef.rowsOnly
+import graft.QueryDef.q
 import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -98,22 +98,41 @@ object Multimodal {
   }
 
   val defs: Seq[QueryDef] = Seq(
-    rowsOnly("q33_multimodal_features",
+    q("q33_multimodal_features",
       """Binary-column pipeline on the documents payload: canonical media
         |frame (binary + metadata struct) → batched stub decode →
-        |8-dim feature vectors. Not SQL-expressible (mapPartitions stage);
-        |rows-only check. The vector is emitted CSV-joined plus an L2
-        |norm — the harness comparator sorts rows with pandas, which
-        |cannot hash raw float arrays; the scalar forms carry the same
-        |information for a rows-only signal.""".stripMargin) { (s, dir) =>
+        |8-dim feature vectors. The mapPartitions decode stage is not
+        |SQL-expressible, but the STUB's byte math is — so the oracle
+        |recomputes the per-dim byte sums from hex pairs in DuckDB and
+        |pins the full vector cross-engine. Features are emitted as the
+        |exact integer accumulators (mod 1000, the pre-scale form) so
+        |no float formatting is compared; the float vector itself is the
+        |operator API (extractFeatures) and is spec-covered. A real
+        |codec replacing the stub reverts this row to rows-only.""".stripMargin,
+      """WITH b AS (
+        |  SELECT doc_id, source, hex(encode(text)) AS h,
+        |         octet_length(encode(text)) AS n
+        |  FROM documents
+        |), by AS (
+        |  SELECT doc_id, source, n,
+        |         list_transform(range(0, n),
+        |           i -> ('0x'||substring(h, 2*i+1, 2))::BIGINT) AS bytes
+        |  FROM b
+        |)
+        |SELECT doc_id AS media_id, n AS n_bytes, source,
+        |  array_to_string(list_transform(range(0, 8), d ->
+        |    coalesce(list_sum(list_transform(
+        |      range(0, CAST(ceil((n - d) / 8.0) AS BIGINT)),
+        |      k -> bytes[d + 8*k + 1])), 0) % 1000), ',') AS features_milli
+        |FROM by""".stripMargin) { (s, dir) =>
       val media = asMediaFrame(Tables.documents(s, dir), "doc_id", "text", "source")
       extractFeatures(media)
         .select(col("media_id"), col("meta.n_bytes").as("n_bytes"),
           col("meta.source").as("source"),
-          array_join(transform(col("features"), f => f.cast("string")), ",")
-            .as("features_csv"),
-          sqrt(aggregate(transform(col("features"),
-            f => f.cast("double") * f.cast("double")),
-            lit(0.0), (acc, x) => acc + x)).as("l2"))
+          // features are v/1000f with v = byte-sum % 1000 in [0,999]:
+          // round(f*1000) recovers v exactly (float error << 0.5)
+          array_join(transform(col("features"),
+            f => round(f.cast("double") * 1000).cast("long").cast("string")), ",")
+            .as("features_milli"))
     })
 }

@@ -99,12 +99,24 @@ object Similarity {
         |The exact-search baseline every ANN variant is judged against.""".stripMargin,
       oracleTopK("")) { (s, dir) => sparkTopK(s, dir, sameCell = false) },
 
-    QueryDef.rowsOnly("q34_knn_codegen",
+    q("q34_knn_codegen",
       """Fast-path brute-force top-5 using the native codegen'd
         |cosine_sim expression (graft.plans.CosineSimilarity): one fused
         |dot+norms loop inlined into whole-stage codegen, float math.
-        |Same shape as q31 but the scale path — not decimal-exact, so
-        |rows-only.""".stripMargin) { (s, dir) =>
+        |Same shape as q31 but the scale path. Float scores are not
+        |oracle-comparable bit-for-bit, so the query validates itself
+        |against the exact-decimal ranking instead: per query it emits
+        |the codegen top-5 id set (sorted, CSV) and the size of its
+        |intersection with q31's exact top-5. The oracle asserts FULL
+        |agreement — the float error (~1e-7 relative) is orders of
+        |magnitude below the observed score gaps, and intra-top-5 order
+        |differences don't affect the set — so any real divergence in
+        |the codegen path turns the row red.""".stripMargin,
+      s"""SELECT query_id,
+         |  CAST($TopK AS BIGINT) AS n_agree,
+         |  array_to_string(list_sort(list(neighbor_id)), ',') AS top_ids
+         |FROM (${oracleTopK("")})
+         |GROUP BY query_id""".stripMargin) { (s, dir) =>
       graft.plans.GraftFunctions.register(s)
       val c = Tables.embeddings(s, dir)
       val queries = c.filter(col("vec_id") < QueryVecs)
@@ -113,8 +125,17 @@ object Similarity {
         .join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
         .withColumn("sim", call_function("cosine_sim", col("qe"), col("ne")))
       val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id"))
-      scored.withColumn("rk", rank().over(w)).filter(col("rk") <= TopK)
-        .select(col("query_id"), col("neighbor_id"), col("sim"), col("rk"))
+      val fast = scored.withColumn("rk", rank().over(w)).filter(col("rk") <= TopK)
+        .select(col("query_id"), col("neighbor_id"))
+      val exact = sparkTopK(s, dir, sameCell = false)
+        .select(col("query_id"), col("neighbor_id"))
+      val agree = fast.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_agree"))
+      fast.groupBy(col("query_id"))
+        .agg(array_join(transform(sort_array(collect_list(col("neighbor_id"))),
+          n => n.cast("string")), ",").as("top_ids"))
+        .join(agree, Seq("query_id"))
+        .select(col("query_id"), col("n_agree"), col("top_ids"))
     },
 
     q("q36_neardup_embedding",

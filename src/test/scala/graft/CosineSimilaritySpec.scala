@@ -45,12 +45,15 @@ class CosineSimilaritySpec extends SparkSpec {
   }
 
   test("fast KNN agrees with the exact-decimal path on neighbor sets") {
-    val exact = SparkEntry.queries("q31_knn_bruteforce")(spark, "/root/testdata/sf0.001")
-      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val fast = SparkEntry.queries("q34_knn_codegen")(spark, "/root/testdata/sf0.001")
-      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    // quantization can flip borderline ranks; require >=90% agreement
-    val inter = exact.intersect(fast).size.toDouble
-    assert(inter / exact.size >= 0.9, s"agreement ${inter / exact.size}")
+    // q34 is self-validating: n_agree counts its top-5 ids that the
+    // exact-decimal q31 ranking also has. Full agreement expected —
+    // float error is far below observed score gaps on this data.
+    val rows = SparkEntry.queries("q34_knn_codegen")(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rows.length == 10, s"expected 10 query rows, got ${rows.length}")
+    rows.foreach { case (qid, nAgree, topIds) =>
+      assert(nAgree == 5, s"query $qid agrees on only $nAgree/5: $topIds")
+      assert(topIds.split(",").length == 5, s"query $qid top_ids: $topIds")
+    }
   }
 }
