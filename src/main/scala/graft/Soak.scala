@@ -63,13 +63,31 @@ object Soak {
     val streamS = (System.nanoTime() - t2) / 1e9
     val nFiltered = spark.read.parquet(outDir).count()
 
+    // Paced phase (generator.py:219-221 sleep_until analog): replay the
+    // same workload on its event-time schedule, compressed to ~20s of
+    // wall clock, through the per-batch-snapshot IP filter, and measure
+    // landed->written latency. AvailableNow above measures THROUGHPUT;
+    // this measures end-to-end LATENCY under paced arrival.
+    val spanS = hours * 3600
+    val sliceS = math.max(60, spanS / 120)
+    val speedup = spanS / 20.0
+    val staged = streaming.PacedReplay.stage(cleaned, "ts", s"$base/staged", sliceS)
+    val paced = streaming.PacedReplay.replay(
+      spark, staged, s"$base/paced-in", s"$base/paced-out", s"$base/paced-ckpt",
+      sliceS, speedup,
+      transform = b => ViewsPipeline.filterSuspicious(
+        b, ViewsPipeline.readSnapshotOrEmpty(spark, snap), current_timestamp()))
+
     println(
       s"""{"metric":"soak","rows":$nRows,"users":$nUsers,"hours":$hours,""" +
         s""""gen_sec":$genS,"detect_sec":$detectS,""" +
         s""""detect_rows_per_sec":${(nRows / detectS).toLong},""" +
         s""""precision":$precision,"recall":$recall,""" +
         s""""stream_sec":$streamS,"stream_rows_per_sec":${(nRows / streamS).toLong},""" +
-        s""""stream_rows_out":$nFiltered}""")
+        s""""stream_rows_out":$nFiltered,""" +
+        s""""paced_wall_sec":${paced.wallSec},"paced_slices":${paced.slices},""" +
+        s""""paced_p50_ms":${paced.p50Ms},"paced_p95_ms":${paced.p95Ms},""" +
+        s""""paced_p99_ms":${paced.p99Ms},"paced_max_ms":${paced.maxMs}}""")
     spark.stop()
   }
 }

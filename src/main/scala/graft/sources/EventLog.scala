@@ -46,6 +46,47 @@ object EventLog {
     out.write.option("header", "true").mode("overwrite").csv(prefix)
   }
 
+  /** K1 exact-layout writer: land ONE object per hour at
+    * `prefix/YYYY/MM/DD/HH.csv` — byte-compatible with the reference
+    * layout (generator.py:244), so a reference-layout consumer finds
+    * exactly the paths it expects. Input must carry int columns
+    * year/month/day/hour (ViewsPipeline.withPartitionColumns derives
+    * them from ts); they become path segments, not CSV columns.
+    *
+    * Scale shape: `repartition(hour cols)` routes each hour to exactly
+    * one task, so the write is parallel ACROSS hours while still
+    * producing a single file PER hour — no global coalesce(1)
+    * serialization. The rename pass is driver-side filesystem metadata
+    * (one rename per hour), not data movement. */
+  def writeHourlyCsvExact(df: DataFrame, prefix: String): Unit = {
+    val partCols = Seq("year", "month", "day", "hour")
+    require(partCols.forall(df.columns.contains),
+      s"writeHourlyCsvExact needs $partCols columns; got ${df.columns.toSeq}")
+    val spark = df.sparkSession
+    val base = new org.apache.hadoop.fs.Path(prefix)
+    val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(base,
+      s".tmp-hourly-${java.util.UUID.randomUUID()}")
+    df.repartition(partCols.map(col): _*)
+      .write.partitionBy(partCols: _*)
+      .option("header", "true").mode("overwrite").csv(tmp.toString)
+    try {
+      val parts = fs.globStatus(new org.apache.hadoop.fs.Path(tmp,
+        "year=*/month=*/day=*/hour=*/part-*.csv"))
+      val Seg = """(\w+)=(\d+)""".r
+      Option(parts).getOrElse(Array.empty).foreach { st =>
+        val vals = st.getPath.toString.split('/').collect {
+          case Seg(k, v) if partCols.contains(k) => k -> v.toInt
+        }.toMap
+        val target = new org.apache.hadoop.fs.Path(base, f"${vals("year")}%04d/${
+          vals("month")}%02d/${vals("day")}%02d/${vals("hour")}%02d.csv")
+        fs.mkdirs(target.getParent)
+        if (fs.exists(target)) fs.delete(target, false) // idempotent re-land
+        require(fs.rename(st.getPath, target), s"rename to $target failed")
+      }
+    } finally fs.delete(tmp, true)
+  }
+
   /** S1 incremental flavor: list the hour entries under the reference
     * layout `prefix/YYYY/MM/DD/HH.csv` and read ONLY those strictly
     * newer than `sinceKey` (yyyyMMddHH). The pruning happens at the

@@ -46,4 +46,33 @@ class BatchViewsJobSpec extends SparkSpec {
     assert(r2.rowsProcessed > 0)
     assert(spark.read.parquet(out).count() == human1 + human2)
   }
+
+  test("snapshot compaction drops expired keys, keeps latest TTL per key, boundary-exact") {
+    import spark.implicits._
+    val snap = Files.createTempDirectory("graft-compact").toString + "/snapshot"
+    val t0 = java.sql.Timestamp.valueOf("2024-06-01 12:00:00")
+    def ts(offsetH: Int) = java.sql.Timestamp.valueOf(
+      java.time.LocalDateTime.of(2024, 6, 1, 12 + offsetH, 0))
+    Seq(
+      ("1.1.1.1", ts(-2)), // expired
+      ("2.2.2.2", ts(0)),  // expires exactly at asOf -> NOT live (strict >)
+      ("3.3.3.3", ts(1)),  // live
+      ("3.3.3.3", ts(5)),  // same key re-detected later -> max wins
+      ("4.4.4.4", ts(3))   // live
+    ).toDF("user_ip", "expires_at").write.mode("overwrite").parquet(snap)
+
+    val n = BatchViewsJob.compactSnapshot(spark, snap, asOf = lit(t0))
+    assert(n == 2)
+    val rows = spark.read.parquet(snap).collect()
+      .map(r => r.getString(0) -> r.getTimestamp(1)).toMap
+    assert(rows == Map("3.3.3.3" -> ts(5), "4.4.4.4" -> ts(3)))
+    // compaction never changes what a TTL-filtering reader sees: the
+    // boundary predicate is the same strict > filterSuspicious applies
+    val events = Seq("1.1.1.1", "2.2.2.2", "3.3.3.3", "5.5.5.5").toDF("user_ip")
+    val kept = graft.operators.ViewsPipeline.filterSuspicious(
+      events, spark.read.parquet(snap), lit(t0)).collect().map(_.getString(0)).toSet
+    assert(kept == Set("1.1.1.1", "2.2.2.2", "5.5.5.5"))
+    // compacting an already-compact (or missing) snapshot is a no-op
+    assert(BatchViewsJob.compactSnapshot(spark, snap, asOf = lit(t0)) == 2)
+  }
 }

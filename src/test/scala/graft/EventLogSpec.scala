@@ -31,6 +31,36 @@ class EventLogSpec extends SparkSpec {
     assert(hours == 2)
   }
 
+  test("exact-layout writer lands one object per hour at prefix/YYYY/MM/DD/HH.csv") {
+    val prefix = Files.createTempDirectory("graft-exact").toString
+    val twoHours = Seq(h0, h0 + 3600).map { h =>
+      ViewsPipeline.withPartitionColumns(ViewsPipeline.clean(
+        DataGen.viewsDF(spark, DataGen.hourOfViews(users, items, h, seed = h))))
+    }.reduce(_ unionByName _)
+    EventLog.writeHourlyCsvExact(
+      twoHours.select(col("item_id"), col("ts").cast("string"), col("device_type"),
+        col("device_id"), col("user_ip"), col("year"), col("month"), col("day"), col("hour")),
+      prefix)
+    // the EXACT reference paths exist, as single FILES (not directories)
+    Seq(h0, h0 + 3600).foreach { h =>
+      val t = java.time.Instant.ofEpochSecond(h).atZone(java.time.ZoneOffset.UTC)
+      val f = new java.io.File(f"$prefix/${t.getYear}%04d/${t.getMonthValue}%02d/${
+        t.getDayOfMonth}%02d/${t.getHour}%02d.csv")
+      assert(f.isFile, s"expected single object at $f")
+    }
+    // no temp residue, and the standard hourly reader sees every row
+    assert(!new java.io.File(prefix).listFiles().exists(_.getName.startsWith(".tmp")))
+    val back = EventLog.readHourlyCsv(spark, prefix,
+      schema = org.apache.spark.sql.types.StructType(EventLog.viewsRawSchema.fields))
+    assert(back.count() == twoHours.count())
+    // idempotent re-land: same rows, still single objects
+    EventLog.writeHourlyCsvExact(
+      twoHours.select(col("item_id"), col("ts").cast("string"), col("device_type"),
+        col("device_id"), col("user_ip"), col("year"), col("month"), col("day"), col("hour")),
+      prefix)
+    assert(EventLog.readHourlyCsv(spark, prefix).count() == twoHours.count())
+  }
+
   test("incremental hourly read lists only files newer than the mark") {
     val prefix = Files.createTempDirectory("graft-prune").toString
     Seq(h0, h0 + 3600, h0 + 7200).foreach { h =>
