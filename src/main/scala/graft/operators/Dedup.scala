@@ -64,7 +64,7 @@ object Dedup {
     * verify both walk this lineage several times — without the cache the
     * whole shingle+minhash pipeline would be recomputed per branch. */
   private val shingleCache = new SessionCache
-  private def shingles(s: SparkSession, dir: String): DataFrame =
+  private[operators] def shingles(s: SparkSession, dir: String): DataFrame =
     shingleCache.getOrElseUpdate(s, dir) {
       Tables.documents(s, dir)
         .select(col("doc_id"), split(col("text"), " ").as("w"))
@@ -76,7 +76,7 @@ object Dedup {
     }
 
   /** Same shingle set in DuckDB SQL (list slice is 1-based inclusive). */
-  private val shinglesSql =
+  private[operators] val shinglesSql =
     """SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS sh
       |FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       |     unnest(range(1, greatest(len(w) - 1, 1))) AS t(i)""".stripMargin
@@ -264,36 +264,64 @@ object Dedup {
         |signature; identical signatures = near-dup bucket (bucket size
         |via window sharing the same shuffle). Bit math is integer
         |div/mod only — exactly portable.""".stripMargin,
-      """WITH toks AS (
-        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
-        |  FROM documents),
-        |nib AS (
-        |  SELECT doc_id, w,
-        |    strpos('0123456789abcdef', substr(md5(w), 1, 1)) - 1 AS v1,
-        |    strpos('0123456789abcdef', substr(md5(w), 2, 1)) - 1 AS v2,
-        |    strpos('0123456789abcdef', substr(md5(w), 3, 1)) - 1 AS v3,
-        |    strpos('0123456789abcdef', substr(md5(w), 4, 1)) - 1 AS v4
-        |  FROM toks),
-        |bits AS (
-        |  SELECT doc_id, p,
-        |    sum(CASE WHEN ((CASE p // 4 WHEN 0 THEN v1 WHEN 1 THEN v2 WHEN 2 THEN v3 ELSE v4 END)
-        |          // (CASE p % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)) % 2 = 1
-        |        THEN 1 ELSE -1 END) AS bsum
-        |  FROM nib, unnest(range(0, 16)) AS t(p)
-        |  GROUP BY doc_id, p),
-        |sig AS (
-        |  SELECT doc_id,
-        |    CAST(sum(CASE WHEN bsum >= 0 THEN
-        |      (CASE p WHEN 0 THEN 32768 WHEN 1 THEN 16384 WHEN 2 THEN 8192 WHEN 3 THEN 4096
-        |              WHEN 4 THEN 2048 WHEN 5 THEN 1024 WHEN 6 THEN 512 WHEN 7 THEN 256
-        |              WHEN 8 THEN 128 WHEN 9 THEN 64 WHEN 10 THEN 32 WHEN 11 THEN 16
-        |              WHEN 12 THEN 8 WHEN 13 THEN 4 WHEN 14 THEN 2 ELSE 1 END)
-        |      ELSE 0 END) AS BIGINT) AS simhash16
-        |  FROM bits GROUP BY doc_id)
+      s"""WITH $simhashSqlCtes
         |SELECT doc_id, simhash16,
         |  count(*) OVER (PARTITION BY simhash16) AS bucket_size
         |FROM sig""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
+      simhashSig(s, dir)
+        .withColumn("bucket_size", count(lit(1)).over(Window.partitionBy(col("simhash16"))))
+        .select(col("doc_id"), col("simhash16"), col("bucket_size"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q77_simhash_hamming",
+      """SimHash near-dup pairs within Hamming distance 3, found WITHOUT
+        |an all-pairs scan: the 16-bit signature splits into 4 bands of
+        |4 bits; by pigeonhole any pair with <=3 differing bits agrees
+        |EXACTLY on at least one band, so the band-bucket self-join is
+        |provably complete (not approximate — the LSH recall knob is
+        |closed-form here). Candidates then verify with one
+        |bit_count(xor) each. Same shape at 100 TB: pair space exists
+        |only inside 4-bit-band buckets, never O(n^2).""".stripMargin,
+      s"""WITH $simhashSqlCtes,
+        |bands AS (
+        |  SELECT doc_id, simhash16, b,
+        |         (simhash16 >> (4 * b)) & 15 AS bv
+        |  FROM sig, unnest(range(0, 4)) AS t(b)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+        |         a.simhash16 AS sig_a, b2.simhash16 AS sig_b
+        |  FROM bands a JOIN bands b2
+        |    ON a.b = b2.b AND a.bv = b2.bv AND a.doc_id < b2.doc_id)
+        |SELECT doc_a, doc_b,
+        |       CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
+        |FROM cand
+        |WHERE bit_count(xor(sig_a, sig_b)) <= 3""".stripMargin) { (s, dir) =>
+      val sig = simhashSig(s, dir)
+      val bands = sig
+        .withColumn("b", explode(sequence(lit(0), lit(3))))
+        .withColumn("bv", expr("(simhash16 div shiftleft(1, 4 * b)) % 16"))
+      val a = bands.select(col("b"), col("bv"),
+        col("doc_id").as("doc_a"), col("simhash16").as("sig_a"))
+      val bb = bands.select(col("b"), col("bv"),
+        col("doc_id").as("doc_b"), col("simhash16").as("sig_b"))
+      a.join(bb, Seq("b", "bv"))
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"))
+        .distinct()
+        .withColumn("hamming", expr("CAST(bit_count(sig_a ^ sig_b) AS INT)"))
+        .filter(col("hamming") <= 3)
+        .select(col("doc_a"), col("doc_b"), col("hamming"))
+    })
+
+  /** 16-bit SimHash signature per doc (doc_id, simhash16), cached per
+    * (session, dir): q30's bucketing and q77's Hamming-band join share
+    * one computation. Single shuffle on doc_id for the bit aggregate;
+    * the 16x bit-position explode is linear. */
+  private val simhashCache = new SessionCache
+  private[operators] def simhashSig(s: SparkSession, dir: String): DataFrame =
+    simhashCache.getOrElseUpdate(s, dir) {
       val toks = Tables.documents(s, dir)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
         .distinct()
@@ -310,11 +338,42 @@ object Dedup {
         .withColumn("bit", expr("(nibv div mask) % 2"))
         .groupBy(col("doc_id"), col("p"))
         .agg(sum(when(col("bit") === 1, 1).otherwise(-1)).as("bsum"))
-      val sig = bits
+      bits
         .withColumn("weight", expr("shiftleft(1, 15 - p)"))
         .groupBy(col("doc_id"))
         .agg(sum(when(col("bsum") >= 0, col("weight")).otherwise(0)).cast("bigint").as("simhash16"))
-      sig.withColumn("bucket_size", count(lit(1)).over(Window.partitionBy(col("simhash16"))))
-        .select(col("doc_id"), col("simhash16"), col("bucket_size"))
-    })
+        .cache()
+    }
+
+  /** DuckDB twin of [[simhashSig]] as a CTE chain ending in
+    * `sig(doc_id, simhash16)`. (A def, not a val: it is interpolated
+    * inside `defs`' initializer, which runs before later vals would
+    * initialize.) */
+  private[operators] def simhashSqlCtes: String =
+    """toks AS (
+      |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+      |  FROM documents),
+      |nib AS (
+      |  SELECT doc_id, w,
+      |    strpos('0123456789abcdef', substr(md5(w), 1, 1)) - 1 AS v1,
+      |    strpos('0123456789abcdef', substr(md5(w), 2, 1)) - 1 AS v2,
+      |    strpos('0123456789abcdef', substr(md5(w), 3, 1)) - 1 AS v3,
+      |    strpos('0123456789abcdef', substr(md5(w), 4, 1)) - 1 AS v4
+      |  FROM toks),
+      |bits AS (
+      |  SELECT doc_id, p,
+      |    sum(CASE WHEN ((CASE p // 4 WHEN 0 THEN v1 WHEN 1 THEN v2 WHEN 2 THEN v3 ELSE v4 END)
+      |          // (CASE p % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)) % 2 = 1
+      |        THEN 1 ELSE -1 END) AS bsum
+      |  FROM nib, unnest(range(0, 16)) AS t(p)
+      |  GROUP BY doc_id, p),
+      |sig AS (
+      |  SELECT doc_id,
+      |    CAST(sum(CASE WHEN bsum >= 0 THEN
+      |      (CASE p WHEN 0 THEN 32768 WHEN 1 THEN 16384 WHEN 2 THEN 8192 WHEN 3 THEN 4096
+      |              WHEN 4 THEN 2048 WHEN 5 THEN 1024 WHEN 6 THEN 512 WHEN 7 THEN 256
+      |              WHEN 8 THEN 128 WHEN 9 THEN 64 WHEN 10 THEN 32 WHEN 11 THEN 16
+      |              WHEN 12 THEN 8 WHEN 13 THEN 4 WHEN 14 THEN 2 ELSE 1 END)
+      |      ELSE 0 END) AS BIGINT) AS simhash16
+      |  FROM bits GROUP BY doc_id)""".stripMargin
 }

@@ -134,5 +134,34 @@ object Multimodal {
           array_join(transform(col("features"),
             f => round(f.cast("double") * 1000).cast("long").cast("string")), ",")
             .as("features_milli"))
+    },
+
+    q("q76_block_sampling",
+      """Frame-sampling stub over the binary payload: every 4th 64-byte
+        |block (the video-frame-sample shape — linear scan, bounded
+        |output, payload bytes never shuffled whole). The oracle
+        |recomputes block count and the first/last block bytes from the
+        |hex rendering, pinning the sampling arithmetic (offsets,
+        |stride, tail clamping) cross-engine.""".stripMargin,
+      """SELECT doc_id AS media_id,
+        |  octet_length(encode(text)) AS n_bytes,
+        |  CASE WHEN octet_length(encode(text)) = 0 THEN 0
+        |       ELSE CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT)
+        |  END AS n_blocks,
+        |  CASE WHEN octet_length(encode(text)) = 0 THEN NULL
+        |       ELSE substr(hex(encode(text)), 1, 128) END AS first_block_hex,
+        |  CASE WHEN octet_length(encode(text)) = 0 THEN NULL
+        |       ELSE substr(hex(encode(text)),
+        |         (CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT) - 1) * 512 + 1,
+        |         128) END AS last_block_hex
+        |FROM documents""".stripMargin) { (s, dir) =>
+      val media = asMediaFrame(Tables.documents(s, dir), "doc_id", "text", "source")
+      sampleBlocks(media, blockSize = 64, every = 4)
+        .select(col("media_id"), col("meta.n_bytes").as("n_bytes"),
+          size(col("blocks")).cast("long").as("n_blocks"),
+          // try_element_at: NULL (not an ANSI error) on the empty-payload
+          // empty block list, mirroring the oracle's CASE NULL
+          expr("hex(try_element_at(blocks, 1))").as("first_block_hex"),
+          expr("hex(try_element_at(blocks, -1))").as("last_block_hex"))
     })
 }
