@@ -51,13 +51,36 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val qs = results.map { case (k, v, _) => jstr(k) + ":" + v }
+    // The harness captures only the last ~2000 chars of stdout and parses
+    // the JSON line out of that window; with 77 queries the full-name map
+    // is >2x the window and the line can never parse (BENCH_r01/r02 both
+    // landed "parsed": null). So the stdout line uses the qN prefix as the
+    // key (unique by construction, and the documented contract shape) with
+    // millisecond-rounded timings, and the err map carries only failures.
+    // Full names + full precision go to bench_detail.json beside the run.
+    def shortKey(name: String): String = name.takeWhile(_ != '_')
+    val keys = results.map { case (k, _, _) =>
+      k -> (if (results.count(_._1.takeWhile(_ != '_') == shortKey(k)) == 1)
+              shortKey(k) else k)
+    }.toMap
+    def fmt(v: Double): String = f"$v%.3f"
+    val qs = results.map { case (k, v, _) => jstr(keys(k)) + ":" + fmt(v) }
       .mkString("{", ",", "}")
-    val errs = results.map { case (k, _, e) =>
-      jstr(k) + ":" + e.map(jstr).getOrElse("null")
+    val errs = results.collect { case (k, _, Some(e)) =>
+      jstr(keys(k)) + ":" + jstr(e.take(80))
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"err":$errs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"err":$errs,"sf":"$sfDir"}"""
+    val detail = results.map { case (k, v, e) =>
+      jstr(k) + ":{\"sec\":" + v + ",\"err\":" + e.map(jstr).getOrElse("null") + "}"
+    }.mkString("{", ",", "}")
+    try {
+      val w = new java.io.PrintWriter("bench_detail.json")
+      try w.println(s"""{"total":$total,"sf":"$sfDir","queries":$detail}""")
+      finally w.close()
+    } catch { case _: java.io.IOException => () } // detail file is best-effort
+    println(line)
     spark.stop()
   }
 }
