@@ -24,6 +24,7 @@ object SparkEntry {
       operators.Curation.defs ++
       operators.Similarity.defs ++
       operators.Multimodal.defs ++
+      operators.ScaleOps.defs ++
       sources.SchemaDrift.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,181 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.QueryDef.q
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Operators whose point is the 100 TB shape, oracle-checked at small SF:
+  *
+  *   - q78: per-group top-k via the k-bounded [[BoundedTopK]] aggregator
+  *     (map-side-combined, no group ever sorted) — checked against the
+  *     exact row_number() formulation.
+  *   - q79: one k-means (Lloyd) assignment iteration over the embedding
+  *     corpus — the training step that produces the IVF cells q32
+  *     searches. Exact-decimal distances so both engines pick identical
+  *     nearest centroids.
+  *   - q80: a count-min sketch built as a relational program — the whole
+  *     sketch is a (depth x width) cell aggregate (192 groups, map-side
+  *     combined), estimates are a broadcast join against those cells,
+  *     and the CMS "never underestimates" guarantee is emitted as a
+  *     checked column. The sketch build reads the stream once at any
+  *     scale; memory is O(d*w), not O(distinct keys).
+  */
+object ScaleOps {
+
+  // ---- q79 helpers: exact-decimal vector math (same contract as
+  // Similarity: quantize to DECIMAL(9,4), accumulate in DECIMAL(38,8))
+  private def quant(c: String): String =
+    s"transform($c, x -> CAST(round(CAST(x AS DOUBLE), 4) AS DECIMAL(9,4)))"
+
+  // Accumulator is DECIMAL(30,8), NOT (38,8): Spark types acc+v at
+  // precision 39 when acc is (38,8), which exceeds 38 and silently
+  // ROUNDS each accumulation step to scale 7 (allowPrecisionLoss) —
+  // ~5e-8 error per dimension, enough to fail a hash compare against
+  // the oracle's exact sum. At (30,8) + (21,8) the add is precision 31:
+  // exact at every step.
+  private def sqDistExpr(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> (x - y) * (x - y)), " +
+      s"CAST(0 AS DECIMAL(30,8)), (acc, v) -> CAST(acc + v AS DECIMAL(30,8)))"
+
+  private val KCentroids = 8
+
+  // ---- q80 parameters: 3 pairwise-independent-ish affine hashes mod a
+  // Mersenne prime, folded into 64 buckets. Fixed constants so Spark and
+  // DuckDB compute the SAME sketch cell-for-cell.
+  private val P = 2147483647L
+  private val Width = 64
+  private val Hashes = Seq((0, 31L, 7L), (1, 131L, 13L), (2, 1009L, 17L))
+
+  private def hashArr =
+    array(Hashes.map { case (i, a, b) =>
+      struct(lit(i).as("i"), lit(a).as("a"), lit(b).as("b"))
+    }: _*)
+
+  val defs: Seq[QueryDef] = Seq(
+    // ----------------------------------------------------------------
+    q("q78_topk_bounded_agg",
+      """Per-group top-k WITHOUT a window sort: BoundedTopK keeps a
+        |k-bounded buffer per group, partial-aggregated map-side, so the
+        |shuffle carries at most k rows per group and no group is ever
+        |fully sorted — the scale path for A2/A3 top-k that q8's
+        |rank() formulation can't take on a billion-row hot group. The
+        |oracle is the exact row_number() answer: identical output proves
+        |the bounded buffer loses nothing.""".stripMargin,
+      """WITH per_user AS (
+        |  SELECT event_type, user_id, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |ranked AS (
+        |  SELECT event_type, user_id, cnt,
+        |    row_number() OVER (PARTITION BY event_type
+        |                       ORDER BY cnt DESC, user_id) AS rk
+        |  FROM per_user)
+        |SELECT event_type, rk, user_id, cnt
+        |FROM ranked WHERE rk <= 3""".stripMargin) { (s, dir) =>
+      val topk = udaf(new BoundedTopK(3), org.apache.spark.sql.Encoders.product[Scored])
+      val perUser = Tables.events(s, dir)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("cnt"))
+      perUser
+        .groupBy(col("event_type"))
+        .agg(topk(col("cnt"), col("user_id")).as("tk"))
+        .select(col("event_type"), posexplode(col("tk.xs")))
+        .select(col("event_type"), (col("pos") + 1).as("rk"),
+          col("col.k").as("user_id"), col("col.c").as("cnt"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q79_kmeans_assign",
+      """One Lloyd iteration: assign every embedding to its nearest of 8
+        |fixed centroids (vec_id 0..7 — deterministic seeding), report
+        |per-centroid membership count and total squared distance (the
+        |k-means objective). This is how q32's IVF cells are actually
+        |trained at scale: centroids broadcast, one scan scores the
+        |corpus, min(struct(dist, cid)) picks the winner in the same
+        |partial aggregation that carries the scan — one shuffle of one
+        |row per vector, then a k-row final aggregate. Distances are
+        |exact decimals so both engines agree on every assignment; the
+        |objective is string-bridged to double (decimal->double direct
+        |cast can be 1 ulp off between engines).""".stripMargin,
+      s"""WITH e AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |    CAST(round(CAST(unnest(embedding) AS DOUBLE), 4) AS DECIMAL(9,4)) AS v
+        |  FROM embeddings),
+        |cent AS (SELECT vec_id AS cid, i, v AS cv FROM e WHERE vec_id < $KCentroids),
+        |dist AS (
+        |  SELECT a.vec_id, c.cid,
+        |    CAST(sum(CAST((a.v - c.cv) * (a.v - c.cv) AS DECIMAL(38,8)))
+        |         AS DECIMAL(38,8)) AS d
+        |  FROM e a JOIN cent c ON a.i = c.i
+        |  GROUP BY a.vec_id, c.cid),
+        |best AS (
+        |  SELECT vec_id, cid, d,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        |  FROM dist)
+        |SELECT cid AS centroid_id, count(*) AS n_assigned,
+        |  CAST(CAST(sum(d) AS VARCHAR) AS DOUBLE) AS sum_sqdist
+        |FROM best WHERE rn = 1
+        |GROUP BY cid""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+        .select(col("vec_id"), expr(quant("embedding")).as("qv"))
+      val cents = emb.filter(col("vec_id") < KCentroids)
+        .select(col("vec_id").as("cid"), col("qv").as("cv"))
+      val dists = emb.crossJoin(broadcast(cents))
+        .select(col("vec_id"), col("cid"), expr(sqDistExpr("qv", "cv")).as("d"))
+      val best = dists
+        .groupBy(col("vec_id"))
+        .agg(min(struct(col("d"), col("cid"))).as("m"))
+        .select(col("m.cid").as("cid"), col("m.d").as("d"))
+      best.groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_assigned"),
+          sum(col("d")).cast("string").cast("double").as("sum_sqdist"))
+        .select(col("cid").as("centroid_id"), col("n_assigned"), col("sum_sqdist"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q80_countmin_sketch",
+      """Count-min sketch as a relational program: the sketch build is a
+        |single groupBy over (hash_index, bucket) — 3x64 = 192 cells
+        |regardless of input size, fully map-side combined, one scan of
+        |the stream. Point estimates join the (broadcast) cell table on
+        |each of the 3 bucket positions and take the min. Emits, for the
+        |top-20 heavy hitters, the exact count beside the CMS estimate
+        |and the deterministic over-estimate guarantee (est >= exact) as
+        |a checked column. Identical fixed hash constants on both engines
+        |make the sketch itself — not just the property — cross-engine
+        |comparable.""".stripMargin,
+      s"""WITH h(i, a, b) AS (VALUES (0, 31, 7), (1, 131, 13), (2, 1009, 17)),
+        |cells AS (
+        |  SELECT h.i, ((h.a * user_id + h.b) % $P) % $Width AS bkt, count(*) AS n
+        |  FROM events CROSS JOIN h GROUP BY 1, 2),
+        |exact AS (SELECT user_id, count(*) AS exact_n FROM events GROUP BY 1),
+        |est AS (
+        |  SELECT e.user_id, min(c.n) AS est_n
+        |  FROM exact e CROSS JOIN h
+        |  JOIN cells c ON c.i = h.i
+        |    AND c.bkt = ((h.a * e.user_id + h.b) % $P) % $Width
+        |  GROUP BY e.user_id)
+        |SELECT e.user_id, e.exact_n, s.est_n,
+        |  CAST(s.est_n >= e.exact_n AS BIGINT) AS never_under
+        |FROM exact e JOIN est s USING (user_id)
+        |ORDER BY exact_n DESC, user_id
+        |LIMIT 20""".stripMargin) { (s, dir) =>
+      def bkt(u: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        ((col("h.a") * u + col("h.b")) % P) % Width
+      val ev = Tables.events(s, dir).select(col("user_id"))
+      val cells = ev.select(col("user_id"), explode(hashArr).as("h"))
+        .select(col("h.i").as("i"), bkt(col("user_id")).as("bkt"))
+        .groupBy(col("i"), col("bkt")).agg(count(lit(1)).as("n"))
+      val exact = ev.groupBy(col("user_id")).agg(count(lit(1)).as("exact_n"))
+      val est = exact.select(col("user_id"), explode(hashArr).as("h"))
+        .select(col("user_id"), col("h.i").as("i"), bkt(col("user_id")).as("bkt"))
+        .join(broadcast(cells), Seq("i", "bkt"))
+        .groupBy(col("user_id")).agg(min(col("n")).as("est_n"))
+      exact.join(est, "user_id")
+        .select(col("user_id"), col("exact_n"), col("est_n"),
+          (col("est_n") >= col("exact_n")).cast("bigint").as("never_under"))
+        .orderBy(col("exact_n").desc, col("user_id"))
+        .limit(20)
+    }
+  )
+}

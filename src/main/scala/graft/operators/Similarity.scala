@@ -33,10 +33,15 @@ object Similarity {
   private def quant(c: String): String =
     s"transform($c, x -> CAST(round(CAST(x AS DOUBLE), 4) AS DECIMAL(9,4)))"
 
-  /** Exact decimal dot product of two quantized arrays, as double. */
+  /** Exact decimal dot product of two quantized arrays, as double.
+    * The accumulator is DECIMAL(30,8), not (38,8): at (38,8) Spark
+    * types acc+v at precision 39 > 38 and rounds every accumulation
+    * step to scale 7 (allowPrecisionLoss) — a ~e-7 drift the final
+    * round(...,4) used to mask. At (30,8) each add is precision 31 and
+    * the sum is exact. */
   private def dotExpr(a: String, b: String): String =
     s"CAST(aggregate(zip_with($a, $b, (x, y) -> x * y), " +
-      s"CAST(0 AS DECIMAL(38,8)), (acc, v) -> CAST(acc + v AS DECIMAL(38,8))) AS DOUBLE)"
+      s"CAST(0 AS DECIMAL(30,8)), (acc, v) -> CAST(acc + v AS DECIMAL(30,8))) AS DOUBLE)"
 
   private def corpus(s: SparkSession, dir: String): DataFrame =
     Tables.embeddings(s, dir)

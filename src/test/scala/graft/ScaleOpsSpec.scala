@@ -1,0 +1,117 @@
+package graft
+
+import graft.operators.{BoundedTopK, ScaleOps, Scored, TopKBuf}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+class ScaleOpsSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private def byName(n: String) = SparkEntry.all.find(_.name == n).get
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  // ---- BoundedTopK algebra: the partial-aggregation contract ----------
+
+  private val scoredGen: Gen[List[Scored]] = Gen.listOf(
+    Gen.zip(Gen.chooseNum(0L, 5L), Gen.chooseNum(0L, 20L)).map {
+      case (c, k) => Scored(c, k)
+    })
+
+  private def exact(xs: List[Scored], k: Int): Seq[Scored] =
+    xs.sortWith((a, b) => a.c > b.c || (a.c == b.c && a.k < b.k)).take(k)
+
+  private def reduceAll(agg: BoundedTopK, xs: List[Scored]): TopKBuf =
+    xs.foldLeft(agg.zero)((b, a) => agg.reduce(b, a))
+
+  test("reduce over any input order equals the exact sorted top-k") {
+    val agg = new BoundedTopK(3)
+    check(Prop.forAll(scoredGen) { xs =>
+      reduceAll(agg, xs).xs == exact(xs, 3)
+    })
+  }
+
+  test("merge of arbitrary splits equals reduce over the whole input, commutatively") {
+    val agg = new BoundedTopK(3)
+    check(Prop.forAll(scoredGen, Gen.chooseNum(0, 100)) { (xs, cut) =>
+      val (l, r) = xs.splitAt(cut % (xs.size + 1))
+      val merged = agg.merge(reduceAll(agg, l), reduceAll(agg, r))
+      val flipped = agg.merge(reduceAll(agg, r), reduceAll(agg, l))
+      merged.xs == exact(xs, 3) && flipped.xs == merged.xs
+    })
+  }
+
+  test("merge with zero is identity") {
+    val agg = new BoundedTopK(2)
+    check(Prop.forAll(scoredGen) { xs =>
+      val b = reduceAll(agg, xs)
+      agg.merge(b, agg.zero) == b && agg.merge(agg.zero, b) == b
+    })
+  }
+
+  // ---- q78: bounded aggregator == window row_number, any partitioning
+
+  test("q78 equals the window row_number top-k at 1 and 7 partitions") {
+    val base = byName("q78_topk_bounded_agg")
+    val perUser = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("cnt").desc, col("user_id"))
+    val expected = perUser.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("event_type"), col("rk"), col("user_id"), col("cnt"))
+      .collect().toSet
+    for (parts <- Seq(1, 7)) {
+      val got = withSQLConf("spark.sql.shuffle.partitions" -> parts.toString) {
+        base.run(spark, sfDir).collect().toSet
+      }
+      assert(got == expected, s"parts=$parts")
+    }
+  }
+
+  // ---- q79: assignment picks the true nearest centroid ----------------
+
+  test("q79 membership counts sum to the corpus and match a driver-side replay") {
+    val rows = byName("q79_kmeans_assign").run(spark, sfDir).collect()
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(f =>
+        BigDecimal(math.rint(f.toDouble * 1e4) / 1e4)))
+      .toMap
+    val cents = (0L until 8L).map(i => i -> emb(i))
+    def d2(a: Seq[BigDecimal], b: Seq[BigDecimal]): BigDecimal =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val assign = emb.toSeq.map { case (id, v) =>
+      cents.map { case (cid, cv) => (d2(v, cv), cid) }.min._2
+    }
+    val expectedCounts = assign.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val gotCounts = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotCounts == expectedCounts)
+    assert(rows.map(_.getLong(1)).sum == emb.size)
+  }
+
+  // ---- q80: CMS properties beyond the oracle --------------------------
+
+  test("q80 estimates are exact when no bucket collides in any row, and never under") {
+    val rows = byName("q80_countmin_sketch").run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (exactN, estN, ok) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(ok == 1L, s"over-estimate guarantee violated: $r")
+      assert(estN >= exactN)
+    }
+  }
+
+  test("new ScaleOps queries are registered with oracles") {
+    Seq("q78_topk_bounded_agg", "q79_kmeans_assign", "q80_countmin_sketch")
+      .foreach { n =>
+        assert(SparkEntry.queries.contains(n), n)
+        assert(SparkEntry.oracleSql.contains(n), n)
+      }
+  }
+}
