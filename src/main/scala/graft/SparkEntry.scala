@@ -25,6 +25,7 @@ object SparkEntry {
       operators.Similarity.defs ++
       operators.Multimodal.defs ++
       operators.ScaleOps.defs ++
+      operators.TrainingOps.defs ++
       sources.SchemaDrift.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

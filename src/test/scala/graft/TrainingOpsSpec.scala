@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class TrainingOpsSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private def byName(n: String) = SparkEntry.all.find(_.name == n).get
+
+  test("q81 sample is identical under different partitionings (the anti-rand claim)") {
+    val d = byName("q81_stratified_sample")
+    val a = withSQLConf("spark.sql.shuffle.partitions" -> "1") {
+      d.run(spark, sfDir).collect().toSet
+    }
+    val b = withSQLConf("spark.sql.shuffle.partitions" -> "7") {
+      d.run(spark, sfDir).collect().toSet
+    }
+    assert(a == b && a.nonEmpty)
+    // sampled counts respect the per-stratum gate direction: 'en' is
+    // downsampled harder than the rest
+    val m = a.map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val (enTot, enSamp) = m("en")
+    assert(enSamp.toDouble / enTot < 0.3, s"en kept $enSamp/$enTot")
+  }
+
+  test("q83 paths are chronological: path length matches event count") {
+    byName("q83_user_sequences").run(spark, sfDir).collect().foreach { r =>
+      val (n, path) = (r.getLong(1), r.getString(2))
+      assert(path.split("->").length.toLong == n, s"user ${r.getLong(0)}")
+    }
+  }
+
+  test("q84 change classes partition the key space") {
+    val rows = byName("q84_snapshot_cdc").run(spark, sfDir).collect()
+    val total = rows.map(_.getLong(1)).sum
+    val keys = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type")).distinct().count()
+    assert(total == keys)
+  }
+
+  test("q85 bins are contiguous and depth-balanced") {
+    val rows = byName("q85_equidepth_hist").run(spark, sfDir)
+      .orderBy("bin").collect()
+    assert(rows.length == 10)
+    val ns = rows.map(_.getLong(1))
+    assert(ns.max - ns.min <= 1, s"ntile depth skew: ${ns.toSeq}")
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getDouble(3) <= b.getDouble(2) + 1e-12,
+        s"bins overlap: ${a.getInt(0)} hi=${a.getDouble(3)} vs ${b.getInt(0)} lo=${b.getDouble(2)}")
+    }
+  }
+
+  test("TrainingOps queries are registered with oracles") {
+    Seq("q81_stratified_sample", "q82_vocab_coverage", "q83_user_sequences",
+      "q84_snapshot_cdc", "q85_equidepth_hist").foreach { n =>
+      assert(SparkEntry.queries.contains(n), n)
+      assert(SparkEntry.oracleSql.contains(n), n)
+    }
+  }
+}
