@@ -176,6 +176,46 @@ object ScaleOps {
           (col("est_n") >= col("exact_n")).cast("bigint").as("never_under"))
         .orderBy(col("exact_n").desc, col("user_id"))
         .limit(20)
+    },
+
+    // ----------------------------------------------------------------
+    q("q86_heavy_hitters_mg",
+      """Heavy hitters WITHOUT a full groupBy over the key space: pass 1
+        |is a Misra-Gries summary (capacity 7 -> every key with
+        |frequency > n/8 is guaranteed present; O(m) state per task,
+        |mergeable); pass 2 exactly counts ONLY the <= 7 candidates
+        |(broadcast semi-filter) and keeps those above threshold. At
+        |billions of distinct keys pass 1 is what makes the query
+        |runnable — the exact groupBy the oracle runs is the small-SF
+        |check, not the scale plan. The key is floor(ln(value)):
+        |log-bucketing a uniform value gives an exponentially skewed,
+        |SF-stable distribution with true heavy hitters. MG summary
+        |contents are order-dependent, so only exact-verified survivors
+        |are emitted — deterministic on both engines; a dropped true
+        |heavy hitter (an MG bug) would surface as a missing row.""".stripMargin,
+      """WITH e AS (
+        |  SELECT CAST(floor(ln(value)) AS BIGINT) AS k_bucket
+        |  FROM events WHERE value > 0),
+        |t AS (SELECT count(*) AS n_total FROM e)
+        |SELECT k_bucket, count(*) AS n, t.n_total
+        |FROM e, t
+        |GROUP BY k_bucket, t.n_total
+        |HAVING count(*) > t.n_total / 8.0""".stripMargin) { (s, dir) =>
+      val mg = udaf(new MisraGries(7), org.apache.spark.sql.Encoders.scalaLong)
+      // value > 0 guard on BOTH engines: DuckDB ln(0) raises where
+      // Spark log(0) yields null — the filter keeps the domains equal
+      val e = Tables.events(s, dir)
+        .filter(col("value") > 0)
+        .select(floor(log(col("value"))).cast("long").as("k_bucket"))
+      val cand = e.agg(mg(col("k_bucket")).as("s"))
+        .select(explode(col("s.xs")).as("x"))
+        .select(col("x.k").as("k_bucket"))
+      val tot = e.agg(count(lit(1)).as("n_total"))
+      e.join(broadcast(cand), Seq("k_bucket"), "left_semi")
+        .groupBy(col("k_bucket")).agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(tot))
+        .filter(col("n") > col("n_total") / 8.0)
+        .select(col("k_bucket"), col("n"), col("n_total"))
     }
   )
 }

@@ -53,6 +53,31 @@ class ScaleOpsSpec extends SparkSpec {
     })
   }
 
+  // ---- MisraGries: bounded state + completeness under any split -----
+
+  private val keysGen: Gen[List[Long]] =
+    Gen.listOf(Gen.frequency(5 -> Gen.const(1L), 3 -> Gen.const(2L),
+      1 -> Gen.chooseNum(3L, 30L)))
+
+  test("MG state is bounded by m and keeps every key with freq > n/(m+1), any split") {
+    val m = 4
+    val agg = new operators.MisraGries(m)
+    check(Prop.forAll(keysGen, Gen.chooseNum(0, 1000)) { (xs, cut) =>
+      val (l, r) = xs.splitAt(cut % (xs.size + 1))
+      val buf = agg.merge(
+        l.foldLeft(agg.zero)((b, k) => agg.reduce(b, k)),
+        r.foldLeft(agg.zero)((b, k) => agg.reduce(b, k)))
+      val freq = xs.groupBy(identity).view.mapValues(_.size.toLong)
+      val mustKeep = freq.filter(_._2 > xs.size.toLong / (m + 1)).keySet
+      val kept = buf.xs.map(_.k).toSet
+      buf.xs.size <= m &&
+        mustKeep.subsetOf(kept) &&
+        // stored counts never overcount, undercount bounded by n/(m+1)
+        buf.xs.forall(s => s.c <= freq(s.k) &&
+          freq(s.k) - s.c <= xs.size.toLong / (m + 1) + 1)
+    })
+  }
+
   // ---- q78: bounded aggregator == window row_number, any partitioning
 
   test("q78 equals the window row_number top-k at 1 and 7 partitions") {
@@ -107,8 +132,21 @@ class ScaleOpsSpec extends SparkSpec {
     }
   }
 
+  test("q86 equals the direct exact heavy-hitter computation") {
+    val got = byName("q86_heavy_hitters_mg").run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val e = Tables.events(spark, sfDir)
+      .select(floor(log(col("value"))).cast("long").as("kb"))
+    val n = e.count()
+    val expected = e.groupBy("kb").count()
+      .filter(col("count") > n / 8.0).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected && got.nonEmpty)
+  }
+
   test("new ScaleOps queries are registered with oracles") {
-    Seq("q78_topk_bounded_agg", "q79_kmeans_assign", "q80_countmin_sketch")
+    Seq("q78_topk_bounded_agg", "q79_kmeans_assign", "q80_countmin_sketch",
+      "q86_heavy_hitters_mg")
       .foreach { n =>
         assert(SparkEntry.queries.contains(n), n)
         assert(SparkEntry.oracleSql.contains(n), n)
