@@ -162,6 +162,24 @@ object Streams {
         ()
       }
 
+  /** Streaming heavy-hitter candidates: the Misra-Gries summary (q86's
+    * pass 1) as a streaming aggregate. State in the store is the O(m)
+    * summary itself — not a per-key counter map — so the query's state
+    * never grows with key cardinality, the property that makes
+    * frequent-items tracking on an unbounded stream feasible at all.
+    * Update/complete mode; every key whose running frequency exceeds
+    * n/(m+1) is guaranteed present in the emitted candidate set (the
+    * exact-verify pass stays batch-side, as in q86). */
+  def heavyHitterCandidates(keys: DataFrame, keyCol: String,
+      capacity: Int = 7): DataFrame = {
+    val mg = udaf(new graft.operators.MisraGries(capacity),
+      org.apache.spark.sql.Encoders.scalaLong)
+    keys.groupBy()
+      .agg(mg(col(keyCol)).as("s"))
+      .select(explode(col("s.xs")).as("x"))
+      .select(col("x.k").as("key"), col("x.c").as("mg_count"))
+  }
+
   /** Convenience: run a streaming query over a bounded file directory to
     * completion (Trigger.AvailableNow) and block. Used by batch-parity
     * tests and the K3 backfill path. */

@@ -176,4 +176,33 @@ class StreamsSpec extends SparkSpec {
     assert(got.filter(expr("minute(window_start) % 10 != 0")).count() == 0)
     assert(got.filter(col("c") <= 0).count() == 0)
   }
+
+  test("streaming MG candidates keep every true heavy hitter across micro-batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    // skewed key stream: key 1 dominates, then 2, then a noise tail —
+    // delivered over several micro-batches so partial MG summaries merge
+    val in = MemoryStream[Long]
+    val cand = Streams.heavyHitterCandidates(in.toDF().toDF("k"), "k", capacity = 4)
+    val q = cand.writeStream.format("memory").queryName("mg_cand")
+      .outputMode("complete")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-mg").toString)
+      .start()
+    try {
+      val batches = Seq(
+        Seq.fill(40)(1L) ++ Seq.fill(10)(2L) ++ (100L to 109L),
+        Seq.fill(35)(1L) ++ Seq.fill(20)(2L) ++ (110L to 119L),
+        Seq.fill(25)(1L) ++ Seq.fill(30)(2L) ++ (120L to 129L))
+      batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+      val n = batches.map(_.size).sum
+      val freq = batches.flatten.groupBy(identity).view.mapValues(_.size)
+      val mustKeep = freq.filter(_._2 > n / 5).keys.toSet // capacity 4 -> n/(m+1)
+      assert(mustKeep == Set(1L, 2L)) // the test means what it claims
+      val kept = spark.table("mg_cand").collect().map(_.getLong(0)).toSet
+      assert(kept.size <= 4 && mustKeep.subsetOf(kept), s"kept=$kept")
+    } finally q.stop()
+  }
 }
