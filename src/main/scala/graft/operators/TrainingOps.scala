@@ -180,6 +180,100 @@ object TrainingOps {
         .groupBy(col("bin"))
         .agg(count(lit(1)).as("n"), min(col("value")).as("lo"),
           max(col("value")).as("hi"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q87_keyword_search",
+      """Keyword retrieval over the corpus: per-document term frequency
+        |x inverse document frequency, top-10 by score. The idf is
+        |INTEGER-exact — (N * 1e6) DIV df, floor division on bigints —
+        |instead of a float log: same ranking family, but every score is
+        |a bigint both engines compute identically (a float-log idf
+        |would hash-compare at the mercy of libm ulps; see the verify
+        |skill's decimal notes). One scan computes all tf columns
+        |(codegen'd array filters, no explode), the tiny df/N frame
+        |broadcasts back, scoring is scan-side arithmetic — at 100 TB
+        |this is scan + broadcast + TakeOrdered, no shuffle of the
+        |corpus.""".stripMargin,
+      """WITH tf AS (
+        |  SELECT doc_id,
+        |    len(list_filter(string_split(lower(text), ' '), x -> x = 'join'))   AS tf_join,
+        |    len(list_filter(string_split(lower(text), ' '), x -> x = 'spark'))  AS tf_spark,
+        |    len(list_filter(string_split(lower(text), ' '), x -> x = 'window')) AS tf_window
+        |  FROM documents),
+        |df AS (
+        |  SELECT count(*) AS n,
+        |    sum(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END)   AS df_join,
+        |    sum(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END)  AS df_spark,
+        |    sum(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) AS df_window
+        |  FROM tf)
+        |SELECT doc_id,
+        |  CAST(tf_join * ((n * 1000000) // df_join)
+        |     + tf_spark * ((n * 1000000) // df_spark)
+        |     + tf_window * ((n * 1000000) // df_window) AS BIGINT) AS score
+        |FROM tf, df
+        |ORDER BY score DESC, doc_id
+        |LIMIT 10""".stripMargin) { (s, dir) =>
+      val terms = Seq("join", "spark", "window")
+      val tf = Tables.documents(s, dir).select(
+        col("doc_id") +:
+          terms.map(t => size(expr(
+            s"filter(split(lower(text), ' '), x -> x = '$t')")).cast("long")
+            .as(s"tf_$t")): _*)
+      val dfCols: Seq[org.apache.spark.sql.Column] = count(lit(1)).as("n") +:
+        terms.map(t =>
+          sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
+      val df = tf.agg(dfCols.head, dfCols.tail: _*)
+      val scored = tf.crossJoin(broadcast(df))
+        .select(col("doc_id"),
+          terms.map(t => col(s"tf_$t") *
+            expr(s"(n * 1000000) DIV df_$t")).reduce(_ + _).cast("bigint")
+            .as("score"))
+      scored.orderBy(col("score").desc, col("doc_id")).limit(10)
+    },
+
+    // ----------------------------------------------------------------
+    q("q88_negative_sampling",
+      """Deterministic negative sampling (recsys/contrastive training):
+        |for each customer with purchases, derive 3 candidate part keys
+        |from an affine hash of (customer, slot) and keep those NOT in
+        |the positive set — reproducible on any cluster (no rand()),
+        |candidates generated scan-side, and the anti-join runs on the
+        |same (cust, part) key the positive set is already grouped by.
+        |First 50 (customer, slot) pairs keep the output bounded.""".stripMargin,
+      """WITH pos AS (
+        |  SELECT DISTINCT o_custkey AS cust, l_partkey AS part
+        |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        |mp AS (SELECT max(p_partkey) AS maxp FROM part),
+        |cand AS (
+        |  SELECT c.cust, j.j,
+        |    ((31 * c.cust + 1009 * j.j) % 2147483647) % mp.maxp + 1 AS cand_part
+        |  FROM (SELECT DISTINCT cust FROM pos) c
+        |  CROSS JOIN (VALUES (1), (2), (3)) AS j(j)
+        |  CROSS JOIN mp),
+        |neg AS (
+        |  SELECT c.cust, c.j, c.cand_part FROM cand c
+        |  LEFT JOIN pos p ON p.cust = c.cust AND p.part = c.cand_part
+        |  WHERE p.cust IS NULL)
+        |SELECT cust AS o_custkey, j AS slot, cand_part
+        |FROM neg ORDER BY o_custkey, j LIMIT 50""".stripMargin) { (s, dir) =>
+      val pos = Tables.orders(s, dir)
+        .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+        .distinct()
+      val mp = Tables.part(s, dir).agg(max(col("p_partkey")).as("maxp"))
+      val cand = pos.select(col("cust")).distinct()
+        .select(col("cust"),
+          explode(array(lit(1L), lit(2L), lit(3L))).as("j"))
+        .crossJoin(broadcast(mp))
+        .select(col("cust"), col("j"),
+          (((lit(31L) * col("cust") + lit(1009L) * col("j")) % 2147483647L)
+            % col("maxp") + 1L).as("cand_part"))
+      cand.join(pos,
+          cand("cust") === pos("cust") && cand("cand_part") === pos("part"),
+          "left_anti")
+        .select(col("cust").as("o_custkey"), col("j").as("slot"), col("cand_part"))
+        .orderBy(col("o_custkey"), col("slot")).limit(50)
     }
   )
 }

@@ -50,9 +50,20 @@ class TrainingOpsSpec extends SparkSpec {
     }
   }
 
+  test("q88 negatives are genuinely negative: none appear in the positive set") {
+    val negs = byName("q88_negative_sampling").run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val pos = Tables.orders(spark, sfDir)
+      .join(Tables.lineitem(spark, sfDir), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey"), col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(negs.nonEmpty && negs.intersect(pos).isEmpty)
+  }
+
   test("TrainingOps queries are registered with oracles") {
     Seq("q81_stratified_sample", "q82_vocab_coverage", "q83_user_sequences",
-      "q84_snapshot_cdc", "q85_equidepth_hist").foreach { n =>
+      "q84_snapshot_cdc", "q85_equidepth_hist", "q87_keyword_search",
+      "q88_negative_sampling").foreach { n =>
       assert(SparkEntry.queries.contains(n), n)
       assert(SparkEntry.oracleSql.contains(n), n)
     }
