@@ -248,7 +248,7 @@ object TrainingOps {
         |cand AS (
         |  SELECT c.cust, j.j,
         |    ((31 * c.cust + 1009 * j.j) % 2147483647) % mp.maxp + 1 AS cand_part
-        |  FROM (SELECT DISTINCT cust FROM pos) c
+        |  FROM (SELECT DISTINCT o_custkey AS cust FROM orders) c
         |  CROSS JOIN (VALUES (1), (2), (3)) AS j(j)
         |  CROSS JOIN mp),
         |neg AS (
@@ -262,7 +262,11 @@ object TrainingOps {
         .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
         .distinct()
       val mp = Tables.part(s, dir).agg(max(col("p_partkey")).as("maxp"))
-      val cand = pos.select(col("cust")).distinct()
+      // candidate custs come from orders ALONE (not from pos): deriving
+      // them from pos would plan the orders⋈lineitem join twice. A cust
+      // with an order but no lineitem would get candidates the anti-join
+      // can't veto — still valid negatives by definition.
+      val cand = Tables.orders(s, dir).select(col("o_custkey").as("cust")).distinct()
         .select(col("cust"),
           explode(array(lit(1L), lit(2L), lit(3L))).as("j"))
         .crossJoin(broadcast(mp))
