@@ -63,16 +63,21 @@ object Dedup {
     * stop<start). Cached: the LSH candidate self-join and the Jaccard
     * verify both walk this lineage several times — without the cache the
     * whole shingle+minhash pipeline would be recomputed per branch. */
+  /** Shingle set of an arbitrary (doc_id, text) frame — the signature
+    * machinery is per-doc absolute (md5-based), so it composes into the
+    * incremental path (IncrementalDedup) unchanged. */
+  private[operators] def shinglesOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("i", explode(when(size(col("w")) >= 3,
+        sequence(lit(1), size(col("w")) - 2)).otherwise(array())))
+      .select(col("doc_id"), concat_ws(" ", slice(col("w"), col("i"), lit(3))).as("sh"))
+      .distinct()
+
   private val shingleCache = new SessionCache
   private[operators] def shingles(s: SparkSession, dir: String): DataFrame =
     shingleCache.getOrElseUpdate(s, dir) {
-      Tables.documents(s, dir)
-        .select(col("doc_id"), split(col("text"), " ").as("w"))
-        .withColumn("i", explode(when(size(col("w")) >= 3,
-          sequence(lit(1), size(col("w")) - 2)).otherwise(array())))
-        .select(col("doc_id"), concat_ws(" ", slice(col("w"), col("i"), lit(3))).as("sh"))
-        .distinct()
-        .cache()
+      shinglesOf(Tables.documents(s, dir)).cache()
     }
 
   /** Same shingle set in DuckDB SQL (list slice is 1-based inclusive). */
@@ -86,6 +91,15 @@ object Dedup {
     * blowup avoided), a single shuffle on doc_id, and all 8 mins combine
     * map-side in one pass. Cached — signatures feed q27, bands and the
     * Jaccard verify. */
+  /** Wide signature of an arbitrary (doc_id, text) frame (see
+    * [[shinglesOf]] on why this composes incrementally). */
+  private[operators] def signatureWideOf(docs: DataFrame): DataFrame = {
+    val aggs = (0 until NumSeeds).map(i =>
+      min(md5(concat(col("sh"), lit(s":$i")))).as(s"mh$i"))
+    shinglesOf(docs).groupBy(col("doc_id"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   private val sigCache = new SessionCache
   private def signatureWide(s: SparkSession, dir: String): DataFrame =
     sigCache.getOrElseUpdate(s, dir) {
@@ -94,6 +108,14 @@ object Dedup {
       shingles(s, dir).groupBy(col("doc_id"))
         .agg(aggs.head, aggs.tail: _*)
         .cache()
+    }
+
+  /** Band-key columns (bk0..bkN) appended to a wide signature — the
+    * row-local LSH keys, same expression the dir-based [[bands]] uses. */
+  private[operators] def withBandKeys(sigWide: DataFrame): DataFrame =
+    (0 until NumBands).foldLeft(sigWide) { (d, b) =>
+      val ms = (b * BandSize until (b + 1) * BandSize).map(i => s"mh$i").mkString(", ")
+      d.withColumn(s"bk$b", expr(s"md5(array_join(array_sort(array($ms)), ','))"))
     }
 
   /** Row view (doc_id, seed, mh) of the wide signature — the
