@@ -63,7 +63,10 @@ object Bench {
       k -> (if (results.count(_._1.takeWhile(_ != '_') == shortKey(k)) == 1)
               shortKey(k) else k)
     }.toMap
-    def fmt(v: Double): String = f"$v%.3f"
+    // Explicit Locale.ROOT: f"" uses the JVM default locale, and a
+    // comma-decimal locale (de_DE) would make the stdout line non-JSON.
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v, _) => jstr(keys(k)) + ":" + fmt(v) }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(e)) =>

@@ -45,7 +45,12 @@ object IncrementalDedup {
     * a retry overwrites only its own partition). */
   def append(docs: DataFrame, storePath: String, ingestId: Long): Unit = {
     require(ingestId > 0, "ingest 0 is the materialized base")
-    signatures(docs).withColumn("ingest", lit(ingestId))
+    // The ingest=<id> directory already carries the value as a partition
+    // column; writing it into the data files too would make appended
+    // files' schemas diverge from the materialized base (which strips it
+    // via partitionBy) and leave reads at the mercy of which footer gets
+    // sampled for schema inference.
+    signatures(docs)
       .write.mode("overwrite")
       .parquet(s"$storePath/ingest=$ingestId")
   }
@@ -84,6 +89,12 @@ object IncrementalDedup {
         agree.cast("int").as("agreement"))
       .filter(col("agreement") >= minAgree)
       .groupBy(col("doc_id"))
-      .agg(min(col("dup_of_cand")).as("dup_of"), max(col("agreement")).as("agreement"))
+      // One struct-min keeps the pair consistent: the reported agreement
+      // is the agreement WITH the reported dup_of partner, not the max
+      // over all partners (min/max aggregated independently could mix two
+      // different candidates into one output row).
+      .agg(min(struct(col("dup_of_cand"), col("agreement"))).as("s"))
+      .select(col("doc_id"), col("s.dup_of_cand").as("dup_of"),
+        col("s.agreement").as("agreement"))
   }
 }

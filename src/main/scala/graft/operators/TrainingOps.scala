@@ -54,10 +54,14 @@ object TrainingOps {
     // ----------------------------------------------------------------
     q("q82_vocab_coverage",
       """Tokenizer-vocab build: whitespace tokens, counts, rank by
-        |(count desc, token), cumulative token coverage via a window
-        |running sum. The explode+count is one shuffle with map-side
-        |combine (token cardinality, not corpus size); the top-20 window
-        |runs on the tiny count table. All-integer output — no float
+        |(count desc, token), cumulative token coverage via a running
+        |sum. The explode+count is one shuffle with map-side combine
+        |(token cardinality, not corpus size); the top-20 selection is
+        |TakeOrdered (never a global window over the full vocab — at
+        |100 TB the vocab is millions of tokens and a partition-less
+        |window would single-thread it), so the rank/running-sum window
+        |only ever sees the 20 selected rows; the corpus total is a
+        |scalar aggregate broadcast back. All-integer output — no float
         |division to drift. cum_cnt/total_cnt answers "how big a vocab
         |covers X% of the corpus".""".stripMargin,
       """WITH toks AS (
@@ -78,14 +82,18 @@ object TrainingOps {
         .select(explode(split(lower(col("text")), " ")).as("tok"))
         .filter(col("tok") =!= "")
         .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      // (cnt desc, tok) is a total order, so rank/running-sum restricted
+      // to the TakeOrdered top 20 equals the same window over the full
+      // vocab filtered to rk <= 20 — but the sort never materializes the
+      // vocab on one partition.
+      val total = tc.agg(sum(col("cnt")).cast("bigint").as("total_cnt"))
       val ord = Window.orderBy(col("cnt").desc, col("tok"))
-      tc.withColumn("rk", row_number().over(ord))
+      tc.orderBy(col("cnt").desc, col("tok")).limit(20)
+        .withColumn("rk", row_number().over(ord))
         .withColumn("cum_cnt",
           sum(col("cnt")).over(ord.rowsBetween(Window.unboundedPreceding, 0))
             .cast("bigint"))
-        .withColumn("total_cnt",
-          sum(col("cnt")).over(Window.partitionBy()).cast("bigint"))
-        .filter(col("rk") <= 20)
+        .crossJoin(broadcast(total))
         .select(col("rk"), col("tok"), col("cnt"), col("cum_cnt"), col("total_cnt"))
     },
 
@@ -208,9 +216,9 @@ object TrainingOps {
         |    sum(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) AS df_window
         |  FROM tf)
         |SELECT doc_id,
-        |  CAST(tf_join * ((n * 1000000) // df_join)
-        |     + tf_spark * ((n * 1000000) // df_spark)
-        |     + tf_window * ((n * 1000000) // df_window) AS BIGINT) AS score
+        |  CAST(tf_join * ((n * 1000000) // greatest(df_join, 1))
+        |     + tf_spark * ((n * 1000000) // greatest(df_spark, 1))
+        |     + tf_window * ((n * 1000000) // greatest(df_window, 1)) AS BIGINT) AS score
         |FROM tf, df
         |ORDER BY score DESC, doc_id
         |LIMIT 10""".stripMargin) { (s, dir) =>
@@ -226,8 +234,11 @@ object TrainingOps {
       val df = tf.agg(dfCols.head, dfCols.tail: _*)
       val scored = tf.crossJoin(broadcast(df))
         .select(col("doc_id"),
+          // greatest(df,1): a term present in zero docs would otherwise
+          // DIV-by-zero under ANSI mode (tf is 0 there, so the guarded
+          // idf constant never contributes to any score).
           terms.map(t => col(s"tf_$t") *
-            expr(s"(n * 1000000) DIV df_$t")).reduce(_ + _).cast("bigint")
+            expr(s"(n * 1000000) DIV greatest(df_$t, 1)")).reduce(_ + _).cast("bigint")
             .as("score"))
       scored.orderBy(col("score").desc, col("doc_id")).limit(10)
     },
