@@ -59,11 +59,16 @@ object TrainingOps {
         |(token cardinality, not corpus size); the top-20 selection is
         |TakeOrdered (never a global window over the full vocab — at
         |100 TB the vocab is millions of tokens and a partition-less
-        |window would single-thread it), so the rank/running-sum window
-        |only ever sees the 20 selected rows; the corpus total is a
-        |scalar aggregate broadcast back. All-integer output — no float
-        |division to drift. cum_cnt/total_cnt answers "how big a vocab
-        |covers X% of the corpus".""".stripMargin,
+        |window would single-thread it); the 20 survivors collapse into
+        |ONE sorted array row, so rank and the running sum are plain
+        |array arithmetic (posexplode + aggregate over a slice) — zero
+        |WindowExec in the plan; the corpus total is a scalar aggregate
+        |broadcast back. The token-count aggregate is CACHED: it feeds
+        |both the total and the top-20, and without the cache the
+        |explode+groupBy corpus pass would run twice (r4 finding).
+        |All-integer output — no float division to drift.
+        |cum_cnt/total_cnt answers "how big a vocab covers X% of the
+        |corpus".""".stripMargin,
       """WITH toks AS (
         |  SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents),
         |tc AS (
@@ -77,22 +82,31 @@ object TrainingOps {
         |  FROM tc)
         |SELECT rk, tok, cnt, cum_cnt, total_cnt
         |FROM ranked WHERE rk <= 20""".stripMargin) { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
+      // cached: one explode+groupBy corpus pass feeds BOTH consumers
+      // (total and top-20); identical-plan re-caches hit the same
+      // CacheManager entry, so repeated runs don't accumulate copies
       val tc = Tables.documents(s, dir)
         .select(explode(split(lower(col("text")), " ")).as("tok"))
         .filter(col("tok") =!= "")
         .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .cache()
+      val total = tc.agg(sum(col("cnt")).cast("bigint").as("total_cnt"))
       // (cnt desc, tok) is a total order, so rank/running-sum restricted
       // to the TakeOrdered top 20 equals the same window over the full
-      // vocab filtered to rk <= 20 — but the sort never materializes the
-      // vocab on one partition.
-      val total = tc.agg(sum(col("cnt")).cast("bigint").as("total_cnt"))
-      val ord = Window.orderBy(col("cnt").desc, col("tok"))
-      tc.orderBy(col("cnt").desc, col("tok")).limit(20)
-        .withColumn("rk", row_number().over(ord))
+      // vocab filtered to rk <= 20. The 20 survivors collapse into one
+      // sorted array (struct sorts lexicographically; -cnt makes
+      // ascending array order == (cnt desc, tok asc)), so rank is the
+      // array position and the running sum an aggregate over a slice —
+      // no WindowExec at all.
+      val top = tc.orderBy(col("cnt").desc, col("tok")).limit(20)
+        .select(struct((-col("cnt")).as("nc"), col("tok").as("tok"),
+          col("cnt").as("cnt")).as("x"))
+        .agg(sort_array(collect_list(col("x"))).as("xs"))
+      top.select(col("xs"), posexplode(col("xs")))
+        .select(col("xs"), (col("pos") + 1).as("rk"),
+          col("col.tok").as("tok"), col("col.cnt").as("cnt"), col("pos"))
         .withColumn("cum_cnt",
-          sum(col("cnt")).over(ord.rowsBetween(Window.unboundedPreceding, 0))
-            .cast("bigint"))
+          expr("CAST(aggregate(slice(xs, 1, pos + 1), CAST(0 AS BIGINT), (acc, v) -> acc + v.cnt) AS BIGINT)"))
         .crossJoin(broadcast(total))
         .select(col("rk"), col("tok"), col("cnt"), col("cum_cnt"), col("total_cnt"))
     },
@@ -168,23 +182,33 @@ object TrainingOps {
 
     // ----------------------------------------------------------------
     q("q85_equidepth_hist",
-      """Equi-depth (quantile) binning of a numeric feature: ntile(10)
-        |over the totally-ordered (value, event_id) stream, per-bin
-        |count/min/max. Raw double pass-through (no arithmetic) is
-        |bit-stable cross-engine. NOTE the deliberate ladder: this exact
-        |formulation needs a single-partition window sort — it is the
-        |small-SF ORACLE for binning; the 100 TB path is the sketch tier
-        |(q40 approx percentiles, q43 HLL/quantile) whose cutpoints this
-        |query validates.""".stripMargin,
-      """WITH t AS (
-        |  SELECT value, ntile(10) OVER (ORDER BY value, event_id) AS bin
-        |  FROM events)
+      """Equi-depth (quantile) binning of a numeric feature, EXACT and
+        |distributed: bin = ((rank-1)*10) DIV N + 1 over the global
+        |row_number in the totally-ordered (value, event_id) stream —
+        |bin sizes differ by at most 1, same equi-depth contract as
+        |ntile, but the rank comes from DistributedRank (range
+        |repartition + parallel per-partition sort + broadcast prefix
+        |offsets), so NO single-partition window sort exists anywhere in
+        |the plan — the r4 ntile formulation moved the whole table
+        |through one task. Raw double pass-through (no float
+        |arithmetic) stays bit-stable cross-engine; this exact
+        |histogram is the oracle the sketch tier (q40/q43 approx
+        |percentiles) is judged against.""".stripMargin,
+      """WITH n AS (SELECT count(*) AS n_total FROM events),
+        |t AS (
+        |  SELECT value,
+        |    CAST(((row_number() OVER (ORDER BY value, event_id) - 1) * 10)
+        |         // n_total + 1 AS INT) AS bin
+        |  FROM events, n)
         |SELECT bin, count(*) AS n, min(value) AS lo, max(value) AS hi
         |FROM t GROUP BY bin""".stripMargin) { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      Tables.events(s, dir)
+      val ranked = DistributedRank.withGlobalRank(
+        Tables.events(s, dir).select(col("value"), col("event_id")),
+        Seq(col("value"), col("event_id")), "rk", "n_total")
+      ranked
+        // non-negative operands: truncating DIV == floor == DuckDB //
         .select(col("value"),
-          ntile(10).over(Window.orderBy(col("value"), col("event_id"))).as("bin"))
+          expr("CAST(((rk - 1) * 10) DIV n_total + 1 AS INT)").as("bin"))
         .groupBy(col("bin"))
         .agg(count(lit(1)).as("n"), min(col("value")).as("lo"),
           max(col("value")).as("hi"))
