@@ -5,9 +5,14 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main (driver contract): runs every registered query against
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query seconds.
   *
-  * A single unmeasured warmup query initializes the JVM/codegen/parquet
-  * reader paths so the first measured query isn't charged ~5s of
-  * one-time cost; queries then run in name order for stable attribution.
+  * Noise discipline: single cold runs on a shared box swing ~2x with
+  * machine load (r4/r5 showed 9-15x swings on untouched queries), which
+  * makes round-over-round deltas unattributable. So each query runs
+  * WARMUPS unmeasured reps (JIT/codegen/scan caches) followed by REPS
+  * measured reps, and the reported per-query time is the MEDIAN of the
+  * measured reps — robust to a single loaded-machine outlier. The
+  * stdout total is the sum of medians; every raw rep is preserved in
+  * bench_detail.json for audit.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -30,21 +35,37 @@ object Bench {
       d.run(spark, sfDir).write.format("noop").mode("overwrite").save()
 
     val ordered = SparkEntry.all.sortBy(_.name)
-    // warmup: cheapest relational query, unmeasured
-    try ordered.find(_.name == "q3_project_cast").foreach(exec)
-    catch { case _: Throwable => () }
+    val warmups = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUPS", "1").toInt
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
+
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+    }
 
     // failures are RECORDED, never swallowed: a query that throws would
     // otherwise log a tiny wall-time and read as a speedup in the
-    // round-over-round trend
-    val results: Seq[(String, Double, Option[String])] = ordered.map { d =>
-      val t0 = System.nanoTime()
-      val err = try { exec(d); None } catch {
-        case e: Throwable =>
-          Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+    // round-over-round trend. A failing query stops after its first
+    // measured rep — repeating a throw 3x tells us nothing new.
+    val results: Seq[(String, Double, Seq[Double], Option[String])] =
+      ordered.map { d =>
+        var err: Option[String] = None
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          try exec(d) catch {
+            case e: Throwable => if (err.isEmpty) err =
+              Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+          }
+          (System.nanoTime() - t0) / 1e9
+        }
+        (1 to warmups).foreach(_ => once())
+        val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+        var r = 0
+        while (r < reps && err.isEmpty) { times += once(); r += 1 }
+        if (times.isEmpty) times += once() // warm-up already failed: record it
+        (d.name, median(times.toSeq), times.toSeq, err)
       }
-      (d.name, (System.nanoTime() - t0) / 1e9, err)
-    }
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
       case '\r' => "\\r"; case '\t' => "\\t"
@@ -59,7 +80,7 @@ object Bench {
     // millisecond-rounded timings, and the err map carries only failures.
     // Full names + full precision go to bench_detail.json beside the run.
     def shortKey(name: String): String = name.takeWhile(_ != '_')
-    val keys = results.map { case (k, _, _) =>
+    val keys = results.map { case (k, _, _, _) =>
       k -> (if (results.count(_._1.takeWhile(_ != '_') == shortKey(k)) == 1)
               shortKey(k) else k)
     }.toMap
@@ -67,20 +88,22 @@ object Bench {
     // comma-decimal locale (de_DE) would make the stdout line non-JSON.
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v, _) => jstr(keys(k)) + ":" + fmt(v) }
+    val qs = results.map { case (k, v, _, _) => jstr(keys(k)) + ":" + fmt(v) }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) =>
+    val errs = results.collect { case (k, _, _, Some(e)) =>
       jstr(keys(k)) + ":" + jstr(e.take(80))
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"err":$errs,"sf":"$sfDir"}"""
-    val detail = results.map { case (k, v, e) =>
-      jstr(k) + ":{\"sec\":" + v + ",\"err\":" + e.map(jstr).getOrElse("null") + "}"
+    val detail = results.map { case (k, v, ts, e) =>
+      jstr(k) + ":{\"sec\":" + fmt(v) +
+        ",\"reps\":" + ts.map(fmt).mkString("[", ",", "]") +
+        ",\"err\":" + e.map(jstr).getOrElse("null") + "}"
     }.mkString("{", ",", "}")
     try {
       val w = new java.io.PrintWriter("bench_detail.json")
-      try w.println(s"""{"total":$total,"sf":"$sfDir","queries":$detail}""")
+      try w.println(s"""{"total":$total,"sf":"$sfDir","warmups":$warmups,"reps":$reps,"queries":$detail}""")
       finally w.close()
     } catch { case _: java.io.IOException => () } // detail file is best-effort
     println(line)

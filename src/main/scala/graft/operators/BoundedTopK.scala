@@ -50,3 +50,41 @@ final class BoundedTopK(k: Int) extends Aggregator[Scored, TopKBuf, TopKBuf] {
   override def bufferEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
   override def outputEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
 }
+
+/** Double-scored element for [[BoundedTopKD]]: `s` the score (e.g. a
+  * cosine similarity), `k` the key — ordered by (s desc, k asc), a
+  * TOTAL order as long as `s` is never NaN (scores here are finite
+  * similarities; NaN would break the strict-weak-order contract). */
+final case class ScoredD(s: Double, k: Long)
+
+final case class TopKBufD(xs: Seq[ScoredD])
+
+/** [[BoundedTopK]] for double-valued scores — same bounded-buffer
+  * semantics and the same map-side partial-aggregation scale argument,
+  * used by the ANN paths (q32/q34) where the per-group sort cost of a
+  * `Window.partitionBy(query_id)` would cap parallelism at #queries:
+  * 10 queries → 10 tasks, each sorting its query's whole scored corpus.
+  * With the aggregator, scoring parallelism stays at #partitions and
+  * each task ships at most k rows per query into the shuffle. Position
+  * in the sorted buffer is row_number ≡ rank (total order). */
+final class BoundedTopKD(k: Int) extends Aggregator[ScoredD, TopKBufD, TopKBufD] {
+  require(k > 0, s"k must be positive, got $k")
+
+  private def best(a: ScoredD, b: ScoredD): Boolean =
+    a.s > b.s || (a.s == b.s && a.k < b.k)
+
+  override def zero: TopKBufD = TopKBufD(Vector.empty)
+
+  override def reduce(b: TopKBufD, a: ScoredD): TopKBufD =
+    if (b.xs.size < k) TopKBufD((b.xs :+ a).sortWith(best))
+    else if (best(a, b.xs.last)) TopKBufD((b.xs.init :+ a).sortWith(best))
+    else b
+
+  override def merge(x: TopKBufD, y: TopKBufD): TopKBufD =
+    TopKBufD((x.xs ++ y.xs).sortWith(best).take(k))
+
+  override def finish(r: TopKBufD): TopKBufD = r
+
+  override def bufferEncoder: Encoder[TopKBufD] = Encoders.product[TopKBufD]
+  override def outputEncoder: Encoder[TopKBufD] = Encoders.product[TopKBufD]
+}

@@ -22,21 +22,48 @@ import org.apache.spark.sql.functions._
   *      with no window and no second shuffle of the data.
   *   3. Per-partition counts (|partitions| rows) -> prefix offsets via
   *      a tiny triangular self-join — no partition-less window, no
-  *      driver collect.
+  *      driver collect. (The self-join is O(npart^2) PAIRS: fine for
+  *      shuffle-partition counts (<= thousands), not a pattern to reuse
+  *      over large keysets.)
   *   4. global rank = prefix offset + local rank, joined back with a
   *      broadcast of the |partitions|-row offset table.
   *
-  * The two consumers of the range shuffle (the ranked rows and the
-  * per-partition counts) canonicalize to the same exchange, so Spark's
-  * ReuseExchange/AQE stage reuse executes it once; even when
-  * recomputed, the range sampler is seeded deterministically per input
-  * partition, so partition assignment is stable across executions.
+  * Single-execution contract: the ranked rows and the per-partition
+  * counts BOTH read the range-shuffled frame, and local ranks are only
+  * consistent with the counts if both branches observe the SAME
+  * physical partitioning. ReuseExchange usually guarantees that, but
+  * not always — RangePartitioner's reservoir-sample seed depends on the
+  * RDD id (`byteswap32(idx ^ (rdd.id << 16))`), so a recomputed or
+  * plan-diverged exchange (exchange reuse disabled, column pruning
+  * splitting the subtrees) could draw DIFFERENT range bounds and yield
+  * silently wrong ranks. So the shuffled+id'd frame is materialized
+  * exactly once via `localCheckpoint()` before either branch derives
+  * from it; both branches then read frozen blocks, not a recomputable
+  * lineage. (Blocks are freed when the checkpointed RDD is GC'd — no
+  * session-lifetime storage pin.)
+  *
+  * Overflow guard: the local rank lives in the low 33 bits of
+  * monotonically_increasing_id, so a partition holding >= 2^33 (~8.6 B)
+  * rows would bleed into the pid bits and corrupt ranks silently. At
+  * the 100 TB tier (~100 B/row, ~500 GB partitions) that is ~5 B rows —
+  * the same order of magnitude — so the counts branch raises an error
+  * (nearly free: the check runs on the |partitions|-row frame) instead
+  * of trusting the caller to keep partitions small.
   *
   * Requirement: `ord` must be a TOTAL order (include a unique
   * tiebreaker column) — otherwise ranks of tied rows depend on the
   * physical row order.
+  *
+  * Intended consumers: q85_equidepth_hist (rank -> equi-depth bin) and
+  * any future global percentile/ntile/median operator. Per-key windows
+  * (q37 moving_avg, q39 window_nav) do NOT need it — their
+  * `Window.partitionBy(key)` already parallelizes by key.
   */
 object DistributedRank {
+
+  /** Max rows per range partition before the (pid << 33 | localRank)
+    * encoding of monotonically_increasing_id overflows. */
+  val MaxPartRows: Long = 1L << 33
 
   /** `df` plus `rankCol` (1-based global row_number over `ord`) and
     * `totalCol` (the total row count, same on every row — the usual
@@ -44,14 +71,26 @@ object DistributedRank {
   def withGlobalRank(df: DataFrame, ord: Seq[Column],
       rankCol: String, totalCol: String): DataFrame = {
     val npart = df.sparkSession.sessionState.conf.numShufflePartitions
+    // Materialized ONCE (see "Single-execution contract" above): both
+    // the counts branch and the final join read these frozen blocks.
     val local = df
       .repartitionByRange(npart, ord: _*)
       .sortWithinPartitions(ord: _*)
       .withColumn("__mid", monotonically_increasing_id())
       .withColumn("__pid", shiftright(col("__mid"), 33).cast("int"))
-      .withColumn("__lr", (col("__mid").bitwiseAND((1L << 33) - 1) + 1L))
+      .withColumn("__lr", (col("__mid").bitwiseAND(MaxPartRows - 1) + 1L))
       .drop("__mid")
-    val cnts = local.groupBy(col("__pid")).agg(count(lit(1)).as("__n"))
+      .localCheckpoint()
+    val cnts = local.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
+      // overflow guard folded into the USED column so pruning can't
+      // drop it; raise_error is NullType, cast back to long to unify
+      .select(col("__pid"),
+        when(col("__cnt") < MaxPartRows, col("__cnt"))
+          .otherwise(raise_error(concat(
+            lit("DistributedRank: partition "), col("__pid"),
+            lit(" holds "), col("__cnt"),
+            lit(s" rows >= 2^33; local-rank bits would overflow — raise numShufflePartitions")))
+            .cast("long")).as("__n"))
     // prefix sum over <= npart rows: triangular left-join instead of a
     // partition-less window, so no WindowExec anywhere in the plan
     val offs = cnts.as("a")

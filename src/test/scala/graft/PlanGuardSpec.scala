@@ -20,6 +20,56 @@ class PlanGuardSpec extends SparkSpec {
     assert(offenders.isEmpty, s"cartesian products in: $offenders")
   }
 
+  test("no registered query plans a partition-less Window") {
+    // A Window with an empty partitionSpec moves the ENTIRE input
+    // through one task — correct at small SF, single-threaded and
+    // OOM-bound at 100 TB. q82 (vocab coverage) and q85 (equi-depth
+    // hist) were rewritten off this shape (array aggregate /
+    // DistributedRank); this guard locks those wins in for every
+    // registered query. Checked on the optimized LOGICAL plan: it is
+    // what decides the physical WindowExec, and it is stable under AQE
+    // re-planning.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val offenders = SparkEntry.all.flatMap { d =>
+      val bad = d.run(spark, sfDir).queryExecution.optimizedPlan.collect {
+        case w: LWindow if w.partitionSpec.isEmpty => w
+      }
+      if (bad.nonEmpty) Some(d.name) else None
+    }
+    assert(offenders.isEmpty, s"partition-less windows in: $offenders")
+  }
+
+  test("scale ANN paths (q32, q34) plan no Window at all") {
+    // Their per-query top-k runs through the k-bounded aggregator
+    // (BoundedTopKD): a Window.partitionBy(query_id) would cap
+    // parallelism at #queries and sort each query's whole scored
+    // corpus. Only q31 — the declared exact baseline — keeps the
+    // window, inside its session-cached subtree.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val offenders = Seq("q32_knn_ivf_cell", "q34_knn_codegen").flatMap { n =>
+      val d = SparkEntry.all.find(_.name == n).get
+      val wins = d.run(spark, sfDir).queryExecution.optimizedPlan.collect {
+        case w: LWindow => w
+      }
+      if (wins.nonEmpty) Some(n) else None
+    }
+    assert(offenders.isEmpty, s"window operators in scale ANN paths: $offenders")
+  }
+
+  test("q34 reuses cached subtrees: codegen top-k + session-cached exact reference") {
+    // q34 previously re-ran the entire exact brute-force q31 had just
+    // computed, and walked its own codegen scan twice (agreement join +
+    // top_ids aggregate). Both subtrees are now cached, so the
+    // optimized plan must read at least two InMemoryRelations.
+    import org.apache.spark.sql.execution.columnar.InMemoryRelation
+    val d = SparkEntry.all.find(_.name == "q34_knn_codegen").get
+    val mems = d.run(spark, sfDir).queryExecution.optimizedPlan.collect {
+      case r: InMemoryRelation => r
+    }
+    assert(mems.size >= 2,
+      s"expected cached fast + exact subtrees in q34's plan, found ${mems.size}")
+  }
+
   test("every oracle-paired query declares matching column names in its SQL") {
     // cheap drift guard: each Spark output column name must appear as a
     // token in the oracle SQL (aliased the same way) — the driver's
