@@ -9,11 +9,16 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: media as opaque `binary` columns with a
   * typed metadata struct, and a batched decode/feature-extract stage.
   *
-  * The decode itself is STUBBED (this container has no image/audio
-  * codecs): `fakeDecodeFeatures` derives a deterministic feature vector
-  * from the bytes. Everything around it — schema, batch shape,
-  * mapPartitions plumbing, partition sizing — is real and is what
-  * matters at 100 TB:
+  * Decode comes in two tiers:
+  *   - [[ImageHeader]] REAL header decode — PNG IHDR and BMP
+  *     BITMAPINFOHEADER parsed byte-for-byte (width/height/bit depth,
+  *     strict magic + CRC/size validation), run batched per partition
+  *     by [[decodeImageMeta]] and oracle-pinned end-to-end by q89;
+  *   - the FEATURE extraction (`fakeDecodeFeatures`) stays a
+  *     deterministic stub (this container has no pixel codecs) — it
+  *     stands in for the model-embedding stage only.
+  * Everything around them — schema, batch shape, mapPartitions
+  * plumbing, partition sizing — is real and is what matters at 100 TB:
   *   - media bytes never pass through a shuffle (decode runs in the scan
   *     stage, feature vectors are ~KB vs media ~MB);
   *   - decode is batched per partition (amortizes model/codec init,
@@ -80,6 +85,33 @@ object Multimodal {
         val bytes = r.getAs[Array[Byte]](mediaIdx)
         val feats = if (bytes == null) null else fakeDecodeFeatures(bytes, dims)
         Row.fromSeq(keepIdx.map(r.get).toSeq :+ feats)
+      }
+    }(enc)
+  }
+
+  /** REAL header decode over the canonical media frame: PNG/BMP headers
+    * parsed per row ([[ImageHeader.decode]] — strict magic, CRC and
+    * size checks), batched via mapPartitions exactly like
+    * [[extractFeatures]]. Unrecognized payloads decode to format
+    * "unknown" with null dimensions — never an error, because at 100 TB
+    * a corrupt file must not kill the pipeline. */
+  def decodeImageMeta(media: DataFrame): DataFrame = {
+    validateMediaFrame(media)
+    val outSchema = StructType(media.schema.fields.filterNot(_.name == "media") ++ Seq(
+      StructField("format", StringType, nullable = false),
+      StructField("width", LongType, nullable = true),
+      StructField("height", LongType, nullable = true),
+      StructField("bit_depth", LongType, nullable = true)))
+    val enc = Encoders.row(outSchema)
+    val mediaIdx = media.schema.fieldIndex("media")
+    val keepIdx = media.schema.fields.zipWithIndex.filterNot(_._1.name == "media").map(_._2)
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val extra: Seq[Any] = ImageHeader.decode(r.getAs[Array[Byte]](mediaIdx)) match {
+          case Some(m) => Seq(m.format, m.width, m.height, m.bitsPerPixel)
+          case None    => Seq("unknown", null, null, null)
+        }
+        Row.fromSeq(keepIdx.map(r.get).toSeq ++ extra)
       }
     }(enc)
   }
@@ -163,5 +195,50 @@ object Multimodal {
           // empty block list, mirroring the oracle's CASE NULL
           expr("hex(try_element_at(blocks, 1))").as("first_block_hex"),
           expr("hex(try_element_at(blocks, -1))").as("last_block_hex"))
+    },
+
+    q("q89_image_decode",
+      """REAL image-header decode end-to-end: each document row is
+        |wrapped into a structurally valid PNG (even doc_id) or BMP (odd
+        |doc_id) whose dimensions derive from doc_id, pushed through the
+        |canonical media frame and the batched mapPartitions decoder
+        |(ImageHeader: strict magic + IHDR CRC / BMP size validation),
+        |and the decoded width/height/bit-depth come back out. The
+        |oracle computes the expected dimensions AND the expected
+        |container byte size independently from doc_id arithmetic
+        |(PNG: 8 sig + 25 IHDR = 33 bytes; BMP: 54 header +
+        |4-byte-padded rows), so a decode or encode bug on either
+        |format turns the row red — no codec library involved, pure
+        |public byte formats.""".stripMargin,
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS format,
+        |  doc_id % 100 + 1 AS width,
+        |  doc_id % 37 + 1 AS height,
+        |  CAST(24 AS BIGINT) AS bit_depth,
+        |  CASE WHEN doc_id % 2 = 0 THEN CAST(33 AS BIGINT)
+        |       ELSE 54 + ((24 * (doc_id % 100 + 1) + 31) // 32) * 4
+        |              * (doc_id % 37 + 1)
+        |  END AS n_bytes
+        |FROM documents""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      // payload construction is itself distributed (Dataset.map in the
+      // scan stage) — dims small enough that even sf0.1's 5k docs stay
+      // a few MB per partition, and the bytes never cross a shuffle
+      val payloads = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val w = (id % 100 + 1).toInt
+          val h = (id % 37 + 1).toInt
+          val bytes =
+            if (id % 2 == 0) ImageHeader.encodePng(w, h, bitDepth = 8, colorType = 2)
+            else ImageHeader.encodeBmp(w, h, bpp = 24)
+          (id, bytes)
+        }
+        .toDF("doc_id", "payload")
+        .withColumn("src", lit("synthetic"))
+      val media = asMediaFrame(payloads, "doc_id", "payload", "src")
+      decodeImageMeta(media)
+        .select(col("media_id"), col("format"), col("width"), col("height"),
+          col("bit_depth"), col("meta.n_bytes").as("n_bytes"))
     })
 }

@@ -37,6 +37,75 @@ class MultimodalSpec extends SparkSpec {
     assert(!f1.head.schema.fieldNames.contains("media"))
   }
 
+  // ---- real header decode (ImageHeader) ----
+
+  private def hexBytes(h: String): Array[Byte] =
+    h.replaceAll("\\s", "").grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+
+  test("PNG decode: hand-built fixture bytes (real 1x1 RGBA IHDR, real CRC)") {
+    // the canonical 1x1 PNG header: signature + IHDR(1,1,depth 8,
+    // color type 6) with its well-known CRC 1F15C489
+    val png = hexBytes(
+      "89504E470D0A1A0A 0000000D 49484452 00000001 00000001 08 06 000000 1F15C489")
+    val m = graft.operators.ImageHeader.decode(png)
+    assert(m.contains(graft.operators.ImageHeader.ImgMeta("png", 1, 1, 32)))
+    // corrupt the CRC by one bit -> strict decoder rejects
+    val bad = png.clone(); bad(png.length - 1) = (bad(png.length - 1) ^ 1).toByte
+    assert(graft.operators.ImageHeader.decode(bad).isEmpty)
+    // truncated -> rejected
+    assert(graft.operators.ImageHeader.decode(png.take(20)).isEmpty)
+  }
+
+  test("BMP decode: hand-built fixture bytes (1x1 24bpp, 58-byte file)") {
+    // BITMAPFILEHEADER(size 58, offset 54) + BITMAPINFOHEADER(40, 1x1,
+    // planes 1, 24bpp) + one blue pixel + row padding
+    val bmp = hexBytes(
+      "424D 3A000000 0000 0000 36000000" +
+        "28000000 01000000 01000000 0100 1800 00000000 04000000" +
+        "130B0000 130B0000 00000000 00000000" +
+        "0000FF 00")
+    val m = graft.operators.ImageHeader.decode(bmp)
+    assert(m.contains(graft.operators.ImageHeader.ImgMeta("bmp", 1, 1, 24)))
+    // declared size mismatch (extra byte) -> rejected
+    assert(graft.operators.ImageHeader.decode(bmp :+ 0.toByte).isEmpty)
+  }
+
+  test("encoders round-trip through the decoder; text never false-positives") {
+    import graft.operators.ImageHeader
+    assert(ImageHeader.decode(ImageHeader.encodePng(640, 480, 8, 2))
+      .contains(ImageHeader.ImgMeta("png", 640, 480, 24)))
+    assert(ImageHeader.decode(ImageHeader.encodePng(7, 3, 16, 0))
+      .contains(ImageHeader.ImgMeta("png", 7, 3, 16)))
+    assert(ImageHeader.decode(ImageHeader.encodeBmp(101, 37, 24))
+      .contains(ImageHeader.ImgMeta("bmp", 101, 37, 24)))
+    assert(ImageHeader.decode("BMarkdown is not a bitmap".getBytes("UTF-8")).isEmpty)
+    assert(ImageHeader.decode("plain document text".getBytes("UTF-8")).isEmpty)
+    assert(ImageHeader.decode(Array.empty[Byte]).isEmpty)
+    assert(ImageHeader.decode(null).isEmpty)
+  }
+
+  test("decodeImageMeta over the media frame: images decode, text is unknown") {
+    import spark.implicits._
+    import graft.operators.ImageHeader
+    val rows = Seq(
+      (1L, ImageHeader.encodePng(12, 34, 8, 6), "s"),
+      (2L, ImageHeader.encodeBmp(5, 9, 24), "s"),
+      (3L, "not an image at all".getBytes("UTF-8"), "s"),
+      (4L, null.asInstanceOf[Array[Byte]], "s"))
+      .toDF("doc_id", "payload", "source")
+    val out = Multimodal.decodeImageMeta(
+      Multimodal.asMediaFrame(rows, "doc_id", "payload", "source"))
+      .orderBy("media_id").collect()
+    def fmt(i: Int) = out(i).getString(out(i).fieldIndex("format"))
+    def dim(i: Int, c: String) = out(i).getLong(out(i).fieldIndex(c))
+    assert(fmt(0) == "png" && dim(0, "width") == 12 && dim(0, "height") == 34
+      && dim(0, "bit_depth") == 32)
+    assert(fmt(1) == "bmp" && dim(1, "width") == 5 && dim(1, "height") == 9
+      && dim(1, "bit_depth") == 24)
+    assert(fmt(2) == "unknown" && out(2).isNullAt(out(2).fieldIndex("width")))
+    assert(fmt(3) == "unknown" && out(3).isNullAt(out(3).fieldIndex("width")))
+  }
+
   test("block sampling bounds output size") {
     val m = Multimodal.asMediaFrame(docs.filter(col("doc_id") === 1), "doc_id", "text", "source")
     val b = Multimodal.sampleBlocks(m, blockSize = 4, every = 2).select("blocks").head()
