@@ -1,0 +1,136 @@
+package graft
+
+import graft.operators.MisraGries
+import org.apache.spark.sql.functions._
+
+/** Training-tier soak: the bounded-state claims of the LLM-data
+  * operators — Misra-Gries heavy hitters (q86's two-pass shape),
+  * scan-side stratified sampling (q81's hash gate), windowless vocab
+  * coverage (q82's TakeOrdered + array-math shape) — under ~10^8-row
+  * volume, with EXACT ground truth known by construction:
+  *
+  *   - keys/tokens/langs derive from `spark.range(id)` arithmetic, so
+  *     every true frequency is a closed-form expression of n — the soak
+  *     asserts the answers, not just that the jobs finish;
+  *   - generation is executor-side (range → expressions): driver memory
+  *     stays flat no matter the row count;
+  *   - heavy keys sit far above the MG guarantee threshold n/(m+1) and
+  *     the tail sits far below it, so summary membership is provable.
+  *
+  * Usage: TrainingSoak [nRows]   (default 1e8)
+  * Prints one JSON line with wall times + pass/fail per tier.
+  */
+object TrainingSoak {
+  def main(args: Array[String]): Unit = {
+    val n = if (args.nonEmpty) args(0).toLong else 100000000L
+    require(n % 100 == 0 && n % 20 == 0, s"n must be divisible by 100, got $n")
+    val spark = GraftSession.create(
+      s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]", "graft-training-soak")
+    spark.sparkContext.setLogLevel("WARN")
+
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    // ---- 1) Misra-Gries heavy hitters (q86 shape) ------------------
+    // Three heavy keys at 10% / 6% / 4%; tail uniform over ~1M keys
+    // (each ~0.8*n/1e6 — 5 orders below the m=31 threshold n/32≈3.1%).
+    val m = 31
+    val keys = spark.range(n).select(
+      when(col("id") % 100 < 10, lit(2000001L))
+        .when(col("id") % 100 < 16, lit(2000002L))
+        .when(col("id") % 100 < 20, lit(2000003L))
+        .otherwise(col("id") % 1000000L).as("k"))
+    val trueCounts = Map(2000001L -> n / 10, 2000002L -> n * 6 / 100, 2000003L -> n * 4 / 100)
+
+    val mgAgg = udaf(new MisraGries(m), org.apache.spark.sql.Encoders.scalaLong)
+    val ((summary, exact), mgSec) = timed {
+      val cand = keys.agg(mgAgg(col("k")).as("s"))
+        .select(explode(col("s.xs")).as("x"))
+        .select(col("x.k").as("k"), col("x.c").as("c_est"))
+      val sm = cand.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // pass 2, exactly like q86: exact counts for the <= m candidates
+      val ex = keys.join(broadcast(cand.select(col("k"))), Seq("k"), "left_semi")
+        .groupBy(col("k")).agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      (sm, ex)
+    }
+    // MG guarantees: summary ≤ m entries; every key with freq > n/(m+1)
+    // present; estimates underestimate by at most n/(m+1); pass-2 exact
+    // counts must equal the constructed truth.
+    val mgBound = n / (m + 1)
+    val mgOk = summary.size <= m &&
+      trueCounts.forall { case (k, c) =>
+        summary.contains(k) &&
+          summary(k) <= c && c - summary(k) <= mgBound &&
+          exact.get(k).contains(c)
+      }
+
+    // ---- 2) Stratified sampling gate (q81 shape) -------------------
+    // lang from id arithmetic: 70% en / 20% fr / 10% de; gate keeps
+    // 10% of en, 50% elsewhere — pure scalar predicate, no shuffle
+    // before the 3-group aggregate.
+    val P = 1000003L
+    val langCol = when(col("id") % 10 < 7, "en")
+      .when(col("id") % 10 < 9, "fr").otherwise("de")
+    val gate = ((lit(31L) * col("id") + 7L) % P) % 1000 <
+      when(col("lang") === "en", 100).otherwise(500)
+    val (rates, sampleSec) = timed {
+      spark.range(n).select(col("id"), langCol.as("lang"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(gate, 1L).otherwise(0L)).as("n_sampled"))
+        .collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    }
+    val sampleOk = rates("en")._1 == n * 7 / 10 &&
+      math.abs(rates("en")._2.toDouble / rates("en")._1 - 0.10) < 0.005 &&
+      math.abs(rates("fr")._2.toDouble / rates("fr")._1 - 0.50) < 0.005 &&
+      math.abs(rates("de")._2.toDouble / rates("de")._1 - 0.50) < 0.005
+
+    // ---- 3) Vocab coverage (q82 shape) -----------------------------
+    // Five heavy tokens t0..t4 at exactly 5% each; ~1M-token tail. Same
+    // plan shape as q82: one groupBy (map-side combine over token
+    // cardinality), materialized once, TakeOrdered-20 → single array
+    // row → rank/cumsum as array arithmetic. Zero windows.
+    val tokCol = when(col("id") % 20 < 5, concat(lit("t"), (col("id") % 20).cast("string")))
+      .otherwise(concat(lit("x"), (col("id") % P).cast("string")))
+    val (top, vocabSec) = timed {
+      val tc = spark.range(n).select(tokCol.as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
+      val total = tc.agg(sum(col("cnt")).cast("bigint").as("total_cnt"))
+      tc.orderBy(col("cnt").desc, col("tok")).limit(20)
+        .select(struct((-col("cnt")).as("nc"), col("tok").as("tok"),
+          col("cnt").as("cnt")).as("x"))
+        .agg(sort_array(collect_list(col("x"))).as("xs"))
+        .select(col("xs"), posexplode(col("xs")))
+        .select(col("xs"), (col("pos") + 1).as("rk"),
+          col("col.tok").as("tok"), col("col.cnt").as("cnt"), col("pos"))
+        .withColumn("cum_cnt",
+          expr("CAST(aggregate(slice(xs, 1, pos + 1), CAST(0 AS BIGINT), (acc, v) -> acc + v.cnt) AS BIGINT)"))
+        .crossJoin(broadcast(total))
+        .select(col("rk"), col("tok"), col("cnt"), col("cum_cnt"), col("total_cnt"))
+        .collect()
+    }
+    val heavy = n / 20
+    val vocabOk = top.length == 20 &&
+      (0 until 5).forall { i =>
+        val r = top(i)
+        r.getString(r.fieldIndex("tok")) == s"t$i" &&
+          r.getLong(r.fieldIndex("cnt")) == heavy &&
+          r.getLong(r.fieldIndex("cum_cnt")) == heavy * (i + 1)
+      } &&
+      top.forall(r => r.getLong(r.fieldIndex("total_cnt")) == n)
+
+    println(
+      s"""{"metric":"training_soak","rows":$n,""" +
+        s""""mg_sec":$mgSec,"mg_summary_size":${summary.size},"mg_m":$m,"mg_ok":$mgOk,""" +
+        s""""sample_sec":$sampleSec,"sample_ok":$sampleOk,""" +
+        s""""vocab_sec":$vocabSec,"vocab_ok":$vocabOk}""")
+    spark.stop()
+    if (!(mgOk && sampleOk && vocabOk)) sys.exit(1)
+  }
+}

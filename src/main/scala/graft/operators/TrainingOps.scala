@@ -63,9 +63,10 @@ object TrainingOps {
         |ONE sorted array row, so rank and the running sum are plain
         |array arithmetic (posexplode + aggregate over a slice) — zero
         |WindowExec in the plan; the corpus total is a scalar aggregate
-        |broadcast back. The token-count aggregate is CACHED: it feeds
-        |both the total and the top-20, and without the cache the
-        |explode+groupBy corpus pass would run twice (r4 finding).
+        |broadcast back. The token-count aggregate is materialized ONCE
+        |(localCheckpoint): it feeds both the total and the top-20, and
+        |without it the explode+groupBy corpus pass would run twice
+        |(r4 finding).
         |All-integer output — no float division to drift.
         |cum_cnt/total_cnt answers "how big a vocab covers X% of the
         |corpus".""".stripMargin,
@@ -82,14 +83,17 @@ object TrainingOps {
         |  FROM tc)
         |SELECT rk, tok, cnt, cum_cnt, total_cnt
         |FROM ranked WHERE rk <= 20""".stripMargin) { (s, dir) =>
-      // cached: one explode+groupBy corpus pass feeds BOTH consumers
-      // (total and top-20); identical-plan re-caches hit the same
-      // CacheManager entry, so repeated runs don't accumulate copies
+      // materialized once: one explode+groupBy corpus pass feeds BOTH
+      // consumers (total and top-20). localCheckpoint, not cache(): a
+      // CacheManager entry would stay pinned in executor storage for
+      // the whole session (nothing ever unpersists a query-local
+      // frame), stealing execution memory from every later query at
+      // larger SF; checkpoint blocks are freed when the plan is GC'd.
       val tc = Tables.documents(s, dir)
         .select(explode(split(lower(col("text")), " ")).as("tok"))
         .filter(col("tok") =!= "")
         .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-        .cache()
+        .localCheckpoint()
       val total = tc.agg(sum(col("cnt")).cast("bigint").as("total_cnt"))
       // (cnt desc, tok) is a total order, so rank/running-sum restricted
       // to the TakeOrdered top 20 equals the same window over the full
