@@ -28,6 +28,8 @@ object Similarity {
 
   private val QueryVecs = 10 // vec_id < 10 are the query set
   private val TopK = 5
+  private val Cells = 8  // IVF codebook size — q79's k-means centroids
+  private val NProbe = 2 // cells probed per query in q90
 
   /** Quantized embedding column: array<decimal(9,4)>. */
   private def quant(c: String): String =
@@ -235,5 +237,108 @@ object Similarity {
         |file: at scale the corpus is hash-partitioned by cell and each
         |query probes one partition instead of scanning all.""".stripMargin,
       oracleTopK("AND b.label = a.label")) { (s, dir) =>
-      boundedTopK(scoredPairs(s, dir, sameCell = true)) })
+      boundedTopK(scoredPairs(s, dir, sameCell = true)) },
+
+    q("q90_knn_ivf_probe",
+      """TRUE IVF multi-probe ANN — the real inverted-file mechanism,
+        |not q32's label-as-cell stand-in: cells come from the 8 k-means
+        |centroids q79 trains (vec_id 0..7), every corpus vector is
+        |assigned to its nearest cell SCAN-SIDE (the 8 centroids ride
+        |along as one broadcast array row; argmin is array_min over a
+        |transform — no shuffle, no per-centroid row blowup), each query
+        |probes its nprobe=2 nearest cells, and only vectors in probed
+        |cells are scored (exact decimal cosine) through the k-bounded
+        |top-k aggregator. ONE shuffle total (the final per-query agg).
+        |n_in_exact reports, per query, how many of the 5 IVF results
+        |appear in the exact brute-force top-5 (the session-cached q31
+        |frame) — the honest ANN recall metric, and the oracle recomputes
+        |it independently, so both the cell geometry AND the recall
+        |accounting are pinned cross-engine. All arithmetic is exact
+        |decimal, so assignments, probes, ranks and recall agree
+        |bit-for-bit between engines.""".stripMargin,
+      s"""WITH $oracleBase,
+         |allcos AS (
+         |  SELECT d.query_id, d.neighbor_id,
+         |    round(d.dot / (sqrt(na.nrm) * sqrt(nb.nrm)), 4) AS sim
+         |  FROM (
+         |    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |      CAST(sum(a.v * b.v) AS DOUBLE) AS dot
+         |    FROM e a JOIN e b ON a.i = b.i
+         |    WHERE a.vec_id < $QueryVecs AND b.vec_id <> a.vec_id
+         |    GROUP BY 1, 2) d
+         |  JOIN nrm na ON na.vec_id = d.query_id
+         |  JOIN nrm nb ON nb.vec_id = d.neighbor_id),
+         |exact5 AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      rank() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rk
+         |    FROM allcos) WHERE rk <= $TopK),
+         |cent AS (SELECT vec_id AS cid, i, v AS cv FROM e WHERE vec_id < $Cells),
+         |cdist AS (
+         |  SELECT a.vec_id, c.cid,
+         |    CAST(sum(CAST((a.v - c.cv) * (a.v - c.cv) AS DECIMAL(38,8)))
+         |         AS DECIMAL(38,8)) AS d
+         |  FROM e a JOIN cent c ON a.i = c.i
+         |  GROUP BY 1, 2),
+         |assign AS (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+         |    FROM cdist) WHERE rn = 1),
+         |probes AS (
+         |  SELECT vec_id AS query_id, cid FROM (
+         |    SELECT vec_id, cid,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+         |    FROM cdist WHERE vec_id < $QueryVecs) WHERE rn <= $NProbe),
+         |ivf5 AS (
+         |  SELECT query_id, neighbor_id, sim, rk FROM (
+         |    SELECT c.query_id, c.neighbor_id, c.sim,
+         |      rank() OVER (PARTITION BY c.query_id
+         |                   ORDER BY c.sim DESC, c.neighbor_id) AS rk
+         |    FROM allcos c
+         |    JOIN assign t ON t.vec_id = c.neighbor_id
+         |    JOIN probes p ON p.query_id = c.query_id AND p.cid = t.cid)
+         |  WHERE rk <= $TopK),
+         |agree AS (
+         |  SELECT i.query_id, count(*) AS n_in_exact
+         |  FROM ivf5 i JOIN exact5 x
+         |    ON x.query_id = i.query_id AND x.neighbor_id = i.neighbor_id
+         |  GROUP BY 1)
+         |SELECT i.query_id, i.neighbor_id, i.sim, i.rk,
+         |  coalesce(g.n_in_exact, 0) AS n_in_exact
+         |FROM ivf5 i LEFT JOIN agree g ON g.query_id = i.query_id""".stripMargin) { (s, dir) =>
+      val c = corpus(s, dir)
+      // the whole codebook as ONE broadcast array row (8 structs),
+      // sorted by cid so ties in distance break toward the lower cid on
+      // both engines
+      val centsArr = c.filter(col("vec_id") < Cells)
+        .select(struct(col("vec_id").as("cid"), col("qv").as("cv")).as("ct"))
+        .agg(sort_array(collect_list(col("ct"))).as("cents"))
+      // per-row distances to all 8 centroids, computed scan-side with
+      // nested higher-order functions — assignment never shuffles and
+      // never multiplies rows
+      val cdsExpr = "transform(cents, ct -> named_struct(" +
+        "'d', aggregate(zip_with(qv, ct.cv, (x, y) -> (x - y) * (x - y)), " +
+        "CAST(0 AS DECIMAL(30,8)), (acc, v) -> CAST(acc + v AS DECIMAL(30,8))), " +
+        "'cid', ct.cid))"
+      val base = c.crossJoin(broadcast(centsArr)).withColumn("cds", expr(cdsExpr))
+      val targets = base.select(col("vec_id").as("neighbor_id"), col("qv").as("qb"),
+        col("nrm").as("nb"), expr("array_min(cds).cid").as("cid"))
+      val probes = base.filter(col("vec_id") < QueryVecs)
+        .select(col("vec_id").as("query_id"), col("qv").as("qa"), col("nrm").as("na"),
+          explode(expr(s"transform(slice(array_sort(cds), 1, $NProbe), x -> x.cid)")).as("pcid"))
+      val scored = targets
+        .join(broadcast(probes),
+          col("cid") === col("pcid") && col("query_id") =!= col("neighbor_id"))
+        .withColumn("sim",
+          round(expr(dotExpr("qa", "qb")) / (sqrt(col("na")) * sqrt(col("nb"))), 4))
+      val ivf5 = boundedTopK(scored)
+      val agree = ivf5
+        .join(exactTopK(s, dir).select(col("query_id"), col("neighbor_id")),
+          Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_in_exact"))
+      ivf5.join(broadcast(agree), Seq("query_id"), "left")
+        .select(col("query_id"), col("neighbor_id"), col("sim"), col("rk"),
+          coalesce(col("n_in_exact"), lit(0L)).as("n_in_exact"))
+    })
 }
