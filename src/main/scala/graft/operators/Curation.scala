@@ -211,5 +211,58 @@ object Curation {
         .select(col("doc_id"), col("cluster_id"),
           count(lit(1)).over(Window.partitionBy(col("cluster_id")))
             .as("cluster_size"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q92_contamination",
+      """Benchmark decontamination: for each eval-set document
+        |(doc_id % 50 = 0, standing in for a held-out benchmark), count
+        |the train documents sharing at least one 5-word shingle and the
+        |distinct shingles shared. The 5-gram (vs the LSH tier's 3-gram)
+        |is the selectivity knob — long n-grams make shared shingles
+        |rare, so the equi-join fan-out stays bounded. The scale shape
+        |is the real decontamination asymmetry: the eval side is a
+        |benchmark (KBs-MBs), so its shingle set BROADCASTS and the
+        |corpus-sized train side streams through a broadcast hash join —
+        |the 100 TB side never shuffles; only matched hit pairs reach
+        |the small eval-keyed aggregate.""".stripMargin,
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id, array_to_string(w[i:i+4], ' ') AS sh
+        |  FROM w, unnest(range(1, greatest(len(w) - 3, 1))) AS t(i)),
+        |ev AS (SELECT doc_id, sh FROM sh WHERE doc_id % 50 = 0),
+        |tr AS (SELECT doc_id, sh FROM sh WHERE doc_id % 50 <> 0),
+        |hits AS (
+        |  SELECT ev.doc_id AS eval_id,
+        |    count(DISTINCT tr.doc_id) AS n_train_docs,
+        |    count(DISTINCT ev.sh) AS n_shared_shingles
+        |  FROM ev JOIN tr ON tr.sh = ev.sh
+        |  GROUP BY 1)
+        |SELECT d.doc_id AS eval_id,
+        |  coalesce(h.n_train_docs, 0) AS n_train_docs,
+        |  coalesce(h.n_shared_shingles, 0) AS n_shared_shingles
+        |FROM documents d LEFT JOIN hits h ON h.eval_id = d.doc_id
+        |WHERE d.doc_id % 50 = 0""".stripMargin) { (s, dir) =>
+      def grams5(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .withColumn("i", explode(when(size(col("w")) >= 5,
+          sequence(lit(1), size(col("w")) - 4)).otherwise(array())))
+        .select(col("doc_id"), concat_ws(" ", slice(col("w"), col("i"), lit(5))).as("sh"))
+        .distinct()
+      val docs = Tables.documents(s, dir)
+      val evalG = grams5(docs.filter(col("doc_id") % 50 === 0))
+        .withColumnRenamed("doc_id", "eval_id")
+      val trainG = grams5(docs.filter(col("doc_id") % 50 =!= 0))
+        .withColumnRenamed("doc_id", "train_id")
+      val hits = trainG.join(broadcast(evalG), "sh")
+        .groupBy(col("eval_id"))
+        .agg(countDistinct(col("train_id")).as("n_train_docs"),
+          countDistinct(col("sh")).as("n_shared_shingles"))
+      docs.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("eval_id"))
+        .join(hits, Seq("eval_id"), "left")
+        .select(col("eval_id"),
+          coalesce(col("n_train_docs"), lit(0L)).as("n_train_docs"),
+          coalesce(col("n_shared_shingles"), lit(0L)).as("n_shared_shingles"))
     })
 }

@@ -113,5 +113,44 @@ object TextOps {
         .withColumn("fp", fp)
         .withColumn("dup_count", count(lit(1)).over(Window.partitionBy(col("fp"))))
         .select(col("doc_id"), col("fp"), col("dup_count"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q91_repetition_ratio",
+      """Intra-document repetition (Gopher-style quality rule): the
+        |fraction of word 2-grams that are duplicates of an earlier
+        |2-gram in the SAME document. Computed entirely array-native —
+        |transform builds the 2-gram list, array_distinct dedups it,
+        |two size() calls give the counts — so the operator is a pure
+        |scan-side projection: zero shuffle, full codegen, and at
+        |100 TB it rides the same scan as the other quality signals.
+        |The repetitive flag uses integer cross-multiplication
+        |((n - distinct) * 10 > n * 3 <=> dup fraction > 0.3), so no
+        |float division exists anywhere in the row.""".stripMargin,
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(w) >= 2
+        |         THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+        |         ELSE CAST([] AS VARCHAR[]) END AS g2
+        |  FROM w)
+        |SELECT doc_id,
+        |  CAST(len(g2) AS BIGINT) AS n_2grams,
+        |  CAST(len(list_distinct(g2)) AS BIGINT) AS n_distinct_2grams,
+        |  CAST(CASE WHEN (len(g2) - len(list_distinct(g2))) * 10 > len(g2) * 3
+        |       THEN 1 ELSE 0 END AS BIGINT) AS repetitive
+        |FROM g""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("w", split(col("text"), " "))
+        .withColumn("g2", expr(
+          """CASE WHEN size(w) >= 2
+            |THEN transform(sequence(1, size(w) - 1),
+            |     i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1)))
+            |ELSE array() END""".stripMargin))
+        .select(col("doc_id"),
+          size(col("g2")).cast("bigint").as("n_2grams"),
+          size(array_distinct(col("g2"))).cast("bigint").as("n_distinct_2grams"),
+          ((size(col("g2")) - size(array_distinct(col("g2")))) * 10 >
+            size(col("g2")) * 3).cast("bigint").as("repetitive"))
     })
 }
