@@ -216,6 +216,57 @@ object ScaleOps {
         .crossJoin(broadcast(tot))
         .filter(col("n") > col("n_total") / 8.0)
         .select(col("k_bucket"), col("n"), col("n_total"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q93_embedding_quantization",
+      """Int8 scalar quantization of the embedding column — the storage
+        |form every 100 TB ANN index actually holds (4x smaller than
+        |float32, SIMD-friendly dot products). Per vector: symmetric
+        |scale s = max|v| (in exact 1e-4 fixed-point), q_i =
+        |round(127*v_i/s) computed with ONLY nonnegative integer
+        |arithmetic — ((254*(v+s) + s) div (2*s)) - 127 — because
+        |floor/truncating division differ between engines on negatives
+        |but agree on nonnegatives, making the quantized codes
+        |bit-identical cross-engine. Emits the quantization checksum
+        |(sum of codes), total/max reconstruction error scaled by 127
+        |(|127*v - q*s|, whose max is provably <= ceil(s/2)) and the
+        |saturation count. Entirely scan-side higher-order-function
+        |math: a pure projection, zero shuffle, full codegen.""".stripMargin,
+      """WITH e AS (
+        |  SELECT vec_id,
+        |    CAST(CAST(round(CAST(unnest(embedding) AS DOUBLE), 4) AS DECIMAL(9,4))
+        |         * 10000 AS BIGINT) AS vm
+        |  FROM embeddings),
+        |s AS (SELECT vec_id, max(abs(vm)) AS sc FROM e GROUP BY 1),
+        |qq AS (
+        |  SELECT e.vec_id, e.vm, s.sc,
+        |    CASE WHEN s.sc = 0 THEN 0
+        |         ELSE ((254 * (e.vm + s.sc) + s.sc) // (2 * s.sc)) - 127 END AS q
+        |  FROM e JOIN s USING (vec_id))
+        |SELECT vec_id, max(sc) AS scale_milli,
+        |  CAST(sum(q) AS BIGINT) AS sum_q,
+        |  CAST(sum(abs(127 * vm - q * sc)) AS BIGINT) AS sum_abs_err_127,
+        |  CAST(max(abs(127 * vm - q * sc)) AS BIGINT) AS max_abs_err_127,
+        |  CAST(sum(CASE WHEN abs(q) = 127 THEN 1 ELSE 0 END) AS BIGINT) AS n_saturated
+        |FROM qq GROUP BY vec_id""".stripMargin) { (s, dir) =>
+      Tables.embeddings(s, dir)
+        .withColumn("vm", expr(
+          s"transform(${quant("embedding")}, x -> CAST(x * 10000 AS BIGINT))"))
+        .withColumn("sc", expr(
+          "aggregate(vm, CAST(0 AS BIGINT), (acc, v) -> greatest(acc, abs(v)))"))
+        .withColumn("qa", expr(
+          """CASE WHEN sc = 0 THEN transform(vm, x -> CAST(0 AS BIGINT))
+            |ELSE transform(vm, x -> ((254 * (x + sc) + sc) div (2 * sc)) - 127)
+            |END""".stripMargin))
+        .withColumn("er", expr("zip_with(vm, qa, (v, q) -> abs(127 * v - q * sc))"))
+        .select(col("vec_id"),
+          col("sc").as("scale_milli"),
+          expr("aggregate(qa, CAST(0 AS BIGINT), (a, v) -> a + v)").as("sum_q"),
+          expr("aggregate(er, CAST(0 AS BIGINT), (a, v) -> a + v)").as("sum_abs_err_127"),
+          expr("aggregate(er, CAST(0 AS BIGINT), (a, v) -> greatest(a, v))").as("max_abs_err_127"),
+          expr("aggregate(qa, CAST(0 AS BIGINT), (a, v) -> a + CASE WHEN abs(v) = 127 THEN 1 ELSE 0 END)")
+            .as("n_saturated"))
     }
   )
 }
