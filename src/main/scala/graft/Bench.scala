@@ -46,25 +46,42 @@ object Bench {
 
     // failures are RECORDED, never swallowed: a query that throws would
     // otherwise log a tiny wall-time and read as a speedup in the
-    // round-over-round trend. A failing query stops after its first
-    // measured rep — repeating a throw 3x tells us nothing new.
-    val results: Seq[(String, Double, Seq[Double], Option[String])] =
+    // round-over-round trend. Per-rep success is tracked so a failed
+    // rep's (possibly tiny) wall time never enters the median, and a
+    // transient warm-up failure doesn't skip measurement — only a
+    // FAILED MEASURED REP stops the loop (repeating a throw 3x tells
+    // us nothing new). spread = max/min over successful reps: intra-run
+    // load noise made visible in the artifact itself.
+    final case class QRes(name: String, sec: Double, reps: Seq[Double],
+                          spread: Double, err: Option[String])
+    val results: Seq[QRes] =
       ordered.map { d =>
         var err: Option[String] = None
-        def once(): Double = {
+        def once(): (Double, Boolean) = {
           val t0 = System.nanoTime()
-          try exec(d) catch {
-            case e: Throwable => if (err.isEmpty) err =
-              Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+          val ok = try { exec(d); true } catch {
+            case e: Throwable =>
+              err = Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+              false
           }
-          (System.nanoTime() - t0) / 1e9
+          ((System.nanoTime() - t0) / 1e9, ok)
         }
         (1 to warmups).foreach(_ => once())
-        val times = scala.collection.mutable.ArrayBuffer.empty[Double]
+        err = None // warm-up failures don't gate measurement; measured reps decide
+        val good = scala.collection.mutable.ArrayBuffer.empty[Double]
+        val all = scala.collection.mutable.ArrayBuffer.empty[Double]
         var r = 0
-        while (r < reps && err.isEmpty) { times += once(); r += 1 }
-        if (times.isEmpty) times += once() // warm-up already failed: record it
-        (d.name, median(times.toSeq), times.toSeq, err)
+        var failed = false
+        while (r < reps && !failed) {
+          val (t, ok) = once()
+          all += t
+          if (ok) good += t else failed = true
+          r += 1
+        }
+        val sec = if (good.nonEmpty) median(good.toSeq) else all.last
+        val spread =
+          if (good.size >= 2 && good.min > 0) good.max / good.min else 1.0
+        QRes(d.name, sec, all.toSeq, spread, err)
       }
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
@@ -80,26 +97,33 @@ object Bench {
     // millisecond-rounded timings, and the err map carries only failures.
     // Full names + full precision go to bench_detail.json beside the run.
     def shortKey(name: String): String = name.takeWhile(_ != '_')
-    val keys = results.map { case (k, _, _, _) =>
-      k -> (if (results.count(_._1.takeWhile(_ != '_') == shortKey(k)) == 1)
-              shortKey(k) else k)
+    val keys = results.map { r =>
+      r.name -> (if (results.count(_.name.takeWhile(_ != '_') == shortKey(r.name)) == 1)
+              shortKey(r.name) else r.name)
     }.toMap
     // Explicit Locale.ROOT: f"" uses the JVM default locale, and a
     // comma-decimal locale (de_DE) would make the stdout line non-JSON.
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v, _, _) => jstr(keys(k)) + ":" + fmt(v) }
+    val qs = results.map { r => jstr(keys(r.name)) + ":" + fmt(r.sec) }
       .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, _, Some(e)) =>
-      jstr(keys(k)) + ":" + jstr(e.take(80))
+    val errs = results.collect { case r if r.err.isDefined =>
+      jstr(keys(r.name)) + ":" + jstr(r.err.get.take(80))
     }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    // only the load-noise suspects (spread > 2x) go on the stdout line —
+    // the ~2000-char parse window can't afford the full map, which lives
+    // in bench_detail.json
+    val noisy = results.filter(_.spread > 2.0).map { r =>
+      jstr(keys(r.name)) + ":" + fmt(r.spread)
+    }.mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.map(_.sec).sum else 0.0
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"err":$errs,"sf":"$sfDir"}"""
-    val detail = results.map { case (k, v, ts, e) =>
-      jstr(k) + ":{\"sec\":" + fmt(v) +
-        ",\"reps\":" + ts.map(fmt).mkString("[", ",", "]") +
-        ",\"err\":" + e.map(jstr).getOrElse("null") + "}"
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"err":$errs,"spread_gt2":$noisy,"sf":"$sfDir"}"""
+    val detail = results.map { r =>
+      jstr(r.name) + ":{\"sec\":" + fmt(r.sec) +
+        ",\"reps\":" + r.reps.map(fmt).mkString("[", ",", "]") +
+        ",\"spread\":" + fmt(r.spread) +
+        ",\"err\":" + r.err.map(jstr).getOrElse("null") + "}"
     }.mkString("{", ",", "}")
     try {
       val w = new java.io.PrintWriter("bench_detail.json")

@@ -47,12 +47,18 @@ object TrainingSoak {
 
     val mgAgg = udaf(new MisraGries(m), org.apache.spark.sql.Encoders.scalaLong)
     val ((summary, exact), mgSec) = timed {
+      import spark.implicits._
       val cand = keys.agg(mgAgg(col("k")).as("s"))
         .select(explode(col("s.xs")).as("x"))
         .select(col("x.k").as("k"), col("x.c").as("c_est"))
       val sm = cand.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      // pass 2, exactly like q86: exact counts for the <= m candidates
-      val ex = keys.join(broadcast(cand.select(col("k"))), Seq("k"), "left_semi")
+      // pass 2, exactly like q86: exact counts for the <= m candidates.
+      // The candidate keys are re-injected from the ALREADY-COLLECTED
+      // summary as a literal broadcast frame — joining against `cand`
+      // itself would re-execute its full lineage and run the n-row MG
+      // aggregation a second time, making the soak three passes.
+      val candKeys = sm.keys.toSeq.toDF("k")
+      val ex = keys.join(broadcast(candKeys), Seq("k"), "left_semi")
         .groupBy(col("k")).agg(count(lit(1)).as("c"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
       (sm, ex)

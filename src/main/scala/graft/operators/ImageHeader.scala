@@ -4,9 +4,10 @@ import java.nio.ByteBuffer
 import java.util.zip.CRC32
 
 /** Pure byte-level image-header codec for the multimodal tier: parse
-  * (and, for test fixtures, emit) the two public uncompressed-header
-  * image container formats — PNG (IHDR chunk) and BMP
-  * (BITMAPINFOHEADER) — with no codec library dependency. This replaces
+  * (and, for test fixtures, emit) the four most common public image
+  * container formats — PNG (IHDR chunk), BMP (BITMAPINFOHEADER),
+  * JPEG (JFIF/EXIF marker walk to SOF0/1/2) and GIF (87a/89a logical
+  * screen descriptor) — with no codec library dependency. This replaces
   * the acknowledged decode STUB: real byte-format parsing runs inside
   * the batched mapPartitions stage (Multimodal.decodeImageMeta), so the
   * binary-column path is exercised end-to-end.
@@ -14,12 +15,19 @@ import java.util.zip.CRC32
   * Spec sources (public): PNG — RFC 2083 / W3C PNG spec (8-byte
   * signature, IHDR layout, CRC-32 over chunk type+data); BMP — the
   * Windows BITMAPFILEHEADER (14 bytes) + BITMAPINFOHEADER (>= 40 bytes)
-  * layout, little-endian.
+  * layout, little-endian; JPEG — ITU T.81 marker/segment syntax with
+  * the frame header (precision, lines, samples-per-line, components)
+  * in SOF0/SOF1/SOF2; GIF — the GIF89a specification's header +
+  * logical screen descriptor.
   *
   * Detection is STRICT on purpose: PNG verifies the full 8-byte
-  * signature, the IHDR length/type fields AND the IHDR CRC-32; BMP
-  * verifies the "BM" magic, the declared file size against the actual
-  * byte count, planes == 1 and a legal bit count. Arbitrary text/binary
+  * signature, the IHDR length/type fields, the spec's legal
+  * depth-per-color-type table AND the IHDR CRC-32; BMP verifies the
+  * "BM" magic, the declared file size against the actual byte count,
+  * planes == 1 and a legal bit count; JPEG walks every marker segment
+  * checking lengths against the buffer until SOS/EOI; GIF re-derives
+  * the color-table size from the packed flags and checks it against
+  * the actual byte count plus the 0x3B trailer. Arbitrary text/binary
   * payloads (e.g. the documents table's UTF-8 text) can therefore never
   * false-positive as an image — `decode` returns None and the caller
   * records format "unknown".
@@ -47,6 +55,14 @@ object ImageHeader {
     * truecolor, 3 palette index, 4 gray+alpha, 6 truecolor+alpha). */
   private val PngChannels = Map(0 -> 1, 2 -> 3, 3 -> 1, 4 -> 2, 6 -> 4)
 
+  /** PNG spec's legal bit depths PER color type (IHDR table): grayscale
+    * any of 1/2/4/8/16, palette up to 8, every other type 8 or 16.
+    * Checked in decode AND encode — a depth-3 or palette-16 header is
+    * spec-invalid and must not round-trip as a valid image. */
+  private val PngDepths: Map[Int, Set[Int]] = Map(
+    0 -> Set(1, 2, 4, 8, 16), 2 -> Set(8, 16), 3 -> Set(1, 2, 4, 8),
+    4 -> Set(8, 16), 6 -> Set(8, 16))
+
   def decodePng(b: Array[Byte]): Option[ImgMeta] = {
     // 8 sig + 4 len + 4 "IHDR" + 13 data + 4 crc
     if (b.length < 33) return None
@@ -59,7 +75,9 @@ object ImageHeader {
     val w = beInt(b, 16); val h = beInt(b, 20)
     if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue) return None
     val depth = b(24) & 0xff
-    PngChannels.get(b(25) & 0xff).map(ch => ImgMeta("png", w, h, depth.toLong * ch))
+    val colorType = b(25) & 0xff
+    if (!PngDepths.get(colorType).exists(_.contains(depth))) return None
+    Some(ImgMeta("png", w, h, depth.toLong * PngChannels(colorType)))
   }
 
   def decodeBmp(b: Array[Byte]): Option[ImgMeta] = {
@@ -75,9 +93,83 @@ object ImageHeader {
     Some(ImgMeta("bmp", w.toLong, math.abs(h).toLong, bpp.toLong))
   }
 
+  /** JPEG: SOI + a STRICT marker walk to a start-of-frame segment
+    * (SOF0 baseline / SOF1 extended / SOF2 progressive — the frame
+    * header layout is identical: precision, height, width, component
+    * count). Every segment's declared big-endian length must land
+    * inside the buffer, unknown marker bytes reject the payload, and
+    * the walk must terminate at SOS or EOI — the same
+    * whole-structure-validated discipline as the PNG CRC check, so
+    * arbitrary bytes that happen to start FF D8 cannot false-positive.
+    * bitsPerPixel = precision x components. */
+  def decodeJpeg(b: Array[Byte]): Option[ImgMeta] = {
+    if (b.length < 4) return None
+    if ((b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None // SOI
+    var off = 2
+    var meta: Option[ImgMeta] = None
+    while (off + 1 < b.length) {
+      if ((b(off) & 0xff) != 0xff) return None // every segment starts FF
+      var mOff = off + 1
+      while (mOff < b.length && (b(mOff) & 0xff) == 0xff) mOff += 1 // fill bytes
+      if (mOff >= b.length) return None
+      val marker = b(mOff) & 0xff
+      marker match {
+        case 0xd9 => // EOI: structurally complete
+          return meta
+        case 0xda => // SOS: entropy-coded data follows; header walk done
+          return meta
+        case m if m == 0x01 || (m >= 0xd0 && m <= 0xd7) => // standalone
+          off = mOff + 1
+        case 0xd8 => return None // a second SOI is malformed
+        case m if m >= 0xc0 && m <= 0xfe =>
+          if (mOff + 2 >= b.length) return None
+          val len = ((b(mOff + 1) & 0xff) << 8) | (b(mOff + 2) & 0xff)
+          if (len < 2 || mOff + 1 + len > b.length) return None
+          if (m == 0xc0 || m == 0xc1 || m == 0xc2) { // SOF0/1/2 frame header
+            val p = mOff + 3
+            if (len < 8) return None
+            val precision = b(p) & 0xff
+            val h = ((b(p + 1) & 0xff) << 8) | (b(p + 2) & 0xff)
+            val w = ((b(p + 3) & 0xff) << 8) | (b(p + 4) & 0xff)
+            val ncomp = b(p + 5) & 0xff
+            if (!Set(8, 12, 16).contains(precision)) return None
+            if (w <= 0 || h <= 0) return None
+            if (ncomp < 1 || ncomp > 4) return None
+            if (len != 8 + 3 * ncomp) return None // component specs must fit exactly
+            if (meta.isDefined) return None // two frame headers = malformed
+            meta = Some(ImgMeta("jpeg", w.toLong, h.toLong, precision.toLong * ncomp))
+          }
+          off = mOff + 1 + len
+        case _ => return None // not a JPEG marker
+      }
+    }
+    None // ran off the end without EOI/SOS: truncated
+  }
+
+  /** GIF: GIF87a/GIF89a magic + logical screen descriptor, with the
+    * declared structure checked against the actual byte count — if the
+    * global-color-table flag is set, the 3*2^(n+1)-byte table must be
+    * present, and the file must end with the 0x3B trailer.
+    * bitsPerPixel = the GCT size exponent + 1 (entries = 2^bpp). */
+  def decodeGif(b: Array[Byte]): Option[ImgMeta] = {
+    if (b.length < 14) return None // 6 magic + 7 LSD + 1 trailer
+    val magic = new String(b, 0, 6, "US-ASCII")
+    if (magic != "GIF87a" && magic != "GIF89a") return None
+    val w = leShort(b, 6); val h = leShort(b, 8)
+    if (w <= 0 || h <= 0) return None
+    val packed = b(10) & 0xff
+    val gctFlag = (packed & 0x80) != 0
+    val bpp = (packed & 0x07) + 1
+    val gctBytes = if (gctFlag) 3 * (1 << bpp) else 0
+    if (b.length < 13 + gctBytes + 1) return None
+    if ((b(b.length - 1) & 0xff) != 0x3b) return None // trailer
+    Some(ImgMeta("gif", w.toLong, h.toLong, bpp.toLong))
+  }
+
   /** Try every known format; None = not a recognized image. */
   def decode(b: Array[Byte]): Option[ImgMeta] =
-    if (b == null) None else decodePng(b).orElse(decodeBmp(b))
+    if (b == null) None
+    else decodePng(b).orElse(decodeBmp(b)).orElse(decodeJpeg(b)).orElse(decodeGif(b))
 
   // ---- fixture encoders (used by q89's deterministic payloads and the
   // ---- codec spec; they emit structurally valid files, zero pixels)
@@ -88,6 +180,8 @@ object ImageHeader {
   def encodePng(width: Int, height: Int, bitDepth: Int, colorType: Int): Array[Byte] = {
     require(width > 0 && height > 0, s"bad dims ${width}x$height")
     require(PngChannels.contains(colorType), s"bad color type $colorType")
+    require(PngDepths(colorType).contains(bitDepth),
+      s"bit depth $bitDepth illegal for color type $colorType")
     val data = ByteBuffer.allocate(13)
       .putInt(width).putInt(height)
       .put(bitDepth.toByte).put(colorType.toByte)
@@ -115,5 +209,50 @@ object ImageHeader {
       .putShort(1).putShort(bpp.toShort)
       .putInt(0).putInt(pixelBytes).putInt(2835).putInt(2835).putInt(0).putInt(0)
     buf.array() // remaining pixel array stays zeroed
+  }
+
+  /** Minimal valid JPEG: SOI + JFIF APP0 + SOF0 frame header + EOI.
+    * No scan data (no SOS/entropy segments) — the strict decoder walks
+    * the marker structure to EOI and extracts dimensions from SOF0.
+    * Always 41 bytes for 3 components: 2 + 18 + (2 + 17) + 2. */
+  def encodeJpeg(width: Int, height: Int, precision: Int = 8, components: Int = 3): Array[Byte] = {
+    require(width > 0 && height > 0 && width <= 0xffff && height <= 0xffff,
+      s"bad dims ${width}x$height")
+    require(Set(8, 12, 16).contains(precision), s"bad precision $precision")
+    require(components >= 1 && components <= 4, s"bad component count $components")
+    val sofLen = 8 + 3 * components
+    val buf = ByteBuffer.allocate(2 + 18 + 2 + sofLen + 2) // big-endian by default
+    buf.put(0xff.toByte).put(0xd8.toByte) // SOI
+    buf.put(0xff.toByte).put(0xe0.toByte).putShort(16) // APP0, len 16
+      .put("JFIF".getBytes("US-ASCII")).put(0.toByte) // identifier
+      .put(1.toByte).put(1.toByte) // version 1.1
+      .put(0.toByte).putShort(1).putShort(1) // no units, 1x1 density
+      .put(0.toByte).put(0.toByte) // no thumbnail
+    buf.put(0xff.toByte).put(0xc0.toByte).putShort(sofLen.toShort) // SOF0
+      .put(precision.toByte).putShort(height.toShort).putShort(width.toShort)
+      .put(components.toByte)
+    (1 to components).foreach { id =>
+      buf.put(id.toByte).put(0x11.toByte).put(0.toByte) // comp id, 1x1 sampling, qtable 0
+    }
+    buf.put(0xff.toByte).put(0xd9.toByte) // EOI
+    buf.array()
+  }
+
+  /** Minimal valid GIF89a: header + logical screen descriptor + global
+    * color table (zeroed, 2^bpp entries) + trailer. Byte count is
+    * 14 + 3 * 2^bpp, which the strict decoder re-derives and checks. */
+  def encodeGif(width: Int, height: Int, bpp: Int): Array[Byte] = {
+    require(width > 0 && height > 0 && width <= 0xffff && height <= 0xffff,
+      s"bad dims ${width}x$height")
+    require(bpp >= 1 && bpp <= 8, s"bad bpp $bpp")
+    val gctBytes = 3 * (1 << bpp)
+    val buf = ByteBuffer.allocate(13 + gctBytes + 1).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("GIF89a".getBytes("US-ASCII"))
+    buf.putShort(width.toShort).putShort(height.toShort)
+    buf.put((0x80 | (bpp - 1)).toByte) // GCT present, size exponent bpp-1
+    buf.put(0.toByte).put(0.toByte) // background index, aspect ratio
+    buf.position(buf.position() + gctBytes) // zeroed color table
+    buf.put(0x3b.toByte) // trailer
+    buf.array()
   }
 }

@@ -240,5 +240,48 @@ object Multimodal {
       decodeImageMeta(media)
         .select(col("media_id"), col("format"), col("width"), col("height"),
           col("bit_depth"), col("meta.n_bytes").as("n_bytes"))
+    },
+
+    q("q94_image_formats",
+      """JPEG + GIF header decode end-to-end — the q89 shape extended to
+        |the two remaining mainstream containers: each document row is
+        |wrapped into a structurally valid JPEG (even doc_id; JFIF APP0
+        |+ SOF0 marker walk) or GIF89a (odd doc_id; logical screen
+        |descriptor + global color table + trailer) whose dimensions and
+        |bit depth derive from doc_id, pushed through the canonical
+        |media frame and the batched mapPartitions decoder, and the
+        |decoded fields come back out. The oracle recomputes expected
+        |dimensions AND exact container byte sizes from doc_id
+        |arithmetic (JPEG: fixed 41-byte SOI+APP0+SOF0+EOI skeleton;
+        |GIF: 14 + 3*2^bpp with the color-table size implied by the
+        |packed bits), so an encode or decode bug on either format —
+        |including a wrong color-table size or a broken marker-length
+        |walk — turns the row red.""".stripMargin,
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'jpeg' ELSE 'gif' END AS format,
+        |  doc_id % 200 + 1 AS width,
+        |  doc_id % 41 + 1 AS height,
+        |  CASE WHEN doc_id % 2 = 0 THEN CAST(24 AS BIGINT)
+        |       ELSE doc_id % 8 + 1 END AS bit_depth,
+        |  CASE WHEN doc_id % 2 = 0 THEN CAST(41 AS BIGINT)
+        |       ELSE 14 + 3 * (1 << (doc_id % 8 + 1)) END AS n_bytes
+        |FROM documents""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val payloads = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val w = (id % 200 + 1).toInt
+          val h = (id % 41 + 1).toInt
+          val bytes =
+            if (id % 2 == 0) ImageHeader.encodeJpeg(w, h)
+            else ImageHeader.encodeGif(w, h, bpp = (id % 8 + 1).toInt)
+          (id, bytes)
+        }
+        .toDF("doc_id", "payload")
+        .withColumn("src", lit("synthetic"))
+      val media = asMediaFrame(payloads, "doc_id", "payload", "src")
+      decodeImageMeta(media)
+        .select(col("media_id"), col("format"), col("width"), col("height"),
+          col("bit_depth"), col("meta.n_bytes").as("n_bytes"))
     })
 }

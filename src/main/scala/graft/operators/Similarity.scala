@@ -123,9 +123,12 @@ object Similarity {
   }
 
   /** Session-cached exact brute-force top-k, computed ONCE per (session,
-    * sfDir) and shared by q31 (which returns it) and q34 (which uses it
-    * as the agreement reference) — previously q34 re-ran the whole
-    * decimal brute-force q31 had just computed. */
+    * sfDir) and shared as the agreement REFERENCE by q34 and q90 —
+    * previously each of them re-ran the whole decimal brute-force.
+    * q31 itself does NOT return this frame: its registered query is the
+    * uncached plan, so a benchmark rep of q31 measures the brute-force
+    * compute, not a ~50-row cache read (the cache would break
+    * round-over-round attribution of the exact-search baseline). */
   private val exactCache = new Dedup.SessionCache
   private def exactTopK(s: SparkSession, dir: String): DataFrame =
     exactCache.getOrElseUpdate(s, dir) {
@@ -156,8 +159,10 @@ object Similarity {
       """Brute-force cosine top-5 for 10 query vectors against the full
         |corpus: broadcast the queries, score array-natively (zip_with +
         |aggregate, exact decimal accumulation), window top-k per query.
-        |The exact-search baseline every ANN variant is judged against.""".stripMargin,
-      oracleTopK("")) { (s, dir) => exactTopK(s, dir) },
+        |The exact-search baseline every ANN variant is judged against.
+        |Returned UNCACHED so benchmark reps time the real brute-force
+        |scan; q34/q90 read the same result through a session cache.""".stripMargin,
+      oracleTopK("")) { (s, dir) => sparkTopK(s, dir, sameCell = false) },
 
     q("q34_knn_codegen",
       """Fast-path brute-force top-5 using the native codegen'd

@@ -6,6 +6,9 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Shared local session for all specs (one JVM under Test/fork). */
 object TestSession {
   lazy val spark: SparkSession = GraftSession.create("local[4]", "graft-test")
+
+  /** Canonical smallest-SF test data dir, shared by specs. */
+  val sfDir: String = "/root/testdata/sf0.001"
 }
 
 trait SparkSpec extends AnyFunSuite {
