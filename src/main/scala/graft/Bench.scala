@@ -52,8 +52,8 @@ object Bench {
     // FAILED MEASURED REP stops the loop (repeating a throw 3x tells
     // us nothing new). spread = max/min over successful reps: intra-run
     // load noise made visible in the artifact itself.
-    final case class QRes(name: String, sec: Double, reps: Seq[Double],
-                          spread: Double, err: Option[String])
+    final case class QRes(name: String, sec: Double, reps: Seq[(Double, Boolean)],
+                          spread: Double, err: Option[String], measured: Boolean)
     val results: Seq[QRes] =
       ordered.map { d =>
         var err: Option[String] = None
@@ -68,20 +68,24 @@ object Bench {
         }
         (1 to warmups).foreach(_ => once())
         err = None // warm-up failures don't gate measurement; measured reps decide
-        val good = scala.collection.mutable.ArrayBuffer.empty[Double]
-        val all = scala.collection.mutable.ArrayBuffer.empty[Double]
+        val all = scala.collection.mutable.ArrayBuffer.empty[(Double, Boolean)]
         var r = 0
         var failed = false
         while (r < reps && !failed) {
           val (t, ok) = once()
-          all += t
-          if (ok) good += t else failed = true
+          all += ((t, ok))
+          if (!ok) failed = true
           r += 1
         }
-        val sec = if (good.nonEmpty) median(good.toSeq) else all.last
+        val good = all.collect { case (t, true) => t }.toSeq
+        // a query with zero successful reps reports its failed-rep wall
+        // time for visibility, but measured=false keeps that meaningless
+        // number OUT of the headline total (a fast-throwing query must
+        // not deflate it)
+        val sec = if (good.nonEmpty) median(good) else all.last._1
         val spread =
           if (good.size >= 2 && good.min > 0) good.max / good.min else 1.0
-        QRes(d.name, sec, all.toSeq, spread, err)
+        QRes(d.name, sec, all.toSeq, spread, err, measured = good.nonEmpty)
       }
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
@@ -116,12 +120,21 @@ object Bench {
     val noisy = results.filter(_.spread > 2.0).map { r =>
       jstr(keys(r.name)) + ":" + fmt(r.spread)
     }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_.sec).sum else 0.0
+    // the headline total is built ONLY from queries with at least one
+    // successful measured rep; all-failed queries are counted out loud
+    // so the total can never silently shrink via a fast-throwing query
+    val total = results.filter(_.measured).map(_.sec).sum
+    val nExcluded = results.count(!_.measured)
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"err":$errs,"spread_gt2":$noisy,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","excluded":$nExcluded,"queries":$qs,"err":$errs,"spread_gt2":$noisy,"sf":"$sfDir"}"""
     val detail = results.map { r =>
+      // each rep carries its own ok flag so an auditor can tell exactly
+      // which recorded wall time was the failing one
       jstr(r.name) + ":{\"sec\":" + fmt(r.sec) +
-        ",\"reps\":" + r.reps.map(fmt).mkString("[", ",", "]") +
+        ",\"measured\":" + r.measured +
+        ",\"reps\":" + r.reps.map { case (t, ok) =>
+          "{\"sec\":" + fmt(t) + ",\"ok\":" + ok + "}"
+        }.mkString("[", ",", "]") +
         ",\"spread\":" + fmt(r.spread) +
         ",\"err\":" + r.err.map(jstr).getOrElse("null") + "}"
     }.mkString("{", ",", "}")

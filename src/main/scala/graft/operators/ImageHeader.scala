@@ -93,15 +93,21 @@ object ImageHeader {
     Some(ImgMeta("bmp", w.toLong, math.abs(h).toLong, bpp.toLong))
   }
 
-  /** JPEG: SOI + a STRICT marker walk to a start-of-frame segment
-    * (SOF0 baseline / SOF1 extended / SOF2 progressive — the frame
-    * header layout is identical: precision, height, width, component
-    * count). Every segment's declared big-endian length must land
-    * inside the buffer, unknown marker bytes reject the payload, and
-    * the walk must terminate at SOS or EOI — the same
+  /** JPEG: SOI + a STRICT marker walk to a start-of-frame segment.
+    * ALL of T.81's SOFn frame markers are decoded — SOF0/1/2 (the DCT
+    * mainstream), SOF3 lossless, SOF5-7 differential, SOF9-11
+    * arithmetic-coded, SOF13-15 differential arithmetic — because the
+    * frame-header layout (precision, lines, samples-per-line,
+    * component count) is identical across all of them; only DHT (C4),
+    * JPG (C8) and DAC (CC) interleave in that marker range and are
+    * skipped as plain segments. Every segment's declared big-endian
+    * length must land inside the buffer, unknown marker bytes reject
+    * the payload, and the walk must terminate at SOS or EOI — the same
     * whole-structure-validated discipline as the PNG CRC check, so
     * arbitrary bytes that happen to start FF D8 cannot false-positive.
-    * bitsPerPixel = precision x components. */
+    * Precision limits per T.81: lossless frames allow 2..16 bits,
+    * DCT-based frames 8/12 (16 also accepted, matching the fixture
+    * encoder's lenience). bitsPerPixel = precision x components. */
   def decodeJpeg(b: Array[Byte]): Option[ImgMeta] = {
     if (b.length < 4) return None
     if ((b(0) & 0xff) != 0xff || (b(1) & 0xff) != 0xd8) return None // SOI
@@ -125,14 +131,19 @@ object ImageHeader {
           if (mOff + 2 >= b.length) return None
           val len = ((b(mOff + 1) & 0xff) << 8) | (b(mOff + 2) & 0xff)
           if (len < 2 || mOff + 1 + len > b.length) return None
-          if (m == 0xc0 || m == 0xc1 || m == 0xc2) { // SOF0/1/2 frame header
+          val isSof = m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
+          if (isSof) { // any SOFn frame header (layout identical across n)
+            val isLossless = m == 0xc3 || m == 0xc7 || m == 0xcb || m == 0xcf
             val p = mOff + 3
             if (len < 8) return None
             val precision = b(p) & 0xff
             val h = ((b(p + 1) & 0xff) << 8) | (b(p + 2) & 0xff)
             val w = ((b(p + 3) & 0xff) << 8) | (b(p + 4) & 0xff)
             val ncomp = b(p + 5) & 0xff
-            if (!Set(8, 12, 16).contains(precision)) return None
+            val precisionOk =
+              if (isLossless) precision >= 2 && precision <= 16
+              else Set(8, 12, 16).contains(precision)
+            if (!precisionOk) return None
             if (w <= 0 || h <= 0) return None
             if (ncomp < 1 || ncomp > 4) return None
             if (len != 8 + 3 * ncomp) return None // component specs must fit exactly
@@ -149,7 +160,11 @@ object ImageHeader {
   /** GIF: GIF87a/GIF89a magic + logical screen descriptor, with the
     * declared structure checked against the actual byte count — if the
     * global-color-table flag is set, the 3*2^(n+1)-byte table must be
-    * present, and the file must end with the 0x3B trailer.
+    * present, the byte immediately AFTER the color table must be one of
+    * the spec's three legal block introducers (0x2C image descriptor,
+    * 0x21 extension, 0x3B trailer — anything else means the "color
+    * table" was arbitrary payload bytes, so reject), and the file must
+    * end with the 0x3B trailer.
     * bitsPerPixel = the GCT size exponent + 1 (entries = 2^bpp). */
   def decodeGif(b: Array[Byte]): Option[ImgMeta] = {
     if (b.length < 14) return None // 6 magic + 7 LSD + 1 trailer
@@ -162,6 +177,8 @@ object ImageHeader {
     val bpp = (packed & 0x07) + 1
     val gctBytes = if (gctFlag) 3 * (1 << bpp) else 0
     if (b.length < 13 + gctBytes + 1) return None
+    val introducer = b(13 + gctBytes) & 0xff
+    if (introducer != 0x2c && introducer != 0x21 && introducer != 0x3b) return None
     if ((b(b.length - 1) & 0xff) != 0x3b) return None // trailer
     Some(ImgMeta("gif", w.toLong, h.toLong, bpp.toLong))
   }

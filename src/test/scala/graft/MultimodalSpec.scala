@@ -106,6 +106,50 @@ class MultimodalSpec extends SparkSpec {
     assert(fmt(3) == "unknown" && out(3).isNullAt(out(3).fieldIndex("width")))
   }
 
+  test("JPEG decode: all SOFn frame markers, strict marker walk") {
+    import graft.operators.ImageHeader
+    val jpg = ImageHeader.encodeJpeg(200, 100)
+    assert(ImageHeader.decode(jpg).contains(ImageHeader.ImgMeta("jpeg", 200, 100, 24)))
+    // SOF3 (lossless) has the identical frame-header layout; precision
+    // 4 is legal for lossless but NOT for DCT frames
+    val sof3 = jpg.clone()
+    sof3(21) = 0xc3.toByte // SOF0 -> SOF3 (marker byte after APP0's 18 bytes + FF)
+    sof3(24) = 4.toByte    // precision 4: lossless-only
+    assert(ImageHeader.decode(sof3).contains(ImageHeader.ImgMeta("jpeg", 200, 100, 12)))
+    // the same precision on a DCT frame (SOF0) must reject
+    val badPrec = jpg.clone(); badPrec(24) = 4.toByte
+    assert(ImageHeader.decode(badPrec).isEmpty)
+    // DHT (C4) in the SOFn range must NOT be parsed as a frame header
+    val dht = jpg.clone(); dht(21) = 0xc4.toByte
+    assert(ImageHeader.decode(dht).isEmpty) // walks to EOI with no SOF -> meta None
+    // a second SOI mid-stream is malformed
+    val dupSoi = jpg.clone(); dupSoi(21) = 0xd8.toByte
+    assert(ImageHeader.decode(dupSoi).isEmpty)
+    // truncation mid-segment rejects
+    assert(ImageHeader.decode(jpg.take(jpg.length - 3)).isEmpty)
+  }
+
+  test("GIF decode: block-introducer check closes the text false-positive window") {
+    import graft.operators.ImageHeader
+    val gif = ImageHeader.encodeGif(64, 32, bpp = 2)
+    assert(ImageHeader.decode(gif).contains(ImageHeader.ImgMeta("gif", 64, 32, 2)))
+    // a text payload dressed as a GIF: magic + plausible LSD + arbitrary
+    // prose + ';' — rejected because the byte after the declared color
+    // table is not a legal block introducer (0x2C / 0x21 / 0x3B)
+    val prose = "GIF89a here is some ordinary document text that ends with ;"
+      .getBytes("US-ASCII")
+    // force a plausible LSD on top of the prose: positive dims, GCT
+    // flag set with a small table so offset 13+gct lands inside prose
+    prose(6) = 1; prose(7) = 0; prose(8) = 1; prose(9) = 0 // 1x1
+    prose(10) = 0x80.toByte // GCT present, bpp 1 -> 6-byte table
+    assert(ImageHeader.decode(prose).isEmpty)
+    // but an extension block (0x21) after the table is legal
+    val withExt = gif.dropRight(1) ++ Array(0x21.toByte, 0xfe.toByte, 0x00.toByte, 0x3b.toByte)
+    assert(ImageHeader.decode(withExt).contains(ImageHeader.ImgMeta("gif", 64, 32, 2)))
+    // missing trailer rejects
+    assert(ImageHeader.decode(gif.dropRight(1)).isEmpty)
+  }
+
   test("block sampling bounds output size") {
     val m = Multimodal.asMediaFrame(docs.filter(col("doc_id") === 1), "doc_id", "text", "source")
     val b = Multimodal.sampleBlocks(m, blockSize = 4, every = 2).select("blocks").head()
