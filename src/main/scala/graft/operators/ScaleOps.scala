@@ -90,13 +90,17 @@ object ScaleOps {
         |fixed centroids (vec_id 0..7 — deterministic seeding), report
         |per-centroid membership count and total squared distance (the
         |k-means objective). This is how q32's IVF cells are actually
-        |trained at scale: centroids broadcast, one scan scores the
-        |corpus, min(struct(dist, cid)) picks the winner in the same
-        |partial aggregation that carries the scan — one shuffle of one
-        |row per vector, then a k-row final aggregate. Distances are
-        |exact decimals so both engines agree on every assignment; the
-        |objective is string-bridged to double (decimal->double direct
-        |cast can be 1 ulp off between engines).""".stripMargin,
+        |trained at scale, in the same scan-side shape q90 uses for IVF
+        |assignment: the WHOLE codebook rides along as one broadcast
+        |array row and each vector's nearest centroid is an
+        |array_min(transform(...)) over that array — computed inside the
+        |scan projection with ZERO row blowup (no per-centroid join
+        |multiplying the corpus x8) and zero pre-aggregation shuffle;
+        |the only shuffle is the k-row final aggregate. Distances are
+        |exact decimals so both engines agree on every assignment (ties
+        |break to the lower cid via struct ordering); the objective is
+        |string-bridged to double (decimal->double direct cast can be
+        |1 ulp off between engines).""".stripMargin,
       s"""WITH e AS (
         |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
         |    CAST(round(CAST(unnest(embedding) AS DOUBLE), 4) AS DECIMAL(9,4)) AS v
@@ -118,13 +122,19 @@ object ScaleOps {
         |GROUP BY cid""".stripMargin) { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
         .select(col("vec_id"), expr(quant("embedding")).as("qv"))
-      val cents = emb.filter(col("vec_id") < KCentroids)
-        .select(col("vec_id").as("cid"), col("qv").as("cv"))
-      val dists = emb.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("cid"), expr(sqDistExpr("qv", "cv")).as("d"))
-      val best = dists
-        .groupBy(col("vec_id"))
-        .agg(min(struct(col("d"), col("cid"))).as("m"))
+      // codebook as ONE broadcast array row, sorted by cid so distance
+      // ties break toward the lower cid on both engines
+      val centsArr = emb.filter(col("vec_id") < KCentroids)
+        .select(struct(col("vec_id").as("cid"), col("qv").as("cv")).as("ct"))
+        .agg(sort_array(collect_list(col("ct"))).as("cents"))
+      // nearest centroid per row, scan-side: distances to all 8 cells in
+      // one nested-HOF projection, argmin via array_min over (d, cid)
+      // structs — no join, no row multiplication, nothing shuffles until
+      // the k-row aggregate below
+      val bestExpr = "array_min(transform(cents, ct -> named_struct(" +
+        s"'d', ${sqDistExpr("qv", "ct.cv")}, 'cid', ct.cid)))"
+      val best = emb.crossJoin(broadcast(centsArr))
+        .select(expr(bestExpr).as("m"))
         .select(col("m.cid").as("cid"), col("m.d").as("d"))
       best.groupBy(col("cid"))
         .agg(count(lit(1)).as("n_assigned"),

@@ -70,6 +70,26 @@ class PlanGuardSpec extends SparkSpec {
       s"expected cached fast + exact subtrees in q34's plan, found ${mems.size}")
   }
 
+  test("q79 centroid assignment is scan-side: one hash shuffle, no per-vector aggregate") {
+    // the assignment must ride the scan (broadcast codebook array +
+    // array_min argmin), so the only hash-partitioned exchange left is
+    // the k-row final aggregate. The old shape — crossJoin against 8
+    // centroid ROWS then groupBy(vec_id) — planned a second, corpus-
+    // sized hash shuffle; this guard keeps it from coming back.
+    val d = SparkEntry.all.find(_.name == "q79_kmeans_assign").get
+    val qe = d.run(spark, sfDir).queryExecution
+    val hashShuffles = "Exchange hashpartitioning".r
+      .findAllIn(qe.executedPlan.toString).size
+    assert(hashShuffles <= 1,
+      s"q79 should hash-shuffle once (final agg), found $hashShuffles")
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    val perVector = qe.optimizedPlan.collect {
+      case a: Aggregate if a.groupingExpressions.exists(_.references.exists(
+        _.name == "vec_id")) => a
+    }
+    assert(perVector.isEmpty, "q79 must not aggregate per vec_id")
+  }
+
   test("every oracle-paired query declares matching column names in its SQL") {
     // cheap drift guard: each Spark output column name must appear as a
     // token in the oracle SQL (aliased the same way) — the driver's
