@@ -9,16 +9,19 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: media as opaque `binary` columns with a
   * typed metadata struct, and a batched decode/feature-extract stage.
   *
-  * Decode comes in two tiers:
-  *   - [[ImageHeader]] REAL header decode — PNG IHDR and BMP
-  *     BITMAPINFOHEADER parsed byte-for-byte (width/height/bit depth,
-  *     strict magic + CRC/size validation), run batched per partition
-  *     by [[decodeImageMeta]] and oracle-pinned end-to-end by q89;
-  *   - the FEATURE extraction (`fakeDecodeFeatures`) stays a
-  *     deterministic stub (this container has no pixel codecs) — it
-  *     stands in for the model-embedding stage only.
-  * Everything around them — schema, batch shape, mapPartitions
-  * plumbing, partition sizing — is real and is what matters at 100 TB:
+  * The feature extractor ([[decodeFeatures]]) is real end-to-end and
+  * dispatches on payload content:
+  *   - recognized image containers go through [[ImageHeader]]'s strict
+  *     byte-level decode (PNG/BMP/JPEG/GIF — magic, CRC, marker-walk
+  *     validation) and the features are the DECODED header facts
+  *     (format, dimensions, bit depth, container size);
+  *   - everything else gets content-statistic features (rolling byte
+  *     sums — a real, if simple, content fingerprint). A learned
+  *     embedding model would slot in here; this container can't host
+  *     one, and the byte statistics keep the branch deterministic and
+  *     oracle-checkable.
+  * Everything around the extractor — schema, batch shape, mapPartitions
+  * plumbing, partition sizing — is what matters at 100 TB:
   *   - media bytes never pass through a shuffle (decode runs in the scan
   *     stage, feature vectors are ~KB vs media ~MB);
   *   - decode is batched per partition (amortizes model/codec init,
@@ -56,10 +59,12 @@ object Multimodal {
     require(got == want, s"not a canonical media frame: got $got, want $want")
   }
 
-  /** STUB decoder: deterministic 8-dim feature vector from the payload
-    * bytes (rolling byte sums). Replace with a real codec+model; the
-    * signature (Iterator of batches in, features out) is the contract. */
-  def fakeDecodeFeatures(bytes: Array[Byte], dims: Int = 8): Array[Float] = {
+  /** Content-statistic features for payloads that are NOT recognized
+    * images: deterministic rolling byte sums, emitted in exact "milli"
+    * units ((v mod 1000)/1000, so round(f*1000) recovers the integer
+    * accumulator losslessly for cross-engine comparison). This is the
+    * branch where a learned embedding model would plug in. */
+  def byteStatFeatures(bytes: Array[Byte], dims: Int = 8): Array[Float] = {
     val acc = new Array[Long](dims)
     var i = 0
     while (i < bytes.length) {
@@ -68,6 +73,28 @@ object Multimodal {
     }
     acc.map(v => (v % 1000).toFloat / 1000f)
   }
+
+  /** Format code used in header-derived feature vectors (0 = not an
+    * image; stable across releases, so downstream models can one-hot). */
+  val FormatCodes: Map[String, Long] =
+    Map("png" -> 1L, "bmp" -> 2L, "jpeg" -> 3L, "gif" -> 4L)
+
+  /** REAL feature extraction: strict header decode first; a recognized
+    * image yields features built from the DECODED facts (format code,
+    * width, height, bit depth, container bytes, pixel count, min/max
+    * extent), anything else falls through to [[byteStatFeatures]].
+    * Both branches emit exact milli units — no float arithmetic that
+    * could diverge between engines. */
+  def decodeFeatures(bytes: Array[Byte], dims: Int = 8): Array[Float] =
+    ImageHeader.decode(bytes) match {
+      case Some(m) =>
+        val base = Array(
+          FormatCodes(m.format), m.width, m.height, m.bitsPerPixel,
+          bytes.length.toLong, m.width * m.height,
+          math.min(m.width, m.height), math.max(m.width, m.height))
+        Array.tabulate(dims)(i => (base(i % base.length) % 1000).toFloat / 1000f)
+      case None => byteStatFeatures(bytes, dims)
+    }
 
   /** Batched decode/feature-extract over the canonical media frame:
     * mapPartitions so per-partition init (codec, model session) happens
@@ -83,7 +110,7 @@ object Multimodal {
       // per-partition init would go here (load codec / model once)
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](mediaIdx)
-        val feats = if (bytes == null) null else fakeDecodeFeatures(bytes, dims)
+        val feats = if (bytes == null) null else decodeFeatures(bytes, dims)
         Row.fromSeq(keepIdx.map(r.get).toSeq :+ feats)
       }
     }(enc)
@@ -131,38 +158,64 @@ object Multimodal {
 
   val defs: Seq[QueryDef] = Seq(
     q("q33_multimodal_features",
-      """Binary-column pipeline on the documents payload: canonical media
-        |frame (binary + metadata struct) → batched stub decode →
-        |8-dim feature vectors. The mapPartitions decode stage is not
-        |SQL-expressible, but the STUB's byte math is — so the oracle
-        |recomputes the per-dim byte sums from hex pairs in DuckDB and
-        |pins the full vector cross-engine. Features are emitted as the
-        |exact integer accumulators (mod 1000, the pre-scale form) so
-        |no float formatting is compared; the float vector itself is the
-        |operator API (extractFeatures) and is spec-covered. A real
-        |codec replacing the stub reverts this row to rows-only.""".stripMargin,
+      """REAL multimodal feature pipeline with content dispatch: a mixed
+        |corpus (even doc_id rows carry a structurally valid PNG whose
+        |dimensions derive from doc_id; odd rows carry the raw UTF-8
+        |text bytes) flows through the canonical media frame and ONE
+        |batched extractor. Recognized images take the strict-decode
+        |branch — features are the DECODED header facts (format code,
+        |width, height, bit depth, container bytes, pixel count, min/max
+        |extent) — and unrecognized payloads take the byte-statistics
+        |branch. The oracle recomputes BOTH branches independently
+        |(image features from doc_id arithmetic, byte-sum features from
+        |hex pairs), so the dispatch itself and each branch's math are
+        |pinned cross-engine. Features are compared as exact milli
+        |integers (round(f*1000)) — no float formatting in the hash.""".stripMargin,
       """WITH b AS (
         |  SELECT doc_id, source, hex(encode(text)) AS h,
         |         octet_length(encode(text)) AS n
-        |  FROM documents
+        |  FROM documents WHERE doc_id % 2 = 1
         |), by AS (
         |  SELECT doc_id, source, n,
         |         list_transform(range(0, n),
         |           i -> ('0x'||substring(h, 2*i+1, 2))::BIGINT) AS bytes
         |  FROM b
+        |), textfeat AS (
+        |  SELECT doc_id AS media_id, n AS n_bytes, source,
+        |    array_to_string(list_transform(range(0, 8), d ->
+        |      coalesce(list_sum(list_transform(
+        |        range(0, CAST(ceil((n - d) / 8.0) AS BIGINT)),
+        |        k -> bytes[d + 8*k + 1])), 0) % 1000), ',') AS features_milli
+        |  FROM by
+        |), imgfeat AS (
+        |  SELECT doc_id AS media_id, CAST(33 AS BIGINT) AS n_bytes, source,
+        |    array_to_string([1, doc_id % 100 + 1, doc_id % 37 + 1, 24, 33,
+        |      ((doc_id % 100 + 1) * (doc_id % 37 + 1)) % 1000,
+        |      least(doc_id % 100 + 1, doc_id % 37 + 1),
+        |      greatest(doc_id % 100 + 1, doc_id % 37 + 1)], ',') AS features_milli
+        |  FROM documents WHERE doc_id % 2 = 0
         |)
-        |SELECT doc_id AS media_id, n AS n_bytes, source,
-        |  array_to_string(list_transform(range(0, 8), d ->
-        |    coalesce(list_sum(list_transform(
-        |      range(0, CAST(ceil((n - d) / 8.0) AS BIGINT)),
-        |      k -> bytes[d + 8*k + 1])), 0) % 1000), ',') AS features_milli
-        |FROM by""".stripMargin) { (s, dir) =>
-      val media = asMediaFrame(Tables.documents(s, dir), "doc_id", "text", "source")
+        |SELECT * FROM imgfeat UNION ALL SELECT * FROM textfeat""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val payloads = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long"), col("text"), col("source"))
+        .as[(Long, String, String)]
+        .map { case (id, text, src) =>
+          val bytes =
+            if (id % 2 == 0)
+              ImageHeader.encodePng((id % 100 + 1).toInt, (id % 37 + 1).toInt,
+                bitDepth = 8, colorType = 2)
+            else if (text == null) null
+            else text.getBytes("UTF-8")
+          (id, bytes, src)
+        }
+        .toDF("doc_id", "payload", "source")
+      val media = asMediaFrame(payloads, "doc_id", "payload", "source")
       extractFeatures(media)
         .select(col("media_id"), col("meta.n_bytes").as("n_bytes"),
           col("meta.source").as("source"),
-          // features are v/1000f with v = byte-sum % 1000 in [0,999]:
-          // round(f*1000) recovers v exactly (float error << 0.5)
+          // features are v/1000f with v an exact milli integer in
+          // [0,999]: round(f*1000) recovers v exactly on both branches
           array_join(transform(col("features"),
             f => round(f.cast("double") * 1000).cast("long").cast("string")), ",")
             .as("features_milli"))

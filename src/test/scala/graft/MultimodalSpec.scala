@@ -26,7 +26,7 @@ class MultimodalSpec extends SparkSpec {
       == "héllo wörld".getBytes("UTF-8").length)
   }
 
-  test("batched stub decode yields deterministic fixed-width features; nulls pass through") {
+  test("batched feature extraction yields deterministic fixed-width features; nulls pass through") {
     val m = Multimodal.asMediaFrame(docs, "doc_id", "text", "source")
     val f1 = Multimodal.extractFeatures(m).orderBy("media_id").collect()
     val f2 = Multimodal.extractFeatures(m).orderBy("media_id").collect()
@@ -35,6 +35,20 @@ class MultimodalSpec extends SparkSpec {
     assert(f1.last.isNullAt(f1.last.fieldIndex("features"))) // null payload
     // media column dropped before anything downstream (bytes don't travel)
     assert(!f1.head.schema.fieldNames.contains("media"))
+  }
+
+  test("decodeFeatures dispatches: images get decoded-header features, text gets byte stats") {
+    import graft.operators.ImageHeader
+    val png = ImageHeader.encodePng(640, 480, 8, 2) // 33 bytes, 24 bpp
+    val imgFeats = Multimodal.decodeFeatures(png)
+    // [fmt=png(1), w%1000, h%1000, bpp, container bytes, (w*h)%1000,
+    //  min extent, max extent] in exact milli units
+    assert(imgFeats.map(f => math.round(f * 1000f)).toSeq ==
+      Seq(1, 640, 480, 24, 33, (640 * 480) % 1000, 480, 640))
+    val text = "just a plain document".getBytes("UTF-8")
+    assert(Multimodal.decodeFeatures(text).toSeq == Multimodal.byteStatFeatures(text).toSeq)
+    // dims > base length cycles the header facts deterministically
+    assert(Multimodal.decodeFeatures(png, dims = 10).length == 10)
   }
 
   // ---- real header decode (ImageHeader) ----
