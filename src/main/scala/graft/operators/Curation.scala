@@ -243,16 +243,10 @@ object Curation {
         |  coalesce(h.n_shared_shingles, 0) AS n_shared_shingles
         |FROM documents d LEFT JOIN hits h ON h.eval_id = d.doc_id
         |WHERE d.doc_id % 50 = 0""".stripMargin) { (s, dir) =>
-      def grams5(df: org.apache.spark.sql.DataFrame) = df
-        .select(col("doc_id"), split(col("text"), " ").as("w"))
-        .withColumn("i", explode(when(size(col("w")) >= 5,
-          sequence(lit(1), size(col("w")) - 4)).otherwise(array())))
-        .select(col("doc_id"), concat_ws(" ", slice(col("w"), col("i"), lit(5))).as("sh"))
-        .distinct()
       val docs = Tables.documents(s, dir)
-      val evalG = grams5(docs.filter(col("doc_id") % 50 === 0))
+      val evalG = fiveGramShingles(docs.filter(col("doc_id") % 50 === 0))
         .withColumnRenamed("doc_id", "eval_id")
-      val trainG = grams5(docs.filter(col("doc_id") % 50 =!= 0))
+      val trainG = fiveGramShingles(docs.filter(col("doc_id") % 50 =!= 0))
         .withColumnRenamed("doc_id", "train_id")
       val hits = trainG.join(broadcast(evalG), "sh")
         .groupBy(col("eval_id"))
@@ -265,4 +259,16 @@ object Curation {
           coalesce(col("n_train_docs"), lit(0L)).as("n_train_docs"),
           coalesce(col("n_shared_shingles"), lit(0L)).as("n_shared_shingles"))
     })
+
+  /** Distinct 5-word shingles of a (doc_id, text) frame — q92's
+    * contamination key, shared with [[IncrementalContamination]]'s
+    * maintained index. Row-local (a doc's shingles never depend on the
+    * rest of the corpus), which is what makes the batch and incremental
+    * decontamination paths provably identical. */
+  private[operators] def fiveGramShingles(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = df
+    .select(col("doc_id"), split(col("text"), " ").as("w"))
+    .withColumn("i", explode(when(size(col("w")) >= 5,
+      sequence(lit(1), size(col("w")) - 4)).otherwise(array())))
+    .select(col("doc_id"), concat_ws(" ", slice(col("w"), col("i"), lit(5))).as("sh"))
+    .distinct()
 }

@@ -335,6 +335,59 @@ object Dedup {
         .withColumn("hamming", expr("CAST(bit_count(sig_a ^ sig_b) AS INT)"))
         .filter(col("hamming") <= 3)
         .select(col("doc_a"), col("doc_b"), col("hamming"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q95_chunk_dedup",
+      """Span-level dedup (the C4 "line dedup" rule, with fixed 8-token
+        |chunks standing in for lines since the corpus has no newlines):
+        |every chunk is kept only at its FIRST corpus occurrence —
+        |ordered by (doc_id, chunk index) — and each doc reports how many
+        |of its chunks survive plus a fingerprint of its reassembled
+        |deduped text. Shape at 100 TB: chunks shuffle once on their md5
+        |content key for the global first-occurrence aggregate (a
+        |min(struct) — no window over a content partition whose hot key
+        |could be corpus-sized), the occurrence join streams both sides
+        |on the same key, and reassembly is a per-doc sort of a
+        |doc-bounded list. The oracle recomputes the whole rule —
+        |chunking arithmetic, first-occurrence tie-breaks, reassembled
+        |md5 — in DuckDB.""".stripMargin,
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |ch AS (
+        |  SELECT doc_id, i AS idx,
+        |    array_to_string(w[8*i+1 : 8*i+8], ' ') AS chunk
+        |  FROM w, unnest(range(0, (len(w) + 7) // 8)) AS t(i)),
+        |mk AS (
+        |  SELECT doc_id, idx, chunk,
+        |    row_number() OVER (PARTITION BY md5(chunk) ORDER BY doc_id, idx) AS rn
+        |  FROM ch)
+        |SELECT doc_id,
+        |  count(*) AS n_chunks,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  md5(coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY idx), ''))
+        |    AS kept_fp
+        |FROM mk GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      val chunks = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .withColumn("idx", explode(expr("sequence(0, (size(w) + 7) div 8 - 1)")))
+        .select(col("doc_id"), col("idx"),
+          concat_ws(" ", slice(col("w"), col("idx") * 8 + 1, lit(8))).as("chunk"))
+        .withColumn("ck", md5(col("chunk")))
+      // global first occurrence per content key: a min(struct) aggregate,
+      // NOT row_number over a content partition — a billion-fold repeated
+      // chunk is one aggregation cell here, not one task's sort
+      val first = chunks.groupBy(col("ck"))
+        .agg(min(struct(col("doc_id"), col("idx"))).as("f"))
+      val marked = chunks.join(first, "ck")
+        .withColumn("is_first",
+          col("f.doc_id") === col("doc_id") && col("f.idx") === col("idx"))
+      marked.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("is_first"), 1L).otherwise(0L)).as("n_kept"),
+          md5(concat_ws(" ", transform(
+            sort_array(collect_list(when(col("is_first"),
+              struct(col("idx"), col("chunk"))))),
+            x => x.getField("chunk")))).as("kept_fp"))
     })
 
   /** 16-bit SimHash signature per doc (doc_id, simhash16), cached per

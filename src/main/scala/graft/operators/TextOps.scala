@@ -152,5 +152,58 @@ object TextOps {
           size(array_distinct(col("g2"))).cast("bigint").as("n_distinct_2grams"),
           ((size(col("g2")) - size(array_distinct(col("g2")))) * 10 >
             size(col("g2")) * 3).cast("bigint").as("repetitive"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q96_pii_scrub",
+      """PII scrubbing — the redaction pass every pre-training corpus
+        |runs: detect and replace email addresses and phone numbers with
+        |typed placeholders, reporting match counts and a fingerprint of
+        |the redacted text. The corpus text carries no PII, so each row
+        |deterministically injects doc_id-derived emails (doc_id mod 3
+        |occurrences) and phone numbers (doc_id mod 2) first — giving
+        |the regexes real, position-varied work that the oracle
+        |re-derives from the same arithmetic. Patterns stay inside the
+        |Java-regex/RE2 common subset (classes, +, {n,}), and the
+        |DuckDB side passes the 'g' flag (its regexp_replace is
+        |first-match-only by default, Spark's is global). Entirely
+        |scan-side: zero shuffle, full codegen.""".stripMargin,
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    text || repeat(' contact user' || CAST(doc_id AS VARCHAR) || '@example.com',
+        |                   CAST(doc_id % 3 AS INT))
+        |         || repeat(' call 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0'),
+        |                   CAST(doc_id % 2 AS INT)) AS t2
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, t2,
+        |    regexp_replace(regexp_replace(t2,
+        |      '[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |      '\d{3}-\d{4}', '<PHONE>', 'g') AS redacted
+        |  FROM t)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t2, '[a-z0-9._]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT)
+        |    AS n_emails,
+        |  CAST(len(regexp_extract_all(t2, '\d{3}-\d{4}')) AS BIGINT) AS n_phones,
+        |  CAST(length(redacted) AS BIGINT) AS n_redacted_chars,
+        |  md5(redacted) AS redacted_fp
+        |FROM r""".stripMargin) { (s, dir) =>
+      val EmailRe = "[a-z0-9._]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val PhoneRe = "\\d{3}-\\d{4}"
+      Tables.documents(s, dir)
+        .withColumn("t2", expr(
+          """concat(text,
+            |  repeat(concat(' contact user', CAST(doc_id AS STRING), '@example.com'),
+            |         CAST(doc_id % 3 AS INT)),
+            |  repeat(concat(' call 555-01', lpad(CAST(doc_id % 100 AS STRING), 2, '0')),
+            |         CAST(doc_id % 2 AS INT)))""".stripMargin))
+        .withColumn("redacted",
+          regexp_replace(regexp_replace(col("t2"), EmailRe, "<EMAIL>"),
+            PhoneRe, "<PHONE>"))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("t2"), lit(EmailRe), lit(0))).cast("bigint").as("n_emails"),
+          size(regexp_extract_all(col("t2"), lit(PhoneRe), lit(0))).cast("bigint").as("n_phones"),
+          length(col("redacted")).cast("bigint").as("n_redacted_chars"),
+          md5(col("redacted")).as("redacted_fp"))
     })
 }
