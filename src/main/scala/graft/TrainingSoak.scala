@@ -131,12 +131,80 @@ object TrainingSoak {
       } &&
       top.forall(r => r.getLong(r.fieldIndex("total_cnt")) == n)
 
+    // ---- 4) IVF multi-probe ANN recall (q90 shape) -----------------
+    // nIvf = n/10 synthetic 8-dim vectors over a 16-entry codebook:
+    // v(id)[d] = center(id%16, d) + jitter(id, d) with |jitter| <= 0.02
+    // and DISTINCT center patterns >= 1 apart in L2^2 (the center
+    // formula cycles with period 7, so some codebook entries coincide —
+    // deliberately: equidistant assignment and probe ties must break to
+    // the lower cid on every path, and a tie-break bug would surface as
+    // lost recall). Every vector's true nearest neighbors sit within
+    // jitter distance, far under the inter-pattern separation. The IVF
+    // path is the EXACT q90 mechanism — codebook as one broadcast array
+    // row, scan-side argmin assignment (zero row blowup), nprobe=2,
+    // k-bounded top-k — and the exact baseline is an independent
+    // per-query TakeOrdered over the full corpus. With this geometry
+    // recall@10 is deterministically 1.0; anything less means the cell
+    // pruning dropped a true neighbor, i.e. a real IVF bug, not noise.
+    val nIvf = math.max(n / 10, 100000L)
+    val kNN = 10
+    val centers = Array.tabulate(16)(c =>
+      Array.tabulate(8)(d => ((c * 31 + d * 17) % 7 - 3).toDouble))
+    val centersArr = centers.zipWithIndex.map { case (cv, cid) =>
+      s"named_struct('cid', ${cid}L, 'cv', array(${cv.mkString("D,")}D))"
+    }.mkString("array(", ",", ")")
+    val vExpr = "transform(sequence(0, 7), d -> " +
+      "CAST(((id % 16) * 31 + d * 17) % 7 - 3 AS DOUBLE) + " +
+      "((id div 16 + d) % 5 - 2) * 0.01D)"
+    val cdsExpr = s"transform($centersArr, ct -> named_struct(" +
+      "'d', aggregate(zip_with(v, ct.cv, (x, y) -> (x - y) * (x - y)), 0D, (a, b) -> a + b), " +
+      "'cid', ct.cid))"
+    val emb = spark.range(nIvf).select(col("id"), expr(vExpr).as("v"))
+    val ((ivfTop, exactTop), ivfSec) = timed {
+      import spark.implicits._
+      // IVF path: scan-side assignment + probe join + bounded top-k
+      val assigned = emb
+        .withColumn("cell", expr(s"array_min($cdsExpr).cid"))
+      val probes = emb.filter(col("id") < 5)
+        .select(col("id").as("query_id"), col("v").as("qvec"),
+          explode(expr(s"transform(slice(array_sort($cdsExpr), 1, 2), x -> x.cid)")).as("pcid"))
+      val topk = udaf(new operators.BoundedTopKD(kNN),
+        org.apache.spark.sql.Encoders.product[operators.ScoredD])
+      val cand = assigned
+        .join(broadcast(probes), col("cell") === col("pcid") && col("query_id") =!= col("id"))
+        .withColumn("negd",
+          -expr("aggregate(zip_with(v, qvec, (x, y) -> (x - y) * (x - y)), 0D, (a, b) -> a + b)"))
+      val ivf = cand.groupBy(col("query_id"))
+        .agg(topk(col("negd"), col("id")).as("tk"))
+        .select(col("query_id"), explode(col("tk.xs.k")).as("id"))
+        .collect().groupBy(_.getLong(0)).view
+        .mapValues(_.map(_.getLong(1)).toSet).toMap
+      // exact baseline: independent TakeOrdered per query over ALL rows
+      val qrows = emb.filter(col("id") < 5).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      val exact = qrows.map { case (qid, qv) =>
+        val qvLit = qv.map(d => s"CAST($d AS DOUBLE)").mkString("array(", ",", ")")
+        qid -> emb.filter(col("id") =!= qid)
+          .withColumn("dist",
+            expr(s"aggregate(zip_with(v, $qvLit, (x, y) -> (x - y) * (x - y)), 0D, (a, b) -> a + b)"))
+          .orderBy(col("dist"), col("id")).limit(kNN)
+          .select(col("id")).collect().map(_.getLong(0)).toSet
+      }.toMap
+      (ivf, exact)
+    }
+    val recalls = exactTop.map { case (qid, ex) =>
+      ivfTop.getOrElse(qid, Set.empty).intersect(ex).size.toDouble / kNN
+    }
+    val ivfRecall = if (recalls.isEmpty) 0.0 else recalls.sum / recalls.size
+    val ivfOk = exactTop.size == 5 && recalls.forall(_ == 1.0)
+
     println(
       s"""{"metric":"training_soak","rows":$n,""" +
         s""""mg_sec":$mgSec,"mg_summary_size":${summary.size},"mg_m":$m,"mg_ok":$mgOk,""" +
         s""""sample_sec":$sampleSec,"sample_ok":$sampleOk,""" +
-        s""""vocab_sec":$vocabSec,"vocab_ok":$vocabOk}""")
+        s""""vocab_sec":$vocabSec,"vocab_ok":$vocabOk,""" +
+        s""""ivf_rows":$nIvf,"ivf_sec":$ivfSec,"ivf_recall":$ivfRecall,"ivf_ok":$ivfOk}""")
     spark.stop()
-    if (!(mgOk && sampleOk && vocabOk)) sys.exit(1)
+    if (!(mgOk && sampleOk && vocabOk && ivfOk)) sys.exit(1)
   }
 }
