@@ -117,7 +117,7 @@ object EventLog {
     if (fresh.isEmpty)
       s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else
-      s.read.schema(schema).option("header", "true").csv(fresh.map(_.toString): _*)
+      s.read.schema(schema).option("header", "true").csv(fresh.map(_.toString).toIndexedSeq: _*)
   }
 
   /** S2/S3: JSON-lines scan (batch flavor; the streaming twin is

@@ -42,7 +42,7 @@ object PacedReplay {
   def stage(events: DataFrame, tsCol: String, stagingDir: String,
       sliceSeconds: Int): Staged = {
     val withTs = events.withColumn("__ts_s", unix_timestamp(col(tsCol)))
-    val tMin = withTs.agg(min(col("__ts_s"))).head.getLong(0)
+    val tMin = withTs.agg(min(col("__ts_s"))).head().getLong(0)
     val sliced = withTs
       .withColumn("slice", ((col("__ts_s") - lit(tMin)) / sliceSeconds).cast("int"))
       .drop("__ts_s")
