@@ -229,6 +229,72 @@ object ScaleOps {
     },
 
     // ----------------------------------------------------------------
+    q("q97_bloom_prejoin",
+      """Bloom-filter pre-join as a relational program — the semi-join
+        |reduction every 100 TB shuffle join wants: the dim side's keys
+        |(high-value orders) fold into a 1024-bit Bloom filter built
+        |exactly like q80's count-min (3 fixed affine hashes, the SET
+        |BITS are a <= 1024-row aggregate), the filter BROADCASTS, and
+        |the fact side prefilters ITS OWN DISTINCT KEYS against it
+        |before any fact row joins anything — at scale this is the
+        |difference between shuffling the whole fact table into a join
+        |and shuffling only rows whose key might match. The exact join
+        |then removes Bloom false positives. Emits the full accounting:
+        |fact rows, bloom-pass rows, exact-match rows, false positives
+        |(deterministic, since the hash constants are fixed) and set-bit
+        |count — the oracle recomputes the filter bit-for-bit, so the
+        |sketch itself is pinned cross-engine, not just the exact
+        |result.""".stripMargin,
+      s"""WITH dim AS (SELECT o_orderkey AS k FROM orders WHERE o_totalprice > 400000),
+        |h(i, a, b) AS (VALUES (0, 31, 7), (1, 131, 13), (2, 1009, 17)),
+        |bits AS (
+        |  SELECT DISTINCT h.i, ((h.a * d.k + h.b) % $P) % 1024 AS bit
+        |  FROM dim d CROSS JOIN h),
+        |fkeys AS (SELECT DISTINCT l_orderkey AS k FROM lineitem),
+        |probe AS (
+        |  SELECT f.k, count(*) AS n_hit
+        |  FROM fkeys f CROSS JOIN h
+        |  JOIN bits s ON s.i = h.i
+        |    AND s.bit = ((h.a * f.k + h.b) % $P) % 1024
+        |  GROUP BY f.k),
+        |cand AS (SELECT k FROM probe WHERE n_hit = 3)
+        |SELECT
+        |  (SELECT count(*) FROM lineitem) AS n_fact,
+        |  (SELECT count(*) FROM lineitem l JOIN cand c ON c.k = l.l_orderkey) AS n_bloom_pass,
+        |  (SELECT count(*) FROM lineitem l JOIN dim d ON d.k = l.l_orderkey) AS n_exact,
+        |  (SELECT count(*) FROM lineitem l JOIN cand c ON c.k = l.l_orderkey) -
+        |    (SELECT count(*) FROM lineitem l JOIN dim d ON d.k = l.l_orderkey) AS n_false_pos,
+        |  (SELECT count(*) FROM bits) AS n_bits_set""".stripMargin) { (s, dir) =>
+      def pos(k: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        ((col("h.a") * k + col("h.b")) % P) % 1024
+      val dim = Tables.orders(s, dir).filter(col("o_totalprice") > 400000)
+        .select(col("o_orderkey").as("k"))
+      val bits = dim.select(col("k"), explode(hashArr).as("h"))
+        .select(col("h.i").as("i"), pos(col("k")).as("bit")).distinct()
+      val li = Tables.lineitem(s, dir).select(col("l_orderkey"))
+      // prefilter runs on the fact side's DISTINCT keys, not its rows —
+      // a key's 3 probe positions are checked once no matter how many
+      // fact rows carry it
+      val cand = li.distinct().withColumnRenamed("l_orderkey", "k")
+        .select(col("k"), explode(hashArr).as("h"))
+        .select(col("k"), col("h.i").as("i"), pos(col("k")).as("bit"))
+        .join(broadcast(bits), Seq("i", "bit"))
+        .groupBy(col("k")).agg(count(lit(1)).as("n_hit"))
+        .filter(col("n_hit") === 3).select(col("k"))
+      val nFact = li.agg(count(lit(1)).as("n_fact"))
+      val nPass = li.join(broadcast(cand), col("l_orderkey") === col("k"))
+        .agg(count(lit(1)).as("n_bloom_pass"))
+      val nExact = li.join(broadcast(dim), col("l_orderkey") === col("k"))
+        .agg(count(lit(1)).as("n_exact"))
+      val nBits = bits.agg(count(lit(1)).as("n_bits_set"))
+      nFact.crossJoin(broadcast(nPass)).crossJoin(broadcast(nExact))
+        .crossJoin(broadcast(nBits))
+        .select(col("n_fact"), col("n_bloom_pass"), col("n_exact"),
+          (col("n_bloom_pass") - col("n_exact")).as("n_false_pos"),
+          col("n_bits_set"))
+    },
+
+    // ----------------------------------------------------------------
     q("q93_embedding_quantization",
       """Int8 scalar quantization of the embedding column — the storage
         |form every 100 TB ANN index actually holds (4x smaller than

@@ -205,5 +205,53 @@ object TextOps {
           size(regexp_extract_all(col("t2"), lit(PhoneRe), lit(0))).cast("bigint").as("n_phones"),
           length(col("redacted")).cast("bigint").as("n_redacted_chars"),
           md5(col("redacted")).as("redacted_fp"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q98_rolling_fingerprint",
+      """Polynomial rolling-hash document fingerprinting (the Rabin-Karp
+        |/ winnowing family, vs q25's md5): fold every character's code
+        |point through h = (h*131 + c) mod 1e9+7, plus the MIN of the
+        |per-64-char-block rolling hashes — the winnowing-style content
+        |fingerprint that survives document reordering at block
+        |granularity. All integer arithmetic (the accumulator stays
+        |under 2^37, no overflow on either engine), character-indexed
+        |identically on both sides (Spark ascii/substring and DuckDB
+        |ascii/substr both operate on code points), and entirely
+        |scan-side: zero shuffle, one projection. The oracle re-folds
+        |the same recurrence with list_reduce.""".stripMargin,
+      """WITH codes AS (
+        |  SELECT doc_id,
+        |    list_transform(range(1, length(text) + 1),
+        |      i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)) AS cs
+        |  FROM documents),
+        |blocks AS (
+        |  SELECT doc_id, cs, CAST(ceil(len(cs) / 64.0) AS BIGINT) AS n_blocks
+        |  FROM codes)
+        |SELECT doc_id,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), cs),
+        |    (a, c) -> (a * 131 + c) % 1000000007) AS rh_full,
+        |  list_min(list_transform(range(0, n_blocks), b ->
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), cs[64*b+1 : 64*b+64]),
+        |      (a, c) -> (a * 131 + c) % 1000000007))) AS rh_min_block,
+        |  n_blocks
+        |FROM blocks""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        // empty text must yield an EMPTY code list (Spark's
+        // sequence(1, 0) counts DOWN, unlike DuckDB's range)
+        .withColumn("cs", expr(
+          """CASE WHEN length(text) = 0 THEN CAST(array() AS ARRAY<BIGINT>)
+            |ELSE transform(sequence(1, length(text)),
+            |     i -> CAST(ascii(substring(text, i, 1)) AS BIGINT)) END""".stripMargin))
+        .withColumn("n_blocks", expr("CAST(ceil(size(cs) / 64.0) AS BIGINT)"))
+        .select(col("doc_id"),
+          expr("aggregate(cs, CAST(0 AS BIGINT), (a, c) -> (a * 131 + c) % 1000000007)")
+            .as("rh_full"),
+          expr("""CASE WHEN n_blocks = 0 THEN CAST(NULL AS BIGINT)
+            |ELSE array_min(transform(sequence(0, CAST(n_blocks AS INT) - 1),
+            |  b -> aggregate(slice(cs, 64*b+1, 64), CAST(0 AS BIGINT),
+            |       (a, c) -> (a * 131 + c) % 1000000007))) END""".stripMargin)
+            .as("rh_min_block"),
+          col("n_blocks"))
     })
 }
