@@ -104,4 +104,41 @@ object DistributedRank {
       .withColumn(rankCol, col("__off") + col("__lr"))
       .drop("__pid", "__lr", "__off")
   }
+
+  /** `df` plus `cumCol` (INCLUSIVE global prefix sum of `value` over the
+    * total order `ord`) and `totalCol` (the grand total on every row) —
+    * the distributed scan/prefix-sum primitive, same scale shape as
+    * [[withGlobalRank]]: a partition-less `sum().over(Window.orderBy)`
+    * would run the whole input through one task; here the range shuffle
+    * partitions the order, each partition computes its LOCAL running
+    * sum in parallel (a window partitioned by the range-partition id —
+    * npart-way parallel, never partition-less), per-partition totals
+    * turn into prefix offsets via the triangular join, and the global
+    * cumulative value is offset + local running sum. Same
+    * single-execution contract (localCheckpoint before both branches).
+    * `value` must be non-null; `ord` must be a total order. */
+  def withGlobalPrefixSum(df: DataFrame, ord: Seq[Column], value: Column,
+      cumCol: String, totalCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val npart = df.sparkSession.sessionState.conf.numShufflePartitions
+    val local = df
+      .repartitionByRange(npart, ord: _*)
+      .sortWithinPartitions(ord: _*)
+      .withColumn("__pid", shiftright(monotonically_increasing_id(), 33).cast("int"))
+      .withColumn("__v", value.cast("long"))
+      .localCheckpoint()
+    val w = Window.partitionBy(col("__pid")).orderBy(ord: _*)
+    val cnts = local.groupBy(col("__pid")).agg(sum(col("__v")).as("__n"))
+    val offs = cnts.as("a")
+      .join(cnts.as("b"), col("b.__pid") < col("a.__pid"), "left")
+      .groupBy(col("a.__pid").as("__pid"))
+      .agg(coalesce(sum(col("b.__n")), lit(0L)).as("__off"))
+    val total = cnts.agg(sum(col("__n")).cast("long").as(totalCol))
+    local
+      .withColumn("__lcum", sum(col("__v")).over(w))
+      .join(broadcast(offs), "__pid")
+      .crossJoin(broadcast(total))
+      .withColumn(cumCol, col("__off") + col("__lcum"))
+      .drop("__pid", "__v", "__lcum", "__off")
+  }
 }

@@ -317,6 +317,53 @@ object TrainingOps {
           "left_anti")
         .select(col("cust").as("o_custkey"), col("j").as("slot"), col("cand_part"))
         .orderBy(col("o_custkey"), col("slot")).limit(50)
+    },
+
+    // ----------------------------------------------------------------
+    q("q99_sequence_packing",
+      """Sequence packing for pretraining batches: concatenate the
+        |corpus in doc_id order and cut it into fixed 512-token
+        |sequences, reporting each document's global token offset, the
+        |sequence it starts in, and whether it straddles a boundary —
+        |the layout step between a curated corpus and a token-packed
+        |training shard. The global offset is an INCLUSIVE prefix sum
+        |over a total order, which naively is a partition-less window
+        |(one task sorts the corpus); here it runs through
+        |DistributedRank.withGlobalPrefixSum — range shuffle, per-range
+        |LOCAL running sums in parallel, triangular offsets of the
+        |npart-row totals, offset + local sum — so the plan never
+        |funnels the corpus through one task. The oracle is DuckDB's
+        |plain cumulative window, pinning the distributed prefix sum
+        |exactly.""".stripMargin,
+      """WITH t AS (
+        |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(sum(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS cum,
+        |    CAST(sum(n_tokens) OVER () AS BIGINT) AS total_tokens
+        |  FROM t)
+        |SELECT doc_id, n_tokens,
+        |  cum - n_tokens AS start_offset,
+        |  (cum - n_tokens) // 512 AS seq_id,
+        |  CAST(CASE WHEN (cum - n_tokens) // 512 <> (cum - 1) // 512
+        |       THEN 1 ELSE 0 END AS BIGINT) AS crosses_boundary,
+        |  total_tokens
+        |FROM c""".stripMargin) { (s, dir) =>
+      val SeqLen = 512
+      val t = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          coalesce(size(split(col("text"), " ")).cast("long"), lit(0L)).as("n_tokens"))
+      DistributedRank.withGlobalPrefixSum(t, Seq(col("doc_id")),
+          col("n_tokens"), "cum", "total_tokens")
+        // integer `div`, not `/`: double division drifts above 2^53
+        // total tokens, exactly the regime this operator exists for
+        .select(col("doc_id"), col("n_tokens"),
+          (col("cum") - col("n_tokens")).as("start_offset"),
+          expr(s"(cum - n_tokens) div $SeqLen").as("seq_id"),
+          expr(s"CAST((cum - n_tokens) div $SeqLen <> (cum - 1) div $SeqLen AS BIGINT)")
+            .as("crosses_boundary"),
+          col("total_tokens"))
     }
   )
 }

@@ -45,4 +45,21 @@ class DistributedRankSpec extends SparkSpec {
       assert(rks.forall(_._2 == 5000L))
     }
   }
+
+  test("withGlobalPrefixSum ≡ partition-less cumulative window, any input partitioning") {
+    val df = spark.range(10000)
+      .select(col("id"), ((col("id") * 2654435761L) % 37L + 1L).as("w"))
+      .repartition(13, col("id") % 7)
+    val got = DistributedRank
+      .withGlobalPrefixSum(df, Seq(col("id")), col("w"), "cum", "total")
+      .select(col("id"), col("w"), col("cum"), col("total"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val want = df
+      .withColumn("cum", sum(col("w")).over(Window.orderBy(col("id"))).cast("long"))
+      .withColumn("total", sum(col("w")).over(Window.partitionBy()).cast("long"))
+      .select(col("id"), col("w"), col("cum"), col("total"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == 10000)
+    assert(got.sortBy(_._1) sameElements want.sortBy(_._1))
+  }
 }
