@@ -214,12 +214,15 @@ object TextOps {
         |point through h = (h*131 + c) mod 1e9+7, plus the MIN of the
         |per-64-char-block rolling hashes — the winnowing-style content
         |fingerprint that survives document reordering at block
-        |granularity. All integer arithmetic (the accumulator stays
-        |under 2^37, no overflow on either engine), character-indexed
-        |identically on both sides (Spark ascii/substring and DuckDB
-        |ascii/substr both operate on code points), and entirely
-        |scan-side: zero shuffle, one projection. The oracle re-folds
-        |the same recurrence with list_reduce.""".stripMargin,
+        |granularity. Runs through the NATIVE codegen expressions
+        |(plans/RollingHash: one fused primitive loop per row, inlined
+        |into whole-stage codegen) — the higher-order-function
+        |formulation of the same recurrence measured ~4 ms/doc
+        |interpreted, the costliest scan op in the suite. All integer
+        |arithmetic (the accumulator stays under 2^37, no overflow on
+        |either engine), code-point-indexed identically on both sides.
+        |Entirely scan-side: zero shuffle, one projection. The oracle
+        |re-folds the same recurrence with list_reduce.""".stripMargin,
       """WITH codes AS (
         |  SELECT doc_id,
         |    list_transform(range(1, length(text) + 1),
@@ -236,22 +239,11 @@ object TextOps {
         |      (a, c) -> (a * 131 + c) % 1000000007))) AS rh_min_block,
         |  n_blocks
         |FROM blocks""".stripMargin) { (s, dir) =>
+      graft.plans.GraftFunctions.register(s)
       Tables.documents(s, dir)
-        // empty text must yield an EMPTY code list (Spark's
-        // sequence(1, 0) counts DOWN, unlike DuckDB's range)
-        .withColumn("cs", expr(
-          """CASE WHEN length(text) = 0 THEN CAST(array() AS ARRAY<BIGINT>)
-            |ELSE transform(sequence(1, length(text)),
-            |     i -> CAST(ascii(substring(text, i, 1)) AS BIGINT)) END""".stripMargin))
-        .withColumn("n_blocks", expr("CAST(ceil(size(cs) / 64.0) AS BIGINT)"))
         .select(col("doc_id"),
-          expr("aggregate(cs, CAST(0 AS BIGINT), (a, c) -> (a * 131 + c) % 1000000007)")
-            .as("rh_full"),
-          expr("""CASE WHEN n_blocks = 0 THEN CAST(NULL AS BIGINT)
-            |ELSE array_min(transform(sequence(0, CAST(n_blocks AS INT) - 1),
-            |  b -> aggregate(slice(cs, 64*b+1, 64), CAST(0 AS BIGINT),
-            |       (a, c) -> (a * 131 + c) % 1000000007))) END""".stripMargin)
-            .as("rh_min_block"),
-          col("n_blocks"))
+          call_function("rolling_hash", col("text")).as("rh_full"),
+          call_function("rolling_minblock_hash", col("text")).as("rh_min_block"),
+          expr("CAST(ceil(length(text) / 64.0) AS BIGINT)").as("n_blocks"))
     })
 }

@@ -32,6 +32,20 @@ object GraftFunctions {
         require(children.size == 2,
           s"cosine_sim expects exactly 2 arguments, got ${children.size}")
         CosineSimilarity(children.head, children(1))
+      }),
+    (FunctionIdentifier("rolling_hash"),
+      new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1,
+          s"rolling_hash expects exactly 1 argument, got ${children.size}")
+        RollingHash(children.head)
+      }),
+    (FunctionIdentifier("rolling_minblock_hash"),
+      new ExpressionInfo(classOf[RollingMinBlockHash].getName, "rolling_minblock_hash"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1,
+          s"rolling_minblock_hash expects exactly 1 argument, got ${children.size}")
+        RollingMinBlockHash(children.head)
       }))
 
   /** Idempotent in-session registration. */
