@@ -245,5 +245,37 @@ object TextOps {
           call_function("rolling_hash", col("text")).as("rh_full"),
           call_function("rolling_minblock_hash", col("text")).as("rh_min_block"),
           expr("CAST(ceil(length(text) / 64.0) AS BIGINT)").as("n_blocks"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q100_bigram_vocab",
+      """BPE-style merge-candidate counting — the inner step of
+        |tokenizer training: count every adjacent token pair across the
+        |corpus and keep the top 50 (the pair a BPE trainer would merge
+        |next, iterated). Scale shape: pair expansion is scan-side
+        |(q91's array-transform bigram construction, then explode — no
+        |join), counting is one hash shuffle with map-side combine over
+        |pair cardinality (not corpus size), and the global top-50 is a
+        |TakeOrdered — never a full sort, never a partition-less window.
+        |The (cnt desc, bigram asc) order makes the cutoff
+        |deterministic under ties.""".stripMargin,
+      """WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |g AS (
+        |  SELECT unnest(CASE WHEN len(w) >= 2
+        |    THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+        |    ELSE CAST([] AS VARCHAR[]) END) AS bigram
+        |  FROM w)
+        |SELECT bigram, count(*) AS cnt
+        |FROM g GROUP BY bigram
+        |ORDER BY cnt DESC, bigram LIMIT 50""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(split(col("text"), " ").as("w"))
+        .select(explode(expr(
+          """CASE WHEN size(w) >= 2
+            |THEN transform(sequence(1, size(w) - 1),
+            |     i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1)))
+            |ELSE array() END""".stripMargin)).as("bigram"))
+        .groupBy(col("bigram")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("bigram")).limit(50)
     })
 }
