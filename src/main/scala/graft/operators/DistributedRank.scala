@@ -116,7 +116,14 @@ object DistributedRank {
     * turn into prefix offsets via the triangular join, and the global
     * cumulative value is offset + local running sum. Same
     * single-execution contract (localCheckpoint before both branches).
-    * `value` must be non-null; `ord` must be a total order. */
+    * `value` must be non-null; `ord` must be a total order.
+    *
+    * Operating requirement: each range partition's rows are buffered by
+    * its local-running-sum window task, so `numShufflePartitions` must
+    * keep rows-per-partition × concurrent tasks inside execution
+    * memory (PrefixSumBench uses 256 partitions for 1e8 rows on an 8 GB
+    * heap; 32 starves the pool). This is the standard spill-aware
+    * shuffle-partition sizing, not a limit peculiar to this operator. */
   def withGlobalPrefixSum(df: DataFrame, ord: Seq[Column], value: Column,
       cumCol: String, totalCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -136,6 +143,50 @@ object DistributedRank {
     val total = cnts.agg(sum(col("__n")).cast("long").as(totalCol))
     local
       .withColumn("__lcum", sum(col("__v")).over(w))
+      .join(broadcast(offs), "__pid")
+      .crossJoin(broadcast(total))
+      .withColumn(cumCol, col("__off") + col("__lcum"))
+      .drop("__pid", "__v", "__lcum", "__off")
+  }
+
+  /** [[withGlobalPrefixSum]] specialized to a DENSE-ish numeric order
+    * column (ids, offsets, epoch seconds): the partition id is pure
+    * arithmetic — `(ord - min) div width` with width sized from the
+    * observed [min, max] — so there is NO range sampler and therefore
+    * no nondeterministic bounds to freeze: the localCheckpoint
+    * materialization (the dominant cost of the general version — it
+    * writes every row to block storage before the window) disappears,
+    * and both branches recompute the same pids by construction.
+    * Costs: one column-pruned min/max scan + ONE data-wide shuffle
+    * (the per-bucket window). Bucket balance follows ord's density —
+    * a heavily clustered ord degrades parallelism, not correctness;
+    * use the general range-sampled version for arbitrary orders. */
+  def withGlobalPrefixSumDense(df: DataFrame, ord: Column, value: Column,
+      cumCol: String, totalCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val npart = df.sparkSession.sessionState.conf.numShufflePartitions
+    val bounds = df.agg(min(ord).cast("long"), max(ord).cast("long")).head()
+    if (bounds.isNullAt(0)) // empty input: just type the output columns
+      return df.withColumn(cumCol, lit(null).cast("long"))
+        .withColumn(totalCol, lit(null).cast("long"))
+    val lo = bounds.getLong(0)
+    val width = math.max((bounds.getLong(1) - lo) / npart + 1, 1L)
+    val withPid = df
+      // integer `div`, not `/`: Column./ is double division and drifts
+      // above 2^53 — exactly the id range this primitive targets
+      .withColumn("__ordl", ord.cast("long") - lo)
+      .withColumn("__pid", expr(s"__ordl div ${width}L").cast("int"))
+      .drop("__ordl")
+      .withColumn("__v", value.cast("long"))
+    val cnts = withPid.groupBy(col("__pid")).agg(sum(col("__v")).as("__n"))
+    val offs = cnts.as("a")
+      .join(cnts.as("b"), col("b.__pid") < col("a.__pid"), "left")
+      .groupBy(col("a.__pid").as("__pid"))
+      .agg(coalesce(sum(col("b.__n")), lit(0L)).as("__off"))
+    val total = cnts.agg(sum(col("__n")).cast("long").as(totalCol))
+    withPid
+      .withColumn("__lcum",
+        sum(col("__v")).over(Window.partitionBy(col("__pid")).orderBy(ord)))
       .join(broadcast(offs), "__pid")
       .crossJoin(broadcast(total))
       .withColumn(cumCol, col("__off") + col("__lcum"))

@@ -329,12 +329,14 @@ object TrainingOps {
         |training shard. The global offset is an INCLUSIVE prefix sum
         |over a total order, which naively is a partition-less window
         |(one task sorts the corpus); here it runs through
-        |DistributedRank.withGlobalPrefixSum — range shuffle, per-range
-        |LOCAL running sums in parallel, triangular offsets of the
-        |npart-row totals, offset + local sum — so the plan never
-        |funnels the corpus through one task. The oracle is DuckDB's
-        |plain cumulative window, pinning the distributed prefix sum
-        |exactly.""".stripMargin,
+        |DistributedRank.withGlobalPrefixSumDense — doc_id is dense, so
+        |the partition id is pure arithmetic (no range sampler, no
+        |checkpoint materialization), per-bucket LOCAL running sums run
+        |in parallel, and triangular offsets of the npart-row totals
+        |complete the global value. One data-wide shuffle total; the
+        |plan never funnels the corpus through one task. The oracle is
+        |DuckDB's plain cumulative window, pinning the distributed
+        |prefix sum exactly.""".stripMargin,
       """WITH t AS (
         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
         |  FROM documents),
@@ -354,7 +356,7 @@ object TrainingOps {
       val t = Tables.documents(s, dir)
         .select(col("doc_id"),
           coalesce(size(split(col("text"), " ")).cast("long"), lit(0L)).as("n_tokens"))
-      DistributedRank.withGlobalPrefixSum(t, Seq(col("doc_id")),
+      DistributedRank.withGlobalPrefixSumDense(t, col("doc_id"),
           col("n_tokens"), "cum", "total_tokens")
         // integer `div`, not `/`: double division drifts above 2^53
         // total tokens, exactly the regime this operator exists for

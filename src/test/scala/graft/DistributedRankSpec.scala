@@ -61,5 +61,19 @@ class DistributedRankSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(got.length == 10000)
     assert(got.sortBy(_._1) sameElements want.sortBy(_._1))
+    // the dense-bucketed variant must agree too — including on a
+    // NON-CONTIGUOUS id domain (gaps skew the arithmetic buckets but
+    // must never change the answer)
+    val gappy = df.filter(col("id") % 3 =!= 0)
+    val gotDense = DistributedRank
+      .withGlobalPrefixSumDense(gappy, col("id"), col("w"), "cum", "total")
+      .select(col("id"), col("cum"), col("total"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val wantDense = gappy
+      .withColumn("cum", sum(col("w")).over(Window.orderBy(col("id"))).cast("long"))
+      .withColumn("total", sum(col("w")).over(Window.partitionBy()).cast("long"))
+      .select(col("id"), col("cum"), col("total"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(gotDense.sortBy(_._1) sameElements wantDense.sortBy(_._1))
   }
 }
