@@ -298,5 +298,86 @@ object TpchOps {
           lead(col("user_id"), 1).over(w).as("next_user"),
           greatest(col("n"), lit(25L)).as("n_floor25"),
           least(col("n"), lit(25L)).as("n_cap25"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q101_large_orders",
+      """TPC-H Q18 shape (large-volume customers): orders whose total
+        |line quantity exceeds a threshold, with their customer, top-100
+        |by order value. The HAVING prefilter aggregates the fact table
+        |ONCE (map-side-combined sum per order key) and only qualifying
+        |order keys enter the joins — the join input is pre-shrunk to
+        |the selective set rather than joining the whole fact and
+        |filtering after. Customer dim broadcasts; top-100 is a
+        |TakeOrdered with an order-key tie-break. Quantity sums are
+        |exact decimals, string-bridged to double (direct decimal->
+        |double casts can differ by 1 ulp between engines).""".stripMargin,
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |    CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS qty_sum
+        |  FROM lineitem GROUP BY 1
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 140)
+        |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, qty_sum
+        |FROM big
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin) { (s, dir) =>
+      val big = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast("decimal(18,2)")).as("qty_dec"))
+        .filter(col("qty_dec") > 140)
+        .select(col("l_orderkey"),
+          col("qty_dec").cast("string").cast("double").as("qty_sum"))
+      Tables.orders(s, dir)
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("qty_sum"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey")).limit(100)
+    },
+
+    // ----------------------------------------------------------------
+    q("q102_dormant_balances",
+      """TPC-H Q22 shape (global sales opportunity), adapted to the test
+        |schema: positive-balance customers ABOVE the average positive
+        |balance with NO recent orders, grouped by nation. The
+        |above-average test runs as integer cross-multiplication
+        |(cents x n_pos > total_cents) so the threshold — normally a
+        |float AVG whose low bits depend on summation order — is exact
+        |and engine-independent. The recent-order check is a broadcast
+        |anti join against the DISTINCT recent customer keys (the fact
+        |table reduces before the join, not after), and balances travel
+        |as exact integer cents end to end.""".stripMargin,
+      """WITH pos AS (
+        |  SELECT c_custkey, c_nationkey,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM customer WHERE c_acctbal > 0),
+        |t AS (SELECT CAST(sum(cents) AS BIGINT) AS total_cents,
+        |             count(*) AS n_pos FROM pos),
+        |recent AS (
+        |  SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_orderdate >= TIMESTAMP '2001-01-01'),
+        |d AS (
+        |  SELECT p.* FROM pos p, t
+        |  WHERE p.cents * t.n_pos > t.total_cents
+        |    AND NOT EXISTS (SELECT 1 FROM recent r WHERE r.o_custkey = p.c_custkey))
+        |SELECT c_nationkey, count(*) AS n_custs,
+        |  CAST(sum(cents) AS BIGINT) AS total_dormant_cents
+        |FROM d GROUP BY 1""".stripMargin) { (s, dir) =>
+      val pos = Tables.customer(s, dir)
+        .filter(col("c_acctbal") > 0)
+        .select(col("c_custkey"), col("c_nationkey"),
+          (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      val tot = pos.agg(sum(col("cents")).cast("long").as("total_cents"),
+        count(lit(1)).as("n_pos"))
+      val recent = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("2001-01-01").cast("timestamp"))
+        .select(col("o_custkey")).distinct()
+      pos.crossJoin(broadcast(tot))
+        .filter(col("cents") * col("n_pos") > col("total_cents"))
+        .join(broadcast(recent), col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_custs"),
+          sum(col("cents")).cast("long").as("total_dormant_cents"))
     })
 }
