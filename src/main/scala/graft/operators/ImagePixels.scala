@@ -1,0 +1,199 @@
+package graft.operators
+
+import java.io.ByteArrayOutputStream
+import java.nio.ByteBuffer
+import java.util.zip.{CRC32, Deflater, Inflater}
+
+/** REAL PNG pixel codec — decode, nearest-neighbor resize, re-encode —
+  * with no image library: PNG's pixel payload is zlib-compressed
+  * scanlines (java.util.zip.Inflater/Deflater are in the JDK) behind
+  * five public-spec per-row filters. This retires the "no pixel codecs
+  * in this container" limitation for PNG end to end: [[ImageHeader]]
+  * parses headers, this object reconstructs (and produces) the actual
+  * pixel bytes.
+  *
+  * Scope is the strict, verifiable core: 8-bit depth, color types 2
+  * (RGB) and 6 (RGBA), non-interlaced — the overwhelmingly common
+  * encoder output. Everything is validated like ImageHeader: chunk
+  * CRCs, IDAT zlib integrity, exact decompressed length, legal filter
+  * ids. Anything else decodes to None, never an exception — a corrupt
+  * file at 100 TB must not kill the pipeline.
+  *
+  * Spec sources (public): W3C PNG spec — chunk layout and CRC-32;
+  * §6 filters (None/Sub/Up/Average/Paeth, incl. the Paeth predictor
+  * tie-break order left/above/upper-left); zlib RFC 1950.
+  */
+object ImagePixels {
+
+  /** Decoded raster: interleaved rows of `channels` bytes per pixel. */
+  final case class Raster(width: Int, height: Int, channels: Int, pixels: Array[Byte])
+
+  private val PngSig = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
+
+  private def beInt(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+  /** Full pixel decode of an 8-bit RGB/RGBA non-interlaced PNG. */
+  def decodePng(b: Array[Byte]): Option[Raster] = {
+    if (b == null || b.length < 45) return None // sig + IHDR + empty IDAT + IEND
+    if (!PngSig.indices.forall(i => b(i) == PngSig(i))) return None
+    var off = 8
+    var w = 0; var h = 0; var channels = 0
+    var seenIhdr = false; var seenIend = false
+    val idat = new ByteArrayOutputStream()
+    while (off + 8 <= b.length && !seenIend) {
+      val len = beInt(b, off)
+      if (len < 0 || off + 12 + len > b.length) return None
+      val ctype = new String(b, off + 4, 4, "US-ASCII")
+      val crc = new CRC32
+      crc.update(b, off + 4, 4 + len)
+      if (crc.getValue != (beInt(b, off + 8 + len).toLong & 0xffffffffL)) return None
+      ctype match {
+        case "IHDR" =>
+          if (seenIhdr || len != 13) return None
+          seenIhdr = true
+          w = beInt(b, off + 8); h = beInt(b, off + 12)
+          val depth = b(off + 16) & 0xff
+          val colorType = b(off + 17) & 0xff
+          val interlace = b(off + 20) & 0xff
+          if (w <= 0 || h <= 0 || depth != 8 || interlace != 0) return None
+          channels = colorType match { case 2 => 3; case 6 => 4; case _ => return None }
+        case "IDAT" =>
+          if (!seenIhdr) return None
+          idat.write(b, off + 8, len)
+        case "IEND" =>
+          if (len != 0) return None
+          seenIend = true
+        case _ => () // ancillary chunks are CRC-checked and skipped
+      }
+      off += 12 + len
+    }
+    if (!seenIhdr || !seenIend) return None
+    // zlib-inflate the concatenated IDAT stream to exactly h*(1+w*c)
+    val stride = w * channels
+    val raw = new Array[Byte](h * (1 + stride))
+    val inf = new Inflater()
+    inf.setInput(idat.toByteArray)
+    val n = try inf.inflate(raw) catch { case _: Exception => return None }
+    val complete = inf.finished
+    inf.end()
+    if (!complete || n != raw.length) return None
+    // unfilter scanlines in place into the output raster
+    val out = new Array[Byte](h * stride)
+    var y = 0
+    while (y < h) {
+      val fid = raw(y * (1 + stride)) & 0xff
+      if (fid > 4) return None
+      val rowOff = y * (1 + stride) + 1
+      val outOff = y * stride
+      var x = 0
+      while (x < stride) {
+        val cur = raw(rowOff + x) & 0xff
+        val left = if (x >= channels) out(outOff + x - channels) & 0xff else 0
+        val above = if (y > 0) out(outOff - stride + x) & 0xff else 0
+        val upLeft = if (y > 0 && x >= channels) out(outOff - stride + x - channels) & 0xff else 0
+        val recon = fid match {
+          case 0 => cur
+          case 1 => cur + left
+          case 2 => cur + above
+          case 3 => cur + (left + above) / 2
+          case 4 => // Paeth predictor, spec tie-break order
+            val p = left + above - upLeft
+            val pa = math.abs(p - left); val pb = math.abs(p - above); val pc = math.abs(p - upLeft)
+            val pred = if (pa <= pb && pa <= pc) left else if (pb <= pc) above else upLeft
+            cur + pred
+        }
+        out(outOff + x) = (recon & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    Some(Raster(w, h, channels, out))
+  }
+
+  /** Encode a raster as a valid PNG. `filterId` selects the per-row
+    * filter (0..4, default 0/None) — the decoder must invert any of
+    * them, so the spec exercises every filter type through here. */
+  def encodePng(r: Raster, filterId: Int = 0): Array[Byte] = {
+    require(r.channels == 3 || r.channels == 4, s"channels must be 3 or 4, got ${r.channels}")
+    require(filterId >= 0 && filterId <= 4, s"illegal filter $filterId")
+    require(r.pixels.length == r.width * r.height * r.channels, "pixel buffer size mismatch")
+    val stride = r.width * r.channels
+    val raw = new Array[Byte](r.height * (1 + stride))
+    var y = 0
+    while (y < r.height) {
+      raw(y * (1 + stride)) = filterId.toByte
+      var x = 0
+      while (x < stride) {
+        val cur = r.pixels(y * stride + x) & 0xff
+        val left = if (x >= r.channels) r.pixels(y * stride + x - r.channels) & 0xff else 0
+        val above = if (y > 0) r.pixels((y - 1) * stride + x) & 0xff else 0
+        val upLeft = if (y > 0 && x >= r.channels) r.pixels((y - 1) * stride + x - r.channels) & 0xff else 0
+        val filtered = filterId match {
+          case 0 => cur
+          case 1 => cur - left
+          case 2 => cur - above
+          case 3 => cur - (left + above) / 2
+          case 4 =>
+            val p = left + above - upLeft
+            val pa = math.abs(p - left); val pb = math.abs(p - above); val pc = math.abs(p - upLeft)
+            val pred = if (pa <= pb && pa <= pc) left else if (pb <= pc) above else upLeft
+            cur - pred
+        }
+        raw(y * (1 + stride) + 1 + x) = (filtered & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    val defl = new Deflater(Deflater.DEFAULT_COMPRESSION)
+    defl.setInput(raw); defl.finish()
+    val zbuf = new ByteArrayOutputStream()
+    val tmp = new Array[Byte](8192)
+    while (!defl.finished) zbuf.write(tmp, 0, defl.deflate(tmp))
+    defl.end()
+    def chunk(ctype: String, data: Array[Byte]): Array[Byte] = {
+      val td = ctype.getBytes("US-ASCII") ++ data
+      val crc = new CRC32; crc.update(td)
+      ByteBuffer.allocate(4).putInt(data.length).array() ++ td ++
+        ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array()
+    }
+    val colorType = if (r.channels == 3) 2 else 6
+    val ihdr = ByteBuffer.allocate(13)
+      .putInt(r.width).putInt(r.height)
+      .put(8.toByte).put(colorType.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    PngSig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", zbuf.toByteArray) ++
+      chunk("IEND", Array.empty)
+  }
+
+  /** Nearest-neighbor resize: out(x,y) = in(x*w div w2, y*h div h2) —
+    * integer source indexing, so both the operator and an oracle can
+    * reproduce every sampled pixel exactly. */
+  def resizeNearest(r: Raster, w2: Int, h2: Int): Raster = {
+    require(w2 > 0 && h2 > 0, s"bad target ${w2}x$h2")
+    val out = new Array[Byte](w2 * h2 * r.channels)
+    var y = 0
+    while (y < h2) {
+      val sy = (y.toLong * r.height / h2).toInt
+      var x = 0
+      while (x < w2) {
+        val sx = (x.toLong * r.width / w2).toInt
+        var c = 0
+        while (c < r.channels) {
+          out((y * w2 + x) * r.channels + c) =
+            r.pixels((sy * r.width + sx) * r.channels + c)
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    Raster(w2, h2, r.channels, out)
+  }
+
+  /** Decode → resize → re-encode: the real thumbnail/preprocess kernel.
+    * None when the payload isn't a decodable 8-bit RGB(A) PNG. */
+  def resizePng(bytes: Array[Byte], w2: Int, h2: Int): Option[Array[Byte]] =
+    decodePng(bytes).map(r => encodePng(resizeNearest(r, w2, h2)))
+}

@@ -143,6 +143,34 @@ object Multimodal {
     }(enc)
   }
 
+  /** REAL image resize over the canonical media frame: each payload that
+    * decodes as an 8-bit RGB(A) PNG ([[ImagePixels]] — full chunk-CRC +
+    * zlib + filter validation) is nearest-neighbor resized to w2 x h2
+    * and RE-ENCODED as a PNG; undecodable payloads pass through as null
+    * media (never an error). The thumbnail/preprocess kernel every
+    * vision-data pipeline runs, batched per partition like the other
+    * decode stages; resized bytes are ~KB, so downstream stages shuffle
+    * thumbnails, not originals. */
+  def resizeImages(media: DataFrame, w2: Int, h2: Int): DataFrame = {
+    validateMediaFrame(media)
+    val enc = Encoders.row(media.schema)
+    val mediaIdx = media.schema.fieldIndex("media")
+    val metaIdx = media.schema.fieldIndex("meta")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](mediaIdx)
+        val resized =
+          if (bytes == null) null
+          else ImagePixels.resizePng(bytes, w2, h2).orNull
+        val meta = r.getAs[Row](metaIdx)
+        val newMeta =
+          if (meta == null) null
+          else Row(meta.get(0), if (resized == null) null else resized.length.toLong, meta.get(2))
+        Row.fromSeq(r.toSeq.updated(mediaIdx, resized).updated(metaIdx, newMeta))
+      }
+    }(enc)
+  }
+
   /** Frame-sampling stub: pick every k-th fixed-size block of the payload
     * (the video-frame-sample shape: linear scan, bounded output). */
   def sampleBlocks(media: DataFrame, blockSize: Int = 64, every: Int = 4): DataFrame = {
@@ -336,5 +364,83 @@ object Multimodal {
       decodeImageMeta(media)
         .select(col("media_id"), col("format"), col("width"), col("height"),
           col("bit_depth"), col("meta.n_bytes").as("n_bytes"))
+    },
+
+    q("q103_image_resize",
+      """REAL pixel pipeline end-to-end — decode, resize, re-encode,
+        |decode again, all with no image library: each document row
+        |becomes a full RGB PNG whose PIXELS derive from doc_id
+        |arithmetic (pixel(x,y,ch) = (7*doc_id + 5*sx + 3*sy + 11*ch)
+        |mod 256), written under a doc_id-varied filter type so the
+        |corpus exercises all five spec filters; the payload flows
+        |through the canonical media frame into resizeImages (chunk-CRC
+        |+ zlib + filter-validated decode, nearest-neighbor 16x16,
+        |re-encode), and the RESIZED PNG is decoded a second time to
+        |produce pixel checksums. The oracle recomputes every sampled
+        |pixel from the same arithmetic (source index x*w div 16), so a
+        |bug anywhere in the filter math, the inflate/deflate framing,
+        |the resampling indices, or the second decode turns the row red.
+        |Integer checksums only — the encoded byte stream (whose length
+        |is a zlib implementation detail) is never compared.""".stripMargin,
+      """SELECT doc_id AS media_id,
+        |  CAST(16 AS BIGINT) AS out_w, CAST(16 AS BIGINT) AS out_h,
+        |  CAST(list_sum(list_transform(range(0, 768), i ->
+        |    (doc_id * 7
+        |     + ((i % 48) // 3) * (doc_id % 32 + 1) // 16 * 5
+        |     + (i // 48) * (doc_id % 24 + 1) // 16 * 3
+        |     + (i % 3) * 11) % 256)) AS BIGINT) AS checksum,
+        |  CAST(list_sum(list_transform(range(0, 768), i ->
+        |    ((doc_id * 7
+        |      + ((i % 48) // 3) * (doc_id % 32 + 1) // 16 * 5
+        |      + (i // 48) * (doc_id % 24 + 1) // 16 * 3
+        |      + (i % 3) * 11) % 256) * (i + 1))) % 1000000007 AS BIGINT) AS wsum
+        |FROM documents""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val payloads = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val w = (id % 32 + 1).toInt
+          val h = (id % 24 + 1).toInt
+          val px = new Array[Byte](w * h * 3)
+          var i = 0
+          while (i < px.length) {
+            val y = i / (w * 3); val x = (i % (w * 3)) / 3; val ch = i % 3
+            px(i) = ((id * 7 + x * 5 + y * 3 + ch * 11) % 256).toByte
+            i += 1
+          }
+          (id, ImagePixels.encodePng(ImagePixels.Raster(w, h, 3, px),
+            filterId = (id % 5).toInt))
+        }
+        .toDF("doc_id", "payload")
+        .withColumn("src", lit("synthetic"))
+      val media = asMediaFrame(payloads, "doc_id", "payload", "src")
+      val resized = resizeImages(media, 16, 16)
+      val outSchema = StructType(Seq(
+        StructField("media_id", LongType, nullable = false),
+        StructField("out_w", LongType, nullable = true),
+        StructField("out_h", LongType, nullable = true),
+        StructField("checksum", LongType, nullable = true),
+        StructField("wsum", LongType, nullable = true)))
+      val enc = Encoders.row(outSchema)
+      val idIdx = resized.schema.fieldIndex("media_id")
+      val mIdx = resized.schema.fieldIndex("media")
+      resized.mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(idIdx)
+          val bytes = r.getAs[Array[Byte]](mIdx)
+          ImagePixels.decodePng(bytes) match {
+            case Some(rast) =>
+              var s = 0L; var ws = 0L
+              var i = 0
+              while (i < rast.pixels.length) {
+                val v = rast.pixels(i) & 0xff
+                s += v; ws += v.toLong * (i + 1)
+                i += 1
+              }
+              Row(id, rast.width.toLong, rast.height.toLong, s, ws % 1000000007L)
+            case None => Row(id, null, null, null, null)
+          }
+        }
+      }(enc)
     })
 }
