@@ -26,6 +26,7 @@ object SparkEntry {
       operators.Multimodal.defs ++
       operators.ScaleOps.defs ++
       operators.TrainingOps.defs ++
+      operators.TemporalJoins.defs ++
       sources.SchemaDrift.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

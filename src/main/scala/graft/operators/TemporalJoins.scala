@@ -1,0 +1,125 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.QueryDef.q
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators Spark's built-in join strategies don't name:
+  * the as-of join (each probe row matched to the latest build row at or
+  * before its timestamp) and the interval/range join (rows matched to
+  * every window that contains them). Both are staples of event-stream
+  * analytics over the reference's views/reviews streams (reference
+  * diagram.svg:3 "Aggregation and identification" stage consumes exactly
+  * this attribution shape) and of feature backfills in training-data
+  * pipelines.
+  *
+  * Neither is ported from anywhere: both are re-expressed as Spark
+  * primitives whose physical plans scale.
+  *
+  *  - As-of: a tagged UNION + one keyed window (`last(_, ignoreNulls)`
+  *    over rows-unbounded-preceding). ONE hash shuffle on the join key,
+  *    no range lookup structure, no per-row binary search; a key's
+  *    history sorts inside its own partition. This beats the
+  *    join-then-rank formulation (which materializes every candidate
+  *    pair — quadratic for hot keys) and matches DuckDB's native
+  *    ASOF JOIN, which the oracle uses verbatim.
+  *  - Range: explode each interval to the fixed-width time buckets it
+  *    covers, equi-join probes on their own bucket, re-filter exactly.
+  *    Candidate fan-out is bounded by interval_len/bucket_len + 1 (= 2
+  *    here), the join is a plain hash join — never a
+  *    BroadcastNestedLoopJoin/CartesianProduct, which is what Spark
+  *    would pick for a raw range predicate (PlanGuardSpec forbids both).
+  */
+object TemporalJoins {
+
+  val defs: Seq[QueryDef] = Seq(
+    // ----------------------------------------------------------------
+    q("q104_asof_join",
+      """As-of (last-tick) join: every purchase event attributed to the
+        |same user's latest view event at or before the purchase
+        |timestamp (left semantics: unmatched purchases survive with a
+        |NULL view). Spark has no ASOF strategy; a naive
+        |join-on-key-then-max materializes all (purchase x earlier-view)
+        |pairs per user — quadratic for a hot user. This plan is linear:
+        |tag both sides, UNION, and run last(view_id, ignoreNulls) over a
+        |window PARTITIONED BY user ordered by (ts, side, event_id) —
+        |views sort before an equal-timestamp purchase, so "at or before"
+        |ties resolve like DuckDB's ASOF (p.ts >= v.ts). One hash shuffle
+        |on user_id; per-user history sorts within its partition; state
+        |is one carried value, not a candidate set. The oracle is
+        |DuckDB's native ASOF LEFT JOIN. Data has no duplicate
+        |(user_id, ts) pairs at any SF, so the match is unique and the
+        |comparison deterministic.""".stripMargin,
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |     v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view')
+        |SELECT p.event_id AS purchase_id, p.user_id AS user_id, p.ts AS purchase_ts,
+        |       v.event_id AS view_id, epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
+        |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin) { (s, dir) =>
+      val e = Tables.events(s, dir)
+        .filter(col("event_type").isin("view", "purchase"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          when(col("event_type") === "view", 0).otherwise(1).as("side"))
+      // Views first at equal ts (side 0 < 1) => "at or before" includes
+      // the equal-timestamp view, matching ASOF's p.ts >= v.ts.
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("side"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.withColumn("view_id",
+          last(when(col("side") === 0, col("event_id")), ignoreNulls = true).over(w))
+        .withColumn("view_ts",
+          last(when(col("side") === 0, col("ts")), ignoreNulls = true).over(w))
+        .filter(col("side") === 1)
+        .select(
+          col("event_id").as("purchase_id"),
+          col("user_id"),
+          col("ts").as("purchase_ts"),
+          col("view_id"),
+          (unix_micros(col("ts")) - unix_micros(col("view_ts"))).as("gap_us"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q105_range_join",
+      """Interval (range) join: every error event opens a 1-hour incident
+        |window; count the click events falling inside each window (zero
+        |kept — left semantics). A raw `ON c.ts >= start AND c.ts < end`
+        |join has no equi-key, so Spark plans a nested-loop over the full
+        |cross space. Instead each interval is exploded to the 1-hour
+        |time buckets it covers (at most interval/bucket + 1 = 2 rows —
+        |bounded fan-out), clicks compute their single bucket scan-side,
+        |and the join is a plain hash equi-join on the bucket followed by
+        |the exact range re-filter. A click's one bucket meets each
+        |covering interval exactly once, so no dedup is needed, and
+        |count() ignores the NULL probes of empty windows, so the
+        |left-join + single groupBy yields zero counts without a second
+        |pass over the intervals. Scale: shuffle volume is (clicks +
+        |2x intervals), a hot hour is one skewed bucket that AQE
+        |skew-split handles; nothing is quadratic.""".stripMargin,
+      """WITH inc AS (SELECT event_id AS incident_id, ts AS start_ts,
+        |                    ts + INTERVAL 1 HOUR AS end_ts
+        |             FROM events WHERE event_type = 'error'),
+        |     c AS (SELECT event_id, ts FROM events WHERE event_type = 'click')
+        |SELECT i.incident_id AS incident_id, count(c.event_id) AS n_clicks
+        |FROM inc i LEFT JOIN c ON c.ts >= i.start_ts AND c.ts < i.end_ts
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val busUs = 3600L * 1000000L // 1-hour buckets == interval length
+      val ev = Tables.events(s, dir)
+      val inc = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("incident_id"),
+          unix_micros(col("ts")).as("start_us"),
+          (unix_micros(col("ts")) + busUs).as("end_us"))
+        // [start, end) covers buckets floor(start/b) .. floor((end-1)/b)
+        .withColumn("bucket", explode(sequence(
+          expr(s"start_us DIV ${busUs}L"), expr(s"(end_us - 1) DIV ${busUs}L"))))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"),
+          unix_micros(col("ts")).as("c_us"),
+          expr(s"unix_micros(ts) DIV ${busUs}L").as("bucket"))
+      inc.join(clicks,
+          inc("bucket") === clicks("bucket") &&
+            col("c_us") >= col("start_us") && col("c_us") < col("end_us"),
+          "left")
+        .groupBy(col("incident_id"))
+        .agg(count(col("click_id")).as("n_clicks"))
+    })
+}

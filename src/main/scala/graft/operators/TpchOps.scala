@@ -379,5 +379,83 @@ object TpchOps {
         .groupBy(col("c_nationkey"))
         .agg(count(lit(1)).as("n_custs"),
           sum(col("cents")).cast("long").as("total_dormant_cents"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q106_order_priority_waits",
+      """TPC-H Q4 shape (order-priority checking), adapted to the test
+        |schema's shipdate-only lineitem: orders placed in 1996 where at
+        |least one line shipped 90+ days after the order date, counted by
+        |priority. The EXISTS runs as a LEFT SEMI hash join keyed on the
+        |order key with the 90-day lag as a residual join condition — the
+        |fact table is never aggregated or deduplicated first, and each
+        |order emits at most once no matter how many late lines it has.
+        |The year filter prunes orders scan-side before the join; the
+        |final groupBy is over 5 priorities (trivial shuffle).""".stripMargin,
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate >= o.o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val o = Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+      val l = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_shipdate"))
+      o.join(l,
+          col("o_orderkey") === col("l_orderkey") &&
+            col("l_shipdate") >= col("o_orderdate") + expr("INTERVAL 90 DAY"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q107_late_suppliers",
+      """TPC-H Q21 shape (suppliers who kept orders waiting), adapted to
+        |shipdate-only lines: a supplier "kept an order waiting" when its
+        |line shipped 60+ days after the order date, the order involved
+        |more than one supplier, and no OTHER supplier in that order was
+        |late. The classic formulation needs EXISTS + NOT EXISTS
+        |self-joins of lineitem (three passes over the fact at 100 TB);
+        |here both conditions collapse into ONE aggregate per order key —
+        |count(DISTINCT supplier), count(DISTINCT late supplier), and the
+        |late supplier's key via max(CASE) — so the fact shuffles once,
+        |and only single-late-supplier multi-supplier orders (a tiny set)
+        |reach the broadcast supplier-name join. Top-20 is a TakeOrdered
+        |with a name tie-break.""".stripMargin,
+      """WITH j AS (
+        |  SELECT l.l_orderkey, l.l_suppkey,
+        |    (l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY) AS late
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |g AS (
+        |  SELECT l_orderkey,
+        |    count(DISTINCT l_suppkey) AS n_supp,
+        |    count(DISTINCT CASE WHEN late THEN l_suppkey END) AS n_late,
+        |    max(CASE WHEN late THEN l_suppkey END) AS late_supp
+        |  FROM j GROUP BY 1)
+        |SELECT s.s_name AS s_name, count(*) AS numwait
+        |FROM g JOIN supplier s ON s.s_suppkey = g.late_supp
+        |WHERE n_supp > 1 AND n_late = 1
+        |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin) { (s, dir) =>
+      val orders = Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate"))
+      val j = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        .join(orders, col("l_orderkey") === col("o_orderkey"))
+        .withColumn("late",
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY"))
+      val g = j.groupBy(col("l_orderkey"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(when(col("late"), col("l_suppkey"))).as("n_late"),
+          max(when(col("late"), col("l_suppkey"))).as("late_supp"))
+        .filter(col("n_supp") > 1 && col("n_late") === 1)
+      g.join(broadcast(Tables.supplier(s, dir)
+            .select(col("s_suppkey"), col("s_name"))),
+          col("s_suppkey") === col("late_supp"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name")).limit(20)
     })
 }
