@@ -143,6 +143,37 @@ object Multimodal {
     }(enc)
   }
 
+  /** REAL audio-header decode over the canonical media frame: PCM WAV
+    * (RIFF/WAVE) headers parsed per row ([[AudioHeader.decodeWav]] —
+    * strict magic, chunk-walk, redundant-field re-derivation), batched
+    * via mapPartitions exactly like [[decodeImageMeta]]. Unrecognized
+    * or corrupted payloads decode to format "unknown" with null fields
+    * — never an error. Duration is exact integer microseconds, so the
+    * output never carries engine-dependent float rounding. */
+  def decodeAudioMeta(media: DataFrame): DataFrame = {
+    validateMediaFrame(media)
+    val outSchema = StructType(media.schema.fields.filterNot(_.name == "media") ++ Seq(
+      StructField("format", StringType, nullable = false),
+      StructField("channels", LongType, nullable = true),
+      StructField("sample_rate", LongType, nullable = true),
+      StructField("bit_depth", LongType, nullable = true),
+      StructField("n_frames", LongType, nullable = true),
+      StructField("duration_us", LongType, nullable = true)))
+    val enc = Encoders.row(outSchema)
+    val mediaIdx = media.schema.fieldIndex("media")
+    val keepIdx = media.schema.fields.zipWithIndex.filterNot(_._1.name == "media").map(_._2)
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val extra: Seq[Any] = AudioHeader.decodeWav(r.getAs[Array[Byte]](mediaIdx)) match {
+          case Some(m) =>
+            Seq(m.format, m.channels, m.sampleRate, m.bitsPerSample, m.nFrames, m.durationUs)
+          case None => Seq("unknown", null, null, null, null, null)
+        }
+        Row.fromSeq(keepIdx.map(r.get).toSeq ++ extra)
+      }
+    }(enc)
+  }
+
   /** REAL image resize over the canonical media frame: each payload that
     * decodes as an 8-bit RGB(A) PNG ([[ImagePixels]] — full chunk-CRC +
     * zlib + filter validation) is nearest-neighbor resized to w2 x h2
@@ -442,5 +473,56 @@ object Multimodal {
           }
         }
       }(enc)
+    },
+
+    q("q108_audio_meta",
+      """REAL audio-header decode end-to-end — the q89 shape extended to
+        |the audio modality: each document row is wrapped into a
+        |structurally valid PCM WAV whose channels / sample rate / bit
+        |depth / frame count all derive from doc_id, pushed through the
+        |canonical media frame and the batched mapPartitions decoder
+        |(AudioHeader: strict RIFF chunk walk with redundant-field
+        |re-derivation), and the decoded fields come back out — including
+        |an exact integer-microsecond duration. Every 7th row's riff
+        |size byte is deliberately corrupted and must decode to
+        |"unknown" with null fields, proving the strict validation
+        |actually rejects (a lenient parser would return garbage, not
+        |null). The oracle recomputes every field AND the exact container
+        |byte size (44-byte canonical header + frames x block align)
+        |from doc_id arithmetic, so an encode or decode bug on any field
+        |turns the row red.""".stripMargin,
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 7 = 3 THEN 'unknown' ELSE 'wav' END AS format,
+        |  CASE WHEN doc_id % 7 = 3 THEN NULL ELSE doc_id % 3 + 1 END AS channels,
+        |  CASE WHEN doc_id % 7 = 3 THEN NULL
+        |       ELSE 8000 + (doc_id % 5) * 4000 END AS sample_rate,
+        |  CASE WHEN doc_id % 7 = 3 THEN NULL ELSE 8 * (doc_id % 4 + 1) END AS bit_depth,
+        |  CASE WHEN doc_id % 7 = 3 THEN NULL ELSE doc_id % 200 + 1 END AS n_frames,
+        |  CASE WHEN doc_id % 7 = 3 THEN NULL
+        |       ELSE (doc_id % 200 + 1) * 1000000 // (8000 + (doc_id % 5) * 4000)
+        |  END AS duration_us,
+        |  44 + (doc_id % 200 + 1) * (doc_id % 3 + 1) * (doc_id % 4 + 1) AS n_bytes
+        |FROM documents""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val payloads = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val bytes = AudioHeader.encodeWav(
+            channels = (id % 3 + 1).toInt,
+            sampleRate = (8000 + (id % 5) * 4000).toInt,
+            bitsPerSample = (8 * (id % 4 + 1)).toInt,
+            nFrames = (id % 200 + 1).toInt)
+          // corrupt the riff size byte: strict decode must reject, not
+          // misreport — this branch is the no-false-positive proof
+          if (id % 7 == 3) bytes(4) = (bytes(4) + 1).toByte
+          (id, bytes)
+        }
+        .toDF("doc_id", "payload")
+        .withColumn("src", lit("synthetic"))
+      val media = asMediaFrame(payloads, "doc_id", "payload", "src")
+      decodeAudioMeta(media)
+        .select(col("media_id"), col("format"), col("channels"),
+          col("sample_rate"), col("bit_depth"), col("n_frames"),
+          col("duration_us"), col("meta.n_bytes").as("n_bytes"))
     })
 }
