@@ -58,6 +58,26 @@ object Streams {
         col("review_stars"), col("view_ts"))
   }
 
+  /** Streaming as-of attribution: [[reviewAttribution]] collapsed to the
+    * single LATEST qualifying view per review — the streaming twin of
+    * the batch as-of join (q104), where the batch plan's
+    * last-over-window becomes a max() aggregate. This chains TWO
+    * stateful operators (the watermarked time-interval stream-stream
+    * join, then a watermarked aggregation), which Spark supports in
+    * append mode with automatic watermark propagation between them; the
+    * grouping key includes review_ts, which still carries the join's
+    * event-time watermark, so each group's aggregate state is evicted
+    * once the min-of-both-sides watermark passes it — both operators
+    * hold bounded state. Emits each review exactly once, after the
+    * watermark finalizes it. */
+  def reviewAsof(views: DataFrame, reviews: DataFrame,
+      horizon: String = "1 hour", watermark: String = "30 minutes"): DataFrame =
+    reviewAttribution(views, reviews, horizon, watermark)
+      .groupBy(col("item_id"), col("user_ip"), col("review_ts"), col("review_stars"))
+      .agg(max(col("view_ts")).as("last_view_ts"))
+      .select(col("item_id"), col("user_ip"), col("review_ts"),
+        col("review_stars"), col("last_view_ts"))
+
   /** A2 streaming twin: windowed popularity counts with watermark
     * (append mode emits only finalized windows — the late-data policy
     * ST3). */
