@@ -198,13 +198,47 @@ object TrainingSoak {
     val ivfRecall = if (recalls.isEmpty) 0.0 else recalls.sum / recalls.size
     val ivfOk = exactTop.size == 5 && recalls.forall(_ == 1.0)
 
+    // ---- 5) As-of join kernel (q104 shape) -------------------------
+    // n synthetic events over U users: event id -> user id%U, event
+    // time t = id micros, and every 4th event PER USER (seq = id div U,
+    // seq % 4 == 3) is a probe (purchase), the rest build rows (views).
+    // A probe's latest view at-or-before is therefore ALWAYS the same
+    // user's previous event, id - U: every probe matches, every gap is
+    // exactly U micros, and the match-id sum is sum(probe ids) - U * nP
+    // — all closed-form, so the soak asserts the kernel's answers at
+    // 10^8 rows, not just that the window job finishes. One hash
+    // shuffle on user; per-user history (n/U rows) sorts inside its
+    // partition — the kernel's scale claim is exactly this shape.
+    val asofU = 10000L
+    require(n % (4 * asofU) == 0, s"n must be divisible by ${4 * asofU}")
+    val asofEv = spark.range(n).select(
+      (col("id") % asofU).as("k"), col("id"), col("id").as("t"),
+      (expr(s"(id div $asofU) % 4") === 3).as("is_probe"))
+    val (asofAgg, asofSec) = timed {
+      operators.TemporalJoins.asofKernel(
+          build = asofEv.filter(!col("is_probe")),
+          probe = asofEv.filter(col("is_probe")))
+        .agg(count(lit(1)).as("n_probe"),
+          count(col("b_id")).as("n_matched"),
+          min(col("t") - col("b_t")).as("gap_min"),
+          max(col("t") - col("b_t")).as("gap_max"),
+          sum(col("id") - col("b_id")).as("idgap_sum"))
+        .collect()(0)
+    }
+    val nProbe = n / 4
+    val asofOk = asofAgg.getLong(0) == nProbe &&
+      asofAgg.getLong(1) == nProbe &&
+      asofAgg.getLong(2) == asofU && asofAgg.getLong(3) == asofU &&
+      asofAgg.getLong(4) == asofU * nProbe
+
     println(
       s"""{"metric":"training_soak","rows":$n,""" +
         s""""mg_sec":$mgSec,"mg_summary_size":${summary.size},"mg_m":$m,"mg_ok":$mgOk,""" +
         s""""sample_sec":$sampleSec,"sample_ok":$sampleOk,""" +
         s""""vocab_sec":$vocabSec,"vocab_ok":$vocabOk,""" +
-        s""""ivf_rows":$nIvf,"ivf_sec":$ivfSec,"ivf_recall":$ivfRecall,"ivf_ok":$ivfOk}""")
+        s""""ivf_rows":$nIvf,"ivf_sec":$ivfSec,"ivf_recall":$ivfRecall,"ivf_ok":$ivfOk,""" +
+        s""""asof_sec":$asofSec,"asof_ok":$asofOk}""")
     spark.stop()
-    if (!(mgOk && sampleOk && vocabOk && ivfOk)) sys.exit(1)
+    if (!(mgOk && sampleOk && vocabOk && ivfOk && asofOk)) sys.exit(1)
   }
 }

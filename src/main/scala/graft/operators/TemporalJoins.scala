@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import graft.QueryDef.q
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -33,6 +34,31 @@ import org.apache.spark.sql.functions._
   */
 object TemporalJoins {
 
+  /** The distributed as-of kernel shared by q104 and the soak: both
+    * inputs pre-projected to (k: key, id: row id, t: event time as
+    * BIGINT micros). Returns every probe row with the latest build row
+    * at or before it per key (b_id/b_t, NULL when none) — left
+    * semantics. Tagged UNION + one keyed window: build rows sort before
+    * an equal-t probe (side 0 < 1), so "at or before" includes the
+    * equal-timestamp build row, and the carried state is one value per
+    * key — linear in the key's history, never a candidate pair space.
+    * ONE hash shuffle on k. */
+  def asofKernel(build: DataFrame, probe: DataFrame): DataFrame = {
+    val cols = Seq("k", "id", "t")
+    val tagged = build.select(cols.map(col): _*).withColumn("side", lit(0))
+      .unionAll(probe.select(cols.map(col): _*).withColumn("side", lit(1)))
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("t"), col("side"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tagged
+      .withColumn("b_id",
+        last(when(col("side") === 0, col("id")), ignoreNulls = true).over(w))
+      .withColumn("b_t",
+        last(when(col("side") === 0, col("t")), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("k"), col("id"), col("t"), col("b_id"), col("b_t"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // ----------------------------------------------------------------
     q("q104_asof_join",
@@ -57,25 +83,17 @@ object TemporalJoins {
         |       v.event_id AS view_id, epoch_us(p.ts) - epoch_us(v.ts) AS gap_us
         |FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts >= v.ts""".stripMargin) { (s, dir) =>
       val e = Tables.events(s, dir)
-        .filter(col("event_type").isin("view", "purchase"))
-        .select(col("event_id"), col("user_id"), col("ts"),
-          when(col("event_type") === "view", 0).otherwise(1).as("side"))
-      // Views first at equal ts (side 0 < 1) => "at or before" includes
-      // the equal-timestamp view, matching ASOF's p.ts >= v.ts.
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("side"), col("event_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      e.withColumn("view_id",
-          last(when(col("side") === 0, col("event_id")), ignoreNulls = true).over(w))
-        .withColumn("view_ts",
-          last(when(col("side") === 0, col("ts")), ignoreNulls = true).over(w))
-        .filter(col("side") === 1)
+        .select(col("event_id").as("id"), col("user_id").as("k"),
+          unix_micros(col("ts")).as("t"), col("event_type"))
+      asofKernel(
+        build = e.filter(col("event_type") === "view"),
+        probe = e.filter(col("event_type") === "purchase"))
         .select(
-          col("event_id").as("purchase_id"),
-          col("user_id"),
-          col("ts").as("purchase_ts"),
-          col("view_id"),
-          (unix_micros(col("ts")) - unix_micros(col("view_ts"))).as("gap_us"))
+          col("id").as("purchase_id"),
+          col("k").as("user_id"),
+          timestamp_micros(col("t")).as("purchase_ts"),
+          col("b_id").as("view_id"),
+          (col("t") - col("b_t")).as("gap_us"))
     },
 
     // ----------------------------------------------------------------
