@@ -218,5 +218,72 @@ object EventsOps {
         .agg(count(lit(1)).as("n_events"),
           min(epochS(col("ts"))).as("session_start_s"),
           max(epochS(col("ts"))).as("session_end_s"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q112_funnel",
+      """Funnel / sequence-pattern analysis (the MATCH_RECOGNIZE-class
+        |workload): per user, how deep into the view → click → purchase
+        |funnel did their ordered event history get, as a SUBSEQUENCE
+        |match (other events may interleave). The per-user history
+        |collapses to a compact initials string inside ONE aggregate
+        |(collect_list of (ts, id, initial) structs, array_sort on the
+        |total order, concat) and the pattern tests are regexes over
+        |that string — per-user state is the user's own history, the
+        |same bound q83's sequence builder already carries, and there is
+        |exactly one shuffle. The oracle rebuilds the string with
+        |ORDER BY string_agg and the identical regexes.""".stripMargin,
+      """WITH seq AS (
+        |  SELECT user_id,
+        |    string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS s
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, CAST(length(s) AS BIGINT) AS n_events,
+        |  CASE WHEN regexp_matches(s, 'v.*c.*p') THEN 3
+        |       WHEN regexp_matches(s, 'v.*c') THEN 2
+        |       WHEN regexp_matches(s, 'v') THEN 1
+        |       ELSE 0 END AS funnel_depth
+        |FROM seq""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(collect_list(struct(epochUs(col("ts")).as("t"),
+          col("event_id").as("id"),
+          substring(col("event_type"), 1, 1).as("c"))).as("xs"))
+        .select(col("user_id"),
+          concat_ws("", expr("transform(array_sort(xs), x -> x.c)")).as("s"))
+        .select(col("user_id"),
+          length(col("s")).cast("long").as("n_events"),
+          when(col("s").rlike("v.*c.*p"), 3)
+            .when(col("s").rlike("v.*c"), 2)
+            .when(col("s").rlike("v"), 1)
+            .otherwise(0).as("funnel_depth"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q113_rolling_window",
+      """Time-based rolling aggregate (RANGE frame): per user, the
+        |6-hour trailing sum of event value and event count at every
+        |event — the moving-metric shape behind rate limiting and
+        |rolling spend. The window is keyed (partition by user) and
+        |RANGE-framed on epoch micros, so each partition streams its
+        |sorted history once with two running accumulators — state is
+        |the frame content, not the history. Money travels as exact
+        |DECIMAL inside the frame sum and leaves as integer cents, so
+        |the frame arithmetic is order-independent and bit-identical in
+        |both engines (a raw double frame sum would depend on each
+        |engine's accumulation order).""".stripMargin,
+      """SELECT event_id, user_id,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w * 100 AS BIGINT) AS roll_cents,
+        |  CAST(count(*) OVER w AS BIGINT) AS roll_n
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 21600000000 PRECEDING AND CURRENT ROW)""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(epochUs(col("ts")))
+        .rangeBetween(-21600000000L, 0)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          (sum(col("value").cast("decimal(18,2)")).over(w) * 100)
+            .cast("long").as("roll_cents"),
+          count(lit(1)).over(w).cast("long").as("roll_n"))
     })
 }

@@ -277,5 +277,45 @@ object TextOps {
             |ELSE array() END""".stripMargin)).as("bigram"))
         .groupBy(col("bigram")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("bigram")).limit(50)
+    },
+
+    // ----------------------------------------------------------------
+    q("q111_unicode_nfc",
+      """Unicode NFC normalization — the text-pipeline prerequisite every
+        |byte-keyed dedup (q26/q95/q98) silently assumes: the same
+        |visible string can arrive composed (U+00E9) or decomposed
+        |(e + U+0301) and must hash identically. Spark has no built-in
+        |normalizer, so this runs graft's native codegen
+        |`nfc_normalize` Expression (plans/UnicodeNorm — inlines into
+        |whole-stage codegen, no per-row boxing); the oracle runs
+        |DuckDB's independent built-in of the same public UAX #15
+        |algorithm, pinning the transform byte-for-byte. The fixture
+        |splices deterministic decomposed sequences (combining acute /
+        |diaeresis, doc_id-varied repetition) onto each document's text
+        |scan-side; a pure projection — zero shuffle at any scale.""".stripMargin,
+      """WITH r AS (
+        |  SELECT doc_id,
+        |    substr(text, 1, 16) || ' nai' || chr(776) || 've cafe' || chr(769)
+        |      || ' ' || repeat('o' || chr(776), CAST(doc_id % 4 AS INT)) AS raw
+        |  FROM documents)
+        |SELECT doc_id, nfc_normalize(raw) AS nfc,
+        |  CAST(length(raw) AS BIGINT) AS raw_chars,
+        |  CAST(length(nfc_normalize(raw)) AS BIGINT) AS nfc_chars,
+        |  (nfc_normalize(raw) <> raw) AS changed
+        |FROM r""".stripMargin) { (s, dir) =>
+      graft.plans.GraftFunctions.register(s)
+      // the literals below are DECOMPOSED (base letter + combining
+      // diaeresis U+0308 / acute U+0301), matching the oracle's
+      // chr(776)/chr(769) splices — NFC genuinely rewrites them
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          concat(substring(col("text"), 1, 16),
+            lit(" naïve café "),
+            expr("repeat('ö', CAST(doc_id % 4 AS INT))")).as("raw"))
+        .select(col("doc_id"),
+          expr("nfc_normalize(raw)").as("nfc"),
+          length(col("raw")).cast("long").as("raw_chars"),
+          length(expr("nfc_normalize(raw)")).cast("long").as("nfc_chars"),
+          expr("nfc_normalize(raw) != raw").as("changed"))
     })
 }

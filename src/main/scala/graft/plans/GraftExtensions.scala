@@ -46,6 +46,13 @@ object GraftFunctions {
         require(children.size == 1,
           s"rolling_minblock_hash expects exactly 1 argument, got ${children.size}")
         RollingMinBlockHash(children.head)
+      }),
+    (FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1,
+          s"nfc_normalize expects exactly 1 argument, got ${children.size}")
+        NfcNormalize(children.head)
       }))
 
   /** Idempotent in-session registration. */
