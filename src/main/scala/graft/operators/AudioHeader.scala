@@ -97,6 +97,89 @@ object AudioHeader {
     }
   }
 
+  /** Strict FLAC STREAMINFO decode; None on anything not a consistent
+    * FLAC metadata stream (never throws). Spec source (public): the
+    * FLAC format spec / RFC 9639 — "fLaC" magic, then metadata blocks
+    * (1-byte last-flag+type, 24-bit big-endian length), the first of
+    * which MUST be STREAMINFO (type 0, length 34) carrying min/max
+    * blocksize, min/max framesize, then a packed 64-bit field:
+    * 20-bit sample rate, 3-bit channels-1, 5-bit bps-1, 36-bit total
+    * samples, plus a 16-byte MD5. Strictness: the full metadata chain
+    * is walked and every declared block must fit the buffer; sample
+    * rate / channels / bps / blocksize ranges are the spec's legal
+    * ranges — a random buffer with the magic cannot decode. */
+  def decodeFlac(bytes: Array[Byte]): Option[AudioMeta] = {
+    if (bytes == null || bytes.length < 42) return None
+    if (fourCC(bytes, 0) != "fLaC") return None
+    // walk the metadata chain; first block must be STREAMINFO
+    var off = 4
+    var first = true
+    var meta: Option[AudioMeta] = None
+    var last = false
+    while (!last) {
+      if (off + 4 > bytes.length) return None
+      val hdr = bytes(off) & 0xff
+      last = (hdr & 0x80) != 0
+      val btype = hdr & 0x7f
+      val len = ((bytes(off + 1) & 0xff) << 16) |
+        ((bytes(off + 2) & 0xff) << 8) | (bytes(off + 3) & 0xff)
+      val body = off + 4
+      if (body + len > bytes.length) return None
+      if (first) {
+        if (btype != 0 || len != 34) return None
+        val minBlock = ((bytes(body) & 0xff) << 8) | (bytes(body + 1) & 0xff)
+        val maxBlock = ((bytes(body + 2) & 0xff) << 8) | (bytes(body + 3) & 0xff)
+        // packed 64-bit field at body+10: rate(20) ch-1(3) bps-1(5) samples(36)
+        var v = 0L
+        var i = 0
+        while (i < 8) { v = (v << 8) | (bytes(body + 10 + i) & 0xffL); i += 1 }
+        val rate = v >>> 44
+        val ch = ((v >>> 41) & 0x7) + 1
+        val bps = ((v >>> 36) & 0x1f) + 1
+        val samples = v & 0xfffffffffL
+        if (minBlock < 16 || maxBlock < minBlock) return None
+        if (rate < 1 || rate > 655350 || ch < 1 || ch > 8 || bps < 4 || bps > 32)
+          return None
+        meta = Some(AudioMeta("flac", ch, rate, bps, samples,
+          samples * 1000000L / rate))
+        first = false
+      }
+      off = body + len
+    }
+    meta
+  }
+
+  /** Strict audio decode with content dispatch — the audio twin of
+    * ImageHeader.decode: try each container's strict parser in turn. */
+  def decode(bytes: Array[Byte]): Option[AudioMeta] =
+    decodeWav(bytes).orElse(decodeFlac(bytes))
+
+  /** Test-fixture encoder: a minimal legal FLAC metadata stream — magic
+    * + a single (last-flagged) STREAMINFO with blocksize 4096, unknown
+    * framesizes (0) and MD5 (zeros, both legal), and the given packed
+    * audio parameters. 42 bytes total; no frame data (the decoder reads
+    * metadata only). */
+  def encodeFlac(channels: Int, sampleRate: Int, bitsPerSample: Int,
+      totalSamples: Long): Array[Byte] = {
+    require(channels >= 1 && channels <= 8, s"channels $channels")
+    require(bitsPerSample >= 4 && bitsPerSample <= 32, s"bps $bitsPerSample")
+    require(sampleRate >= 1 && sampleRate <= 655350, s"rate $sampleRate")
+    require(totalSamples >= 0 && totalSamples < (1L << 36), s"samples $totalSamples")
+    val out = new Array[Byte](42)
+    System.arraycopy("fLaC".getBytes("US-ASCII"), 0, out, 0, 4)
+    out(4) = 0x80.toByte // last block + type 0 (STREAMINFO)
+    out(5) = 0; out(6) = 0; out(7) = 34
+    out(8) = 0x10; out(9) = 0 // min blocksize 4096
+    out(10) = 0x10; out(11) = 0 // max blocksize 4096
+    // framesizes unknown (0): bytes 12..17 stay zero
+    val v = (sampleRate.toLong << 44) | ((channels - 1).toLong << 41) |
+      ((bitsPerSample - 1).toLong << 36) | totalSamples
+    var i = 0
+    while (i < 8) { out(18 + i) = ((v >>> (56 - 8 * i)) & 0xff).toByte; i += 1 }
+    // MD5 unknown (zeros): bytes 26..41 stay zero
+    out
+  }
+
   /** Test-fixture encoder: a canonical 44-byte-header PCM WAV whose
     * sample data is a deterministic byte ramp (value = frame index mod
     * 251, per byte), so payloads are reproducible cross-run. */

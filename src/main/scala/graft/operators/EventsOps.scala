@@ -285,5 +285,25 @@ object EventsOps {
           (sum(col("value").cast("decimal(18,2)")).over(w) * 100)
             .cast("long").as("roll_cents"),
           count(lit(1)).over(w).cast("long").as("roll_n"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q114_salted_agg",
+      """Skew-proof two-phase aggregation (operators/Skew.saltedCount):
+        |per-user event counts where one hot key (a bot at 100x traffic)
+        |would otherwise pin a single reducer — phase 1 spreads each key
+        |over 16 salts, phase 2 merges the 16 partials per key. The
+        |oracle is the PLAIN group-by: the whole point is that salting
+        |is invisible in the result (count is algebraic, so the two-
+        |phase merge is exact), and the hash compare proves it row for
+        |row. The salt column derives from monotonically_increasing_id,
+        |which is partitioning-dependent — but only the SPREAD depends
+        |on it, never the merged totals, so the query is deterministic
+        |where it must be. Cost: one extra (tiny, 16x-key) shuffle
+        |bought for a 16x cut in worst-key reducer load at 100 TB.""".stripMargin,
+      """SELECT user_id, count(*) AS n
+        |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
+      Skew.saltedCount(Tables.events(s, dir), col("user_id"))
+        .select(col("k").as("user_id"), col("n"))
     })
 }

@@ -143,13 +143,14 @@ object Multimodal {
     }(enc)
   }
 
-  /** REAL audio-header decode over the canonical media frame: PCM WAV
-    * (RIFF/WAVE) headers parsed per row ([[AudioHeader.decodeWav]] —
-    * strict magic, chunk-walk, redundant-field re-derivation), batched
-    * via mapPartitions exactly like [[decodeImageMeta]]. Unrecognized
-    * or corrupted payloads decode to format "unknown" with null fields
-    * — never an error. Duration is exact integer microseconds, so the
-    * output never carries engine-dependent float rounding. */
+  /** REAL audio-header decode over the canonical media frame with
+    * content dispatch: PCM WAV (RIFF/WAVE chunk walk, redundant-field
+    * re-derivation) and FLAC (STREAMINFO metadata-chain walk) parsed
+    * per row ([[AudioHeader.decode]]), batched via mapPartitions
+    * exactly like [[decodeImageMeta]]. Unrecognized or corrupted
+    * payloads decode to format "unknown" with null fields — never an
+    * error. Durations are exact integer microseconds, so the output
+    * never carries engine-dependent float rounding. */
   def decodeAudioMeta(media: DataFrame): DataFrame = {
     validateMediaFrame(media)
     val outSchema = StructType(media.schema.fields.filterNot(_.name == "media") ++ Seq(
@@ -164,7 +165,7 @@ object Multimodal {
     val keepIdx = media.schema.fields.zipWithIndex.filterNot(_._1.name == "media").map(_._2)
     media.mapPartitions { rows =>
       rows.map { r =>
-        val extra: Seq[Any] = AudioHeader.decodeWav(r.getAs[Array[Byte]](mediaIdx)) match {
+        val extra: Seq[Any] = AudioHeader.decode(r.getAs[Array[Byte]](mediaIdx)) match {
           case Some(m) =>
             Seq(m.format, m.channels, m.sampleRate, m.bitsPerSample, m.nFrames, m.durationUs)
           case None => Seq("unknown", null, null, null, null, null)
@@ -515,6 +516,65 @@ object Multimodal {
           // corrupt the riff size byte: strict decode must reject, not
           // misreport — this branch is the no-false-positive proof
           if (id % 7 == 3) bytes(4) = (bytes(4) + 1).toByte
+          (id, bytes)
+        }
+        .toDF("doc_id", "payload")
+        .withColumn("src", lit("synthetic"))
+      val media = asMediaFrame(payloads, "doc_id", "payload", "src")
+      decodeAudioMeta(media)
+        .select(col("media_id"), col("format"), col("channels"),
+          col("sample_rate"), col("bit_depth"), col("n_frames"),
+          col("duration_us"), col("meta.n_bytes").as("n_bytes"))
+    },
+
+    q("q115_audio_formats",
+      """FLAC + WAV decode through ONE dispatching decoder — the audio
+        |twin of q94's jpeg/gif pairing: even doc_id rows carry a
+        |minimal legal FLAC metadata stream (STREAMINFO with the packed
+        |20/3/5/36-bit rate/channels/bps/samples field), odd rows a PCM
+        |WAV, all parameters doc_id-derived, and the SAME batched
+        |decodeAudioMeta stage must identify and parse both. The oracle
+        |recomputes every decoded field, the exact integer-microsecond
+        |duration (floor division in both engines) and the exact
+        |container size (FLAC: fixed 42-byte metadata stream; WAV:
+        |44 + frames x block align) from doc_id arithmetic — a wrong
+        |bit offset in the packed STREAMINFO field or a broken dispatch
+        |turns the row red.""".stripMargin,
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'flac' ELSE 'wav' END AS format,
+        |  CASE WHEN doc_id % 2 = 0 THEN doc_id % 8 + 1
+        |       ELSE doc_id % 3 + 1 END AS channels,
+        |  CASE WHEN doc_id % 2 = 0 THEN 8000 + (doc_id % 10) * 4000
+        |       ELSE 8000 + (doc_id % 5) * 4000 END AS sample_rate,
+        |  CASE WHEN doc_id % 2 = 0 THEN doc_id % 29 + 4
+        |       ELSE 8 * (doc_id % 4 + 1) END AS bit_depth,
+        |  CASE WHEN doc_id % 2 = 0 THEN doc_id % 100000
+        |       ELSE doc_id % 200 + 1 END AS n_frames,
+        |  CASE WHEN doc_id % 2 = 0
+        |       THEN (doc_id % 100000) * 1000000 // (8000 + (doc_id % 10) * 4000)
+        |       ELSE (doc_id % 200 + 1) * 1000000 // (8000 + (doc_id % 5) * 4000)
+        |  END AS duration_us,
+        |  CASE WHEN doc_id % 2 = 0 THEN CAST(42 AS BIGINT)
+        |       ELSE 44 + (doc_id % 200 + 1) * (doc_id % 3 + 1) * (doc_id % 4 + 1)
+        |  END AS n_bytes
+        |FROM documents""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val payloads = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val bytes =
+            if (id % 2 == 0)
+              AudioHeader.encodeFlac(
+                channels = (id % 8 + 1).toInt,
+                sampleRate = (8000 + (id % 10) * 4000).toInt,
+                bitsPerSample = (id % 29 + 4).toInt,
+                totalSamples = id % 100000)
+            else
+              AudioHeader.encodeWav(
+                channels = (id % 3 + 1).toInt,
+                sampleRate = (8000 + (id % 5) * 4000).toInt,
+                bitsPerSample = (8 * (id % 4 + 1)).toInt,
+                nFrames = (id % 200 + 1).toInt)
           (id, bytes)
         }
         .toDF("doc_id", "payload")

@@ -55,6 +55,46 @@ class AudioHeaderSpec extends AnyFunSuite {
     }
   }
 
+  test("FLAC encode/decode roundtrip across the parameter grid") {
+    for {
+      ch <- Seq(1, 2, 6, 8)
+      rate <- Seq(1, 8000, 44100, 655350)
+      bps <- Seq(4, 16, 24, 32)
+      samples <- Seq(0L, 1L, 99999L, (1L << 36) - 1)
+    } {
+      val bytes = AudioHeader.encodeFlac(ch, rate, bps, samples)
+      assert(bytes.length == 42)
+      val m = AudioHeader.decodeFlac(bytes)
+        .getOrElse(fail(s"no decode for ch=$ch rate=$rate bps=$bps samples=$samples"))
+      assert(m.format == "flac")
+      assert(m.channels == ch && m.sampleRate == rate &&
+        m.bitsPerSample == bps && m.nFrames == samples)
+      assert(m.durationUs == samples * 1000000L / rate)
+      // the dispatching decoder picks the right container
+      assert(AudioHeader.decode(bytes).exists(_.format == "flac"))
+    }
+  }
+
+  test("every FLAC prefix truncation is rejected") {
+    val bytes = AudioHeader.encodeFlac(2, 44100, 16, 12345L)
+    for (n <- 0 until bytes.length)
+      assert(AudioHeader.decodeFlac(bytes.take(n)).isEmpty, s"truncation at $n decoded")
+  }
+
+  test("FLAC strictness: wrong first-block type/length and bad ranges reject") {
+    val good = AudioHeader.encodeFlac(2, 44100, 16, 100L)
+    val wrongType = good.clone(); wrongType(4) = (0x80 | 4).toByte // VORBIS_COMMENT first
+    assert(AudioHeader.decodeFlac(wrongType).isEmpty)
+    val wrongLen = good.clone(); wrongLen(7) = 33
+    assert(AudioHeader.decodeFlac(wrongLen).isEmpty)
+    val zeroRate = good.clone()
+    // zero out the 20 rate bits (bytes 18-19 and the top nibble of 20)
+    zeroRate(18) = 0; zeroRate(19) = 0; zeroRate(20) = (zeroRate(20) & 0x0f).toByte
+    assert(AudioHeader.decodeFlac(zeroRate).isEmpty)
+    val badBlock = good.clone(); badBlock(8) = 0; badBlock(9) = 8 // min blocksize 8 < 16
+    assert(AudioHeader.decodeFlac(badBlock).isEmpty)
+  }
+
   test("text and image payloads do not decode as WAV") {
     assert(AudioHeader.decodeWav("RIFF this is not audio WAVE data chunk!!".getBytes).isEmpty)
     assert(AudioHeader.decodeWav(Array.empty[Byte]).isEmpty)
