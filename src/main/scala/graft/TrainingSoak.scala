@@ -231,14 +231,40 @@ object TrainingSoak {
       asofAgg.getLong(2) == asofU && asofAgg.getLong(3) == asofU &&
       asofAgg.getLong(4) == asofU * nProbe
 
+    // ---- 6) Range-join kernel (q105 shape) -------------------------
+    // Points at every integer micro 0..n-1; one interval per 100k
+    // points, each [s, s + 10003) — a width that is NOT a multiple of
+    // the 4096-micro bucket, so intervals straddle 3-4 buckets and the
+    // explode bounds and boundary re-filter are genuinely exercised.
+    // Every interval provably contains exactly 10003 points (the last
+    // interval ends 89997 micros before n), so count/min/max/sum are
+    // all closed-form.
+    val rjW = 10003L; val rjB = 4096L; val rjStride = 100000L
+    require(n % rjStride == 0 && n >= rjStride, s"n must be divisible by $rjStride")
+    val rjPts = spark.range(n).select(col("id").as("t_us"))
+    val rjIvs = spark.range(n / rjStride).select(col("id"),
+      (col("id") * rjStride).as("s_us"), (col("id") * rjStride + rjW).as("e_us"))
+    val (rjAgg, rjSec) = timed {
+      operators.TemporalJoins.rangeCountKernel(rjIvs, rjPts, rjB)
+        .agg(count(lit(1)).as("n_ivs"),
+          min(col("n_points")).as("pmin"), max(col("n_points")).as("pmax"),
+          sum(col("n_points")).as("psum"))
+        .collect()(0)
+    }
+    val nIvs = n / rjStride
+    val rangeOk = rjAgg.getLong(0) == nIvs &&
+      rjAgg.getLong(1) == rjW && rjAgg.getLong(2) == rjW &&
+      rjAgg.getLong(3) == rjW * nIvs
+
     println(
       s"""{"metric":"training_soak","rows":$n,""" +
         s""""mg_sec":$mgSec,"mg_summary_size":${summary.size},"mg_m":$m,"mg_ok":$mgOk,""" +
         s""""sample_sec":$sampleSec,"sample_ok":$sampleOk,""" +
         s""""vocab_sec":$vocabSec,"vocab_ok":$vocabOk,""" +
         s""""ivf_rows":$nIvf,"ivf_sec":$ivfSec,"ivf_recall":$ivfRecall,"ivf_ok":$ivfOk,""" +
-        s""""asof_sec":$asofSec,"asof_ok":$asofOk}""")
+        s""""asof_sec":$asofSec,"asof_ok":$asofOk,""" +
+        s""""range_sec":$rjSec,"range_ok":$rangeOk}""")
     spark.stop()
-    if (!(mgOk && sampleOk && vocabOk && ivfOk && asofOk)) sys.exit(1)
+    if (!(mgOk && sampleOk && vocabOk && ivfOk && asofOk && rangeOk)) sys.exit(1)
   }
 }

@@ -59,6 +59,28 @@ object TemporalJoins {
       .select(col("k"), col("id"), col("t"), col("b_id"), col("b_t"))
   }
 
+  /** The bucketed interval-count kernel shared by q105 and the soak:
+    * `intervals` pre-projected to (id, s_us, e_us) half-open micro
+    * ranges, `points` to (t_us), `bUs` the bucket width. Each interval
+    * explodes to its covering buckets (fan-out bounded by
+    * len/bucket + 1), points compute their single bucket scan-side,
+    * and a hash equi-join on the bucket + exact re-filter feeds one
+    * count per interval — left semantics (empty intervals count 0),
+    * no dedup needed (a point's one bucket meets each covering
+    * interval exactly once), never a nested loop. */
+  def rangeCountKernel(intervals: DataFrame, points: DataFrame, bUs: Long): DataFrame = {
+    val inc = intervals.select(col("id"), col("s_us"), col("e_us"))
+      .withColumn("bucket", explode(sequence(
+        expr(s"s_us DIV ${bUs}L"), expr(s"(e_us - 1) DIV ${bUs}L"))))
+    val pts = points.select(col("t_us"), expr(s"t_us DIV ${bUs}L").as("bucket"))
+    inc.join(pts,
+        inc("bucket") === pts("bucket") &&
+          col("t_us") >= col("s_us") && col("t_us") < col("e_us"),
+        "left")
+      .groupBy(col("id"))
+      .agg(count(col("t_us")).as("n_points"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // ----------------------------------------------------------------
     q("q104_asof_join",
@@ -123,21 +145,12 @@ object TemporalJoins {
       val busUs = 3600L * 1000000L // 1-hour buckets == interval length
       val ev = Tables.events(s, dir)
       val inc = ev.filter(col("event_type") === "error")
-        .select(col("event_id").as("incident_id"),
-          unix_micros(col("ts")).as("start_us"),
-          (unix_micros(col("ts")) + busUs).as("end_us"))
-        // [start, end) covers buckets floor(start/b) .. floor((end-1)/b)
-        .withColumn("bucket", explode(sequence(
-          expr(s"start_us DIV ${busUs}L"), expr(s"(end_us - 1) DIV ${busUs}L"))))
+        .select(col("event_id").as("id"),
+          unix_micros(col("ts")).as("s_us"),
+          (unix_micros(col("ts")) + busUs).as("e_us"))
       val clicks = ev.filter(col("event_type") === "click")
-        .select(col("event_id").as("click_id"),
-          unix_micros(col("ts")).as("c_us"),
-          expr(s"unix_micros(ts) DIV ${busUs}L").as("bucket"))
-      inc.join(clicks,
-          inc("bucket") === clicks("bucket") &&
-            col("c_us") >= col("start_us") && col("c_us") < col("end_us"),
-          "left")
-        .groupBy(col("incident_id"))
-        .agg(count(col("click_id")).as("n_clicks"))
+        .select(unix_micros(col("ts")).as("t_us"))
+      rangeCountKernel(inc, clicks, busUs)
+        .select(col("id").as("incident_id"), col("n_points").as("n_clicks"))
     })
 }
