@@ -61,7 +61,11 @@ object AudioHeader {
     var off = 12
     var fmt: Option[(Int, Long, Long, Int, Int)] = None // ch, rate, byteRate, align, bits
     var dataSize = -1L
-    while (off + 8 <= bytes.length && dataSize < 0) {
+    // walk the WHOLE chunk chain, not just up to data: trailing chunks'
+    // declared sizes must also tile the buffer exactly, or the payload
+    // is structurally corrupt and decodes as unknown
+    while (off < bytes.length) {
+      if (off + 8 > bytes.length) return None // dangling partial header
       val id = fourCC(bytes, off)
       val size = leInt(bytes, off + 4)
       val body = off + 8
@@ -76,12 +80,14 @@ object AudioHeader {
             leShort(bytes, body + 14)))
         case "data" =>
           if (fmt.isEmpty) return None // fmt must precede data
+          if (dataSize >= 0) return None // exactly one data chunk
           dataSize = size
         case _ => // skip unknown chunk (LIST, fact, ...)
       }
       // chunks are word-aligned: odd sizes carry one pad byte
       off = body + size.toInt + (size.toInt & 1)
     }
+    if (off != bytes.length) return None // chunks (incl. pads) must tile exactly
     fmt match {
       case Some((ch, rate, byteRate, align, bits)) if dataSize >= 0 =>
         if (ch < 1 || ch > 8 || rate <= 0 || !LegalBits(bits)) return None
@@ -149,10 +155,149 @@ object AudioHeader {
     meta
   }
 
+  // ------------------------------------------------------------------
+  // MP3: ID3v2 tag skip + MPEG audio frame-header walk. Spec sources
+  // (public): the ID3v2.3/2.4 informal standards (10-byte header,
+  // syncsafe 28-bit size, optional footer) and the ISO/IEC 11172-3 /
+  // 13818-3 frame header layout: 11-bit sync, 2-bit version id,
+  // 2-bit layer, 4-bit bitrate index, 2-bit sample-rate index,
+  // padding bit, channel mode — with the published bitrate and
+  // sample-rate tables per version/layer.
+  // ------------------------------------------------------------------
+
+  // bitrate tables in kbps, index 1..14 (0 = free and 15 = bad are
+  // both rejected — strictness over permissiveness)
+  private val BrV1L1 = Array(0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448)
+  private val BrV1L2 = Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384)
+  private val BrV1L3 = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  private val BrV2L1 = Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256)
+  private val BrV2L23 = Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+
+  // sample-rate tables by version, index 0..2 (3 = reserved)
+  private val SrV1 = Array(44100, 48000, 32000)
+  private val SrV2 = Array(22050, 24000, 16000)
+  private val SrV25 = Array(11025, 12000, 8000)
+
+  /** ID3v2 tag length at the start of `b` (0 if none); -1 when a tag
+    * starts but is malformed/truncated — the whole payload rejects. */
+  private def id3v2Length(b: Array[Byte]): Int = {
+    if (b.length < 3 || b(0) != 'I' || b(1) != 'D' || b(2) != '3') return 0
+    if (b.length < 10) return -1
+    val major = b(3) & 0xff
+    if (major < 2 || major > 4 || (b(4) & 0xff) == 0xff) return -1
+    // syncsafe: each size byte has the high bit clear
+    var size = 0
+    var i = 6
+    while (i < 10) {
+      if ((b(i) & 0x80) != 0) return -1
+      size = (size << 7) | (b(i) & 0x7f)
+      i += 1
+    }
+    val footer = ((b(5) & 0xff) & 0x10) != 0
+    val total = 10 + size + (if (footer) 10 else 0)
+    if (total > b.length) -1 else total
+  }
+
+  /** Strict MPEG-audio (MP3-family) decode: optional ID3v2 tag, then a
+    * frame chain that must tile the remaining buffer EXACTLY, every
+    * frame header legal and mutually consistent (same version / layer /
+    * sample rate / channel count; bitrate may vary frame to frame —
+    * VBR). None on anything else (never throws). bitsPerSample is 0:
+    * compressed audio has no PCM bit depth; nFrames counts PCM samples
+    * per channel (frames x samples-per-frame) so duration stays exact
+    * integer micros like the other decoders. */
+  def decodeMp3(bytes: Array[Byte]): Option[AudioMeta] = {
+    if (bytes == null || bytes.length < 14) return None // ID3-less minimum: one 4-byte header + payload
+    val skip = id3v2Length(bytes)
+    if (skip < 0) return None
+    var off = skip
+    if (bytes.length - off < 4) return None
+    var ver = -1; var layer = -1; var rate = -1; var ch = -1
+    var mpegFrames = 0L; var samples = 0L
+    while (off < bytes.length) {
+      if (off + 4 > bytes.length) return None
+      val h1 = bytes(off) & 0xff; val h2 = bytes(off + 1) & 0xff
+      val h3 = bytes(off + 2) & 0xff; val h4 = bytes(off + 3) & 0xff
+      if (h1 != 0xff || (h2 & 0xe0) != 0xe0) return None
+      val vb = (h2 >> 3) & 3 // 0=MPEG2.5 1=reserved 2=MPEG2 3=MPEG1
+      val lb = (h2 >> 1) & 3 // 0=reserved 1=LayerIII 2=LayerII 3=LayerI
+      if (vb == 1 || lb == 0) return None
+      val lay = 4 - lb // 1..3
+      val brIdx = (h3 >> 4) & 0xf
+      if (brIdx == 0 || brIdx == 15) return None // free/bad bitrate
+      val srIdx = (h3 >> 2) & 3
+      if (srIdx == 3) return None
+      val padding = (h3 >> 1) & 1
+      val mode = (h4 >> 6) & 3
+      val chans = if (mode == 3) 1 else 2
+      val sr = (vb match { case 3 => SrV1; case 2 => SrV2; case _ => SrV25 })(srIdx)
+      val br = 1000 * (vb match {
+        case 3 => lay match { case 1 => BrV1L1; case 2 => BrV1L2; case _ => BrV1L3 }
+        case _ => if (lay == 1) BrV2L1 else BrV2L23
+      })(brIdx)
+      val spf = lay match {
+        case 1 => 384
+        case 2 => 1152
+        case _ => if (vb == 3) 1152 else 576
+      }
+      val frameBytes =
+        if (lay == 1) (12 * br / sr + padding) * 4
+        else spf / 8 * br / sr + padding
+      if (frameBytes <= 4 || off + frameBytes > bytes.length) return None
+      // consistency across the chain (bitrate excepted: VBR is legal)
+      if (mpegFrames == 0L) { ver = vb; layer = lay; rate = sr; ch = chans }
+      else if (vb != ver || lay != layer || sr != rate || chans != ch) return None
+      mpegFrames += 1L
+      samples += spf
+      off += frameBytes
+    }
+    if (off != bytes.length || mpegFrames == 0L) return None
+    Some(AudioMeta("mp3", ch.toLong, rate.toLong, 0L, samples,
+      samples * 1000000L / rate))
+  }
+
   /** Strict audio decode with content dispatch — the audio twin of
     * ImageHeader.decode: try each container's strict parser in turn. */
   def decode(bytes: Array[Byte]): Option[AudioMeta] =
-    decodeWav(bytes).orElse(decodeFlac(bytes))
+    decodeWav(bytes).orElse(decodeFlac(bytes)).orElse(decodeMp3(bytes))
+
+  /** Test-fixture encoder: an MPEG1/2/2.5 Layer III stream — an ID3v2.3
+    * tag with `id3Body` zero bytes, then `nMpegFrames` frames at the
+    * given sample rate (must be one of the nine legal rates; the rate
+    * selects the MPEG version) and bitrate (must be in that version's
+    * Layer III table), padding 0, zeroed side-info/payload. The decoder
+    * reads structure only, so zero payloads exercise the full walk. */
+  def encodeMp3(channels: Int, sampleRate: Int, bitrateKbps: Int,
+      nMpegFrames: Int, id3Body: Int = 0): Array[Byte] = {
+    require(channels == 1 || channels == 2, s"channels $channels")
+    require(nMpegFrames > 0 && id3Body >= 0)
+    val (vb, srIdx) =
+      if (SrV1.contains(sampleRate)) (3, SrV1.indexOf(sampleRate))
+      else if (SrV2.contains(sampleRate)) (2, SrV2.indexOf(sampleRate))
+      else if (SrV25.contains(sampleRate)) (0, SrV25.indexOf(sampleRate))
+      else throw new IllegalArgumentException(s"illegal MPEG sample rate $sampleRate")
+    val table = if (vb == 3) BrV1L3 else BrV2L23
+    val brIdx = table.indexOf(bitrateKbps)
+    require(brIdx >= 1, s"bitrate $bitrateKbps not in version's Layer III table")
+    val frameBytes = (if (vb == 3) 1152 else 576) / 8 * (bitrateKbps * 1000) / sampleRate
+    val out = new Array[Byte](10 + id3Body + nMpegFrames * frameBytes)
+    out(0) = 'I'; out(1) = 'D'; out(2) = '3'; out(3) = 3 // ID3v2.3, rev 0, no flags
+    out(6) = ((id3Body >> 21) & 0x7f).toByte
+    out(7) = ((id3Body >> 14) & 0x7f).toByte
+    out(8) = ((id3Body >> 7) & 0x7f).toByte
+    out(9) = (id3Body & 0x7f).toByte
+    val mode = if (channels == 1) 3 else 0 // stereo / mono
+    var f = 0
+    while (f < nMpegFrames) {
+      val off = 10 + id3Body + f * frameBytes
+      out(off) = 0xff.toByte
+      out(off + 1) = (0xe0 | (vb << 3) | (1 << 1)).toByte // layer III bits = 01
+      out(off + 2) = ((brIdx << 4) | (srIdx << 2)).toByte // padding 0
+      out(off + 3) = (mode << 6).toByte
+      f += 1
+    }
+    out
+  }
 
   /** Test-fixture encoder: a minimal legal FLAC metadata stream — magic
     * + a single (last-flagged) STREAMINFO with blocksize 4096, unknown
@@ -190,7 +335,9 @@ object AudioHeader {
     require(sampleRate > 0 && nFrames >= 0)
     val align = channels * (bitsPerSample / 8)
     val dataSize = nFrames * align
-    val out = new Array[Byte](44 + dataSize)
+    // RIFF chunks are word-aligned: an odd data chunk carries a pad byte
+    // (counted in the riff size, NOT in the chunk size)
+    val out = new Array[Byte](44 + dataSize + (dataSize & 1))
     def putCC(off: Int, s: String): Unit =
       System.arraycopy(s.getBytes("US-ASCII"), 0, out, off, 4)
     def putLeInt(off: Int, v: Long): Unit = {

@@ -225,14 +225,17 @@ object EventsOps {
       """Funnel / sequence-pattern analysis (the MATCH_RECOGNIZE-class
         |workload): per user, how deep into the view → click → purchase
         |funnel did their ordered event history get, as a SUBSEQUENCE
-        |match (other events may interleave). The per-user history
-        |collapses to a compact initials string inside ONE aggregate
-        |(collect_list of (ts, id, initial) structs, array_sort on the
-        |total order, concat) and the pattern tests are regexes over
-        |that string — per-user state is the user's own history, the
-        |same bound q83's sequence builder already carries, and there is
-        |exactly one shuffle. The oracle rebuilds the string with
-        |ORDER BY string_agg and the identical regexes.""".stripMargin,
+        |match (other events may interleave). Runs on the bounded-state
+        |kernel (operators/Funnel): ONE hash shuffle on user_id, a
+        |spill-safe sortWithinPartitions on (user, ts, id), then a
+        |single streaming scan holding (count, depth) — O(k) state per
+        |in-flight key, so a bot-grade user with 1e8 events costs disk
+        |sort bandwidth, never an in-memory history buffer (the
+        |collect_list shape this kernel replaced). Funnel.scala's
+        |scaladoc proves a merge-order-independent Aggregator cannot
+        |exist for k>=3, which is why the kernel sorts. The oracle
+        |rebuilds the ordered initials string with ORDER BY string_agg
+        |and tests the same pattern prefixes as regexes.""".stripMargin,
       """WITH seq AS (
         |  SELECT user_id,
         |    string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS s
@@ -243,19 +246,7 @@ object EventsOps {
         |       WHEN regexp_matches(s, 'v') THEN 1
         |       ELSE 0 END AS funnel_depth
         |FROM seq""".stripMargin) { (s, dir) =>
-      Tables.events(s, dir)
-        .groupBy(col("user_id"))
-        .agg(collect_list(struct(epochUs(col("ts")).as("t"),
-          col("event_id").as("id"),
-          substring(col("event_type"), 1, 1).as("c"))).as("xs"))
-        .select(col("user_id"),
-          concat_ws("", expr("transform(array_sort(xs), x -> x.c)")).as("s"))
-        .select(col("user_id"),
-          length(col("s")).cast("long").as("n_events"),
-          when(col("s").rlike("v.*c.*p"), 3)
-            .when(col("s").rlike("v.*c"), 2)
-            .when(col("s").rlike("v"), 1)
-            .otherwise(0).as("funnel_depth"))
+      Funnel.funnelDepth(Tables.events(s, dir), Seq("v", "c", "p"))
     },
 
     // ----------------------------------------------------------------
@@ -305,5 +296,30 @@ object EventsOps {
         |FROM events GROUP BY 1""".stripMargin) { (s, dir) =>
       Skew.saltedCount(Tables.events(s, dir), col("user_id"))
         .select(col("k").as("user_id"), col("n"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q116_salted_join",
+      """Skew-proof fact ⋈ dim equi-join (operators/Skew.saltedJoin) —
+        |the more common production shape than q114's salted count:
+        |events (fact, bot keys at 10-100x traffic) enriched with the
+        |customer dimension on user_id = c_custkey. The fact side is
+        |salted via pmod(monotonically_increasing_id, 16), the dim side
+        |replicated across all 16 salts with explode(sequence(...)), so
+        |the join key becomes (user_id, salt) and one hot user's rows
+        |spread over 16 reducers instead of pinning one. Each fact row
+        |still matches its dim row exactly once (the dim copy carrying
+        |its salt), so — like q114 — the oracle is the PLAIN join: the
+        |hash compare proves salting is invisible row for row.
+        |SkewSpec additionally proves parity under a synthetic 100x hot
+        |key. At 100 TB the dim replication cost is 16x a broadcast-
+        |sized table; the payoff is no single reducer ever sees a whole
+        |hot key.""".stripMargin,
+      """SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey""".stripMargin) { (s, dir) =>
+      val dim = Tables.customer(s, dir)
+        .select(col("c_custkey").as("user_id"), col("c_name"), col("c_mktsegment"))
+      Skew.saltedJoin(Tables.events(s, dir), dim, "user_id")
+        .select(col("event_id"), col("user_id"), col("c_name"), col("c_mktsegment"))
     })
 }

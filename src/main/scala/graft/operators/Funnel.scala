@@ -1,0 +1,110 @@
+package graft.operators
+
+import graft.functions.Fns._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bounded-state funnel / sequence-pattern matching (the
+  * MATCH_RECOGNIZE-class workload behind q112): per key, the depth
+  * reached in an ordered k-step pattern, matched as a SUBSEQUENCE of
+  * the key's event history (other events may interleave).
+  *
+  * == Why not an Aggregator ==
+  * The obvious "scalable" shape — a merge-order-independent
+  * `Aggregator` with O(k) state — is IMPOSSIBLE for k >= 3, not just
+  * hard. Proof sketch: for the pattern v<c<p, depth 3 holds iff some
+  * c-event lies strictly between the global earliest v and the global
+  * latest p, i.e. iff a c stabs the interval (min_v, max_p). In a
+  * commutative aggregation the interval endpoints are unknown until
+  * the final merge and can land anywhere, so a partial state must
+  * answer interval-stabbing for an arbitrary future interval — which
+  * requires retaining EVERY distinct c position (for any finite kept
+  * set {c1..cn} an adversary picks an interval containing only a
+  * discarded c). Bounded commutative state therefore cannot exist;
+  * any Aggregator here either keeps the whole history (the q112
+  * defect this file retires) or silently returns wrong depths under
+  * Spark's arbitrary reduce/merge order.
+  *
+  * == The scalable design ==
+  * Sorted-stream scan, the same shape q113's RANGE frame uses:
+  * hash-repartition by key (ONE shuffle), sort within partitions by
+  * (key, ts, event_id) — Spark's external sort spills to disk, so a
+  * bot-grade key with 1e8+ events costs disk bandwidth, never memory
+  * — then a single mapPartitions pass holding O(k) state per key: the
+  * current match depth and the event count. A 100 TB history needs 16
+  * bytes of state per in-flight key, and exactly one key is in flight
+  * per task at a time.
+  *
+  * The greedy scan (advance on the first occurrence of the next step)
+  * is exact: matching each step at its earliest possible position
+  * dominates any other match, so greedy depth == max j such that
+  * steps[0..j-1] is a subsequence — identical to the oracle's
+  * `v.*c.*p`-style regex cascade over the ordered initials string.
+  */
+object Funnel {
+
+  /** Greedy subsequence-prefix depth over an ORDERED event iterator.
+    * O(1) per event, O(1) state. Also counts events as it goes. */
+  def scan(steps: IndexedSeq[String], ordered: Iterator[String]): (Long, Int) = {
+    var depth = 0
+    var n = 0L
+    val k = steps.length
+    while (ordered.hasNext) {
+      val c = ordered.next()
+      if (depth < k && c == steps(depth)) depth += 1
+      n += 1L
+    }
+    (n, depth)
+  }
+
+  /** Reference brute-force (test oracle only): build the full ordered
+    * string, test pattern prefixes as regexes — the exact method the
+    * unbounded q112 implementation used. */
+  def bruteForceDepth(steps: IndexedSeq[String], orderedChars: Seq[String]): Int = {
+    val s = orderedChars.mkString
+    var d = steps.length
+    while (d > 0 && !s.matches(".*" + steps.take(d).mkString(".*") + ".*")) d -= 1
+    d
+  }
+
+  /** Funnel depth per user over an events frame with (user_id, ts,
+    * event_id, event_type): one shuffle, spill-safe local sort, O(k)
+    * state. `steps` are event_type initials in funnel order. */
+  def funnelDepth(events: DataFrame, steps: Seq[String]): DataFrame = {
+    val stepsArr = steps.toIndexedSeq
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .select(col("user_id"),
+        epochUs(col("ts")).as("t"), // micros, not cast-to-seconds: ties break on id
+        col("event_id").as("id"),
+        coalesce(substring(col("event_type"), 1, 1), lit("")).as("c"))
+      .repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("t"), col("id"))
+      .as[(Long, Long, Long, String)]
+      .mapPartitions { iter =>
+        // stream the sorted partition: a key's rows are contiguous, so
+        // the in-flight state is (count, depth) — never a history
+        new Iterator[(Long, Long, Int)] {
+          private var curUser = 0L
+          private var n = 0L
+          private var depth = 0
+          private var open = false
+          private var pending: (Long, Long, Int) = _
+          private def advance(): Unit = {
+            while (pending == null && iter.hasNext) {
+              val (u, _, _, c) = iter.next()
+              if (open && u != curUser) { pending = (curUser, n, depth); n = 0L; depth = 0 }
+              curUser = u; open = true
+              if (depth < stepsArr.length && c == stepsArr(depth)) depth += 1
+              n += 1L
+            }
+            if (pending == null && !iter.hasNext && open) { pending = (curUser, n, depth); open = false }
+          }
+          override def hasNext: Boolean = { advance(); pending != null }
+          override def next(): (Long, Long, Int) = { advance(); val r = pending; pending = null; r }
+        }
+      }
+      .toDF("user_id", "n_events", "funnel_depth")
+  }
+}

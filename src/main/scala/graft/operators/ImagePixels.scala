@@ -30,6 +30,11 @@ object ImagePixels {
 
   private val PngSig = Array(0x89, 0x50, 0x4E, 0x47, 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)
 
+  /** Hard cap on any raster buffer this codec will allocate (128 MiB of
+    * filtered scanlines ~ a 6600x6600 RGBA image). Headers are untrusted
+    * input; every allocation below is bounded by this in Long arithmetic. */
+  val MaxDecodedBytes: Long = 1L << 27
+
   private def beInt(b: Array[Byte], off: Int): Int =
     ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
       ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
@@ -59,6 +64,10 @@ object ImagePixels {
           val interlace = b(off + 20) & 0xff
           if (w <= 0 || h <= 0 || depth != 8 || interlace != 0) return None
           channels = colorType match { case 2 => 3; case 6 => 4; case _ => return None }
+          // Dimensions are attacker-controlled header fields: bound the
+          // decoded size in Long arithmetic BEFORE any allocation, or a
+          // CRC-valid PNG declaring 2^16 x 2^16 overflows Int / OOMs.
+          if (h.toLong * (1L + w.toLong * channels) > MaxDecodedBytes) return None
         case "IDAT" =>
           if (!seenIhdr) return None
           idat.write(b, off + 8, len)
@@ -172,6 +181,7 @@ object ImagePixels {
     * reproduce every sampled pixel exactly. */
   def resizeNearest(r: Raster, w2: Int, h2: Int): Raster = {
     require(w2 > 0 && h2 > 0, s"bad target ${w2}x$h2")
+    require(w2.toLong * h2 * r.channels <= MaxDecodedBytes, s"target ${w2}x$h2 exceeds buffer cap")
     val out = new Array[Byte](w2 * h2 * r.channels)
     var y = 0
     while (y < h2) {

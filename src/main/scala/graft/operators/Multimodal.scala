@@ -145,7 +145,8 @@ object Multimodal {
 
   /** REAL audio-header decode over the canonical media frame with
     * content dispatch: PCM WAV (RIFF/WAVE chunk walk, redundant-field
-    * re-derivation) and FLAC (STREAMINFO metadata-chain walk) parsed
+    * re-derivation), FLAC (STREAMINFO metadata-chain walk) and MP3
+    * (ID3v2 skip + MPEG frame-header chain walk) parsed
     * per row ([[AudioHeader.decode]]), batched via mapPartitions
     * exactly like [[decodeImageMeta]]. Unrecognized or corrupted
     * payloads decode to format "unknown" with null fields — never an
@@ -502,7 +503,8 @@ object Multimodal {
         |  CASE WHEN doc_id % 7 = 3 THEN NULL
         |       ELSE (doc_id % 200 + 1) * 1000000 // (8000 + (doc_id % 5) * 4000)
         |  END AS duration_us,
-        |  44 + (doc_id % 200 + 1) * (doc_id % 3 + 1) * (doc_id % 4 + 1) AS n_bytes
+        |  44 + (doc_id % 200 + 1) * (doc_id % 3 + 1) * (doc_id % 4 + 1)
+        |     + ((doc_id % 200 + 1) * (doc_id % 3 + 1) * (doc_id % 4 + 1)) % 2 AS n_bytes
         |FROM documents""".stripMargin) { (s, dir) =>
       import s.implicits._
       val payloads = Tables.documents(s, dir)
@@ -556,6 +558,7 @@ object Multimodal {
         |  END AS duration_us,
         |  CASE WHEN doc_id % 2 = 0 THEN CAST(42 AS BIGINT)
         |       ELSE 44 + (doc_id % 200 + 1) * (doc_id % 3 + 1) * (doc_id % 4 + 1)
+        |          + ((doc_id % 200 + 1) * (doc_id % 3 + 1) * (doc_id % 4 + 1)) % 2
         |  END AS n_bytes
         |FROM documents""".stripMargin) { (s, dir) =>
       import s.implicits._
@@ -575,6 +578,70 @@ object Multimodal {
                 sampleRate = (8000 + (id % 5) * 4000).toInt,
                 bitsPerSample = (8 * (id % 4 + 1)).toInt,
                 nFrames = (id % 200 + 1).toInt)
+          (id, bytes)
+        }
+        .toDF("doc_id", "payload")
+        .withColumn("src", lit("synthetic"))
+      val media = asMediaFrame(payloads, "doc_id", "payload", "src")
+      decodeAudioMeta(media)
+        .select(col("media_id"), col("format"), col("channels"),
+          col("sample_rate"), col("bit_depth"), col("n_frames"),
+          col("duration_us"), col("meta.n_bytes").as("n_bytes"))
+    },
+
+    q("q117_audio_mp3",
+      """MP3 decode through the dispatching audio stage — the compressed
+        |format real-world payloads actually arrive in: each row carries
+        |an ID3v2.3-tagged MPEG Layer III stream (AudioHeader.encodeMp3)
+        |whose version spans all three MPEG generations (the sample rate
+        |selects MPEG1 / MPEG2 / MPEG2.5 and with it the
+        |samples-per-frame constant 1152 vs 576), bitrate from the
+        |published Layer III tables, and a doc_id-sized zero-filled ID3
+        |tag that the decoder must skip via the syncsafe 28-bit length.
+        |The strict frame walk requires every frame header legal and
+        |consistent and the chain to tile the buffer exactly; every 11th
+        |row's first frame sync byte is zeroed and must come back
+        |"unknown" with null fields. The oracle recomputes channels /
+        |rate / total samples / exact integer-microsecond duration AND
+        |the exact byte size (10 + id3 body + frames x floor(spf/8 x
+        |bitrate / rate)) from doc_id arithmetic — a wrong table entry,
+        |frame-length formula, or ID3 skip turns rows red. bit_depth is
+        |0 by convention: compressed audio has no PCM width.""".stripMargin,
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    CAST(CASE doc_id % 9 WHEN 0 THEN 44100 WHEN 1 THEN 48000 WHEN 2 THEN 32000
+        |      WHEN 3 THEN 22050 WHEN 4 THEN 24000 WHEN 5 THEN 16000
+        |      WHEN 6 THEN 11025 WHEN 7 THEN 12000 ELSE 8000 END AS BIGINT) AS rate,
+        |    CASE WHEN doc_id % 9 < 3 THEN 1152 ELSE 576 END AS spf,
+        |    CASE doc_id % 5 WHEN 0 THEN 32 WHEN 1 THEN 48 WHEN 2 THEN 64
+        |      WHEN 3 THEN 96 ELSE 128 END AS br,
+        |    doc_id % 30 + 1 AS frames, doc_id % 64 AS id3,
+        |    doc_id % 2 + 1 AS chans, doc_id % 11 = 5 AS bad
+        |  FROM documents)
+        |SELECT doc_id AS media_id,
+        |  CASE WHEN bad THEN 'unknown' ELSE 'mp3' END AS format,
+        |  CASE WHEN bad THEN NULL ELSE chans END AS channels,
+        |  CASE WHEN bad THEN NULL ELSE rate END AS sample_rate,
+        |  CASE WHEN bad THEN NULL ELSE CAST(0 AS BIGINT) END AS bit_depth,
+        |  CASE WHEN bad THEN NULL ELSE frames * spf END AS n_frames,
+        |  CASE WHEN bad THEN NULL ELSE frames * spf * 1000000 // rate END AS duration_us,
+        |  10 + id3 + frames * ((spf // 8 * br * 1000) // rate) AS n_bytes
+        |FROM p""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val rates = Array(44100, 48000, 32000, 22050, 24000, 16000, 11025, 12000, 8000)
+      val brs = Array(32, 48, 64, 96, 128)
+      val payloads = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val bytes = AudioHeader.encodeMp3(
+            channels = (id % 2 + 1).toInt,
+            sampleRate = rates((id % 9).toInt),
+            bitrateKbps = brs((id % 5).toInt),
+            nMpegFrames = (id % 30 + 1).toInt,
+            id3Body = (id % 64).toInt)
+          // zero the first frame's sync byte: the strict walk must
+          // reject the whole payload, not resync past garbage
+          if (id % 11 == 5) bytes(10 + (id % 64).toInt) = 0
           (id, bytes)
         }
         .toDF("doc_id", "payload")

@@ -36,11 +36,15 @@ object Skew {
       .agg(sum(col("partial")).as("n"))
 
   /** Broadcast-free equi-join where `big`'s key distribution is skewed:
-    * salt the big side, replicate the small side across all salts. */
+    * salt the big side, replicate the small side across all salts. The
+    * shuffle_hash hint pins the shuffled-hash strategy — if the
+    * replicated side auto-broadcast, no shuffle would exist and the
+    * salt would be a silent no-op instead of the guaranteed 1/salts
+    * reducer-load cut this operator is chosen for. */
   def saltedJoin(big: DataFrame, small: DataFrame, key: String, salts: Int = 16): DataFrame = {
     val saltedBig = big.withColumn("__salt", saltCol(salts))
     val replicated = small
       .withColumn("__salt", explode(sequence(lit(0L), lit(salts - 1L))))
-    saltedBig.join(replicated, Seq(key, "__salt")).drop("__salt")
+    saltedBig.join(replicated.hint("shuffle_hash"), Seq(key, "__salt")).drop("__salt")
   }
 }

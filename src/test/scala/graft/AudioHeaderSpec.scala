@@ -19,7 +19,8 @@ class AudioHeaderSpec extends AnyFunSuite {
       frames <- Seq(0, 1, 7, 200)
     } {
       val bytes = AudioHeader.encodeWav(ch, rate, bits, frames)
-      assert(bytes.length == 44 + frames * ch * (bits / 8))
+      val dataSize = frames * ch * (bits / 8)
+      assert(bytes.length == 44 + dataSize + (dataSize & 1)) // odd data carries a RIFF pad byte
       val m = AudioHeader.decodeWav(bytes)
         .getOrElse(fail(s"no decode for ch=$ch rate=$rate bits=$bits frames=$frames"))
       assert(m.format == "wav")
@@ -121,5 +122,106 @@ class AudioHeaderSpec extends AnyFunSuite {
     System.arraycopy(body, 0, out, 12, body.length)
     val m = AudioHeader.decodeWav(out)
     assert(m.exists(x => x.channels == 1 && x.sampleRate == 8000 && x.nFrames == 10))
+  }
+
+  test("trailing chunks after data are size-validated (whole-structure walk)") {
+    // append a trailing chunk with a size overshooting the buffer: the
+    // walk must reject even though fmt/data already parsed clean
+    val base = AudioHeader.encodeWav(1, 8000, 16, 10)
+    val trailer = "note".getBytes ++ Array[Byte](99, 0, 0, 0) // declares 99, carries 0
+    val out = base ++ trailer
+    // fix the riff size so only the trailer is inconsistent
+    val riffSize = out.length - 8
+    out(4) = (riffSize & 0xff).toByte
+    out(5) = ((riffSize >> 8) & 0xff).toByte
+    out(6) = ((riffSize >> 16) & 0xff).toByte
+    out(7) = ((riffSize >> 24) & 0xff).toByte
+    assert(AudioHeader.decodeWav(out).isEmpty)
+    // a well-formed trailing chunk is fine
+    val okTrailer = "note".getBytes ++ Array[Byte](4, 0, 0, 0) ++ Array[Byte](9, 9, 9, 9)
+    val out2 = base ++ okTrailer
+    val riffSize2 = out2.length - 8
+    out2(4) = (riffSize2 & 0xff).toByte
+    out2(5) = ((riffSize2 >> 8) & 0xff).toByte
+    out2(6) = ((riffSize2 >> 16) & 0xff).toByte
+    out2(7) = ((riffSize2 >> 24) & 0xff).toByte
+    assert(AudioHeader.decodeWav(out2).exists(_.nFrames == 10))
+  }
+
+  test("MP3 encode/decode roundtrip across versions, rates and bitrates") {
+    for {
+      ch <- Seq(1, 2)
+      rate <- Seq(44100, 48000, 32000, 22050, 24000, 16000, 11025, 12000, 8000)
+      br <- Seq(32, 48, 64, 96, 128)
+      frames <- Seq(1, 3, 30)
+      id3 <- Seq(0, 17, 200)
+    } {
+      val bytes = AudioHeader.encodeMp3(ch, rate, br, frames, id3)
+      val spf = if (Seq(44100, 48000, 32000).contains(rate)) 1152 else 576
+      assert(bytes.length == 10 + id3 + frames * (spf / 8 * (br * 1000) / rate))
+      val m = AudioHeader.decodeMp3(bytes)
+        .getOrElse(fail(s"no decode for ch=$ch rate=$rate br=$br frames=$frames id3=$id3"))
+      assert(m.format == "mp3" && m.channels == ch && m.sampleRate == rate)
+      assert(m.bitsPerSample == 0L)
+      assert(m.nFrames == frames.toLong * spf)
+      assert(m.durationUs == frames.toLong * spf * 1000000L / rate)
+      // the dispatcher must route here too
+      assert(AudioHeader.decode(bytes).exists(_.format == "mp3"))
+    }
+  }
+
+  test("every MP3 prefix truncation is rejected (except legal frame boundaries)") {
+    val bytes = AudioHeader.encodeMp3(2, 44100, 64, 3, 11)
+    // MP3 carries no total-length field: a prefix ending exactly at a
+    // frame boundary IS a valid shorter stream, so those offsets are
+    // expected to decode (with fewer frames) — everything else rejects
+    val frameBytes = 1152 / 8 * 64000 / 44100
+    val boundaries = Set(10 + 11 + frameBytes, 10 + 11 + 2 * frameBytes)
+    for (n <- 0 until bytes.length) {
+      val d = AudioHeader.decodeMp3(bytes.take(n))
+      if (boundaries(n))
+        assert(d.exists(_.nFrames == (n - 21) / frameBytes * 1152L), s"boundary at $n")
+      else assert(d.isEmpty, s"truncation at $n decoded")
+    }
+  }
+
+  test("MP3 strictness: bad syncs, reserved fields and inconsistent chains reject") {
+    val good = AudioHeader.encodeMp3(2, 44100, 64, 3, 0)
+    assert(AudioHeader.decodeMp3(good).isDefined)
+    // kill first frame sync
+    val b1 = good.clone(); b1(10) = 0
+    assert(AudioHeader.decodeMp3(b1).isEmpty)
+    // bitrate index 15 (bad)
+    val b2 = good.clone(); b2(12) = (0xf0 | (b2(12) & 0x0f)).toByte
+    assert(AudioHeader.decodeMp3(b2).isEmpty)
+    // sample-rate index 3 (reserved)
+    val b3 = good.clone(); b3(12) = ((b3(12) & 0xf0) | 0x0c).toByte
+    assert(AudioHeader.decodeMp3(b3).isEmpty)
+    // version bits 01 (reserved)
+    val b4 = good.clone(); b4(11) = ((b4(11) & 0xe7) | 0x08).toByte
+    assert(AudioHeader.decodeMp3(b4).isEmpty)
+    // layer bits 00 (reserved)
+    val b5 = good.clone(); b5(11) = (b5(11) & 0xf9).toByte
+    assert(AudioHeader.decodeMp3(b5).isEmpty)
+    // chain inconsistency: switch the SECOND frame to mono
+    val frameBytes = 1152 / 8 * 64000 / 44100
+    val b6 = good.clone(); b6(10 + frameBytes + 3) = (0xc0 | (b6(10 + frameBytes + 3) & 0x3f)).toByte
+    assert(AudioHeader.decodeMp3(b6).isEmpty)
+    // malformed ID3: non-syncsafe size byte
+    val b7 = good.clone(); b7(6) = 0x80.toByte
+    assert(AudioHeader.decodeMp3(b7).isEmpty)
+    // extra trailing byte breaks exact tiling
+    assert(AudioHeader.decodeMp3(good :+ 0.toByte).isEmpty)
+  }
+
+  test("text, WAV and FLAC payloads do not decode as MP3") {
+    assert(AudioHeader.decodeMp3("ID3 is a prefix but not a tag header".getBytes).isEmpty)
+    assert(AudioHeader.decodeMp3(AudioHeader.encodeWav(1, 8000, 16, 10)).isEmpty)
+    assert(AudioHeader.decodeMp3(AudioHeader.encodeFlac(2, 44100, 16, 1000)).isEmpty)
+    assert(AudioHeader.decodeMp3(null).isEmpty)
+    assert(AudioHeader.decodeMp3(Array.empty[Byte]).isEmpty)
+    // and the dispatcher keeps wav/flac routed to their own parsers
+    assert(AudioHeader.decode(AudioHeader.encodeWav(1, 8000, 16, 10)).exists(_.format == "wav"))
+    assert(AudioHeader.decode(AudioHeader.encodeFlac(2, 44100, 16, 1000)).exists(_.format == "flac"))
   }
 }

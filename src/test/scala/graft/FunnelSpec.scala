@@ -1,0 +1,94 @@
+package graft
+
+import graft.operators.Funnel
+import org.apache.spark.sql.functions._
+
+import scala.util.Random
+
+class FunnelSpec extends SparkSpec {
+
+  private val alphabet = Vector("v", "c", "p", "s", "e", "x")
+
+  test("greedy scan == brute-force regex depth on random histories (2/3/5-step)") {
+    val rnd = new Random(42)
+    val patterns = Seq(
+      IndexedSeq("v", "c"),
+      IndexedSeq("v", "c", "p"),
+      IndexedSeq("s", "v", "c", "p", "x"))
+    for (pat <- patterns; trial <- 1 to 200) {
+      val hist = Vector.fill(rnd.nextInt(30))(alphabet(rnd.nextInt(alphabet.size)))
+      val (n, d) = Funnel.scan(pat, hist.iterator)
+      val brute = Funnel.bruteForceDepth(pat, hist)
+      assert(n == hist.size)
+      assert(d == brute, s"pattern=$pat trial=$trial hist=${hist.mkString} greedy=$d brute=$brute")
+    }
+  }
+
+  test("scan handles empty history and repeated steps") {
+    assert(Funnel.scan(IndexedSeq("v", "c", "p"), Iterator.empty) == (0L, 0))
+    // pattern with a repeated symbol: v v c needs TWO v's before the c
+    val pat = IndexedSeq("v", "v", "c")
+    assert(Funnel.scan(pat, Iterator("v", "c", "v", "c"))._2 == 3)
+    assert(Funnel.scan(pat, Iterator("v", "c", "c"))._2 == 1)
+    assert(Funnel.bruteForceDepth(pat, Seq("v", "c", "c")) == 1)
+  }
+
+  test("funnelDepth operator == unbounded collect_list reference on events data") {
+    val events = Tables.events(spark, TestSession.sfDir)
+    val kernel = Funnel.funnelDepth(events, Seq("v", "c", "p"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // the exact DataFrame shape the kernel replaced (fine at spec scale)
+    val reference = events
+      .groupBy(col("user_id"))
+      .agg(collect_list(struct(unix_micros(col("ts")).as("t"),
+        col("event_id").as("id"),
+        substring(col("event_type"), 1, 1).as("c"))).as("xs"))
+      .select(col("user_id"),
+        concat_ws("", expr("transform(array_sort(xs), x -> x.c)")).as("s"))
+      .select(col("user_id"),
+        length(col("s")).cast("long").as("n_events"),
+        when(col("s").rlike("v.*c.*p"), 3)
+          .when(col("s").rlike("v.*c"), 2)
+          .when(col("s").rlike("v"), 1)
+          .otherwise(0).as("funnel_depth"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(kernel == reference)
+    assert(kernel.nonEmpty)
+  }
+
+  test("funnelDepth plan: one exchange, no collect_list, no window") {
+    val plan = Funnel.funnelDepth(Tables.events(spark, TestSession.sfDir), Seq("v", "c", "p"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("collect_list"))
+    assert(!plan.contains("Window"))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"expected exactly one hash exchange, plan:\n$plan")
+  }
+
+  test("funnelDepth is exact under a 100x hot key") {
+    import spark.implicits._
+    val rnd = new Random(7)
+    // hot user 1 with 5000 events, 40 cold users with ~50 each
+    val rows = (1 to 5000).map(i => (1L, i.toLong, i.toLong)) ++
+      (2 to 41).flatMap(u => (1 to 50).map(i => (u.toLong, i.toLong, (u * 1000 + i).toLong)))
+    val types = Vector("view", "click", "purchase", "signup", "error")
+    val df = rows.map { case (u, t, id) => (u, t, id, types(rnd.nextInt(types.size))) }
+      .toDF("user_id", "t_us", "event_id", "event_type")
+      .select(col("user_id"), timestamp_micros(col("t_us")).as("ts"),
+        col("event_id"), col("event_type"))
+      .repartition(8)
+    val got = Funnel.funnelDepth(df, Seq("v", "c", "p"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(got(1L)._1 == 5000L)
+    assert(got.size == 41)
+    // brute-force check every user
+    val histories = df.select(col("user_id"), unix_micros(col("ts")).as("t"), col("event_id"),
+        substring(col("event_type"), 1, 1).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .groupBy(_._1)
+    for ((u, hs) <- histories) {
+      val ordered = hs.sortBy(h => (h._2, h._3)).map(_._4).toSeq
+      assert(got(u) == ((ordered.size.toLong, Funnel.bruteForceDepth(IndexedSeq("v", "c", "p"), ordered))), s"user $u")
+    }
+  }
+}

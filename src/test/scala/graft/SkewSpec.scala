@@ -21,6 +21,16 @@ class SkewSpec extends SparkSpec {
     assert(salted("hot") == 10000L)
   }
 
+  test("salted join plan: shuffled hash on (key, salt), never broadcast") {
+    import spark.implicits._
+    val dim = (Seq("hot") ++ (1 to 50).map(i => s"k$i")).zipWithIndex.toDF("key", "attr")
+    val plan = Skew.saltedJoin(skewed, dim, "key")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastHashJoin"), s"salt bypassed by broadcast:\n$plan")
+    assert(plan.contains("ShuffledHashJoin"), plan)
+    assert(plan.contains("__salt"), plan)
+  }
+
   test("salted join equals the plain join") {
     import spark.implicits._
     val dim = (Seq("hot") ++ (1 to 50).map(i => s"k$i")).zipWithIndex
