@@ -52,7 +52,12 @@ object Bench {
     // FAILED MEASURED REP stops the loop (repeating a throw 3x tells
     // us nothing new). spread = max/min over successful reps: intra-run
     // load noise made visible in the artifact itself.
-    final case class QRes(name: String, sec: Double, reps: Seq[(Double, Boolean)],
+    // secMin = min over successful reps: the noise-floor number. Load
+    // noise only ever ADDS time, so the min is the best cross-round
+    // comparator on a shared box — the median can read 2-3x high when
+    // another JVM ran recently, the min almost never does.
+    final case class QRes(name: String, sec: Double, secMin: Double,
+                          reps: Seq[(Double, Boolean)],
                           spread: Double, err: Option[String], measured: Boolean)
     val results: Seq[QRes] =
       ordered.map { d =>
@@ -83,9 +88,10 @@ object Bench {
         // number OUT of the headline total (a fast-throwing query must
         // not deflate it)
         val sec = if (good.nonEmpty) median(good) else all.last._1
+        val secMin = if (good.nonEmpty) good.min else all.last._1
         val spread =
           if (good.size >= 2 && good.min > 0) good.max / good.min else 1.0
-        QRes(d.name, sec, all.toSeq, spread, err, measured = good.nonEmpty)
+        QRes(d.name, sec, secMin, all.toSeq, spread, err, measured = good.nonEmpty)
       }
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
@@ -124,13 +130,17 @@ object Bench {
     // successful measured rep; all-failed queries are counted out loud
     // so the total can never silently shrink via a fast-throwing query
     val total = results.filter(_.measured).map(_.sec).sum
+    // the noise-floor total: sum of per-query minima. Compare THIS
+    // across rounds; the median total is the conservative headline.
+    val totalMin = results.filter(_.measured).map(_.secMin).sum
     val nExcluded = results.count(!_.measured)
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","excluded":$nExcluded,"queries":$qs,"err":$errs,"spread_gt2":$noisy,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"value_min":${fmt(totalMin)},"unit":"sec","excluded":$nExcluded,"queries":$qs,"err":$errs,"spread_gt2":$noisy,"sf":"$sfDir"}"""
     val detail = results.map { r =>
       // each rep carries its own ok flag so an auditor can tell exactly
       // which recorded wall time was the failing one
       jstr(r.name) + ":{\"sec\":" + fmt(r.sec) +
+        ",\"sec_min\":" + fmt(r.secMin) +
         ",\"measured\":" + r.measured +
         ",\"reps\":" + r.reps.map { case (t, ok) =>
           "{\"sec\":" + fmt(t) + ",\"ok\":" + ok + "}"
@@ -140,7 +150,7 @@ object Bench {
     }.mkString("{", ",", "}")
     try {
       val w = new java.io.PrintWriter("bench_detail.json")
-      try w.println(s"""{"total":$total,"sf":"$sfDir","warmups":$warmups,"reps":$reps,"queries":$detail}""")
+      try w.println(s"""{"total":$total,"total_min":$totalMin,"sf":"$sfDir","warmups":$warmups,"reps":$reps,"queries":$detail}""")
       finally w.close()
     } catch { case _: java.io.IOException => () } // detail file is best-effort
     println(line)

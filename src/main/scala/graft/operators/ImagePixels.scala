@@ -202,8 +202,65 @@ object ImagePixels {
     Raster(w2, h2, r.channels, out)
   }
 
+  /** Bilinear resize in EXACT fixed-point arithmetic, so both the
+    * operator and an oracle reproduce every output pixel bit-for-bit:
+    * the source coordinate of output x is the rational
+    * ((2x+1)*w - w2) / (2*w2) (the half-pixel-center convention,
+    * clamped at 0), split into integer part x0 and numerator fraction
+    * fx over denominator 2*w2; the 2x2 neighborhood then blends as
+    *   ((D_y-fy)*((D_x-fx)*p00 + fx*p01) + fy*((D_x-fx)*p10 + fx*p11))
+    *     floor-div (D_x*D_y)
+    * — all integers, no float rounding to diverge between engines.
+    * Training-image pipelines default to bilinear; nearest stays the
+    * cheap option. */
+  def resizeBilinear(r: Raster, w2: Int, h2: Int): Raster = {
+    require(w2 > 0 && h2 > 0, s"bad target ${w2}x$h2")
+    require(w2.toLong * h2 * r.channels <= MaxDecodedBytes, s"target ${w2}x$h2 exceeds buffer cap")
+    val dX = 2 * w2
+    val dY = 2 * h2
+    val den = dX.toLong * dY
+    val out = new Array[Byte](w2 * h2 * r.channels)
+    var y = 0
+    while (y < h2) {
+      var tY = (2 * y + 1) * r.height - h2
+      if (tY < 0) tY = 0
+      val y0 = tY / dY; val fy = tY % dY
+      val y1 = math.min(y0 + 1, r.height - 1)
+      var x = 0
+      while (x < w2) {
+        var tX = (2 * x + 1) * r.width - w2
+        if (tX < 0) tX = 0
+        val x0 = tX / dX; val fx = tX % dX
+        val x1 = math.min(x0 + 1, r.width - 1)
+        var c = 0
+        while (c < r.channels) {
+          val p00 = r.pixels((y0 * r.width + x0) * r.channels + c) & 0xff
+          val p01 = r.pixels((y0 * r.width + x1) * r.channels + c) & 0xff
+          val p10 = r.pixels((y1 * r.width + x0) * r.channels + c) & 0xff
+          val p11 = r.pixels((y1 * r.width + x1) * r.channels + c) & 0xff
+          val v = ((dY - fy).toLong * ((dX - fx).toLong * p00 + fx.toLong * p01) +
+            fy.toLong * ((dX - fx).toLong * p10 + fx.toLong * p11)) / den
+          out((y * w2 + x) * r.channels + c) = v.toByte
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    Raster(w2, h2, r.channels, out)
+  }
+
   /** Decode → resize → re-encode: the real thumbnail/preprocess kernel.
-    * None when the payload isn't a decodable 8-bit RGB(A) PNG. */
-  def resizePng(bytes: Array[Byte], w2: Int, h2: Int): Option[Array[Byte]] =
-    decodePng(bytes).map(r => encodePng(resizeNearest(r, w2, h2)))
+    * None when the payload isn't a decodable 8-bit RGB(A) PNG.
+    * `kernel` selects the resampler: "nearest" (default) or
+    * "bilinear". */
+  def resizePng(bytes: Array[Byte], w2: Int, h2: Int,
+      kernel: String = "nearest"): Option[Array[Byte]] = {
+    val resample: (Raster, Int, Int) => Raster = kernel match {
+      case "nearest"  => resizeNearest
+      case "bilinear" => resizeBilinear
+      case other      => throw new IllegalArgumentException(s"unknown kernel $other")
+    }
+    decodePng(bytes).map(r => encodePng(resample(r, w2, h2)))
+  }
 }

@@ -184,7 +184,8 @@ object Multimodal {
     * vision-data pipeline runs, batched per partition like the other
     * decode stages; resized bytes are ~KB, so downstream stages shuffle
     * thumbnails, not originals. */
-  def resizeImages(media: DataFrame, w2: Int, h2: Int): DataFrame = {
+  def resizeImages(media: DataFrame, w2: Int, h2: Int,
+      kernel: String = "nearest"): DataFrame = {
     validateMediaFrame(media)
     val enc = Encoders.row(media.schema)
     val mediaIdx = media.schema.fieldIndex("media")
@@ -194,7 +195,7 @@ object Multimodal {
         val bytes = r.getAs[Array[Byte]](mediaIdx)
         val resized =
           if (bytes == null) null
-          else ImagePixels.resizePng(bytes, w2, h2).orNull
+          else ImagePixels.resizePng(bytes, w2, h2, kernel).orNull
         val meta = r.getAs[Row](metaIdx)
         val newMeta =
           if (meta == null) null
@@ -651,5 +652,90 @@ object Multimodal {
         .select(col("media_id"), col("format"), col("channels"),
           col("sample_rate"), col("bit_depth"), col("n_frames"),
           col("duration_us"), col("meta.n_bytes").as("n_bytes"))
+    },
+
+    q("q118_image_resize_bilinear",
+      """The q103 pixel pipeline with the BILINEAR resampler — the
+        |kernel training-image pipelines actually default to: the same
+        |doc_id-derived RGB PNGs (all five spec filters) flow through
+        |decode → bilinear 16x16 resize → re-encode → second decode →
+        |pixel checksums. The resampler is exact fixed-point (source
+        |coordinate ((2x+1)w - 16)/32 clamped at 0, 2x2 blend over
+        |denominator 1024 with floor division — ImagePixels.
+        |resizeBilinear), so the oracle below recomputes EVERY output
+        |pixel from first principles in SQL: same neighborhood indices,
+        |same integer weights, same floor-divide. Any float creeping
+        |into the blend, a half-pixel convention slip, or a clamp bug
+        |changes some pixel at some doc_id and turns that row red.""".stripMargin,
+      """WITH g AS (
+        |  SELECT doc_id, i,
+        |    (i % 48) // 3 AS x2, i // 48 AS y2, i % 3 AS ch,
+        |    doc_id % 32 + 1 AS w, doc_id % 24 + 1 AS h
+        |  FROM documents, range(0, 768) t(i)),
+        |f AS (
+        |  SELECT *, greatest((2 * x2 + 1) * w - 16, 0) AS tx,
+        |            greatest((2 * y2 + 1) * h - 16, 0) AS ty FROM g),
+        |e AS (
+        |  SELECT *, tx // 32 AS x0, tx % 32 AS fx, least(tx // 32 + 1, w - 1) AS x1,
+        |            ty // 32 AS y0, ty % 32 AS fy, least(ty // 32 + 1, h - 1) AS y1 FROM f),
+        |v AS (
+        |  SELECT doc_id, i,
+        |    ((32 - fy) * ((32 - fx) * ((doc_id * 7 + x0 * 5 + y0 * 3 + ch * 11) % 256)
+        |                + fx * ((doc_id * 7 + x1 * 5 + y0 * 3 + ch * 11) % 256))
+        |     + fy * ((32 - fx) * ((doc_id * 7 + x0 * 5 + y1 * 3 + ch * 11) % 256)
+        |           + fx * ((doc_id * 7 + x1 * 5 + y1 * 3 + ch * 11) % 256))) // 1024 AS val
+        |  FROM e)
+        |SELECT doc_id AS media_id,
+        |  CAST(16 AS BIGINT) AS out_w, CAST(16 AS BIGINT) AS out_h,
+        |  CAST(sum(val) AS BIGINT) AS checksum,
+        |  CAST(sum(val * (i + 1)) % 1000000007 AS BIGINT) AS wsum
+        |FROM v GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val payloads = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val w = (id % 32 + 1).toInt
+          val h = (id % 24 + 1).toInt
+          val px = new Array[Byte](w * h * 3)
+          var i = 0
+          while (i < px.length) {
+            val y = i / (w * 3); val x = (i % (w * 3)) / 3; val ch = i % 3
+            px(i) = ((id * 7 + x * 5 + y * 3 + ch * 11) % 256).toByte
+            i += 1
+          }
+          (id, ImagePixels.encodePng(ImagePixels.Raster(w, h, 3, px),
+            filterId = (id % 5).toInt))
+        }
+        .toDF("doc_id", "payload")
+        .withColumn("src", lit("synthetic"))
+      val media = asMediaFrame(payloads, "doc_id", "payload", "src")
+      val resized = resizeImages(media, 16, 16, kernel = "bilinear")
+      val outSchema = StructType(Seq(
+        StructField("media_id", LongType, nullable = false),
+        StructField("out_w", LongType, nullable = true),
+        StructField("out_h", LongType, nullable = true),
+        StructField("checksum", LongType, nullable = true),
+        StructField("wsum", LongType, nullable = true)))
+      val enc = Encoders.row(outSchema)
+      val idIdx = resized.schema.fieldIndex("media_id")
+      val mIdx = resized.schema.fieldIndex("media")
+      resized.mapPartitions { rows =>
+        rows.map { r =>
+          val id = r.getLong(idIdx)
+          val bytes = r.getAs[Array[Byte]](mIdx)
+          ImagePixels.decodePng(bytes) match {
+            case Some(rast) =>
+              var s = 0L; var ws = 0L
+              var i = 0
+              while (i < rast.pixels.length) {
+                val v = rast.pixels(i) & 0xff
+                s += v; ws += v.toLong * (i + 1)
+                i += 1
+              }
+              Row(id, rast.width.toLong, rast.height.toLong, s, ws % 1000000007L)
+            case None => Row(id, null, null, null, null)
+          }
+        }
+      }(enc)
     })
 }

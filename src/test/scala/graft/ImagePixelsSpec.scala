@@ -46,6 +46,40 @@ class ImagePixelsSpec extends SparkSpec {
     assert(up.pixels((0 * 20 + 0) * 3) == r.pixels(0))
   }
 
+  test("bilinear resize: identity, constants, and the exact fixed-point blend") {
+    // identity: w2 == w, h2 == h makes every fraction 0 — must be the source
+    val r = pattern(9, 7, 3, 5)
+    assert(ImagePixels.resizeBilinear(r, 9, 7).pixels.sameElements(r.pixels))
+    // a constant image stays constant at any size (weights sum to the denominator)
+    val const = Raster(5, 4, 4, Array.fill(5 * 4 * 4)(173.toByte))
+    for ((w2, h2) <- Seq((1, 1), (3, 9), (16, 16)))
+      assert(ImagePixels.resizeBilinear(const, w2, h2).pixels.forall(_ == 173.toByte))
+    // exact blend vs an independent recompute of the documented formula
+    for ((w, h, w2, h2, seed) <- Seq((10, 6, 4, 4, 2), (3, 3, 16, 16, 9), (1, 1, 5, 5, 3), (32, 24, 16, 16, 7))) {
+      val src = pattern(w, h, 3, seed)
+      val out = ImagePixels.resizeBilinear(src, w2, h2)
+      def p(x: Int, y: Int, c: Int) = src.pixels((y * w + x) * 3 + c) & 0xff
+      for (y <- 0 until h2; x <- 0 until w2; c <- 0 until 3) {
+        val tx = math.max((2 * x + 1) * w - w2, 0)
+        val ty = math.max((2 * y + 1) * h - h2, 0)
+        val x0 = tx / (2 * w2); val fx = tx % (2 * w2); val x1 = math.min(x0 + 1, w - 1)
+        val y0 = ty / (2 * h2); val fy = ty % (2 * h2); val y1 = math.min(y0 + 1, h - 1)
+        val dX = 2 * w2; val dY = 2 * h2
+        val want = ((dY - fy).toLong * ((dX - fx).toLong * p(x0, y0, c) + fx.toLong * p(x1, y0, c)) +
+          fy.toLong * ((dX - fx).toLong * p(x0, y1, c) + fx.toLong * p(x1, y1, c))) / (dX.toLong * dY)
+        assert((out.pixels((y * w2 + x) * 3 + c) & 0xff) == want.toInt,
+          s"($w,$h)->($w2,$h2) pixel ($x,$y,$c)")
+      }
+    }
+    // downscale of a linear ramp averages instead of dropping pixels:
+    // 4x1 ramp [0,60,120,180] -> 2x1 bilinear: centers land at source
+    // 0.5 and 2.5, so (0+60)/2=30 and (120+180)/2=150 — where nearest
+    // would pick [0,120]
+    val ramp = Raster(4, 1, 3, Array.tabulate(12)(i => ((i / 3) * 60).toByte))
+    val down = ImagePixels.resizeBilinear(ramp, 2, 1)
+    assert((down.pixels(0) & 0xff) == 30 && (down.pixels(3) & 0xff) == 150)
+  }
+
   test("resizePng round-trips through real encode/decode") {
     val r = pattern(17, 9, 4, 3)
     val resized = ImagePixels.resizePng(ImagePixels.encodePng(r, filterId = 4), 8, 8)
