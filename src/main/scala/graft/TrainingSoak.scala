@@ -256,6 +256,52 @@ object TrainingSoak {
       rjAgg.getLong(1) == rjW && rjAgg.getLong(2) == rjW &&
       rjAgg.getLong(3) == rjW * nIvs
 
+    // ---- 7) Funnel kernel (q112 shape) -----------------------------
+    // user = id mod U, per-user position p = id div U, so each user's
+    // id-ordered history is its position order and every depth is
+    // closed-form by user class (u mod 4):
+    //   class 0: v@1 c@3 p@5            -> depth 3
+    //   class 1: c@1 v@3 p@5 (c too early) -> depth 1
+    //   class 2: v@1 c@3 (no purchase)  -> depth 2
+    //   class 3: c@1 p@3 (no view)      -> depth 0
+    // Run twice: WIDE (1e6 users x n/1e6 events) and HOT (100 users x
+    // n/100 events each — the bot-grade history that OOMed the old
+    // collect_list shape; the sort-based kernel streams it with O(1)
+    // per-key state, so this stanza IS the 100 TB memory-shape proof).
+    def funnelStanza(users: Long): (Boolean, Double) = {
+      require(n % users == 0 && users % 4 == 0 && n / users >= 6)
+      val per = n / users
+      val cls = (col("id") % users) % 4
+      val p = expr(s"id div $users")
+      val ev = spark.range(n).select(
+        (col("id") % users).as("user_id"),
+        timestamp_micros(col("id")).as("ts"),
+        col("id").as("event_id"),
+        when(cls === 0 && p === 1, "view")
+          .when(cls === 0 && p === 3, "click")
+          .when(cls === 0 && p === 5, "purchase")
+          .when(cls === 1 && p === 1, "click")
+          .when(cls === 1 && p === 3, "view")
+          .when(cls === 1 && p === 5, "purchase")
+          .when(cls === 2 && p === 1, "view")
+          .when(cls === 2 && p === 3, "click")
+          .when(cls === 3 && p === 1, "click")
+          .when(cls === 3 && p === 3, "purchase")
+          .otherwise("x").as("event_type"))
+      val (rows, sec) = timed {
+        operators.Funnel.funnelDepth(ev, Seq("v", "c", "p"))
+          .groupBy(col("funnel_depth"))
+          .agg(count(lit(1)).as("nu"), sum(col("n_events")).as("ne"))
+          .collect()
+      }
+      val got = rows.map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val ok = got.size == 4 &&
+        (0 to 3).forall(d => got.get(d).contains((users / 4, users / 4 * per)))
+      (ok, sec)
+    }
+    val (funnelWideOk, funnelWideSec) = funnelStanza(1000000L)
+    val (funnelHotOk, funnelHotSec) = funnelStanza(100L)
+
     println(
       s"""{"metric":"training_soak","rows":$n,""" +
         s""""mg_sec":$mgSec,"mg_summary_size":${summary.size},"mg_m":$m,"mg_ok":$mgOk,""" +
@@ -263,8 +309,11 @@ object TrainingSoak {
         s""""vocab_sec":$vocabSec,"vocab_ok":$vocabOk,""" +
         s""""ivf_rows":$nIvf,"ivf_sec":$ivfSec,"ivf_recall":$ivfRecall,"ivf_ok":$ivfOk,""" +
         s""""asof_sec":$asofSec,"asof_ok":$asofOk,""" +
-        s""""range_sec":$rjSec,"range_ok":$rangeOk}""")
+        s""""range_sec":$rjSec,"range_ok":$rangeOk,""" +
+        s""""funnel_wide_sec":$funnelWideSec,"funnel_wide_ok":$funnelWideOk,""" +
+        s""""funnel_hot_sec":$funnelHotSec,"funnel_hot_ok":$funnelHotOk}""")
     spark.stop()
-    if (!(mgOk && sampleOk && vocabOk && ivfOk && asofOk && rangeOk)) sys.exit(1)
+    if (!(mgOk && sampleOk && vocabOk && ivfOk && asofOk && rangeOk &&
+        funnelWideOk && funnelHotOk)) sys.exit(1)
   }
 }

@@ -256,10 +256,175 @@ object AudioHeader {
       samples * 1000000L / rate))
   }
 
+  // ------------------------------------------------------------------
+  // Ogg/Vorbis: Ogg page chain walk + Vorbis identification header.
+  // Spec sources (public): RFC 3533 (the Ogg encapsulation format —
+  // "OggS" capture pattern, version 0, header-type flags BOS/EOS,
+  // 64-bit granule position, segment/lacing table, and the page CRC:
+  // CRC-32 with polynomial 0x04911db7... sic 0x04C11DB7, NOT reflected,
+  // init 0, no final xor — java.util.zip.CRC32 is the reflected
+  // Ethernet variant and cannot verify Ogg pages) and the Vorbis I
+  // specification §4.2.2 (identification header: packet type 1,
+  // "vorbis", version 0, u8 channels, u32le rate, 3x s32 bitrates,
+  // packed blocksize exponents 6..13 with bs0 <= bs1, framing bit).
+  // ------------------------------------------------------------------
+
+  private val OggCrcTable: Array[Int] = {
+    val t = new Array[Int](256)
+    var i = 0
+    while (i < 256) {
+      var r = i << 24
+      var j = 0
+      while (j < 8) {
+        r = if ((r & 0x80000000) != 0) (r << 1) ^ 0x04c11db7 else r << 1
+        j += 1
+      }
+      t(i) = r
+      i += 1
+    }
+    t
+  }
+
+  /** Direct (non-reflected) CRC-32 over a page, with the 4 CRC field
+    * bytes at `crcOff` treated as zero — exactly how Ogg defines page
+    * checksums. */
+  private def oggPageCrc(b: Array[Byte], off: Int, len: Int, crcOff: Int): Int = {
+    var crc = 0
+    var i = off
+    while (i < off + len) {
+      val v = if (i >= crcOff && i < crcOff + 4) 0 else b(i) & 0xff
+      crc = (crc << 8) ^ OggCrcTable(((crc >>> 24) ^ v) & 0xff)
+      i += 1
+    }
+    crc
+  }
+
+  private def leLong(b: Array[Byte], off: Int): Long = {
+    var v = 0L
+    var i = 7
+    while (i >= 0) { v = (v << 8) | (b(off + i) & 0xffL); i -= 1 }
+    v
+  }
+
+  /** Strict Ogg/Vorbis decode: the page chain must tile the buffer
+    * exactly with verified page CRCs, one logical stream (constant
+    * serial, page sequence 0,1,2,..., BOS on the first page, EOS on the
+    * last), and the first packet must be a fully legal Vorbis
+    * identification header. Total samples = the EOS page's granule
+    * position (the Vorbis I definition of stream length); bitsPerSample
+    * is 0 as for MP3 (lossy streams carry no PCM width). None on
+    * anything else (never throws). */
+  def decodeOgg(bytes: Array[Byte]): Option[AudioMeta] = {
+    if (bytes == null || bytes.length < 58) return None // BOS page header + ident packet
+    var off = 0
+    var serial = 0L
+    var expectSeq = 0L
+    var lastGranule = Long.MinValue
+    var sawBos = false; var sawEos = false
+    var ident: Option[(Long, Long)] = None // channels, rate
+    while (off < bytes.length) {
+      if (sawEos) return None // pages after EOS
+      if (off + 27 > bytes.length) return None
+      if (!(bytes(off) == 'O' && bytes(off + 1) == 'g' && bytes(off + 2) == 'g' &&
+          bytes(off + 3) == 'S')) return None
+      if (bytes(off + 4) != 0) return None // stream structure version
+      val flags = bytes(off + 5) & 0xff
+      val granule = leLong(bytes, off + 6)
+      val pageSerial = leInt(bytes, off + 14)
+      val pageSeq = leInt(bytes, off + 18)
+      val nSegs = bytes(off + 26) & 0xff
+      val segTab = off + 27
+      if (segTab + nSegs > bytes.length) return None
+      var bodyLen = 0
+      var s = 0
+      while (s < nSegs) { bodyLen += bytes(segTab + s) & 0xff; s += 1 }
+      val body = segTab + nSegs
+      if (body + bodyLen > bytes.length) return None
+      val crcStored = leInt(bytes, off + 22)
+      val crcCalc = oggPageCrc(bytes, off, 27 + nSegs + bodyLen, off + 22).toLong & 0xffffffffL
+      if (crcStored != crcCalc) return None
+      if (expectSeq == 0L) {
+        if ((flags & 0x02) == 0) return None // first page must be BOS
+        sawBos = true
+        serial = pageSerial
+        // first packet = Vorbis identification header (30 bytes)
+        if (bodyLen < 30) return None
+        if ((bytes(body) & 0xff) != 1) return None // packet type 1
+        if (new String(bytes, body + 1, 6, "US-ASCII") != "vorbis") return None
+        if (leInt(bytes, body + 7) != 0L) return None // vorbis version
+        val ch = bytes(body + 11) & 0xff
+        val rate = leInt(bytes, body + 12)
+        val bsByte = bytes(body + 28) & 0xff
+        val bs0 = bsByte & 0x0f; val bs1 = (bsByte >> 4) & 0x0f
+        if (ch < 1 || ch > 8 || rate < 1) return None
+        if (bs0 < 6 || bs1 > 13 || bs0 > bs1) return None
+        if ((bytes(body + 29) & 0x01) != 1) return None // framing bit
+        ident = Some((ch.toLong, rate))
+      } else {
+        if (pageSerial != serial) return None // one logical stream only
+        if ((flags & 0x02) != 0) return None // BOS past page 0
+      }
+      if (pageSeq != expectSeq) return None
+      if ((flags & 0x04) != 0) { sawEos = true; lastGranule = granule }
+      expectSeq += 1
+      off = body + bodyLen
+    }
+    if (off != bytes.length || !sawBos || !sawEos || lastGranule < 0) return None
+    ident.map { case (ch, rate) =>
+      AudioMeta("ogg", ch, rate, 0L, lastGranule, lastGranule * 1000000L / rate)
+    }
+  }
+
   /** Strict audio decode with content dispatch — the audio twin of
     * ImageHeader.decode: try each container's strict parser in turn. */
   def decode(bytes: Array[Byte]): Option[AudioMeta] =
     decodeWav(bytes).orElse(decodeFlac(bytes)).orElse(decodeMp3(bytes))
+      .orElse(decodeOgg(bytes))
+
+  /** Test-fixture encoder: a minimal legal Ogg/Vorbis stream — a BOS
+    * page carrying the 30-byte identification header (nominal bitrate
+    * = 8 x rate as a plausible filler; the decoder ignores bitrates),
+    * then an EOS page with no packets whose granule position carries
+    * `totalSamples`. Real page CRCs (Ogg's direct CRC-32). */
+  def encodeOgg(channels: Int, sampleRate: Int, totalSamples: Long): Array[Byte] = {
+    require(channels >= 1 && channels <= 8, s"channels $channels")
+    require(sampleRate >= 1, s"rate $sampleRate")
+    require(totalSamples >= 0, s"samples $totalSamples")
+    def page(flags: Int, granule: Long, seq: Int, packet: Array[Byte]): Array[Byte] = {
+      val nSegs = if (packet.isEmpty) 0 else packet.length / 255 + 1
+      val out = new Array[Byte](27 + nSegs + packet.length)
+      out(0) = 'O'; out(1) = 'g'; out(2) = 'g'; out(3) = 'S'
+      out(5) = flags.toByte
+      var i = 0
+      while (i < 8) { out(6 + i) = ((granule >>> (8 * i)) & 0xff).toByte; i += 1 }
+      out(14) = 0x7a; out(15) = 0x11; out(16) = 0x3a; out(17) = 0x01 // serial (arbitrary, constant)
+      out(18) = (seq & 0xff).toByte; out(19) = ((seq >> 8) & 0xff).toByte
+      out(20) = ((seq >> 16) & 0xff).toByte; out(21) = ((seq >> 24) & 0xff).toByte
+      out(26) = nSegs.toByte
+      var rem = packet.length
+      i = 0
+      while (i < nSegs) { out(27 + i) = math.min(rem, 255).toByte; rem -= 255; i += 1 }
+      System.arraycopy(packet, 0, out, 27 + nSegs, packet.length)
+      val crc = oggPageCrc(out, 0, out.length, 22)
+      i = 0
+      while (i < 4) { out(22 + i) = ((crc >>> (8 * i)) & 0xff).toByte; i += 1 }
+      out
+    }
+    val ident = new Array[Byte](30)
+    ident(0) = 1
+    System.arraycopy("vorbis".getBytes("US-ASCII"), 0, ident, 1, 6)
+    // version 0: bytes 7..10 stay zero
+    ident(11) = channels.toByte
+    var i = 0
+    while (i < 4) { ident(12 + i) = ((sampleRate >>> (8 * i)) & 0xff).toByte; i += 1 }
+    // max bitrate (16..19) and min bitrate (24..27) stay zero (unset)
+    val nominal = 8L * sampleRate
+    i = 0
+    while (i < 4) { ident(20 + i) = ((nominal >>> (8 * i)) & 0xff).toByte; i += 1 }
+    ident(28) = ((11 << 4) | 8).toByte // blocksizes 2^8 / 2^11 (common)
+    ident(29) = 1 // framing bit
+    page(0x02, 0L, 0, ident) ++ page(0x04, totalSamples, 1, Array.empty)
+  }
 
   /** Test-fixture encoder: an MPEG1/2/2.5 Layer III stream — an ID3v2.3
     * tag with `id3Body` zero bytes, then `nMpegFrames` frames at the

@@ -654,6 +654,82 @@ object Multimodal {
           col("duration_us"), col("meta.n_bytes").as("n_bytes"))
     },
 
+    q("q119_audio_dispatch",
+      """ALL FOUR audio containers through the ONE dispatching decode
+        |stage — the production shape where a 100 TB media corpus
+        |carries whatever encoders produced: doc_id % 4 selects PCM WAV
+        |/ FLAC / MP3 / Ogg-Vorbis, every parameter doc_id-derived, and
+        |the same batched decodeAudioMeta must identify and strictly
+        |parse each (Ogg adds the container's own non-reflected CRC-32
+        |page checksums — java.util.zip cannot verify those, so
+        |AudioHeader carries the direct-polynomial implementation from
+        |RFC 3533). The oracle recomputes every field and every exact
+        |container byte size per format family; a dispatch
+        |misclassification, a wrong Vorbis ident offset, or a lacing
+        |miscount turns rows red. Lossy formats report bit_depth 0.""".stripMargin,
+      """WITH p AS (
+        |  SELECT doc_id, doc_id % 4 AS m,
+        |    doc_id % 3 + 1 AS wch, 8000 + (doc_id % 5) * 4000 AS wrate,
+        |    8 * (doc_id % 3 + 1) AS wbits, doc_id % 199 + 1 AS wframes,
+        |    doc_id % 7 + 1 AS fch, 8000 + (doc_id % 9) * 4000 AS frate,
+        |    doc_id % 29 + 4 AS fbits, doc_id % 100000 AS fsamp,
+        |    CAST(CASE doc_id % 9 WHEN 0 THEN 44100 WHEN 1 THEN 48000 WHEN 2 THEN 32000
+        |      WHEN 3 THEN 22050 WHEN 4 THEN 24000 WHEN 5 THEN 16000
+        |      WHEN 6 THEN 11025 WHEN 7 THEN 12000 ELSE 8000 END AS BIGINT) AS mrate,
+        |    CASE WHEN doc_id % 9 < 3 THEN 1152 ELSE 576 END AS mspf,
+        |    CASE doc_id % 5 WHEN 0 THEN 32 WHEN 1 THEN 48 WHEN 2 THEN 64
+        |      WHEN 3 THEN 96 ELSE 128 END AS mbr,
+        |    doc_id % 30 + 1 AS mframes, doc_id % 64 AS mid3,
+        |    (doc_id // 4) % 2 + 1 AS mch,
+        |    doc_id % 7 + 1 AS och, 8000 + (doc_id % 11) * 1000 AS orate,
+        |    doc_id % 1000000 AS osamp
+        |  FROM documents)
+        |SELECT doc_id AS media_id,
+        |  CASE m WHEN 0 THEN 'wav' WHEN 1 THEN 'flac' WHEN 2 THEN 'mp3' ELSE 'ogg' END AS format,
+        |  CASE m WHEN 0 THEN wch WHEN 1 THEN fch WHEN 2 THEN mch ELSE och END AS channels,
+        |  CASE m WHEN 0 THEN wrate WHEN 1 THEN frate WHEN 2 THEN mrate ELSE orate END AS sample_rate,
+        |  CASE m WHEN 0 THEN wbits WHEN 1 THEN fbits ELSE CAST(0 AS BIGINT) END AS bit_depth,
+        |  CASE m WHEN 0 THEN wframes WHEN 1 THEN fsamp WHEN 2 THEN mframes * mspf ELSE osamp END AS n_frames,
+        |  CASE m WHEN 0 THEN wframes * 1000000 // wrate
+        |        WHEN 1 THEN fsamp * 1000000 // frate
+        |        WHEN 2 THEN mframes * mspf * 1000000 // mrate
+        |        ELSE osamp * 1000000 // orate END AS duration_us,
+        |  CASE m WHEN 0 THEN 44 + wframes * wch * (wbits // 8)
+        |                      + (wframes * wch * (wbits // 8)) % 2
+        |        WHEN 1 THEN CAST(42 AS BIGINT)
+        |        WHEN 2 THEN 10 + mid3 + mframes * ((mspf // 8 * mbr * 1000) // mrate)
+        |        ELSE CAST(85 AS BIGINT) END AS n_bytes
+        |FROM p""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val rates = Array(44100, 48000, 32000, 22050, 24000, 16000, 11025, 12000, 8000)
+      val brs = Array(32, 48, 64, 96, 128)
+      val payloads = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val bytes = (id % 4) match {
+            case 0 => AudioHeader.encodeWav(
+              (id % 3 + 1).toInt, (8000 + (id % 5) * 4000).toInt,
+              (8 * (id % 3 + 1)).toInt, (id % 199 + 1).toInt)
+            case 1 => AudioHeader.encodeFlac(
+              (id % 7 + 1).toInt, (8000 + (id % 9) * 4000).toInt,
+              (id % 29 + 4).toInt, id % 100000)
+            case 2 => AudioHeader.encodeMp3(
+              ((id / 4) % 2 + 1).toInt, rates((id % 9).toInt),
+              brs((id % 5).toInt), (id % 30 + 1).toInt, (id % 64).toInt)
+            case _ => AudioHeader.encodeOgg(
+              (id % 7 + 1).toInt, (8000 + (id % 11) * 1000).toInt, id % 1000000)
+          }
+          (id, bytes)
+        }
+        .toDF("doc_id", "payload")
+        .withColumn("src", lit("synthetic"))
+      val media = asMediaFrame(payloads, "doc_id", "payload", "src")
+      decodeAudioMeta(media)
+        .select(col("media_id"), col("format"), col("channels"),
+          col("sample_rate"), col("bit_depth"), col("n_frames"),
+          col("duration_us"), col("meta.n_bytes").as("n_bytes"))
+    },
+
     q("q118_image_resize_bilinear",
       """The q103 pixel pipeline with the BILINEAR resampler — the
         |kernel training-image pipelines actually default to: the same

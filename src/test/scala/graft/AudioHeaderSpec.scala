@@ -214,6 +214,53 @@ class AudioHeaderSpec extends AnyFunSuite {
     assert(AudioHeader.decodeMp3(good :+ 0.toByte).isEmpty)
   }
 
+  test("Ogg/Vorbis encode/decode roundtrip across the parameter grid") {
+    for {
+      ch <- Seq(1, 2, 6, 8)
+      rate <- Seq(8000, 11025, 44100, 96000)
+      samples <- Seq(0L, 1L, 44100L, 999999L)
+    } {
+      val bytes = AudioHeader.encodeOgg(ch, rate, samples)
+      assert(bytes.length == 85) // 58-byte BOS page + 27-byte EOS page
+      val m = AudioHeader.decodeOgg(bytes)
+        .getOrElse(fail(s"no decode for ch=$ch rate=$rate samples=$samples"))
+      assert(m.format == "ogg" && m.channels == ch && m.sampleRate == rate)
+      assert(m.bitsPerSample == 0L && m.nFrames == samples)
+      assert(m.durationUs == samples * 1000000L / rate)
+      assert(AudioHeader.decode(bytes).exists(_.format == "ogg"))
+    }
+  }
+
+  test("every Ogg prefix truncation is rejected") {
+    val bytes = AudioHeader.encodeOgg(2, 44100, 12345L)
+    for (n <- 0 until bytes.length)
+      assert(AudioHeader.decodeOgg(bytes.take(n)).isEmpty, s"truncation at $n decoded")
+  }
+
+  test("Ogg strictness: page CRC, flags, serial and ident header are all enforced") {
+    val good = AudioHeader.encodeOgg(2, 44100, 5000L)
+    assert(AudioHeader.decodeOgg(good).isDefined)
+    // flip one body byte: the Ogg CRC (direct polynomial, not
+    // java.util.zip's reflected one) must catch it
+    val b1 = good.clone(); b1(30) = (b1(30) ^ 1).toByte
+    assert(AudioHeader.decodeOgg(b1).isEmpty)
+    // clear the BOS flag on page 0 (re-CRC would be needed; CRC rejects first,
+    // which is itself the correct strict behavior)
+    val b2 = good.clone(); b2(5) = 0
+    assert(AudioHeader.decodeOgg(b2).isEmpty)
+    // truncate the EOS page off: stream has no end-of-stream page
+    assert(AudioHeader.decodeOgg(good.take(58)).isEmpty)
+    // wrong magic on the second page
+    val b3 = good.clone(); b3(58) = 'X'.toByte
+    assert(AudioHeader.decodeOgg(b3).isEmpty)
+    // ident header with channels 0 cannot encode (guard) nor decode:
+    // hand-corrupt channels byte (body starts at 28: 27-byte header + 1 seg)
+    val b4 = good.clone(); b4(28 + 11) = 0
+    assert(AudioHeader.decodeOgg(b4).isEmpty)
+    // trailing garbage breaks exact tiling
+    assert(AudioHeader.decodeOgg(good :+ 0.toByte).isEmpty)
+  }
+
   test("text, WAV and FLAC payloads do not decode as MP3") {
     assert(AudioHeader.decodeMp3("ID3 is a prefix but not a tag header".getBytes).isEmpty)
     assert(AudioHeader.decodeMp3(AudioHeader.encodeWav(1, 8000, 16, 10)).isEmpty)
@@ -223,5 +270,12 @@ class AudioHeaderSpec extends AnyFunSuite {
     // and the dispatcher keeps wav/flac routed to their own parsers
     assert(AudioHeader.decode(AudioHeader.encodeWav(1, 8000, 16, 10)).exists(_.format == "wav"))
     assert(AudioHeader.decode(AudioHeader.encodeFlac(2, 44100, 16, 1000)).exists(_.format == "flac"))
+    // ogg payloads don't decode as anything else, and vice versa
+    val ogg = AudioHeader.encodeOgg(2, 44100, 100L)
+    assert(AudioHeader.decodeMp3(ogg).isEmpty && AudioHeader.decodeWav(ogg).isEmpty &&
+      AudioHeader.decodeFlac(ogg).isEmpty)
+    assert(AudioHeader.decodeOgg(AudioHeader.encodeMp3(2, 44100, 64, 3)).isEmpty)
+    assert(AudioHeader.decodeOgg("OggS but not actually a page chain...".getBytes).isEmpty)
+    assert(AudioHeader.decodeOgg(null).isEmpty)
   }
 }
