@@ -176,6 +176,38 @@ object Multimodal {
     }(enc)
   }
 
+  /** REAL video-container decode over the canonical media frame: the
+    * third modality, completing image/audio/video. Each payload is
+    * parsed by [[VideoHeader.decodeMp4]] (strict ISO BMFF box walk —
+    * exact tiling at every nesting level, one mvhd, per-trak tkhd,
+    * integral 16.16 dimensions), batched via mapPartitions exactly like
+    * the image and audio stages. Unrecognized or corrupted payloads
+    * decode to format "unknown" with null fields — never an error. */
+  def decodeVideoMeta(media: DataFrame): DataFrame = {
+    validateMediaFrame(media)
+    val outSchema = StructType(media.schema.fields.filterNot(_.name == "media") ++ Seq(
+      StructField("format", StringType, nullable = false),
+      StructField("major_brand", StringType, nullable = true),
+      StructField("timescale", LongType, nullable = true),
+      StructField("duration_us", LongType, nullable = true),
+      StructField("width", LongType, nullable = true),
+      StructField("height", LongType, nullable = true),
+      StructField("n_tracks", LongType, nullable = true)))
+    val enc = Encoders.row(outSchema)
+    val mediaIdx = media.schema.fieldIndex("media")
+    val keepIdx = media.schema.fields.zipWithIndex.filterNot(_._1.name == "media").map(_._2)
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val extra: Seq[Any] = VideoHeader.decodeMp4(r.getAs[Array[Byte]](mediaIdx)) match {
+          case Some(m) =>
+            Seq(m.format, m.brand, m.timescale, m.durationUs, m.width, m.height, m.nTracks)
+          case None => Seq("unknown", null, null, null, null, null, null)
+        }
+        Row.fromSeq(keepIdx.map(r.get).toSeq ++ extra)
+      }
+    }(enc)
+  }
+
   /** REAL image resize over the canonical media frame: each payload that
     * decodes as an 8-bit RGB(A) PNG ([[ImagePixels]] — full chunk-CRC +
     * zlib + filter validation) is nearest-neighbor resized to w2 x h2
@@ -728,6 +760,62 @@ object Multimodal {
         .select(col("media_id"), col("format"), col("channels"),
           col("sample_rate"), col("bit_depth"), col("n_frames"),
           col("duration_us"), col("meta.n_bytes").as("n_bytes"))
+    },
+
+    q("q120_video_meta",
+      """REAL video-container decode end-to-end — the modality family
+        |completed (image q89/q94/q103, audio q108/q115/q117/q119, now
+        |video): each document row becomes a structurally valid MP4
+        |(ISO BMFF: ftyp + moov[mvhd + per-track trak/tkhd] + mdat)
+        |whose timescale / duration / track count / dimensions all
+        |derive from doc_id, pushed through the canonical media frame
+        |and the batched decodeVideoMeta stage (VideoHeader: strict box
+        |walk, exact tiling at every nesting level, version-implied
+        |fullbox sizes, integral 16.16 dimensions). Every 13th row gets
+        |its moov size field corrupted and must come back "unknown"
+        |with null fields. The oracle recomputes every field AND the
+        |exact container byte size (24 + 8 + 108 + 100 x tracks + 8 +
+        |mdat) from doc_id arithmetic.""".stripMargin,
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    1000 + (doc_id % 9) * 600 AS tscale, doc_id % 100000 AS dur,
+        |    doc_id % 3 + 1 AS ntrk, 160 * (doc_id % 8 + 1) AS w,
+        |    90 * (doc_id % 8 + 1) AS h, doc_id % 256 AS mdat,
+        |    doc_id % 13 = 7 AS bad
+        |  FROM documents)
+        |SELECT doc_id AS media_id,
+        |  CASE WHEN bad THEN 'unknown' ELSE 'mp4' END AS format,
+        |  CASE WHEN bad THEN NULL ELSE 'isom' END AS major_brand,
+        |  CASE WHEN bad THEN NULL ELSE tscale END AS timescale,
+        |  CASE WHEN bad THEN NULL ELSE dur * 1000000 // tscale END AS duration_us,
+        |  CASE WHEN bad THEN NULL ELSE w END AS width,
+        |  CASE WHEN bad THEN NULL ELSE h END AS height,
+        |  CASE WHEN bad THEN NULL ELSE ntrk END AS n_tracks,
+        |  24 + 8 + 108 + 100 * ntrk + 8 + mdat AS n_bytes
+        |FROM p""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val payloads = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val k = (id % 8 + 1).toInt
+          val bytes = VideoHeader.encodeMp4(
+            brand = "isom",
+            timescale = 1000 + (id % 9) * 600,
+            duration = id % 100000,
+            tracks = Seq.fill((id % 3 + 1).toInt)((160 * k, 90 * k)),
+            mdatBytes = (id % 256).toInt)
+          // corrupt the moov box's size field: the strict walk must
+          // reject the whole payload rather than misparse past it
+          if (id % 13 == 7) bytes(27) = (bytes(27) + 1).toByte
+          (id, bytes)
+        }
+        .toDF("doc_id", "payload")
+        .withColumn("src", lit("synthetic"))
+      val media = asMediaFrame(payloads, "doc_id", "payload", "src")
+      decodeVideoMeta(media)
+        .select(col("media_id"), col("format"), col("major_brand"),
+          col("timescale"), col("duration_us"), col("width"), col("height"),
+          col("n_tracks"), col("meta.n_bytes").as("n_bytes"))
     },
 
     q("q118_image_resize_bilinear",
