@@ -239,6 +239,66 @@ object Multimodal {
 
   /** Frame-sampling stub: pick every k-th fixed-size block of the payload
     * (the video-frame-sample shape: linear scan, bounded output). */
+  /** Shared fixture for the pixel-pipeline queries (q103/q118): one
+    * doc_id-derived RGB PNG per document row — pixel(x,y,ch) =
+    * (7*doc_id + 5*x + 3*y + 11*ch) mod 256, w = doc_id%32+1,
+    * h = doc_id%24+1, filter type doc_id%5 — as a canonical media
+    * frame. The matching oracles recompute the same arithmetic. */
+  private def docPatternPngs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val payloads = Tables.documents(s, dir)
+      .select(col("doc_id").cast("long")).as[Long]
+      .map { id =>
+        val w = (id % 32 + 1).toInt
+        val h = (id % 24 + 1).toInt
+        val px = new Array[Byte](w * h * 3)
+        var i = 0
+        while (i < px.length) {
+          val y = i / (w * 3); val x = (i % (w * 3)) / 3; val ch = i % 3
+          px(i) = ((id * 7 + x * 5 + y * 3 + ch * 11) % 256).toByte
+          i += 1
+        }
+        (id, ImagePixels.encodePng(ImagePixels.Raster(w, h, 3, px),
+          filterId = (id % 5).toInt))
+      }
+      .toDF("doc_id", "payload")
+      .withColumn("src", lit("synthetic"))
+    asMediaFrame(payloads, "doc_id", "payload", "src")
+  }
+
+  /** Shared second-decode checksum stage for the pixel-pipeline
+    * queries: decode each (resized) PNG payload and reduce its pixels
+    * to (sum, position-weighted sum mod 1e9+7). */
+  private def pixelChecksums(resized: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("out_w", LongType, nullable = true),
+      StructField("out_h", LongType, nullable = true),
+      StructField("checksum", LongType, nullable = true),
+      StructField("wsum", LongType, nullable = true)))
+    val enc = Encoders.row(outSchema)
+    val idIdx = resized.schema.fieldIndex("media_id")
+    val mIdx = resized.schema.fieldIndex("media")
+    resized.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val bytes = r.getAs[Array[Byte]](mIdx)
+        ImagePixels.decodePng(bytes) match {
+          case Some(rast) =>
+            var s = 0L; var ws = 0L
+            var i = 0
+            while (i < rast.pixels.length) {
+              val v = rast.pixels(i) & 0xff
+              s += v; ws += v.toLong * (i + 1)
+              i += 1
+            }
+            Row(id, rast.width.toLong, rast.height.toLong, s, ws % 1000000007L)
+          case None => Row(id, null, null, null, null)
+        }
+      }
+    }(enc)
+  }
+
   def sampleBlocks(media: DataFrame, blockSize: Int = 64, every: Int = 4): DataFrame = {
     validateMediaFrame(media)
     media.withColumn("blocks",
@@ -461,53 +521,7 @@ object Multimodal {
         |      + (i // 48) * (doc_id % 24 + 1) // 16 * 3
         |      + (i % 3) * 11) % 256) * (i + 1))) % 1000000007 AS BIGINT) AS wsum
         |FROM documents""".stripMargin) { (s, dir) =>
-      import s.implicits._
-      val payloads = Tables.documents(s, dir)
-        .select(col("doc_id").cast("long")).as[Long]
-        .map { id =>
-          val w = (id % 32 + 1).toInt
-          val h = (id % 24 + 1).toInt
-          val px = new Array[Byte](w * h * 3)
-          var i = 0
-          while (i < px.length) {
-            val y = i / (w * 3); val x = (i % (w * 3)) / 3; val ch = i % 3
-            px(i) = ((id * 7 + x * 5 + y * 3 + ch * 11) % 256).toByte
-            i += 1
-          }
-          (id, ImagePixels.encodePng(ImagePixels.Raster(w, h, 3, px),
-            filterId = (id % 5).toInt))
-        }
-        .toDF("doc_id", "payload")
-        .withColumn("src", lit("synthetic"))
-      val media = asMediaFrame(payloads, "doc_id", "payload", "src")
-      val resized = resizeImages(media, 16, 16)
-      val outSchema = StructType(Seq(
-        StructField("media_id", LongType, nullable = false),
-        StructField("out_w", LongType, nullable = true),
-        StructField("out_h", LongType, nullable = true),
-        StructField("checksum", LongType, nullable = true),
-        StructField("wsum", LongType, nullable = true)))
-      val enc = Encoders.row(outSchema)
-      val idIdx = resized.schema.fieldIndex("media_id")
-      val mIdx = resized.schema.fieldIndex("media")
-      resized.mapPartitions { rows =>
-        rows.map { r =>
-          val id = r.getLong(idIdx)
-          val bytes = r.getAs[Array[Byte]](mIdx)
-          ImagePixels.decodePng(bytes) match {
-            case Some(rast) =>
-              var s = 0L; var ws = 0L
-              var i = 0
-              while (i < rast.pixels.length) {
-                val v = rast.pixels(i) & 0xff
-                s += v; ws += v.toLong * (i + 1)
-                i += 1
-              }
-              Row(id, rast.width.toLong, rast.height.toLong, s, ws % 1000000007L)
-            case None => Row(id, null, null, null, null)
-          }
-        }
-      }(enc)
+      pixelChecksums(resizeImages(docPatternPngs(s, dir), 16, 16))
     },
 
     q("q108_audio_meta",
@@ -854,52 +868,6 @@ object Multimodal {
         |  CAST(sum(val) AS BIGINT) AS checksum,
         |  CAST(sum(val * (i + 1)) % 1000000007 AS BIGINT) AS wsum
         |FROM v GROUP BY doc_id""".stripMargin) { (s, dir) =>
-      import s.implicits._
-      val payloads = Tables.documents(s, dir)
-        .select(col("doc_id").cast("long")).as[Long]
-        .map { id =>
-          val w = (id % 32 + 1).toInt
-          val h = (id % 24 + 1).toInt
-          val px = new Array[Byte](w * h * 3)
-          var i = 0
-          while (i < px.length) {
-            val y = i / (w * 3); val x = (i % (w * 3)) / 3; val ch = i % 3
-            px(i) = ((id * 7 + x * 5 + y * 3 + ch * 11) % 256).toByte
-            i += 1
-          }
-          (id, ImagePixels.encodePng(ImagePixels.Raster(w, h, 3, px),
-            filterId = (id % 5).toInt))
-        }
-        .toDF("doc_id", "payload")
-        .withColumn("src", lit("synthetic"))
-      val media = asMediaFrame(payloads, "doc_id", "payload", "src")
-      val resized = resizeImages(media, 16, 16, kernel = "bilinear")
-      val outSchema = StructType(Seq(
-        StructField("media_id", LongType, nullable = false),
-        StructField("out_w", LongType, nullable = true),
-        StructField("out_h", LongType, nullable = true),
-        StructField("checksum", LongType, nullable = true),
-        StructField("wsum", LongType, nullable = true)))
-      val enc = Encoders.row(outSchema)
-      val idIdx = resized.schema.fieldIndex("media_id")
-      val mIdx = resized.schema.fieldIndex("media")
-      resized.mapPartitions { rows =>
-        rows.map { r =>
-          val id = r.getLong(idIdx)
-          val bytes = r.getAs[Array[Byte]](mIdx)
-          ImagePixels.decodePng(bytes) match {
-            case Some(rast) =>
-              var s = 0L; var ws = 0L
-              var i = 0
-              while (i < rast.pixels.length) {
-                val v = rast.pixels(i) & 0xff
-                s += v; ws += v.toLong * (i + 1)
-                i += 1
-              }
-              Row(id, rast.width.toLong, rast.height.toLong, s, ws % 1000000007L)
-            case None => Row(id, null, null, null, null)
-          }
-        }
-      }(enc)
+      pixelChecksums(resizeImages(docPatternPngs(s, dir), 16, 16, kernel = "bilinear"))
     })
 }
