@@ -250,6 +250,30 @@ object EventsOps {
     },
 
     // ----------------------------------------------------------------
+    q("q121_funnel_4step",
+      """The funnel kernel PARAMETERIZED (the MATCH_RECOGNIZE surface):
+        |the same bounded-state secondary-sort scan as q112 but over the
+        |four-step signup → view → click → purchase pattern — proving
+        |the kernel's step list is genuinely general, not three
+        |hard-coded branches. Identical scale shape: one hash shuffle,
+        |spill-safe local sort, O(k) in-flight state. The oracle is the
+        |same ordered-initials string with a four-deep regex
+        |cascade.""".stripMargin,
+      """WITH seq AS (
+        |  SELECT user_id,
+        |    string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS s
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, CAST(length(s) AS BIGINT) AS n_events,
+        |  CASE WHEN regexp_matches(s, 's.*v.*c.*p') THEN 4
+        |       WHEN regexp_matches(s, 's.*v.*c') THEN 3
+        |       WHEN regexp_matches(s, 's.*v') THEN 2
+        |       WHEN regexp_matches(s, 's') THEN 1
+        |       ELSE 0 END AS funnel_depth
+        |FROM seq""".stripMargin) { (s, dir) =>
+      Funnel.funnelDepth(Tables.events(s, dir), Seq("s", "v", "c", "p"))
+    },
+
+    // ----------------------------------------------------------------
     q("q113_rolling_window",
       """Time-based rolling aggregate (RANGE frame): per user, the
         |6-hour trailing sum of event value and event count at every
