@@ -274,6 +274,42 @@ object EventsOps {
     },
 
     // ----------------------------------------------------------------
+    q("q122_funnel_predicates",
+      """The MATCH_RECOGNIZE DEFINE surface: funnel steps as ARBITRARY
+        |row predicates (view worth >= 10, then ANY click, then a
+        |purchase >= 50) instead of event-type initials — predicates
+        |may overlap, so a single per-row symbol can't encode them.
+        |Scan-side each row collapses to a 3-bit '0'/'1' mask via
+        |codegen'd CASE expressions (the shuffle carries 3 bytes per
+        |row, never the predicate inputs); the same bounded secondary-
+        |sort scan advances on mask(depth). The oracle rebuilds the
+        |ordered mask string with string_agg and tests depth with
+        |block-aligned anchored regexes (each row = one 3-char block;
+        |depth d requires d blocks in order carrying a 1 at positions
+        |0..d-1).""".stripMargin,
+      """WITH seq AS (
+        |  SELECT user_id,
+        |    string_agg(
+        |      (CASE WHEN event_type = 'view' AND value >= 10.0 THEN '1' ELSE '0' END)
+        |      || (CASE WHEN event_type = 'click' THEN '1' ELSE '0' END)
+        |      || (CASE WHEN event_type = 'purchase' AND value >= 50.0 THEN '1' ELSE '0' END),
+        |      '' ORDER BY ts, event_id) AS s,
+        |    count(*) AS n
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, CAST(n AS BIGINT) AS n_events,
+        |  CASE WHEN regexp_matches(s,
+        |         '^([01]{3})*1[01][01]([01]{3})*[01]1[01]([01]{3})*[01][01]1') THEN 3
+        |       WHEN regexp_matches(s, '^([01]{3})*1[01][01]([01]{3})*[01]1') THEN 2
+        |       WHEN regexp_matches(s, '^([01]{3})*1') THEN 1
+        |       ELSE 0 END AS funnel_depth
+        |FROM seq""".stripMargin) { (s, dir) =>
+      Funnel.funnelDepthPredicates(Tables.events(s, dir), Seq(
+        col("event_type") === "view" && col("value") >= 10.0,
+        col("event_type") === "click",
+        col("event_type") === "purchase" && col("value") >= 50.0))
+    },
+
+    // ----------------------------------------------------------------
     q("q113_rolling_window",
       """Time-based rolling aggregate (RANGE frame): per user, the
         |6-hour trailing sum of event value and event count at every

@@ -67,18 +67,18 @@ object Funnel {
     d
   }
 
-  /** Funnel depth per user over an events frame with (user_id, ts,
-    * event_id, event_type): one shuffle, spill-safe local sort, O(k)
-    * state. `steps` are event_type initials in funnel order. */
-  def funnelDepth(events: DataFrame, steps: Seq[String]): DataFrame = {
-    val stepsArr = steps.toIndexedSeq
+  /** Shared sorted-scan runner: `marker` is a per-row column computed
+    * SCAN-SIDE (codegen, before the shuffle) from which `advances`
+    * decides whether the row matches the step at the current depth. */
+  private def run(events: DataFrame, marker: org.apache.spark.sql.Column, k: Int)(
+      advances: (String, Int) => Boolean): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
     events
       .select(col("user_id"),
         epochUs(col("ts")).as("t"), // micros, not cast-to-seconds: ties break on id
         col("event_id").as("id"),
-        coalesce(substring(col("event_type"), 1, 1), lit("")).as("c"))
+        marker.as("c"))
       .repartition(col("user_id"))
       .sortWithinPartitions(col("user_id"), col("t"), col("id"))
       .as[(Long, Long, Long, String)]
@@ -96,7 +96,7 @@ object Funnel {
               val (u, _, _, c) = iter.next()
               if (open && u != curUser) { pending = (curUser, n, depth); n = 0L; depth = 0 }
               curUser = u; open = true
-              if (depth < stepsArr.length && c == stepsArr(depth)) depth += 1
+              if (depth < k && advances(c, depth)) depth += 1
               n += 1L
             }
             if (pending == null && !iter.hasNext && open) { pending = (curUser, n, depth); open = false }
@@ -106,5 +106,27 @@ object Funnel {
         }
       }
       .toDF("user_id", "n_events", "funnel_depth")
+  }
+
+  /** Funnel depth per user over an events frame with (user_id, ts,
+    * event_id, event_type): one shuffle, spill-safe local sort, O(k)
+    * state. `steps` are event_type initials in funnel order. */
+  def funnelDepth(events: DataFrame, steps: Seq[String]): DataFrame = {
+    val stepsArr = steps.toIndexedSeq
+    run(events, coalesce(substring(col("event_type"), 1, 1), lit("")), stepsArr.length)(
+      (c, depth) => c == stepsArr(depth))
+  }
+
+  /** The MATCH_RECOGNIZE DEFINE surface: each step is an ARBITRARY
+    * boolean Column over the event row (predicates may overlap — one
+    * row can satisfy several steps). Scan-side, each row collapses to
+    * a k-bit '0'/'1' mask string via codegen'd CASE expressions, so
+    * the shuffle carries k bytes per row, never the predicate inputs;
+    * the sorted scan then advances on mask(depth). Same exchange
+    * argument as the initials kernel: greedy earliest matching is
+    * exact for subsequence-prefix depth. */
+  def funnelDepthPredicates(events: DataFrame, steps: Seq[org.apache.spark.sql.Column]): DataFrame = {
+    val mask = concat(steps.map(p => when(p, lit("1")).otherwise(lit("0"))): _*)
+    run(events, mask, steps.length)((m, depth) => m.charAt(depth) == '1')
   }
 }

@@ -46,7 +46,7 @@ object StreamFunnel {
 
   final case class Ev(user_id: Long, ts: java.sql.Timestamp, event_id: Long, c: String)
 
-  /** (epoch micros, event_id, initial) — the batch kernel's total order. */
+  /** (epoch micros, event_id, marker) — the batch kernel's total order. */
   final case class Pending(tUs: Long, id: Long, c: String)
 
   final case class FunnelState(
@@ -57,19 +57,22 @@ object StreamFunnel {
 
   final case class FunnelRow(user_id: Long, n_events: Long, funnel_depth: Int)
 
-  def funnel(events: DataFrame, steps: Seq[String],
-      watermark: String = "30 minutes",
-      idleTtlMs: Option[Long] = None): Dataset[FunnelRow] = {
+  /** Shared watermark-driven runner: `marker` is computed SCAN-SIDE
+    * (before the shuffle into the stateful operator) and is all the
+    * per-event payload the state ever buffers; `advances` decides from
+    * it whether the event matches the step at the current depth —
+    * exactly the batch kernel's contract ([[graft.operators.Funnel]]). */
+  private def run(events: DataFrame, marker: org.apache.spark.sql.Column, k: Int,
+      watermark: String, idleTtlMs: Option[Long])(
+      advances: (String, Int) => Boolean): Dataset[FunnelRow] = {
     val s = events.sparkSession
     import s.implicits._
-    val stepsArr = steps.toIndexedSeq
     val ttlMs = idleTtlMs
     require(ttlMs.forall(_ > 0), "idleTtlMs must be positive")
 
     events
       .withWatermark("ts", watermark)
-      .select(col("user_id"), col("ts"), col("event_id"),
-        coalesce(substring(col("event_type"), 1, 1), lit("")).as("c"))
+      .select(col("user_id"), col("ts"), col("event_id"), marker.as("c"))
       .as[Ev]
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[FunnelState, FunnelRow](
@@ -97,7 +100,7 @@ object StreamFunnel {
             var depth = st.depth
             var n = st.n
             ready.sortBy(p => (p.tUs, p.id)).foreach { p =>
-              if (depth < stepsArr.length && p.c == stepsArr(depth)) depth += 1
+              if (depth < k && advances(p.c, depth)) depth += 1
               n += 1L
             }
             st = FunnelState(depth, n, math.max(st.finalizedWmMs, wmMs), still)
@@ -112,5 +115,27 @@ object StreamFunnel {
             if (ready.nonEmpty) Iterator(FunnelRow(key, n, depth)) else Iterator.empty
           }
       }
+  }
+
+  def funnel(events: DataFrame, steps: Seq[String],
+      watermark: String = "30 minutes",
+      idleTtlMs: Option[Long] = None): Dataset[FunnelRow] = {
+    val stepsArr = steps.toIndexedSeq
+    run(events, coalesce(substring(col("event_type"), 1, 1), lit("")),
+      stepsArr.length, watermark, idleTtlMs)((c, depth) => c == stepsArr(depth))
+  }
+
+  /** Streaming twin of [[graft.operators.Funnel.funnelDepthPredicates]]
+    * (q122's MATCH_RECOGNIZE DEFINE surface): each step is an arbitrary
+    * boolean Column over the event row, and predicates may overlap.
+    * Scan-side each event collapses to a k-bit '0'/'1' mask via
+    * codegen'd CASE expressions, so the pending buffer holds k bytes per
+    * event — the predicate inputs (strings, doubles, ...) never enter
+    * the state store. */
+  def funnelPredicates(events: DataFrame, steps: Seq[org.apache.spark.sql.Column],
+      watermark: String = "30 minutes",
+      idleTtlMs: Option[Long] = None): Dataset[FunnelRow] = {
+    val mask = concat(steps.map(p => when(p, lit("1")).otherwise(lit("0"))): _*)
+    run(events, mask, steps.length, watermark, idleTtlMs)((m, depth) => m.charAt(depth) == '1')
   }
 }

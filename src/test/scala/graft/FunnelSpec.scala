@@ -65,6 +65,59 @@ class FunnelSpec extends SparkSpec {
     assert(exchanges == 1, s"expected exactly one hash exchange, plan:\n$plan")
   }
 
+  test("predicate funnel: greedy scan == block-regex semantics on random masks") {
+    // each row is a 3-bit mask (predicates may overlap); depth-d truth
+    // is the block-aligned regex the q122 oracle uses
+    def greedy(masks: Seq[String]): Int = {
+      var d = 0
+      masks.foreach { m => if (d < 3 && m.charAt(d) == '1') d += 1 }
+      d
+    }
+    def regexDepth(masks: Seq[String]): Int = {
+      val s = masks.mkString
+      if (s.matches("([01]{3})*1[01][01]([01]{3})*[01]1[01]([01]{3})*[01][01]1([01]{3})*")) 3
+      else if (s.matches("([01]{3})*1[01][01]([01]{3})*[01]1[01]([01]{3})*")) 2
+      else if (s.matches("([01]{3})*1[01][01]([01]{3})*")) 1
+      else 0
+    }
+    val rnd = new Random(5)
+    for (trial <- 1 to 300) {
+      val masks = Vector.fill(rnd.nextInt(16))(
+        Vector.fill(3)(if (rnd.nextBoolean()) '1' else '0').mkString)
+      assert(greedy(masks) == regexDepth(masks), s"trial $trial masks=$masks")
+    }
+  }
+
+  test("funnelDepthPredicates operator == local greedy replay on events data") {
+    val events = Tables.events(spark, TestSession.sfDir)
+    val steps = Seq(
+      col("event_type") === "view" && col("value") >= 10.0,
+      col("event_type") === "click",
+      col("event_type") === "purchase" && col("value") >= 50.0)
+    val got = Funnel.funnelDepthPredicates(events, steps)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    val rows = events.select(col("user_id"), unix_micros(col("ts")).as("t"),
+        col("event_id"), col("event_type"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+    val expected = rows.groupBy(_._1).map { case (u, hs) =>
+      val ordered = hs.sortBy(h => (h._2, h._3))
+      var d = 0
+      ordered.foreach { case (_, _, _, et, v) =>
+        val hit = d match {
+          case 0 => et == "view" && v >= 10.0
+          case 1 => et == "click"
+          case 2 => et == "purchase" && v >= 50.0
+          case _ => false
+        }
+        if (d < 3 && hit) d += 1
+      }
+      u -> ((ordered.length.toLong, d))
+    }
+    assert(got == expected)
+    assert(got.values.exists(_._2 == 3), "fixture should reach depth 3 for someone")
+  }
+
   test("funnelDepth is exact under a 100x hot key") {
     import spark.implicits._
     val rnd = new Random(7)

@@ -78,6 +78,50 @@ class StreamFunnelSpec extends SparkSpec {
     assert((runStream(steps) - 99L) == runBatch(steps))
   }
 
+  test("streaming predicate funnel equals the batch kernel (q122's steps)") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // value-carrying fixture: user 1 needs the OUT-OF-ORDER qualifying
+    // click AND must skip the under-threshold view (value 5 < 10) and
+    // under-threshold purchase (value 20 < 50); user 2's view qualifies
+    // but its purchase comes before any click
+    val valueBatches = Seq(
+      Seq((ts(0), 1L, 1L, "view", 5.0), (ts(30), 1L, 2L, "view", 25.0),
+        (ts(300), 1L, 4L, "purchase", 20.0), (ts(360), 1L, 5L, "purchase", 80.0),
+        (ts(10), 2L, 6L, "view", 50.0), (ts(40), 2L, 7L, "purchase", 90.0)),
+      Seq((ts(120), 1L, 3L, "click", 0.0), // out of order: before both purchases
+        (ts(400), 2L, 8L, "click", 0.0)),
+      Seq((ts(86400L * 2), 99L, 99L, "view", 99.0)), // sentinel: pushes the watermark
+      Seq((ts(86400L * 2 + 10), 99L, 100L, "view", 99.0))) // nudge: fires the flush
+    val steps = Seq(
+      col("event_type") === "view" && col("value") >= 10.0,
+      col("event_type") === "click",
+      col("event_type") === "purchase" && col("value") >= 50.0)
+
+    val in = MemoryStream[(Timestamp, Long, Long, String, Double)]
+    val events = in.toDF().toDF("ts", "user_id", "event_id", "event_type", "value")
+    val q = StreamFunnel.funnelPredicates(events, steps)
+      .writeStream.format("memory").queryName("funnel_pred_stream")
+      .outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("graft-funnel-pred").toString)
+      .start()
+    try valueBatches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+    finally q.stop()
+    val got = spark.table("funnel_pred_stream")
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("n_events"), col("funnel_depth"))).as("s"))
+      .select(col("user_id"), col("s.n_events"), col("s.funnel_depth"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap - 99L
+
+    val batchDf = valueBatches.flatten.filter(_._2 != 99L)
+      .toDF("ts", "user_id", "event_id", "event_type", "value")
+    val expected = Funnel.funnelDepthPredicates(batchDf, steps)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(got == expected)
+    assert(expected(1L) == ((5L, 3))) // qualifying view -> ooo click -> 80.0 purchase
+    assert(expected(2L) == ((3L, 2))) // purchase precedes the click: stalls at 2
+  }
+
   test("idle TTL evicts quiet keys; a replayed key restarts from zero") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
