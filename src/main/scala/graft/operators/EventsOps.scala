@@ -310,6 +310,49 @@ object EventsOps {
     },
 
     // ----------------------------------------------------------------
+    q("q123_funnel_windowed",
+      """Conversion-window funnel (the windowFunnel-class semantics):
+        |per user, the longest view -> click -> purchase chain whose
+        |events ALL fall within 12 hours of the chain's FIRST event.
+        |The kernel keeps k anchor timestamps per key (max first-event
+        |time of any chain reaching each depth) — a single sorted scan
+        |is exact because stored chains always end before the incoming
+        |event, so extension feasibility depends only on the anchor.
+        |The oracle is fully independent: depth >= d is literally the
+        |EXISTS-a-chain definition, a d-way self-join with the window
+        |bound on the last element (intermediate bounds are implied by
+        |time monotonicity along the chain). Events carry unique ts per
+        |user, so the oracle's strict-ts chain order equals the
+        |kernel's (ts, event_id) order.""".stripMargin,
+      """WITH d AS (
+        |  SELECT user_id, count(*) AS n,
+        |    max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS d1
+        |  FROM events GROUP BY 1),
+        |d2 AS (
+        |  SELECT DISTINCT e1.user_id FROM events e1 JOIN events e2
+        |    ON e2.user_id = e1.user_id AND e2.ts > e1.ts
+        |   WHERE e1.event_type = 'view' AND e2.event_type = 'click'
+        |     AND epoch_us(e2.ts) <= epoch_us(e1.ts) + 43200000000),
+        |d3 AS (
+        |  SELECT DISTINCT e1.user_id FROM events e1
+        |  JOIN events e2 ON e2.user_id = e1.user_id AND e2.ts > e1.ts
+        |                AND epoch_us(e2.ts) <= epoch_us(e1.ts) + 43200000000
+        |  JOIN events e3 ON e3.user_id = e1.user_id AND e3.ts > e2.ts
+        |                AND epoch_us(e3.ts) <= epoch_us(e1.ts) + 43200000000
+        |   WHERE e1.event_type = 'view' AND e2.event_type = 'click'
+        |     AND e3.event_type = 'purchase')
+        |SELECT d.user_id, CAST(d.n AS BIGINT) AS n_events,
+        |  CASE WHEN d3.user_id IS NOT NULL THEN 3
+        |       WHEN d2.user_id IS NOT NULL THEN 2
+        |       WHEN d.d1 = 1 THEN 1 ELSE 0 END AS funnel_depth
+        |FROM d LEFT JOIN d2 USING(user_id) LEFT JOIN d3 USING(user_id)""".stripMargin) { (s, dir) =>
+      Funnel.funnelDepthWindowed(Tables.events(s, dir), Seq(
+        col("event_type") === "view",
+        col("event_type") === "click",
+        col("event_type") === "purchase"), 12L * 3600 * 1000000)
+    },
+
+    // ----------------------------------------------------------------
     q("q113_rolling_window",
       """Time-based rolling aggregate (RANGE frame): per user, the
         |6-hour trailing sum of event value and event count at every

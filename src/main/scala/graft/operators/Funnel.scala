@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.functions.Fns._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Bounded-state funnel / sequence-pattern matching (the
@@ -67,11 +67,82 @@ object Funnel {
     d
   }
 
+  /** Per-key O(k) scan state shared by the batch kernel and the
+    * streaming twin ([[graft.streaming.StreamFunnel]]): fed events in
+    * (ts, event_id) order via `update`, answers `depth` at any point.
+    * `save`/`load` round-trip the state through a Long vector so the
+    * streaming state store can persist it between micro-batches. */
+  sealed trait FunnelScan extends Serializable {
+    def reset(): Unit
+    def update(t: Long, c: String): Unit
+    def depth: Int
+    def save: Vector[Long]
+    def load(v: Seq[Long]): Unit
+  }
+
+  /** Unwindowed greedy subsequence scan: state is ONE int (the depth).
+    * Exact by the exchange argument in the object scaladoc. */
+  final class GreedyScan(k: Int, advances: (String, Int) => Boolean) extends FunnelScan {
+    private var d = 0
+    def reset(): Unit = d = 0
+    def update(t: Long, c: String): Unit = if (d < k && advances(c, d)) d += 1
+    def depth: Int = d
+    def save: Vector[Long] = Vector(d.toLong)
+    def load(v: Seq[Long]): Unit = d = v.head.toInt
+  }
+
+  /** Conversion-window scan (the windowFunnel-class semantics): depth d
+    * requires a chain e_1 < ... < e_d (in (ts, event_id) order, e_i
+    * matching step i) whose events ALL lie within `windowUs` of the
+    * chain's FIRST event. State is k anchor timestamps: a(i) = the max,
+    * over chains of length i+1 inside the scanned prefix, of the
+    * chain's first-event time (MinValue if none).
+    *
+    * Exactness: events arrive in scan order, so every stored chain's
+    * last event precedes any new event — the ordering constraint is
+    * free, and extending a depth-i chain with a new event at time t is
+    * feasible iff t - anchor <= W. Feasibility depends on the anchor
+    * alone and is monotone in it, so only the max anchor per depth
+    * matters; the window constraint on INTERMEDIATE events holds
+    * inductively because each extension re-checks it at append time and
+    * times grow along the chain. Updates read the PRE-event anchors
+    * (loop runs depth-descending), so one event can never serve two
+    * consecutive steps of the same chain, matching the strict e_i <
+    * e_{i+1} chain order. */
+  final class AnchorScan(k: Int, windowUs: Long, advances: (String, Int) => Boolean)
+      extends FunnelScan {
+    require(windowUs >= 0, "windowUs must be non-negative")
+    private val a = Array.fill(k)(Long.MinValue)
+    def reset(): Unit = java.util.Arrays.fill(a, Long.MinValue)
+    def update(t: Long, c: String): Unit = {
+      var i = k - 1
+      while (i >= 1) {
+        if (a(i - 1) != Long.MinValue && a(i - 1) > a(i) && t - a(i - 1) <= windowUs &&
+          advances(c, i)) a(i) = a(i - 1)
+        i -= 1
+      }
+      if (t > a(0) && advances(c, 0)) a(0) = t
+    }
+    def depth: Int = {
+      var i = k - 1
+      while (i >= 0 && a(i) == Long.MinValue) i -= 1
+      i + 1
+    }
+    def save: Vector[Long] = a.toVector
+    def load(v: Seq[Long]): Unit = { var i = 0; v.foreach { x => a(i) = x; i += 1 } }
+  }
+
+  /** k-bit '0'/'1' row mask from arbitrary step predicates: computed
+    * scan-side by codegen'd CASE expressions, so the shuffle (and the
+    * streaming state store) carry k bytes per row, never the predicate
+    * inputs. */
+  def stepMask(steps: Seq[Column]): Column =
+    concat(steps.map(p => when(p, lit("1")).otherwise(lit("0"))): _*)
+
   /** Shared sorted-scan runner: `marker` is a per-row column computed
-    * SCAN-SIDE (codegen, before the shuffle) from which `advances`
-    * decides whether the row matches the step at the current depth. */
-  private def run(events: DataFrame, marker: org.apache.spark.sql.Column, k: Int)(
-      advances: (String, Int) => Boolean): DataFrame = {
+    * SCAN-SIDE (codegen, before the shuffle); `newScan` builds the
+    * O(k) per-key state machine fed (t, marker) in total order. */
+  private def run(events: DataFrame, marker: Column)(newScan: () => FunnelScan): DataFrame = {
     val spark = events.sparkSession
     import spark.implicits._
     events
@@ -84,22 +155,22 @@ object Funnel {
       .as[(Long, Long, Long, String)]
       .mapPartitions { iter =>
         // stream the sorted partition: a key's rows are contiguous, so
-        // the in-flight state is (count, depth) — never a history
+        // the in-flight state is (count, scan state) — never a history
+        val scan = newScan()
         new Iterator[(Long, Long, Int)] {
           private var curUser = 0L
           private var n = 0L
-          private var depth = 0
           private var open = false
           private var pending: (Long, Long, Int) = _
           private def advance(): Unit = {
             while (pending == null && iter.hasNext) {
-              val (u, _, _, c) = iter.next()
-              if (open && u != curUser) { pending = (curUser, n, depth); n = 0L; depth = 0 }
+              val (u, t, _, c) = iter.next()
+              if (open && u != curUser) { pending = (curUser, n, scan.depth); n = 0L; scan.reset() }
               curUser = u; open = true
-              if (depth < k && advances(c, depth)) depth += 1
+              scan.update(t, c)
               n += 1L
             }
-            if (pending == null && !iter.hasNext && open) { pending = (curUser, n, depth); open = false }
+            if (pending == null && !iter.hasNext && open) { pending = (curUser, n, scan.depth); open = false }
           }
           override def hasNext: Boolean = { advance(); pending != null }
           override def next(): (Long, Long, Int) = { advance(); val r = pending; pending = null; r }
@@ -113,20 +184,31 @@ object Funnel {
     * state. `steps` are event_type initials in funnel order. */
   def funnelDepth(events: DataFrame, steps: Seq[String]): DataFrame = {
     val stepsArr = steps.toIndexedSeq
-    run(events, coalesce(substring(col("event_type"), 1, 1), lit("")), stepsArr.length)(
-      (c, depth) => c == stepsArr(depth))
+    run(events, coalesce(substring(col("event_type"), 1, 1), lit("")))(
+      () => new GreedyScan(stepsArr.length, (c, depth) => c == stepsArr(depth)))
   }
 
   /** The MATCH_RECOGNIZE DEFINE surface: each step is an ARBITRARY
     * boolean Column over the event row (predicates may overlap — one
     * row can satisfy several steps). Scan-side, each row collapses to
-    * a k-bit '0'/'1' mask string via codegen'd CASE expressions, so
-    * the shuffle carries k bytes per row, never the predicate inputs;
-    * the sorted scan then advances on mask(depth). Same exchange
-    * argument as the initials kernel: greedy earliest matching is
-    * exact for subsequence-prefix depth. */
-  def funnelDepthPredicates(events: DataFrame, steps: Seq[org.apache.spark.sql.Column]): DataFrame = {
-    val mask = concat(steps.map(p => when(p, lit("1")).otherwise(lit("0"))): _*)
-    run(events, mask, steps.length)((m, depth) => m.charAt(depth) == '1')
+    * a k-bit '0'/'1' mask string ([[stepMask]]); the sorted scan then
+    * advances on mask(depth). Same exchange argument as the initials
+    * kernel: greedy earliest matching is exact for subsequence-prefix
+    * depth. */
+  def funnelDepthPredicates(events: DataFrame, steps: Seq[Column]): DataFrame = {
+    val k = steps.length
+    run(events, stepMask(steps))(
+      () => new GreedyScan(k, (m, depth) => m.charAt(depth) == '1'))
+  }
+
+  /** Conversion-window funnel (q123, the windowFunnel-class semantics):
+    * depth counts the longest step chain whose events all fall within
+    * `windowUs` of the chain's first event. Same single-shuffle sorted
+    * scan; per-key state grows from one int to k anchor timestamps
+    * ([[AnchorScan]]) — still O(k), still spill-safe. */
+  def funnelDepthWindowed(events: DataFrame, steps: Seq[Column], windowUs: Long): DataFrame = {
+    val k = steps.length
+    run(events, stepMask(steps))(
+      () => new AnchorScan(k, windowUs, (m, depth) => m.charAt(depth) == '1'))
   }
 }

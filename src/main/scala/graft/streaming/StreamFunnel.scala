@@ -1,6 +1,7 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import graft.operators.Funnel
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -12,8 +13,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * delivers them out of order within the watermark. So per-key state is
   * two parts:
   *
-  *   - the O(k) greedy scan state over the FINALIZED prefix (match
-  *     depth + event count) — identical semantics to the batch scan;
+  *   - the O(k) scan state over the FINALIZED prefix (a
+  *     [[graft.operators.Funnel.FunnelScan]] vector + event count) —
+  *     identical semantics to the batch scan;
   *   - a pending buffer of events still inside the watermark horizon,
   *     which is the part of the input the stream is not yet allowed to
   *     order. Its size is bounded by (watermark delay x per-key event
@@ -22,7 +24,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   *
   * Finalization is watermark-driven: each invocation folds every
   * pending event with ts strictly below the current watermark into the
-  * greedy state in (ts, event_id) order, emits the updated
+  * scan state in (ts, event_id) order, emits the updated
   * (n_events, funnel_depth) row, and re-arms an event-time timeout just
   * past the earliest still-pending event so the fold happens even if
   * the key never receives another record. Events arriving with ts below
@@ -50,7 +52,7 @@ object StreamFunnel {
   final case class Pending(tUs: Long, id: Long, c: String)
 
   final case class FunnelState(
-      depth: Int,
+      vec: Vector[Long],
       n: Long,
       finalizedWmMs: Long,
       pending: Vector[Pending])
@@ -59,12 +61,13 @@ object StreamFunnel {
 
   /** Shared watermark-driven runner: `marker` is computed SCAN-SIDE
     * (before the shuffle into the stateful operator) and is all the
-    * per-event payload the state ever buffers; `advances` decides from
-    * it whether the event matches the step at the current depth —
-    * exactly the batch kernel's contract ([[graft.operators.Funnel]]). */
-  private def run(events: DataFrame, marker: org.apache.spark.sql.Column, k: Int,
+    * per-event payload the state ever buffers; `newScan` builds the
+    * same O(k) per-key state machine the batch kernel runs
+    * ([[graft.operators.Funnel.FunnelScan]]), persisted between
+    * micro-batches as its save/load Long vector. */
+  private def run(events: DataFrame, marker: Column,
       watermark: String, idleTtlMs: Option[Long])(
-      advances: (String, Int) => Boolean): Dataset[FunnelRow] = {
+      newScan: () => Funnel.FunnelScan): Dataset[FunnelRow] = {
     val s = events.sparkSession
     import s.implicits._
     val ttlMs = idleTtlMs
@@ -78,7 +81,9 @@ object StreamFunnel {
       .flatMapGroupsWithState[FunnelState, FunnelRow](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (key, it, state: GroupState[FunnelState]) =>
-          var st = state.getOption.getOrElse(FunnelState(0, 0L, Long.MinValue, Vector.empty))
+          val scan = newScan()
+          var st = state.getOption.getOrElse(FunnelState(scan.save, 0L, Long.MinValue, Vector.empty))
+          scan.load(st.vec)
           val wmMs = state.getCurrentWatermarkMs()
           // late-beyond-finalized events are dropped (ST3 policy); the
           // rest join the pending buffer
@@ -97,13 +102,12 @@ object StreamFunnel {
             // finalize everything the watermark has passed, in the batch
             // kernel's exact total order
             val (ready, still) = all.partition(_.tUs / 1000L < wmMs)
-            var depth = st.depth
             var n = st.n
             ready.sortBy(p => (p.tUs, p.id)).foreach { p =>
-              if (depth < k && advances(p.c, depth)) depth += 1
+              scan.update(p.tUs, p.c)
               n += 1L
             }
-            st = FunnelState(depth, n, math.max(st.finalizedWmMs, wmMs), still)
+            st = FunnelState(scan.save, n, math.max(st.finalizedWmMs, wmMs), still)
             state.update(st)
             if (still.nonEmpty) {
               // wake up when the watermark passes the earliest pending
@@ -112,7 +116,7 @@ object StreamFunnel {
             } else ttlMs.foreach { t =>
               if (wmMs > Long.MinValue) state.setTimeoutTimestamp(wmMs + t)
             }
-            if (ready.nonEmpty) Iterator(FunnelRow(key, n, depth)) else Iterator.empty
+            if (ready.nonEmpty) Iterator(FunnelRow(key, n, scan.depth)) else Iterator.empty
           }
       }
   }
@@ -121,8 +125,8 @@ object StreamFunnel {
       watermark: String = "30 minutes",
       idleTtlMs: Option[Long] = None): Dataset[FunnelRow] = {
     val stepsArr = steps.toIndexedSeq
-    run(events, coalesce(substring(col("event_type"), 1, 1), lit("")),
-      stepsArr.length, watermark, idleTtlMs)((c, depth) => c == stepsArr(depth))
+    run(events, coalesce(substring(col("event_type"), 1, 1), lit("")), watermark, idleTtlMs)(
+      () => new Funnel.GreedyScan(stepsArr.length, (c, depth) => c == stepsArr(depth)))
   }
 
   /** Streaming twin of [[graft.operators.Funnel.funnelDepthPredicates]]
@@ -132,10 +136,23 @@ object StreamFunnel {
     * codegen'd CASE expressions, so the pending buffer holds k bytes per
     * event — the predicate inputs (strings, doubles, ...) never enter
     * the state store. */
-  def funnelPredicates(events: DataFrame, steps: Seq[org.apache.spark.sql.Column],
+  def funnelPredicates(events: DataFrame, steps: Seq[Column],
       watermark: String = "30 minutes",
       idleTtlMs: Option[Long] = None): Dataset[FunnelRow] = {
-    val mask = concat(steps.map(p => when(p, lit("1")).otherwise(lit("0"))): _*)
-    run(events, mask, steps.length, watermark, idleTtlMs)((m, depth) => m.charAt(depth) == '1')
+    val k = steps.length
+    run(events, Funnel.stepMask(steps), watermark, idleTtlMs)(
+      () => new Funnel.GreedyScan(k, (m, depth) => m.charAt(depth) == '1'))
+  }
+
+  /** Streaming twin of [[graft.operators.Funnel.funnelDepthWindowed]]
+    * (q123's conversion-window semantics): the persisted per-key scan
+    * state grows from one int to k anchor timestamps — still O(k) in
+    * the state store, still watermark-bounded pending. */
+  def funnelWindowed(events: DataFrame, steps: Seq[Column], windowUs: Long,
+      watermark: String = "30 minutes",
+      idleTtlMs: Option[Long] = None): Dataset[FunnelRow] = {
+    val k = steps.length
+    run(events, Funnel.stepMask(steps), watermark, idleTtlMs)(
+      () => new Funnel.AnchorScan(k, windowUs, (m, depth) => m.charAt(depth) == '1'))
   }
 }

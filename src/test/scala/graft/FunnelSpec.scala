@@ -118,6 +118,90 @@ class FunnelSpec extends SparkSpec {
     assert(got.values.exists(_._2 == 3), "fixture should reach depth 3 for someone")
   }
 
+  // independent ground truth for the windowed funnel: depth = max d
+  // such that SOME index-increasing chain matches steps 0..d-1 with
+  // every chain event within `w` of the chain's first event (full
+  // exponential search with short-circuit — test scale only)
+  private def bruteWindowedDepth(evs: IndexedSeq[(Long, String)], k: Int, w: Long): Int = {
+    def reachable(d: Int): Boolean = {
+      def rec(pos: Int, step: Int, anchor: Long): Boolean =
+        step == d || (pos until evs.length).exists { i =>
+          val (t, m) = evs(i)
+          m.charAt(step) == '1' &&
+            (step == 0 || t - anchor <= w) &&
+            rec(i + 1, step + 1, if (step == 0) t else anchor)
+        }
+      rec(0, 0, 0L)
+    }
+    (k to 1 by -1).find(reachable).getOrElse(0)
+  }
+
+  test("windowed anchor scan == brute-force chain search on random histories") {
+    val rnd = new Random(11)
+    for (trial <- 1 to 500) {
+      val w = 1 + rnd.nextInt(20)
+      // small time range forces ties and window-boundary hits
+      val evs = Vector.fill(rnd.nextInt(14))(
+        (rnd.nextInt(30).toLong,
+          Vector.fill(3)(if (rnd.nextInt(3) == 0) '1' else '0').mkString))
+        .sortBy(_._1)
+      val scan = new Funnel.AnchorScan(3, w.toLong, (m, d) => m.charAt(d) == '1')
+      evs.foreach { case (t, m) => scan.update(t, m) }
+      val brute = bruteWindowedDepth(evs, 3, w.toLong)
+      assert(scan.depth == brute, s"trial=$trial w=$w evs=$evs scan=${scan.depth} brute=$brute")
+    }
+  }
+
+  test("anchor scan save/load round-trips mid-history") {
+    val rnd = new Random(13)
+    for (trial <- 1 to 100) {
+      val evs = Vector.fill(6 + rnd.nextInt(8))(
+        (rnd.nextInt(40).toLong,
+          Vector.fill(3)(if (rnd.nextInt(3) == 0) '1' else '0').mkString))
+        .sortBy(_._1)
+      val cut = rnd.nextInt(evs.length)
+      val whole = new Funnel.AnchorScan(3, 15L, (m, d) => m.charAt(d) == '1')
+      evs.foreach { case (t, m) => whole.update(t, m) }
+      val first = new Funnel.AnchorScan(3, 15L, (m, d) => m.charAt(d) == '1')
+      evs.take(cut).foreach { case (t, m) => first.update(t, m) }
+      val second = new Funnel.AnchorScan(3, 15L, (m, d) => m.charAt(d) == '1')
+      second.load(first.save)
+      evs.drop(cut).foreach { case (t, m) => second.update(t, m) }
+      assert(second.depth == whole.depth, s"trial=$trial cut=$cut evs=$evs")
+    }
+  }
+
+  test("funnelDepthWindowed operator == brute-force chain search on events data") {
+    val events = Tables.events(spark, TestSession.sfDir)
+    val w = 12L * 3600 * 1000000
+    val steps = Seq(col("event_type") === "view", col("event_type") === "click",
+      col("event_type") === "purchase")
+    val got = Funnel.funnelDepthWindowed(events, steps, w)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    val rows = events.select(col("user_id"), unix_micros(col("ts")).as("t"),
+        col("event_id"), col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val expected = rows.groupBy(_._1).map { case (u, hs) =>
+      val ordered = hs.sortBy(h => (h._2, h._3)).map { case (_, t, _, et) =>
+        (t, Seq("view", "click", "purchase").map(s => if (et == s) '1' else '0').mkString)
+      }.toIndexedSeq
+      u -> ((ordered.length.toLong, bruteWindowedDepth(ordered, 3, w)))
+    }
+    assert(got == expected)
+    assert(got.values.map(_._2).toSet.size >= 2, "window should split depths in the fixture")
+  }
+
+  test("a huge window reduces the windowed funnel to the subsequence funnel") {
+    val events = Tables.events(spark, TestSession.sfDir)
+    val steps = Seq(col("event_type") === "view", col("event_type") === "click",
+      col("event_type") === "purchase")
+    val windowed = Funnel.funnelDepthWindowed(events, steps, Long.MaxValue / 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val plain = Funnel.funnelDepthPredicates(events, steps)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(windowed == plain)
+  }
+
   test("funnelDepth is exact under a 100x hot key") {
     import spark.implicits._
     val rnd = new Random(7)

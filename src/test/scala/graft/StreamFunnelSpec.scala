@@ -122,6 +122,54 @@ class StreamFunnelSpec extends SparkSpec {
     assert(expected(2L) == ((3L, 2))) // purchase precedes the click: stalls at 2
   }
 
+  test("streaming windowed funnel equals the batch kernel (q123's semantics)") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val w = 12L * 3600 * 1000000 // 12h in micros
+    // user 1's chain only closes from the SECOND view (7200s): the
+    // purchase at 13h is outside the first view's window but inside the
+    // second's — exercises the max-anchor rule; the click arrives OUT
+    // OF ORDER (event time before the purchase). user 2's purchase
+    // precedes its click, stalling at depth 2.
+    val wBatches = Seq(
+      Seq((ts(0), 1L, 1L, "view"), (ts(7200), 1L, 2L, "view"),
+        (ts(46800), 1L, 4L, "purchase"),
+        (ts(10), 2L, 5L, "view"), (ts(3610), 2L, 6L, "purchase")),
+      Seq((ts(18000), 1L, 3L, "click"), // out of order: before the purchase
+        (ts(7210), 2L, 7L, "click")),
+      Seq((ts(86400L * 4), 99L, 99L, "view")), // sentinel: pushes the watermark
+      Seq((ts(86400L * 4 + 10), 99L, 100L, "view"))) // nudge: fires the flush
+    val steps = Seq(
+      col("event_type") === "view",
+      col("event_type") === "click",
+      col("event_type") === "purchase")
+
+    val in = MemoryStream[(Timestamp, Long, Long, String)]
+    val events = in.toDF().toDF("ts", "user_id", "event_id", "event_type")
+    // 14h watermark: the fixture spans 13h of event time delivered out
+    // of order, so nothing may finalize before the sentinel arrives
+    val q = StreamFunnel.funnelWindowed(events, steps, w, watermark = "14 hours")
+      .writeStream.format("memory").queryName("funnel_win_stream")
+      .outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("graft-funnel-win").toString)
+      .start()
+    try wBatches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+    finally q.stop()
+    val got = spark.table("funnel_win_stream")
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("n_events"), col("funnel_depth"))).as("s"))
+      .select(col("user_id"), col("s.n_events"), col("s.funnel_depth"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap - 99L
+
+    val batchDf = wBatches.flatten.filter(_._2 != 99L)
+      .toDF("ts", "user_id", "event_id", "event_type")
+    val expected = Funnel.funnelDepthWindowed(batchDf, steps, w)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(got == expected)
+    assert(expected(1L) == ((4L, 3))) // second view anchors the in-window chain
+    assert(expected(2L) == ((3L, 2))) // purchase precedes the click: stalls at 2
+  }
+
   test("idle TTL evicts quiet keys; a replayed key restarts from zero") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
