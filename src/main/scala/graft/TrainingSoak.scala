@@ -268,7 +268,13 @@ object TrainingSoak {
     // n/100 events each — the bot-grade history that OOMed the old
     // collect_list shape; the sort-based kernel streams it with O(1)
     // per-key state, so this stanza IS the 100 TB memory-shape proof).
-    def funnelStanza(users: Long): (Boolean, Double) = {
+    // The windowed (q123) kernel runs over the same frame with
+    // W = 2*users MICROS: per-user events sit exactly `users` micros
+    // apart, so v@1->c@3 spans 2W/2 = W (inside) while v@1->p@5 spans
+    // 2W (outside) — class 0 drops from depth 3 to 2, class 1 loses
+    // its post-view click and lands at 1, giving closed-form counts
+    // {0: U/4, 1: U/4, 2: U/2}.
+    def funnelStanza(users: Long): (Boolean, Double, Boolean, Double) = {
       require(n % users == 0 && users % 4 == 0 && n / users >= 6)
       val per = n / users
       val cls = (col("id") % users) % 4
@@ -297,10 +303,24 @@ object TrainingSoak {
       val got = rows.map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
       val ok = got.size == 4 &&
         (0 to 3).forall(d => got.get(d).contains((users / 4, users / 4 * per)))
-      (ok, sec)
+      val (wrows, wsec) = timed {
+        operators.Funnel.funnelDepthWindowed(ev, Seq(
+          col("event_type") === "view",
+          col("event_type") === "click",
+          col("event_type") === "purchase"), 2L * users)
+          .groupBy(col("funnel_depth"))
+          .agg(count(lit(1)).as("nu"), sum(col("n_events")).as("ne"))
+          .collect()
+      }
+      val wgot = wrows.map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val wok = wgot.size == 3 &&
+        wgot.get(0).contains((users / 4, users / 4 * per)) &&
+        wgot.get(1).contains((users / 4, users / 4 * per)) &&
+        wgot.get(2).contains((users / 2, users / 2 * per))
+      (ok, sec, wok, wsec)
     }
-    val (funnelWideOk, funnelWideSec) = funnelStanza(1000000L)
-    val (funnelHotOk, funnelHotSec) = funnelStanza(100L)
+    val (funnelWideOk, funnelWideSec, funnelWinWideOk, funnelWinWideSec) = funnelStanza(1000000L)
+    val (funnelHotOk, funnelHotSec, funnelWinHotOk, funnelWinHotSec) = funnelStanza(100L)
 
     println(
       s"""{"metric":"training_soak","rows":$n,""" +
@@ -311,9 +331,11 @@ object TrainingSoak {
         s""""asof_sec":$asofSec,"asof_ok":$asofOk,""" +
         s""""range_sec":$rjSec,"range_ok":$rangeOk,""" +
         s""""funnel_wide_sec":$funnelWideSec,"funnel_wide_ok":$funnelWideOk,""" +
-        s""""funnel_hot_sec":$funnelHotSec,"funnel_hot_ok":$funnelHotOk}""")
+        s""""funnel_hot_sec":$funnelHotSec,"funnel_hot_ok":$funnelHotOk,""" +
+        s""""funnel_win_wide_sec":$funnelWinWideSec,"funnel_win_wide_ok":$funnelWinWideOk,""" +
+        s""""funnel_win_hot_sec":$funnelWinHotSec,"funnel_win_hot_ok":$funnelWinHotOk}""")
     spark.stop()
     if (!(mgOk && sampleOk && vocabOk && ivfOk && asofOk && rangeOk &&
-        funnelWideOk && funnelHotOk)) sys.exit(1)
+        funnelWideOk && funnelHotOk && funnelWinWideOk && funnelWinHotOk)) sys.exit(1)
   }
 }

@@ -250,15 +250,69 @@ object ImagePixels {
     Raster(w2, h2, r.channels, out)
   }
 
+  /** Area-average (box-filter) resize in EXACT integer arithmetic —
+    * the anti-aliasing downsample kernel (the INTER_AREA class)
+    * training-image pipelines use for thumbnails, here defined for any
+    * scale: output pixel x covers the source interval [x*w/w2,
+    * (x+1)*w/w2); scaled by w2 per axis, the overlap of output x with
+    * source column sx is the integer
+    *   wx(sx) = max(0, min((x+1)*w, (sx+1)*w2) - max(x*w, sx*w2))
+    * (and wy likewise), the per-axis weights sum to w (resp. h), and
+    *   out(x,y,c) = floor( sum_{sx,sy} wx*wy*p(sx,sy,c) / (w*h) )
+    * — all integers, bit-reproducible by an oracle from first
+    * principles. Downscales average full coverage; upscales degrade to
+    * sub-pixel coverage of one or two source pixels, still exact. */
+  def resizeArea(r: Raster, w2: Int, h2: Int): Raster = {
+    require(w2 > 0 && h2 > 0, s"bad target ${w2}x$h2")
+    require(w2.toLong * h2 * r.channels <= MaxDecodedBytes, s"target ${w2}x$h2 exceeds buffer cap")
+    val w = r.width.toLong
+    val h = r.height.toLong
+    val den = w * h
+    val out = new Array[Byte](w2 * h2 * r.channels)
+    var y = 0
+    while (y < h2) {
+      val yLo = y * h; val yHi = (y + 1) * h // output row's interval, scaled by h2
+      val sy0 = (yLo / h2).toInt
+      val sy1 = ((yHi + h2 - 1) / h2).toInt // exclusive
+      var x = 0
+      while (x < w2) {
+        val xLo = x * w; val xHi = (x + 1) * w
+        val sx0 = (xLo / w2).toInt
+        val sx1 = ((xHi + w2 - 1) / w2).toInt
+        var c = 0
+        while (c < r.channels) {
+          var s = 0L
+          var sy = sy0
+          while (sy < sy1) {
+            val wy = math.min(yHi, (sy + 1).toLong * h2) - math.max(yLo, sy.toLong * h2)
+            var sx = sx0
+            while (sx < sx1) {
+              val wx = math.min(xHi, (sx + 1).toLong * w2) - math.max(xLo, sx.toLong * w2)
+              s += wx * wy * (r.pixels((sy * r.width + sx) * r.channels + c) & 0xff)
+              sx += 1
+            }
+            sy += 1
+          }
+          out((y * w2 + x) * r.channels + c) = (s / den).toByte
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    Raster(w2, h2, r.channels, out)
+  }
+
   /** Decode → resize → re-encode: the real thumbnail/preprocess kernel.
     * None when the payload isn't a decodable 8-bit RGB(A) PNG.
-    * `kernel` selects the resampler: "nearest" (default) or
-    * "bilinear". */
+    * `kernel` selects the resampler: "nearest" (default), "bilinear"
+    * or "area". */
   def resizePng(bytes: Array[Byte], w2: Int, h2: Int,
       kernel: String = "nearest"): Option[Array[Byte]] = {
     val resample: (Raster, Int, Int) => Raster = kernel match {
       case "nearest"  => resizeNearest
       case "bilinear" => resizeBilinear
+      case "area"     => resizeArea
       case other      => throw new IllegalArgumentException(s"unknown kernel $other")
     }
     decodePng(bytes).map(r => encodePng(resample(r, w2, h2)))

@@ -869,5 +869,44 @@ object Multimodal {
         |  CAST(sum(val * (i + 1)) % 1000000007 AS BIGINT) AS wsum
         |FROM v GROUP BY doc_id""".stripMargin) { (s, dir) =>
       pixelChecksums(resizeImages(docPatternPngs(s, dir), 16, 16, kernel = "bilinear"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q124_image_resize_area",
+      """The q103 pixel pipeline with the AREA-AVERAGE (box-filter)
+        |resampler — the anti-aliasing downsample kernel thumbnail
+        |pipelines reach for: the same doc_id-derived RGB PNGs flow
+        |through decode → area 16x16 resize → re-encode → second decode
+        |→ pixel checksums. The kernel is exact integer coverage
+        |arithmetic (per-axis overlap weights wx = max(0, min((x+1)w,
+        |(sx+1)*16) - max(x*w, sx*16)), value = floor(Σ wx*wy*p /
+        |(w*h)) — ImagePixels.resizeArea), so the oracle recomputes
+        |EVERY output pixel from first principles in SQL. The double
+        |coverage sum is evaluated SEPARABLY (x-axis partial sums, then
+        |the y-axis fold) — exact because only the final floor-divide
+        |rounds — keeping the oracle's cross join linear in (w + h)
+        |instead of w*h per output pixel. Source widths 1..32 and
+        |heights 1..24 exercise both down- and up-scaling through the
+        |same coverage formula.""".stripMargin,
+      """WITH rs AS (
+        |  SELECT doc_id, x2, sy, ch, w, h,
+        |    sum(greatest(0, least((x2 + 1) * w, (sx + 1) * 16) - greatest(x2 * w, sx * 16))
+        |        * ((doc_id * 7 + sx * 5 + sy * 3 + ch * 11) % 256)) AS rowsum
+        |  FROM (SELECT doc_id, doc_id % 32 + 1 AS w, doc_id % 24 + 1 AS h FROM documents) d,
+        |       range(0, 16) x(x2), range(0, 24) s1(sy), range(0, 3) c(ch), range(0, 32) s2(sx)
+        |  WHERE sx < w AND sy < h
+        |  GROUP BY ALL),
+        |v AS (
+        |  SELECT doc_id, (y2 * 16 + x2) * 3 + ch AS i,
+        |    sum(greatest(0, least((y2 + 1) * h, (sy + 1) * 16) - greatest(y2 * h, sy * 16))
+        |        * rowsum) // (w * h) AS val
+        |  FROM rs, range(0, 16) yy(y2)
+        |  GROUP BY doc_id, y2, x2, ch, w, h)
+        |SELECT doc_id AS media_id,
+        |  CAST(16 AS BIGINT) AS out_w, CAST(16 AS BIGINT) AS out_h,
+        |  CAST(sum(val) AS BIGINT) AS checksum,
+        |  CAST(sum(val * (i + 1)) % 1000000007 AS BIGINT) AS wsum
+        |FROM v GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      pixelChecksums(resizeImages(docPatternPngs(s, dir), 16, 16, kernel = "area"))
     })
 }

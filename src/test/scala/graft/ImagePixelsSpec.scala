@@ -80,6 +80,49 @@ class ImagePixelsSpec extends SparkSpec {
     assert((down.pixels(0) & 0xff) == 30 && (down.pixels(3) & 0xff) == 150)
   }
 
+  test("area resize: identity, constants, exact coverage math, true box mean") {
+    // identity: every output interval covers exactly one source pixel
+    val r = pattern(9, 7, 3, 5)
+    assert(ImagePixels.resizeArea(r, 9, 7).pixels.sameElements(r.pixels))
+    // a constant image stays constant at any size (weights sum to w*h)
+    val const = Raster(5, 4, 4, Array.fill(5 * 4 * 4)(173.toByte))
+    for ((w2, h2) <- Seq((1, 1), (3, 9), (16, 16), (7, 2)))
+      assert(ImagePixels.resizeArea(const, w2, h2).pixels.forall(_ == 173.toByte))
+    // integer-factor downscale is the plain block mean
+    val blocks = Raster(4, 2, 3, Array.tabulate(24)(i => {
+      val x = (i % 12) / 3; val y = i / 12
+      ((y * 4 + x) * 10).toByte // pixel value = 10 * source index
+    }))
+    val half = ImagePixels.resizeArea(blocks, 2, 1)
+    // each output = mean of a 2x2 block: {0,10,40,50}->25, {20,30,60,70}->45
+    assert((half.pixels(0) & 0xff) == 25 && (half.pixels(3) & 0xff) == 45)
+    // exact coverage formula vs an independent full (non-separable)
+    // recompute, across down-, up-, and mixed-scale shapes
+    for ((w, h, w2, h2, seed) <- Seq((10, 6, 4, 4, 2), (3, 3, 16, 16, 9),
+        (1, 1, 5, 5, 3), (32, 24, 16, 16, 7), (7, 13, 16, 5, 4))) {
+      val src = pattern(w, h, 3, seed)
+      val out = ImagePixels.resizeArea(src, w2, h2)
+      def p(x: Int, y: Int, c: Int) = src.pixels((y * w + x) * 3 + c) & 0xff
+      for (y <- 0 until h2; x <- 0 until w2; c <- 0 until 3) {
+        var s = 0L
+        for (sy <- 0 until h; sx <- 0 until w) {
+          val wx = math.max(0L, math.min((x + 1).toLong * w, (sx + 1).toLong * w2) -
+            math.max(x.toLong * w, sx.toLong * w2))
+          val wy = math.max(0L, math.min((y + 1).toLong * h, (sy + 1).toLong * h2) -
+            math.max(y.toLong * h, sy.toLong * h2))
+          s += wx * wy * p(sx, sy, c)
+        }
+        val want = s / (w.toLong * h)
+        assert((out.pixels((y * w2 + x) * 3 + c) & 0xff) == want.toInt,
+          s"($w,$h)->($w2,$h2) pixel ($x,$y,$c)")
+      }
+    }
+    // box averaging sees ALL source pixels where bilinear samples 2x2:
+    // 4x1 ramp [0,60,120,180] -> 1x1 must be the full mean 90
+    val ramp = Raster(4, 1, 3, Array.tabulate(12)(i => ((i / 3) * 60).toByte))
+    assert((ImagePixels.resizeArea(ramp, 1, 1).pixels(0) & 0xff) == 90)
+  }
+
   test("resizePng round-trips through real encode/decode") {
     val r = pattern(17, 9, 4, 3)
     val resized = ImagePixels.resizePng(ImagePixels.encodePng(r, filterId = 4), 8, 8)
