@@ -424,5 +424,37 @@ object EventsOps {
         .select(col("c_custkey").as("user_id"), col("c_name"), col("c_mktsegment"))
       Skew.saltedJoin(Tables.events(s, dir), dim, "user_id")
         .select(col("event_id"), col("user_id"), col("c_name"), col("c_mktsegment"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q126_retention_cohorts",
+      """Cohort retention — the product-analytics staple: users are
+        |cohorted by their FIRST active day, and each (cohort, day-offset)
+        |cell counts how many of them were active again offset days
+        |later (offset 0 = the cohort's size). One pass does everything:
+        |groupBy(user) with min(day) + collect_set(day) — ONE data-wide
+        |shuffle, and collect_set dedupes map-side, so what shuffles per
+        |user is its distinct active-day set, not its event history.
+        |The per-user state is bounded by the CALENDAR (days since
+        |launch: 30 here, ~1000 for a 3-year log), not by event count —
+        |the bot key with 1e8 events carries the same <= 30-element set
+        |as anyone else, exactly the bound q112's funnel rebuild was
+        |about. The exploded (cohort, offset) re-aggregation shuffles at
+        |most users x horizon tiny rows. The oracle computes the same
+        |matrix relationally (distinct days join first-day) in DuckDB.""".stripMargin,
+      """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY 1)
+        |SELECT c.cohort_day, CAST(d.day - c.cohort_day AS BIGINT) AS offset_days,
+        |  count(*) AS n_users
+        |FROM d JOIN c USING (user_id)
+        |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .groupBy(col("user_id"))
+        .agg(min(col("day")).as("cohort_day"), collect_set(col("day")).as("days"))
+        .select(col("cohort_day"), explode(col("days")).as("day"))
+        .groupBy(col("cohort_day"),
+          datediff(col("day"), col("cohort_day")).cast("long").as("offset_days"))
+        .agg(count(lit(1)).as("n_users"))
     })
 }

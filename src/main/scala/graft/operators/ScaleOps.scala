@@ -343,6 +343,54 @@ object ScaleOps {
           expr("aggregate(er, CAST(0 AS BIGINT), (a, v) -> greatest(a, v))").as("max_abs_err_127"),
           expr("aggregate(qa, CAST(0 AS BIGINT), (a, v) -> a + CASE WHEN abs(v) = 127 THEN 1 ELSE 0 END)")
             .as("n_saturated"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q127_zorder_layout",
+      """Z-order (Morton) clustering key — the multi-dimensional data-
+        |layout primitive: interleaving the bits of two columns gives ONE
+        |sort order whose contiguous ranges have bounded min/max on BOTH
+        |dimensions, so files laid out by it support min/max skipping on
+        |either predicate column (a lexicographic sort only ever prunes
+        |its leading column). The key is graft's native codegen `zorder2`
+        |Expression (plans/ZOrder.scala — branch-free mask-spread ladder
+        |inlined into whole-stage codegen); the oracle recomputes the
+        |interleave bit by bit from the definition (Σ bit i of x at 2i,
+        |bit i of y at 2i+1) via a range(0,16) cross join. The query
+        |groups events into the 16 coarse Z-tiles (zcode div 4096 = the
+        |top 2 bits of each 8-bit dimension) and emits each tile's
+        |bounding box: every tile's x and y spans are at most 64 wide —
+        |the per-file statistics a 100 TB table would ship to the
+        |scan pruner. Scan-side key computation, one tiny 16-key
+        |shuffle.""".stripMargin,
+      """WITH b AS (
+        |  SELECT event_id, user_id % 256 AS x,
+        |    CAST(floor(value) AS BIGINT) % 256 AS y
+        |  FROM events),
+        |z AS (
+        |  SELECT event_id, x, y,
+        |    CAST(sum(((x >> i) & 1) * (CAST(1 AS BIGINT) << (2 * i))
+        |           + ((y >> i) & 1) * (CAST(1 AS BIGINT) << (2 * i + 1))) AS BIGINT) AS zcode
+        |  FROM b, range(0, 16) r(i)
+        |  GROUP BY event_id, x, y)
+        |SELECT zcode // 4096 AS tile, count(*) AS n_rows,
+        |  min(x) AS x_lo, max(x) AS x_hi, min(y) AS y_lo, max(y) AS y_hi,
+        |  min(zcode) AS z_lo, max(zcode) AS z_hi
+        |FROM z GROUP BY 1""".stripMargin) { (s, dir) =>
+      graft.plans.GraftFunctions.register(s)
+      Tables.events(s, dir)
+        .select(expr("user_id % 256").as("x"),
+          // floor on BOTH engines: DuckDB CAST(double AS BIGINT) rounds
+          // half-even where Spark's cast truncates, so neither cast
+          // alone is portable; floor() then cast agrees everywhere
+          expr("CAST(floor(value) AS BIGINT) % 256").as("y"))
+        .select(col("x"), col("y"),
+          call_function("zorder2", col("x"), col("y")).as("zcode"))
+        .groupBy(expr("zcode DIV 4096").as("tile"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("x")).as("x_lo"), max(col("x")).as("x_hi"),
+          min(col("y")).as("y_lo"), max(col("y")).as("y_hi"),
+          min(col("zcode")).as("z_lo"), max(col("zcode")).as("z_hi"))
     }
   )
 }

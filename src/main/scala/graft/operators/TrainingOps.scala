@@ -366,6 +366,79 @@ object TrainingOps {
           expr(s"CAST((cum - n_tokens) div $SeqLen <> (cum - 1) div $SeqLen AS BIGINT)")
             .as("crosses_boundary"),
           col("total_tokens"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q125_bm25",
+      """BM25 retrieval scoring — q87's tf-idf plus the two things BM25
+        |actually adds: tf SATURATION (a term's 50th occurrence is worth
+        |almost nothing more than its 10th) and DOCUMENT-LENGTH
+        |normalization (a hit in a short doc outranks the same hit in a
+        |long one). score = Σ_t idf_t * tf*(k1+1) / (tf + k1*(1-b+b*dl/
+        |avgdl)) with the standard k1=1.2, b=0.75. Both are rational, so
+        |the whole formula runs in exact bigint fixed-point: multiplying
+        |the saturation fraction through by 10*sumdl (avgdl = sumdl/n)
+        |gives 22*tf*sumdl / (10*tf*sumdl + 3*sumdl + 9*dl*n), scaled
+        |1e6 before the floor-divide; idf is q87's integer family
+        |(n*100 div df). Every score is a bigint both engines compute
+        |identically — no libm, no float ulps (the fixed-point widths
+        |cover the test envelope; a real 100 TB deployment would score
+        |in doubles since ranking tolerates ulps — it is the ORACLE that
+        |demands exactness). Same scale shape as q87: one scan computes
+        |all tf columns + dl (codegen array filters, no explode), the
+        |one-row stats frame broadcasts back, scoring is scan-side
+        |arithmetic, TakeOrdered(10) — the corpus never shuffles.""".stripMargin,
+      """WITH tf AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS dl,
+        |    len(list_filter(string_split(lower(text), ' '), x -> x = 'join'))   AS tf_join,
+        |    len(list_filter(string_split(lower(text), ' '), x -> x = 'spark'))  AS tf_spark,
+        |    len(list_filter(string_split(lower(text), ' '), x -> x = 'window')) AS tf_window
+        |  FROM documents),
+        |st AS (
+        |  SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS sumdl,
+        |    sum(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END)   AS df_join,
+        |    sum(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END)  AS df_spark,
+        |    sum(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) AS df_window
+        |  FROM tf)
+        |SELECT doc_id,
+        |  CAST(((n * 100) // greatest(df_join, 1))
+        |         * ((22 * tf_join * sumdl * 1000000)
+        |            // (10 * tf_join * sumdl + 3 * sumdl + 9 * dl * n))
+        |     + ((n * 100) // greatest(df_spark, 1))
+        |         * ((22 * tf_spark * sumdl * 1000000)
+        |            // (10 * tf_spark * sumdl + 3 * sumdl + 9 * dl * n))
+        |     + ((n * 100) // greatest(df_window, 1))
+        |         * ((22 * tf_window * sumdl * 1000000)
+        |            // (10 * tf_window * sumdl + 3 * sumdl + 9 * dl * n))
+        |    AS BIGINT) AS score
+        |FROM tf, st
+        |ORDER BY score DESC, doc_id
+        |LIMIT 10""".stripMargin) { (s, dir) =>
+      val terms = Seq("join", "spark", "window")
+      val tf = Tables.documents(s, dir).select(
+        col("doc_id") +:
+          size(split(lower(col("text")), " ")).cast("long").as("dl") +:
+          terms.map(t => size(expr(
+            s"filter(split(lower(text), ' '), x -> x = '$t')")).cast("long")
+            .as(s"tf_$t")): _*)
+      val statCols: Seq[org.apache.spark.sql.Column] =
+        count(lit(1)).as("n") +: sum(col("dl")).as("sumdl") +:
+          terms.map(t =>
+            sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
+      val st = tf.agg(statCols.head, statCols.tail: _*)
+      tf.crossJoin(broadcast(st))
+        .select(col("doc_id"),
+          terms.map(t => expr(
+            // greatest(df,1): a term in zero docs would DIV-by-zero
+            // under ANSI mode (its tf is 0 everywhere, so the guarded
+            // idf never reaches any score); the saturation denominator
+            // is always positive (sumdl >= dl >= 1 per the splitter)
+            s"""((n * 100) DIV greatest(df_$t, 1))
+               | * ((22 * tf_$t * sumdl * 1000000)
+               |    DIV (10 * tf_$t * sumdl + 3 * sumdl + 9 * dl * n))""".stripMargin))
+            .reduce(_ + _).cast("bigint").as("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(10)
     }
   )
 }

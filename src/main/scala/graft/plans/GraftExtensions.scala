@@ -53,6 +53,13 @@ object GraftFunctions {
         require(children.size == 1,
           s"nfc_normalize expects exactly 1 argument, got ${children.size}")
         NfcNormalize(children.head)
+      }),
+    (FunctionIdentifier("zorder2"),
+      new ExpressionInfo(classOf[ZOrder2].getName, "zorder2"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"zorder2 expects exactly 2 arguments, got ${children.size}")
+        ZOrder2(children.head, children(1))
       }))
 
   /** Idempotent in-session registration. */
