@@ -258,6 +258,64 @@ object Curation {
         .select(col("eval_id"),
           coalesce(col("n_train_docs"), lit(0L)).as("n_train_docs"),
           coalesce(col("n_shared_shingles"), lit(0L)).as("n_shared_shingles"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q130_triangle_count",
+      """Triangle counting on the co-purchase graph (parts that share an
+        |order) — the graph-analytics kernel beyond q68's connected
+        |components: clustering-coefficient numerators, community
+        |density, link-spam signals. Edges come from q67's per-order
+        |pattern (sorted part array + codegen pair expansion, bounded by
+        |per-order line count², one shuffle — never a lineitem
+        |self-join). The count itself uses DEGREE ORIENTATION, the
+        |standard distributed-triangle trick: orient every edge from its
+        |(degree, id)-smaller endpoint to the larger, which makes each
+        |triangle a unique wedge u→v, u→w (π(v) < π(w)) closed by v→w,
+        |and — the scale argument — bounds every node's out-degree by
+        |O(√m), so the wedge join never explodes on hub nodes (a raw
+        |u-join on an unoriented star of degree d makes d² wedges; the
+        |oriented star makes ~0 at the hub, pushing wedges to low-degree
+        |endpoints). The oracle counts the same triangles with the plain
+        |three-way relational self-join on the x<y edge table — no
+        |orientation — so the hash match proves orientation is
+        |count-invisible.""".stripMargin,
+      """WITH e0 AS (
+        |  SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+        |SELECT CAST((SELECT count(*) FROM e0) AS BIGINT) AS n_edges,
+        |  CAST((SELECT count(*) FROM e0 e1
+        |        JOIN e0 e2 ON e1.y = e2.x
+        |        JOIN e0 e3 ON e3.x = e1.x AND e3.y = e2.y) AS BIGINT) AS n_triangles""".stripMargin) { (s, dir) =>
+      val edges = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_partkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+        .select(explode(expr(
+          """flatten(transform(ps, (v, i) ->
+            |  transform(slice(ps, i + 2, size(ps)), w -> struct(v AS x, w AS y))))""".stripMargin)).as("e"))
+        .select(col("e.x").as("x"), col("e.y").as("y"))
+        .distinct()
+      val deg = edges.select(col("x").as("n")).unionAll(edges.select(col("y").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+      val ord = edges
+        .join(deg.select(col("n").as("x"), col("deg").as("degx")), Seq("x"))
+        .join(deg.select(col("n").as("y"), col("deg").as("degy")), Seq("y"))
+      val fwd = struct(col("degx"), col("x")) < struct(col("degy"), col("y"))
+      val oriented = ord.select(
+        when(fwd, col("x")).otherwise(col("y")).as("u"),
+        when(fwd, col("y")).otherwise(col("x")).as("v"),
+        when(fwd, col("degy")).otherwise(col("degx")).as("degv"))
+      val wedges = oriented.select(col("u"), col("v"), col("degv"))
+        .join(oriented.select(col("u"), col("v").as("w"), col("degv").as("degw")), Seq("u"))
+        .where(struct(col("degv"), col("v")) < struct(col("degw"), col("w")))
+      // the closing edge {v,w} with pi(v) < pi(w) is oriented v->w, so
+      // one equi-join on (v, w) closes every wedge exactly once
+      val tri = wedges
+        .join(oriented.select(col("u").as("v"), col("v").as("w")), Seq("v", "w"))
+        .agg(count(lit(1)).as("n_triangles"))
+      edges.agg(count(lit(1)).as("n_edges")).crossJoin(broadcast(tri))
     })
 
   /** Distinct 5-word shingles of a (doc_id, text) frame — q92's

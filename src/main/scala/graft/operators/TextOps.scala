@@ -317,5 +317,53 @@ object TextOps {
           length(col("raw")).cast("long").as("raw_chars"),
           length(expr("nfc_normalize(raw)")).cast("long").as("nfc_chars"),
           expr("nfc_normalize(raw) != raw").as("changed"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q128_char_diversity",
+      """Character-distribution diversity — the quality-filter signal
+        |that catches degenerate text ("aaaa...", keyboard mash, base64
+        |blobs) that q23's length/stopword ratios miss: per document,
+        |the Gini impurity 1 - Σ p_c² of the alphanumeric character
+        |distribution, plus the distinct-character count. Impurity is
+        |RATIONAL in the counts (unlike Shannon entropy's logs), so it
+        |runs in exact integer arithmetic: ((m² - Σ cnt²)·1e6) div m²
+        |ppm, bit-identical in both engines. Per-character counts come
+        |from the replace trick — cnt(c) = len(s) - len(replace(s, c))
+        |— 36 codegen'd scalar passes per row, a pure scan-side
+        |projection: zero shuffle, zero row blowup at any scale. The
+        |oracle instead unnests a 36-row alphabet frame against the
+        |corpus (cross join + re-aggregate) — same counts from an
+        |independent relational formulation.""".stripMargin,
+      """WITH a AS (
+        |  SELECT chr(CAST(97 + i AS INTEGER)) AS ch FROM range(0, 26) r(i)
+        |  UNION ALL SELECT chr(CAST(48 + i AS INTEGER)) FROM range(0, 10) r(i)),
+        |c AS (
+        |  SELECT doc_id, ch,
+        |    CAST(len(lower(text)) - len(replace(lower(text), ch, '')) AS BIGINT) AS cnt
+        |  FROM documents, a),
+        |s AS (
+        |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS m,
+        |    CAST(sum(cnt * cnt) AS BIGINT) AS ss,
+        |    CAST(sum(CASE WHEN cnt > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_distinct_chars
+        |  FROM c GROUP BY 1)
+        |SELECT doc_id, m AS n_alnum, n_distinct_chars,
+        |  CASE WHEN m = 0 THEN 0 ELSE ((m * m - ss) * 1000000) // (m * m) END AS gini_ppm
+        |FROM s""".stripMargin) { (s, dir) =>
+      val alphabet: Seq[Char] = ('a' to 'z') ++ ('0' to '9')
+      val cnts = alphabet.map(c =>
+        (length(lower(col("text"))) -
+          length(expr(s"replace(lower(text), '$c', '')")))
+          .cast("long").as(s"c_$c"))
+      Tables.documents(s, dir)
+        .select(col("doc_id") +: cnts: _*)
+        .select(col("doc_id"),
+          alphabet.map(c => col(s"c_$c")).reduce(_ + _).as("m"),
+          alphabet.map(c => col(s"c_$c") * col(s"c_$c")).reduce(_ + _).as("ss"),
+          alphabet.map(c => when(col(s"c_$c") > 0, 1L).otherwise(0L)).reduce(_ + _)
+            .as("n_distinct_chars"))
+        .select(col("doc_id"), col("m").as("n_alnum"), col("n_distinct_chars"),
+          when(col("m") === 0, 0L)
+            .otherwise(expr("((m * m - ss) * 1000000) DIV (m * m)")).as("gini_ppm"))
     })
 }

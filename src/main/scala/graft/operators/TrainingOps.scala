@@ -439,6 +439,38 @@ object TrainingOps {
                |    DIV (10 * tf_$t * sumdl + 3 * sumdl + 9 * dl * n))""".stripMargin))
             .reduce(_ + _).cast("bigint").as("score"))
         .orderBy(col("score").desc, col("doc_id")).limit(10)
+    },
+
+    // ----------------------------------------------------------------
+    QueryDef.rowsOnly("q129_bpe_train",
+      """Distributed BPE tokenizer training surfaced through the query
+        |contract: learn 10 merges over the documents corpus and emit
+        |the ordered merge table (rank, left, right, pair_count). The
+        |algorithm is not SQL-expressible (each round's pair counts
+        |depend on the previous round's merge applied corpus-wide), so
+        |there is no DuckDB oracle — correctness is pinned instead by
+        |BpeTrainerSpec's property test against the in-memory reference
+        |trainer (the incremental-dedup precedent). Scale shape per
+        |BpeTrainer's scaladoc: the corpus is scanned ONCE into a
+        |word-frequency histogram; all 20 rounds run over the bounded
+        |vocabulary table with a single-row collect each — the driver
+        |holds O(k) merge decisions, never data.""".stripMargin) { (s, dir) =>
+      import scala.jdk.CollectionConverters._
+      val merges = BpeTrainer.train(
+        Tables.documents(s, dir).select(col("text")), "text", 10)
+      val rows = merges.zipWithIndex.map { case (m, i) =>
+        org.apache.spark.sql.Row(i + 1L, m.left, m.right, m.count)
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("rank",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("left",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("right",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("pair_count",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+      s.createDataFrame(rows.asJava, schema)
     }
   )
 }
