@@ -288,15 +288,7 @@ object Curation {
         |  CAST((SELECT count(*) FROM e0 e1
         |        JOIN e0 e2 ON e1.y = e2.x
         |        JOIN e0 e3 ON e3.x = e1.x AND e3.y = e2.y) AS BIGINT) AS n_triangles""".stripMargin) { (s, dir) =>
-      val edges = Tables.lineitem(s, dir)
-        .select(col("l_orderkey"), col("l_partkey"))
-        .groupBy(col("l_orderkey"))
-        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-        .select(explode(expr(
-          """flatten(transform(ps, (v, i) ->
-            |  transform(slice(ps, i + 2, size(ps)), w -> struct(v AS x, w AS y))))""".stripMargin)).as("e"))
-        .select(col("e.x").as("x"), col("e.y").as("y"))
-        .distinct()
+      val edges = coPurchaseEdges(s, dir)
       val deg = edges.select(col("x").as("n")).unionAll(edges.select(col("y").as("n")))
         .groupBy(col("n")).agg(count(lit(1)).as("deg"))
       val ord = edges
@@ -316,7 +308,109 @@ object Curation {
         .join(oriented.select(col("u").as("v"), col("v").as("w")), Seq("v", "w"))
         .agg(count(lit(1)).as("n_triangles"))
       edges.agg(count(lit(1)).as("n_edges")).crossJoin(broadcast(tri))
+    },
+
+    // ----------------------------------------------------------------
+    q("q131_pagerank",
+      """PageRank over the undirected co-purchase graph, 3 power
+        |iterations unrolled — the iterative-propagation kernel (q68's
+        |label propagation converges min-ids; this weights by structure)
+        |behind importance ranking and seed selection. Everything runs
+        |in S = 1e12 fixed-point with floor divides so both engines get
+        |bit-identical ranks (floats would drift in the libm-free
+        |cross-engine sense long before they drifted in ranking):
+        |pr'(v) = (15S) div (100 n) + (85 Σ_{u→v} pr(u) div deg(u))
+        |div 100. Scale shape: each iteration is ONE edge-sized shuffle
+        |join (pr is node-sized, broadcast of the single-row node count)
+        |plus the dst re-aggregation with map-side combine; 3 unrolled
+        |iterations form a LINEAR plan DAG (each pr_k feeds exactly one
+        |contrib join), so nothing re-evaluates and nothing needs
+        |caching. At 100 TB the edge table would be pre-partitioned by
+        |src once and reused across iterations — the plan already
+        |shuffles only edges, never grows rows, and bounds state by
+        |node count. Top-20 by rank via TakeOrdered.""".stripMargin,
+      """WITH e0 AS (
+        |  SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |e AS (SELECT x AS src, y AS dst FROM e0 UNION ALL SELECT y, x FROM e0),
+        |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+        |nn AS (SELECT count(*) AS nn FROM deg),
+        |p0 AS (SELECT src AS n, deg, 1000000000000 // nn AS pr FROM deg, nn),
+        |p1 AS (
+        |  SELECT t.n, d.deg,
+        |    (15 * 1000000000000) // (100 * nn.nn) + (85 * t.sc) // 100 AS pr
+        |  FROM (SELECT e.dst AS n, sum(p0.pr // p0.deg) AS sc
+        |        FROM e JOIN p0 ON e.src = p0.n GROUP BY 1) t
+        |  JOIN deg d ON d.src = t.n, nn),
+        |p2 AS (
+        |  SELECT t.n, d.deg,
+        |    (15 * 1000000000000) // (100 * nn.nn) + (85 * t.sc) // 100 AS pr
+        |  FROM (SELECT e.dst AS n, sum(p1.pr // p1.deg) AS sc
+        |        FROM e JOIN p1 ON e.src = p1.n GROUP BY 1) t
+        |  JOIN deg d ON d.src = t.n, nn),
+        |p3 AS (
+        |  SELECT t.n,
+        |    (15 * 1000000000000) // (100 * nn.nn) + (85 * t.sc) // 100 AS pr
+        |  FROM (SELECT e.dst AS n, sum(p2.pr // p2.deg) AS sc
+        |        FROM e JOIN p2 ON e.src = p2.n GROUP BY 1) t, nn)
+        |SELECT n AS node, CAST(pr AS BIGINT) AS pr_scaled
+        |FROM p3 ORDER BY pr DESC, n LIMIT 20""".stripMargin) { (s, dir) =>
+      pageRank(coPurchaseEdges(s, dir), iters = 3)
+        .orderBy(col("pr").desc, col("n")).limit(20)
+        .select(col("n").as("node"), col("pr").as("pr_scaled"))
     })
+
+  /** Undirected co-purchase edge list {x < y}: parts that share an
+    * order. q67's per-order pattern — sorted part array + codegen pair
+    * expansion, bounded by per-order line count², one shuffle — never a
+    * lineitem self-join. Shared by q130 (triangles) and q131 (PageRank). */
+  private[graft] def coPurchaseEdges(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    undirectedEdges(Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("gid"), col("l_partkey").as("member")))
+
+  /** Distinct undirected edges {x < y} between members sharing a group
+    * id, built group-locally (array + pair expansion inside each group,
+    * never a self-join of the membership table). */
+  private[graft] def undirectedEdges(groupMember: DataFrame): DataFrame =
+    groupMember
+      .groupBy(col("gid"))
+      .agg(sort_array(collect_set(col("member"))).as("ps"))
+      .select(explode(expr(
+        """flatten(transform(ps, (v, i) ->
+          |  transform(slice(ps, i + 2, size(ps)), w -> struct(v AS x, w AS y))))""".stripMargin)).as("e"))
+      .select(col("e.x").as("x"), col("e.y").as("y"))
+      .distinct()
+
+  /** Fixed-point PageRank (damping 0.85, scale S = 1e12, floor divides
+    * throughout so results are bit-identical across engines) over an
+    * undirected edge list (x, y); returns (n, deg, nn, pr). Each of the
+    * `iters` unrolled iterations is ONE edge-sized shuffle join plus a
+    * map-side-combined dst aggregation; pr stays node-sized and the node
+    * count rides along as a broadcast single row. The unrolled DAG is
+    * linear — each pr_k feeds exactly one contrib join — so nothing
+    * re-evaluates and nothing needs caching. */
+  private[graft] def pageRank(und: DataFrame, iters: Int): DataFrame = {
+    val S = 1000000000000L
+    val e = und.select(col("x").as("src"), col("y").as("dst"))
+      .unionAll(und.select(col("y").as("src"), col("x").as("dst")))
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val nn = deg.agg(count(lit(1)).as("nn"))
+    var pr = deg.select(col("src").as("n"), col("deg"))
+      .crossJoin(broadcast(nn))
+      .select(col("n"), col("deg"), col("nn"), expr(s"${S}L DIV nn").as("pr"))
+    for (_ <- 1 to iters) {
+      val contrib = e
+        .join(pr.select(col("n").as("src"), expr("pr DIV deg").as("c")), Seq("src"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
+      pr = deg.select(col("src").as("n"), col("deg"))
+        .join(contrib.select(col("dst").as("n"), col("sc")), Seq("n"))
+        .crossJoin(broadcast(nn))
+        .select(col("n"), col("deg"), col("nn"),
+          expr(s"(15 * ${S}L) DIV (100 * nn) + (85 * sc) DIV 100").as("pr"))
+    }
+    pr
+  }
 
   /** Distinct 5-word shingles of a (doc_id, text) frame — q92's
     * contamination key, shared with [[IncrementalContamination]]'s
