@@ -103,6 +103,75 @@ object AudioHeader {
     }
   }
 
+  /** Scalar signal features of one PCM payload, all computed on the
+    * canonical 16-bit amplitude scale so they are comparable across
+    * container bit depths (the normalization every audio-ML frontend
+    * applies before featurization): 8-bit unsigned samples are centered
+    * and scaled ((b-128)*256); wider samples keep their top two bytes
+    * (little-endian, so the LAST two bytes of the sample) as a signed
+    * 16-bit value — i.e. floor division by 2^(bits-16) of the full
+    * sample, with no rounding ambiguity.
+    *
+    *   - peakAbs: max |v16| over every sample of every channel
+    *   - meanSq:  floor(Σ v16² / nSamples) — the integer mean-square
+    *     energy (RMS² without the float sqrt, exact cross-engine)
+    *   - zeroCrossings: per-channel count of consecutive-FRAME sign
+    *     flips (strictly negative product; a zero sample breaks a run,
+    *     it never counts as a crossing), summed over channels
+    *   - nSamples: frames × channels
+    */
+  final case class PcmFeatures(
+      peakAbs: Long, meanSq: Long, zeroCrossings: Long, nSamples: Long)
+
+  /** Decode PCM sample data into [[PcmFeatures]] — the payload-level
+    * stage past [[decodeWav]]'s header walk, the audio analog of
+    * ImagePixels: one O(1)-state pass over the data chunk, never
+    * materializing a sample array. None iff the container fails the
+    * strict header decode, or holds zero samples (no mean of nothing). */
+  def decodePcmFeatures(bytes: Array[Byte]): Option[PcmFeatures] =
+    decodeWav(bytes).filter(_.nFrames > 0).map { m =>
+      val ch = m.channels.toInt
+      val bits = m.bitsPerSample.toInt
+      val bytesPer = bits / 8
+      val frames = m.nFrames.toInt
+      // locate the data chunk (structure already validated strictly)
+      var off = 12
+      var dataOff = -1
+      while (dataOff < 0) {
+        val id = fourCC(bytes, off)
+        val size = leInt(bytes, off + 4).toInt
+        if (id == "data") dataOff = off + 8
+        else off = off + 8 + size + (size & 1)
+      }
+      var peak = 0L
+      var sumSq = 0L
+      var zc = 0L
+      val prev = new Array[Int](ch) // previous frame's v16 per channel
+      var f = 0
+      while (f < frames) {
+        var c = 0
+        while (c < ch) {
+          val sOff = dataOff + (f * ch + c) * bytesPer
+          val v: Int =
+            if (bits == 8) ((bytes(sOff) & 0xff) - 128) * 256
+            else {
+              val hi = bytes(sOff + bytesPer - 1)
+              val lo = bytes(sOff + bytesPer - 2) & 0xff
+              (hi << 8) | lo // hi sign-extends: signed 16-bit value
+            }
+          val av = math.abs(v.toLong)
+          if (av > peak) peak = av
+          sumSq += v.toLong * v
+          if (f > 0 && prev(c).toLong * v < 0) zc += 1
+          prev(c) = v
+          c += 1
+        }
+        f += 1
+      }
+      val n = frames.toLong * ch
+      PcmFeatures(peak, sumSq / n, zc, n)
+    }
+
   /** Strict FLAC STREAMINFO decode; None on anything not a consistent
     * FLAC metadata stream (never throws). Spec source (public): the
     * FLAC format spec / RFC 9639 — "fLaC" magic, then metadata blocks

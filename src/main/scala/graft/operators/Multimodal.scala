@@ -176,6 +176,37 @@ object Multimodal {
     }(enc)
   }
 
+  /** PCM PAYLOAD featurization over the canonical media frame — the
+    * stage past [[decodeAudioMeta]]'s header walk, the audio twin of the
+    * ImagePixels pipeline: each WAV's sample data is decoded to the
+    * canonical 16-bit amplitude scale and folded into scalar signal
+    * features (peak, integer mean-square energy, zero-crossing count) in
+    * ONE O(1)-state pass per payload ([[AudioHeader.decodePcmFeatures]]).
+    * Bytes never shuffle — the features leave the scan, the payloads do
+    * not. Corrupted or non-PCM payloads yield format "unknown" with null
+    * features, never an error. */
+  def decodeAudioFeatures(media: DataFrame): DataFrame = {
+    validateMediaFrame(media)
+    val outSchema = StructType(media.schema.fields.filterNot(_.name == "media") ++ Seq(
+      StructField("format", StringType, nullable = false),
+      StructField("peak_abs", LongType, nullable = true),
+      StructField("mean_sq", LongType, nullable = true),
+      StructField("zero_crossings", LongType, nullable = true),
+      StructField("n_samples", LongType, nullable = true)))
+    val enc = Encoders.row(outSchema)
+    val mediaIdx = media.schema.fieldIndex("media")
+    val keepIdx = media.schema.fields.zipWithIndex.filterNot(_._1.name == "media").map(_._2)
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val extra: Seq[Any] = AudioHeader.decodePcmFeatures(r.getAs[Array[Byte]](mediaIdx)) match {
+          case Some(f) => Seq("wav", f.peakAbs, f.meanSq, f.zeroCrossings, f.nSamples)
+          case None    => Seq("unknown", null, null, null, null)
+        }
+        Row.fromSeq(keepIdx.map(r.get).toSeq ++ extra)
+      }
+    }(enc)
+  }
+
   /** REAL video-container decode over the canonical media frame: the
     * third modality, completing image/audio/video. Each payload is
     * parsed by [[VideoHeader.decodeMp4]] (strict ISO BMFF box walk —
@@ -244,6 +275,30 @@ object Multimodal {
     * (7*doc_id + 5*x + 3*y + 11*ch) mod 256, w = doc_id%32+1,
     * h = doc_id%24+1, filter type doc_id%5 — as a canonical media
     * frame. The matching oracles recompute the same arithmetic. */
+  /** Shared fixture for the audio queries (q108/q132): one doc_id-derived
+    * PCM WAV per document row (channels doc_id%3+1, rate 8000+4000·(doc_id
+    * %5), bits 8·(doc_id%4+1), frames doc_id%200+1; sample bytes follow
+    * encodeWav's frame%251 ramp), with every 7th row's riff size byte
+    * corrupted so strict decode must reject it — the no-false-positive
+    * proof branch shared by both queries' oracles. */
+  private def docWavMedia(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val payloads = Tables.documents(s, dir)
+      .select(col("doc_id").cast("long")).as[Long]
+      .map { id =>
+        val bytes = AudioHeader.encodeWav(
+          channels = (id % 3 + 1).toInt,
+          sampleRate = (8000 + (id % 5) * 4000).toInt,
+          bitsPerSample = (8 * (id % 4 + 1)).toInt,
+          nFrames = (id % 200 + 1).toInt)
+        if (id % 7 == 3) bytes(4) = (bytes(4) + 1).toByte
+        (id, bytes)
+      }
+      .toDF("doc_id", "payload")
+      .withColumn("src", lit("synthetic"))
+    asMediaFrame(payloads, "doc_id", "payload", "src")
+  }
+
   private def docPatternPngs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val payloads = Tables.documents(s, dir)
@@ -553,24 +608,7 @@ object Multimodal {
         |  44 + (doc_id % 200 + 1) * (doc_id % 3 + 1) * (doc_id % 4 + 1)
         |     + ((doc_id % 200 + 1) * (doc_id % 3 + 1) * (doc_id % 4 + 1)) % 2 AS n_bytes
         |FROM documents""".stripMargin) { (s, dir) =>
-      import s.implicits._
-      val payloads = Tables.documents(s, dir)
-        .select(col("doc_id").cast("long")).as[Long]
-        .map { id =>
-          val bytes = AudioHeader.encodeWav(
-            channels = (id % 3 + 1).toInt,
-            sampleRate = (8000 + (id % 5) * 4000).toInt,
-            bitsPerSample = (8 * (id % 4 + 1)).toInt,
-            nFrames = (id % 200 + 1).toInt)
-          // corrupt the riff size byte: strict decode must reject, not
-          // misreport — this branch is the no-false-positive proof
-          if (id % 7 == 3) bytes(4) = (bytes(4) + 1).toByte
-          (id, bytes)
-        }
-        .toDF("doc_id", "payload")
-        .withColumn("src", lit("synthetic"))
-      val media = asMediaFrame(payloads, "doc_id", "payload", "src")
-      decodeAudioMeta(media)
+      decodeAudioMeta(docWavMedia(s, dir))
         .select(col("media_id"), col("format"), col("channels"),
           col("sample_rate"), col("bit_depth"), col("n_frames"),
           col("duration_us"), col("meta.n_bytes").as("n_bytes"))
@@ -908,5 +946,57 @@ object Multimodal {
         |  CAST(sum(val * (i + 1)) % 1000000007 AS BIGINT) AS wsum
         |FROM v GROUP BY doc_id""".stripMargin) { (s, dir) =>
       pixelChecksums(resizeImages(docPatternPngs(s, dir), 16, 16, kernel = "area"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q132_audio_features",
+      """PCM PAYLOAD featurization — the audio twin of the q103 pixel
+        |pipeline, taking the audio modality past headers into the
+        |sample data: each doc_id-derived WAV (q108's fixture, including
+        |its corrupted every-7th row) flows through the strict header
+        |walk and then ONE O(1)-state pass over the data chunk
+        |(AudioHeader.decodePcmFeatures), producing peak amplitude,
+        |integer mean-square energy, and the per-channel zero-crossing
+        |count, all on the canonical 16-bit amplitude scale (8-bit
+        |samples centered+scaled, wider samples floor-divided to their
+        |top 16 bits) so features are comparable across container bit
+        |depths. Bytes never shuffle — features leave the scan, payloads
+        |do not, and state per payload is three accumulators plus one
+        |previous-frame value per channel regardless of duration. The
+        |oracle recomputes EVERY sample value from the encoder's
+        |frame%251 byte ramp in SQL — amplitude mapping, floor-divide
+        |mean square, strict sign-flip crossing rule (a zero sample
+        |breaks a run) — so a sign-extension bug, an off-by-one in the
+        |sample walk, or a channel-interleave slip turns rows red.""".stripMargin,
+      """WITH p AS (
+        |  SELECT doc_id, doc_id % 3 + 1 AS ch, 8 * (doc_id % 4 + 1) AS bits,
+        |         doc_id % 200 + 1 AS n, doc_id % 7 = 3 AS bad
+        |  FROM documents),
+        |s AS (
+        |  SELECT p.doc_id, p.ch,
+        |    CASE WHEN p.bits = 8 THEN ((f % 251) - 128) * 256
+        |         WHEN (f % 251) >= 128 THEN (f % 251) * 257 - 65536
+        |         ELSE (f % 251) * 257 END AS v,
+        |    CASE WHEN f = 0 THEN NULL
+        |         WHEN p.bits = 8 THEN (((f - 1) % 251) - 128) * 256
+        |         WHEN ((f - 1) % 251) >= 128 THEN ((f - 1) % 251) * 257 - 65536
+        |         ELSE ((f - 1) % 251) * 257 END AS pv
+        |  FROM p, range(0, 200) t(f)
+        |  WHERE NOT p.bad AND f < p.n),
+        |a AS (
+        |  SELECT doc_id,
+        |    CAST(max(abs(v)) AS BIGINT) AS peak_abs,
+        |    CAST(sum(v * v) // count(*) AS BIGINT) AS mean_sq,
+        |    CAST(any_value(ch) * count(*) FILTER (WHERE pv * v < 0) AS BIGINT)
+        |      AS zero_crossings,
+        |    CAST(any_value(ch) * count(*) AS BIGINT) AS n_samples
+        |  FROM s GROUP BY doc_id)
+        |SELECT p.doc_id AS media_id,
+        |  CASE WHEN p.bad THEN 'unknown' ELSE 'wav' END AS format,
+        |  a.peak_abs, a.mean_sq, a.zero_crossings, a.n_samples
+        |FROM p LEFT JOIN a ON p.doc_id = a.doc_id""".stripMargin) { (s, dir) =>
+      decodeAudioFeatures(docWavMedia(s, dir))
+        .select(col("media_id"), col("format"), col("peak_abs"),
+          col("mean_sq"), col("zero_crossings"), col("n_samples"))
     })
 }

@@ -278,4 +278,67 @@ class AudioHeaderSpec extends AnyFunSuite {
     assert(AudioHeader.decodeOgg("OggS but not actually a page chain...".getBytes).isEmpty)
     assert(AudioHeader.decodeOgg(null).isEmpty)
   }
+
+  /** Build a WAV and overwrite its sample data with explicit 16-bit
+    * little-endian values (interleaved frame-major, like any PCM file). */
+  private def wav16(channels: Int, samples: Seq[Seq[Int]]): Array[Byte] = {
+    val bytes = AudioHeader.encodeWav(channels, 8000, 16, samples.length)
+    for ((frame, f) <- samples.zipWithIndex; (v, c) <- frame.zipWithIndex) {
+      val off = 44 + (f * channels + c) * 2
+      bytes(off) = (v & 0xff).toByte
+      bytes(off + 1) = ((v >> 8) & 0xff).toByte
+    }
+    bytes
+  }
+
+  test("pcm features: peak, exact mean square, strict zero crossings") {
+    // constant signal: no crossings, meanSq = v^2 exactly
+    val const = AudioHeader.decodePcmFeatures(wav16(1, Seq.fill(5)(Seq(-1000)))).get
+    assert(const.peakAbs == 1000 && const.meanSq == 1000000 &&
+      const.zeroCrossings == 0 && const.nSamples == 5)
+    // alternating sign: a crossing at every frame step
+    val alt = AudioHeader.decodePcmFeatures(
+      wav16(1, Seq(Seq(300), Seq(-300), Seq(300), Seq(-300)))).get
+    assert(alt.zeroCrossings == 3 && alt.peakAbs == 300)
+    // a zero sample breaks the run: +,0,- is NOT a crossing
+    val zer = AudioHeader.decodePcmFeatures(
+      wav16(1, Seq(Seq(300), Seq(0), Seq(-300)))).get
+    assert(zer.zeroCrossings == 0)
+    // channels are tracked independently through the interleave:
+    // ch0 alternates (2 crossings), ch1 constant (0)
+    val two = AudioHeader.decodePcmFeatures(
+      wav16(2, Seq(Seq(500, 7), Seq(-500, 7), Seq(500, 7)))).get
+    assert(two.zeroCrossings == 2 && two.nSamples == 6)
+    // mean square floors: values 300,-300,0 -> (90000+90000+0)/3 = 60000
+    assert(AudioHeader.decodePcmFeatures(
+      wav16(1, Seq(Seq(300), Seq(-300), Seq(0)))).get.meanSq == 60000)
+  }
+
+  test("pcm features: canonical 16-bit scale across container depths") {
+    // 8-bit: byte b decodes as (b-128)*256 — encodeWav's ramp starts at
+    // frame 0 -> byte 0 -> v16 = -32768
+    val f8 = AudioHeader.decodePcmFeatures(AudioHeader.encodeWav(1, 8000, 8, 3)).get
+    assert(f8.peakAbs == 32768 && f8.nSamples == 3)
+    // 24-bit: only the top two bytes survive; craft one sample whose low
+    // byte is all-ones noise below the 16-bit scale: (0xff, 0x00, 0x80)
+    // LE -> signed 24-bit 0x8000ff -> floor-div 256 -> -32768
+    val b = AudioHeader.encodeWav(1, 8000, 24, 1)
+    b(44) = 0xff.toByte; b(45) = 0x00; b(46) = 0x80.toByte
+    // data size 3 is odd -> buffer carries a RIFF pad byte; leave it 0
+    val f24 = AudioHeader.decodePcmFeatures(b).get
+    assert(f24.peakAbs == 32768 && f24.meanSq == 32768L * 32768L)
+    // 32-bit ramp byte pattern equals the 16-bit one on the top bytes,
+    // so features match the 16-bit container of the same frame count
+    val f16 = AudioHeader.decodePcmFeatures(AudioHeader.encodeWav(2, 8000, 16, 150)).get
+    val f32 = AudioHeader.decodePcmFeatures(AudioHeader.encodeWav(2, 8000, 32, 150)).get
+    assert(f16 == f32)
+  }
+
+  test("pcm features: rejection mirrors the strict header decode") {
+    assert(AudioHeader.decodePcmFeatures(AudioHeader.encodeWav(1, 8000, 16, 0)).isEmpty)
+    val bad = AudioHeader.encodeWav(1, 8000, 16, 10)
+    bad(4) = (bad(4) + 1).toByte
+    assert(AudioHeader.decodePcmFeatures(bad).isEmpty)
+    assert(AudioHeader.decodePcmFeatures(null).isEmpty)
+  }
 }
