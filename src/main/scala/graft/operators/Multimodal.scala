@@ -268,8 +268,60 @@ object Multimodal {
     }(enc)
   }
 
-  /** Frame-sampling stub: pick every k-th fixed-size block of the payload
-    * (the video-frame-sample shape: linear scan, bounded output). */
+  /** REAL frame sampling over the canonical media frame: every
+    * `stride`-th sample (frame) of each MP4's sample table, located the
+    * way a real frame reader does it — strict whole-file decode, then
+    * the trak's stts (timestamps), stsz (sizes) and stco (chunk offset)
+    * tables ([[VideoHeader.decodeSampleTable]]) resolve each selected
+    * frame to (index, exact integer-microsecond pts, absolute byte
+    * offset, byte size). ONE linear walk per payload with O(1) state
+    * (running tick count + byte offset); output is bounded by
+    * n_samples/stride rows of a few longs each — payload bytes never
+    * shuffle, and the emitted (offset, size) spans are exactly what a
+    * downstream ranged-read decode stage would fetch. Payloads without
+    * a valid sample table yield no rows, never an error. */
+  def sampleVideoFrames(media: DataFrame, stride: Int): DataFrame = {
+    require(stride >= 1, s"stride $stride")
+    validateMediaFrame(media)
+    val outSchema = StructType(media.schema.fields.filterNot(_.name == "media") ++ Seq(
+      StructField("sample_idx", LongType, nullable = false),
+      StructField("pts_us", LongType, nullable = false),
+      StructField("byte_offset", LongType, nullable = false),
+      StructField("n_bytes", LongType, nullable = false)))
+    val enc = Encoders.row(outSchema)
+    val mediaIdx = media.schema.fieldIndex("media")
+    val keepIdx = media.schema.fields.zipWithIndex.filterNot(_._1.name == "media").map(_._2)
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        VideoHeader.decodeSampleTable(r.getAs[Array[Byte]](mediaIdx)) match {
+          case Some(st) =>
+            val keep = keepIdx.map(r.get).toSeq
+            val out = Seq.newBuilder[Row]
+            var pts = 0L // ticks before the current sample
+            var off = st.chunkOffset
+            var run = 0
+            var inRun = 0L
+            var i = 0
+            while (i < st.sampleSizes.length) {
+              val sz = st.sampleSizes(i)
+              if (i % stride == 0)
+                out += Row.fromSeq(keep ++ Seq(i.toLong,
+                  pts * 1000000L / st.mediaTimescale, off, sz))
+              pts += st.sttsRuns(run)._2
+              inRun += 1
+              if (inRun == st.sttsRuns(run)._1 && run < st.sttsRuns.length - 1) {
+                run += 1; inRun = 0
+              }
+              off += sz
+              i += 1
+            }
+            out.result()
+          case None => Nil
+        }
+      }
+    }(enc)
+  }
+
   /** Shared fixture for the pixel-pipeline queries (q103/q118): one
     * doc_id-derived RGB PNG per document row — pixel(x,y,ch) =
     * (7*doc_id + 5*x + 3*y + 11*ch) mod 256, w = doc_id%32+1,
@@ -998,5 +1050,80 @@ object Multimodal {
       decodeAudioFeatures(docWavMedia(s, dir))
         .select(col("media_id"), col("format"), col("peak_abs"),
           col("mean_sq"), col("zero_crossings"), col("n_samples"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q133_frame_sampling",
+      """FRAME SAMPLING through REAL MP4 sample tables — the q120 video
+        |modality taken past the movie header into the structures an
+        |actual frame reader walks: each doc_id-derived MP4 now carries
+        |a full mdia/minf/stbl chain (mdhd media timescale, stts
+        |time-to-sample runs with TWO different deltas, per-sample stsz
+        |sizes, single-chunk stsc/stco) and a correctly sized mdat, and
+        |the sampling stage (Multimodal.sampleVideoFrames) selects every
+        |3rd frame, resolving it to exact integer-microsecond pts and
+        |the absolute (byte_offset, n_bytes) span a ranged read would
+        |fetch — one linear walk, O(1) state, output bounded by n/stride
+        |rows. Every 7th payload's stco chunk offset is corrupted to
+        |point past the file; the strict table validation (offset + Σ
+        |sizes must land inside the file) must reject the whole payload
+        |— zero rows — even though the box framing itself is intact.
+        |The oracle recomputes every selected frame's pts (split stts
+        |runs), its prefix-sum byte offset and the closed-form header
+        |size from doc_id arithmetic.""".stripMargin,
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    1000 * (doc_id % 4 + 1) AS tsc,
+        |    doc_id % 60 + 1 AS n,
+        |    (doc_id % 60 + 2) // 2 AS r1,
+        |    100 + (doc_id % 7) * 10 AS d1,
+        |    200 + (doc_id % 5) * 20 AS d2,
+        |    doc_id % 7 = 3 AS bad
+        |  FROM documents),
+        |s AS (
+        |  SELECT p.doc_id, p.tsc, p.n, p.r1, p.d1, p.d2, i,
+        |    100 + ((p.doc_id + i) % 50) AS sz,
+        |    CAST(sum(100 + ((p.doc_id + i) % 50)) OVER (
+        |      PARTITION BY p.doc_id ORDER BY i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT) AS pre
+        |  FROM p, range(0, 60) t(i)
+        |  WHERE NOT p.bad AND i < p.n)
+        |SELECT doc_id AS media_id, CAST(i AS BIGINT) AS sample_idx,
+        |  CAST((CASE WHEN i < r1 THEN i * d1
+        |             ELSE r1 * d1 + (i - r1) * d2 END) * 1000000 // tsc AS BIGINT)
+        |    AS pts_us,
+        |  CAST(388 + 8 * (CASE WHEN n = 1 THEN 1 ELSE 2 END) + 4 * n
+        |       + coalesce(pre, 0) AS BIGINT) AS byte_offset,
+        |  CAST(sz AS BIGINT) AS n_bytes
+        |FROM s WHERE i % 3 = 0""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val payloads = Tables.documents(s, dir)
+        .select(col("doc_id").cast("long")).as[Long]
+        .map { id =>
+          val n = (id % 60 + 1).toInt
+          val r1 = (n + 1) / 2
+          val d1 = 100L + (id % 7) * 10
+          val d2 = 200L + (id % 5) * 20
+          val runs =
+            if (n == r1) Seq((r1.toLong, d1))
+            else Seq((r1.toLong, d1), ((n - r1).toLong, d2))
+          val sizes = (0 until n).map(i => 100L + ((id + i) % 50))
+          val mdat = sizes.sum.toInt
+          val bytes = VideoHeader.encodeMp4("isom", 90000L, id % 1000 + 1,
+            Seq((640, 360)), mdat, Some((1000L * (id % 4 + 1), runs, sizes)))
+          // corrupt the stco chunk offset's high byte: the box framing
+          // stays valid, but the index now points past the file — the
+          // table-level strictness must reject, not emit bogus spans
+          if (id % 7 == 3) {
+            val pos = bytes.length - mdat - 12
+            bytes(pos) = (bytes(pos) + 1).toByte
+          }
+          (id, bytes)
+        }
+        .toDF("doc_id", "payload")
+        .withColumn("src", lit("synthetic"))
+      sampleVideoFrames(asMediaFrame(payloads, "doc_id", "payload", "src"), stride = 3)
+        .select(col("media_id"), col("sample_idx"), col("pts_us"),
+          col("byte_offset"), col("n_bytes"))
     })
 }

@@ -136,18 +136,145 @@ object VideoHeader {
     Some(VideoMeta("mp4", brand, timescale, durUs, width, height, tracks))
   }
 
+  /** The sample-table facts of one video track — the index every frame
+    * read goes through in ISO BMFF: media timescale (mdhd), the
+    * time-to-sample runs (stts: run length × tick delta), per-sample
+    * byte sizes (stsz), and the byte offset of the single chunk holding
+    * the samples (stco, canonical one-chunk layout per stsc). */
+  final case class SampleTable(
+      mediaTimescale: Long,
+      sttsRuns: Seq[(Long, Long)],
+      sampleSizes: Seq[Long],
+      chunkOffset: Long)
+
+  /** Strict sample-table decode: [[decodeMp4]]'s whole-file validation
+    * first, then a targeted walk into the FIRST trak carrying an
+    * mdia/minf/stbl chain. The stbl must hold exactly one each of
+    * stts/stsz/stsc/stco, the stsc must describe the canonical
+    * single-chunk layout (one entry: first_chunk=1, all samples,
+    * description 1), stts run totals must equal the stsz sample count,
+    * and chunk_offset + Σ sizes must land inside the file — an index
+    * pointing past the mdat is structural corruption, not data. None
+    * when no track carries a sample table or any check fails. */
+  def decodeSampleTable(bytes: Array[Byte]): Option[SampleTable] =
+    decodeMp4(bytes).flatMap { _ =>
+      // box tiling is already proven; this walk only locates + parses
+      var off = 0
+      var found: Option[SampleTable] = None
+      while (off < bytes.length && found.isEmpty) {
+        val size = beInt(bytes, off)
+        if (fourCC(bytes, off + 4) == "moov") {
+          var c = off + 8
+          while (c < off + size && found.isEmpty) {
+            val cs = beInt(bytes, c)
+            if (fourCC(bytes, c + 4) == "trak") found = parseTrakStbl(bytes, c, cs)
+            c += cs.toInt
+          }
+        }
+        off += size.toInt
+      }
+      found
+    }
+
+  /** Parse one trak's mdia/minf/stbl chain; None if absent or invalid. */
+  private def parseTrakStbl(b: Array[Byte], trakOff: Long, trakSize: Long): Option[SampleTable] = {
+    def child(parentOff: Long, parentSize: Long, cc: String): Option[(Long, Long)] = {
+      var c = parentOff + 8
+      var hit: Option[(Long, Long)] = None
+      while (c < parentOff + parentSize) {
+        val cs = beInt(b, c.toInt)
+        if (fourCC(b, c.toInt + 4) == cc) {
+          if (hit.isDefined) return None // exactly one of each
+          hit = Some((c, cs))
+        }
+        c += cs
+      }
+      hit
+    }
+    for {
+      (mdiaOff, mdiaSize) <- child(trakOff, trakSize, "mdia")
+      (mdhdOff, mdhdSize) <- child(mdiaOff, mdiaSize, "mdhd")
+      if mdhdSize == 32 && (b(mdhdOff.toInt + 8) & 0xff) == 0
+      tsc = beInt(b, mdhdOff.toInt + 20)
+      if tsc >= 1
+      (minfOff, minfSize) <- child(mdiaOff, mdiaSize, "minf")
+      (stblOff, stblSize) <- child(minfOff, minfSize, "stbl")
+      (sttsOff, sttsSize) <- child(stblOff, stblSize, "stts")
+      (stszOff, stszSize) <- child(stblOff, stblSize, "stsz")
+      (stscOff, stscSize) <- child(stblOff, stblSize, "stsc")
+      (stcoOff, stcoSize) <- child(stblOff, stblSize, "stco")
+      st <- parseTables(b, sttsOff.toInt, sttsSize, stszOff.toInt, stszSize,
+        stscOff.toInt, stscSize, stcoOff.toInt, stcoSize, tsc)
+    } yield st
+  }
+
+  private def parseTables(b: Array[Byte], sttsOff: Int, sttsSize: Long,
+      stszOff: Int, stszSize: Long, stscOff: Int, stscSize: Long,
+      stcoOff: Int, stcoSize: Long, tsc: Long): Option[SampleTable] = {
+    // stts: fullbox v0 + entry_count + (count, delta) pairs, exact size
+    if ((b(sttsOff + 8) & 0xff) != 0) return None
+    val ne = beInt(b, sttsOff + 12)
+    if (ne < 1 || sttsSize != 16 + 8 * ne) return None
+    val runs = (0L until ne).map { i =>
+      val p = sttsOff + 16 + 8 * i.toInt
+      (beInt(b, p), beInt(b, p + 4))
+    }
+    if (runs.exists { case (c, d) => c < 1 || d < 0 }) return None
+    val total = runs.map(_._1).sum
+    // stsz: default size or per-sample table; count must match stts
+    if ((b(stszOff + 8) & 0xff) != 0) return None
+    val defSize = beInt(b, stszOff + 12)
+    val count = beInt(b, stszOff + 16)
+    if (count != total) return None
+    val sizes =
+      if (defSize > 0) {
+        if (stszSize != 20) return None
+        Seq.fill(count.toInt)(defSize)
+      } else {
+        if (stszSize != 20 + 4 * count) return None
+        (0L until count).map(i => beInt(b, stszOff + 20 + 4 * i.toInt))
+      }
+    // stsc: canonical one-chunk layout, exactly one entry
+    if ((b(stscOff + 8) & 0xff) != 0 || stscSize != 28) return None
+    if (beInt(b, stscOff + 12) != 1 || beInt(b, stscOff + 16) != 1 ||
+      beInt(b, stscOff + 20) != count || beInt(b, stscOff + 24) != 1) return None
+    // stco: one chunk offset, and the samples must land inside the file
+    if ((b(stcoOff + 8) & 0xff) != 0 || stcoSize != 20) return None
+    if (beInt(b, stcoOff + 12) != 1) return None
+    val chunkOff = beInt(b, stcoOff + 16)
+    if (chunkOff + sizes.sum > b.length) return None
+    Some(SampleTable(tsc, runs, sizes, chunkOff))
+  }
+
+  /** Layout constants for the optional first-trak sample-table chain:
+    * stbl = 8 + stts(16+8e) + stsz(20+4n) + stsc(28) + stco(20),
+    * minf = 8 + stbl, mdia = 8 + mdhd(32) + minf. */
+  private def mdiaSizeFor(nRuns: Int, nSamples: Int): Int =
+    8 + 32 + 8 + 8 + (16 + 8 * nRuns) + (20 + 4 * nSamples) + 28 + 20
+
   /** Test-fixture encoder: canonical ftyp (major brand + two compat
     * brands) + moov(mvhd v0 + one v0 trak per (w,h)) + an mdat of
     * `mdatBytes` zero bytes. All sizes closed-form:
-    * 24 + 8 + 108 + 100*tracks + 8 + mdatBytes. */
+    * 24 + 8 + 108 + 100*tracks + 8 + mdatBytes (plus the mdia chain on
+    * the first trak when `stbl` is given — then mdatBytes must cover
+    * the declared sample bytes, and the stco offset points at the mdat
+    * payload). */
   def encodeMp4(brand: String, timescale: Long, duration: Long,
-      tracks: Seq[(Int, Int)], mdatBytes: Int): Array[Byte] = {
+      tracks: Seq[(Int, Int)], mdatBytes: Int,
+      stbl: Option[(Long, Seq[(Long, Long)], Seq[Long])] = None): Array[Byte] = {
     require(brand.length == 4, s"brand must be a FourCC, got '$brand'")
     require(timescale >= 1 && timescale <= 0xffffffffL, s"timescale $timescale")
     require(duration >= 0 && duration <= 0xffffffffL, s"duration $duration")
     require(tracks.nonEmpty, "at least one track")
     require(mdatBytes >= 0)
-    val total = 24 + 8 + 108 + 100 * tracks.size + 8 + mdatBytes
+    stbl.foreach { case (tsc, runs, sizes) =>
+      require(tsc >= 1 && runs.nonEmpty && runs.map(_._1).sum == sizes.length)
+      require(sizes.sum <= mdatBytes, "mdat must hold the declared samples")
+    }
+    val mdiaExtra = stbl.map { case (_, runs, sizes) =>
+      mdiaSizeFor(runs.length, sizes.length)
+    }.getOrElse(0)
+    val total = 24 + 8 + 108 + 100 * tracks.size + mdiaExtra + 8 + mdatBytes
     val out = new Array[Byte](total)
     var off = 0
     def putBeInt(v: Long): Unit = {
@@ -162,7 +289,7 @@ object VideoHeader {
     putBeInt(24); putCC("ftyp"); putCC(brand); putBeInt(0x200)
     putCC(brand); putCC("iso2")
     // moov
-    putBeInt(8 + 108 + 100L * tracks.size); putCC("moov")
+    putBeInt(8 + 108 + 100L * tracks.size + mdiaExtra); putCC("moov")
     // mvhd v0: creation/modification 0, rate 1.0, volume 1.0, unity matrix
     putBeInt(108); putCC("mvhd"); putBeInt(0) // version+flags
     putBeInt(0); putBeInt(0) // creation, modification
@@ -172,9 +299,10 @@ object VideoHeader {
     Seq(0x00010000L, 0L, 0L, 0L, 0x00010000L, 0L, 0L, 0L, 0x40000000L).foreach(putBeInt)
     (1 to 6).foreach(_ => putBeInt(0)) // pre_defined 24
     putBeInt(tracks.size + 1L) // next_track_ID
-    // traks
+    // traks (the first carries the mdia/stbl chain when requested)
     tracks.zipWithIndex.foreach { case ((w, h), i) =>
-      putBeInt(100); putCC("trak")
+      val extra = if (i == 0) mdiaExtra else 0
+      putBeInt(100L + extra); putCC("trak")
       putBeInt(92); putCC("tkhd"); putBeInt(0x000007L) // v0, flags enabled|in-movie|in-preview
       putBeInt(0); putBeInt(0) // creation, modification
       putBeInt(i + 1L) // track_ID
@@ -185,6 +313,29 @@ object VideoHeader {
       putBeInt(0) // volume + reserved
       Seq(0x00010000L, 0L, 0L, 0L, 0x00010000L, 0L, 0L, 0L, 0x40000000L).foreach(putBeInt)
       putBeInt(w.toLong << 16); putBeInt(h.toLong << 16)
+      if (i == 0) stbl.foreach { case (tsc, runs, sizes) =>
+        val n = sizes.length
+        val e = runs.length
+        putBeInt(mdiaExtra.toLong); putCC("mdia")
+        // mdhd v0: creation/modification 0, media timescale/duration,
+        // language (und) + pre_defined
+        putBeInt(32); putCC("mdhd"); putBeInt(0)
+        putBeInt(0); putBeInt(0)
+        putBeInt(tsc); putBeInt(runs.map { case (c, d) => c * d }.sum)
+        putBeInt(0x55c40000L)
+        putBeInt((mdiaExtra - 40).toLong); putCC("minf")
+        putBeInt((mdiaExtra - 48).toLong); putCC("stbl")
+        putBeInt(16L + 8 * e); putCC("stts"); putBeInt(0); putBeInt(e.toLong)
+        runs.foreach { case (c, d) => putBeInt(c); putBeInt(d) }
+        putBeInt(20L + 4 * n); putCC("stsz"); putBeInt(0)
+        putBeInt(0) // per-sample sizes follow
+        putBeInt(n.toLong)
+        sizes.foreach(putBeInt)
+        putBeInt(28); putCC("stsc"); putBeInt(0); putBeInt(1)
+        putBeInt(1); putBeInt(n.toLong); putBeInt(1)
+        putBeInt(20); putCC("stco"); putBeInt(0); putBeInt(1)
+        putBeInt(total.toLong - mdatBytes) // the mdat payload offset
+      }
     }
     // mdat: declared size, zero payload
     putBeInt(8L + mdatBytes); putCC("mdat")

@@ -78,4 +78,52 @@ class VideoHeaderSpec extends AnyFunSuite {
     assert(VideoHeader.decodeMp4(null).isEmpty)
     assert(VideoHeader.decodeMp4(Array.empty[Byte]).isEmpty)
   }
+
+  test("sample table: encode/decode roundtrip, tkhd decode unaffected") {
+    for {
+      nRuns <- Seq(1, 2, 4)
+      n <- Seq(1, 7, 60)
+      if n >= nRuns
+    } {
+      val runs = (0 until nRuns).map(r => ((n / nRuns + (if (r == 0) n % nRuns else 0)).toLong, 100L + r * 50))
+      val sizes = (0 until n).map(i => 80L + i % 37)
+      val bytes = VideoHeader.encodeMp4("isom", 90000L, 1000L, Seq((640, 360), (320, 180)),
+        sizes.sum.toInt, Some((30000L, runs, sizes)))
+      // plain header decode still works and sees both tracks
+      val m = VideoHeader.decodeMp4(bytes).getOrElse(fail(s"no mp4 decode n=$n runs=$nRuns"))
+      assert(m.nTracks == 2 && m.width == 640)
+      val st = VideoHeader.decodeSampleTable(bytes).getOrElse(fail(s"no stbl n=$n runs=$nRuns"))
+      assert(st.mediaTimescale == 30000L)
+      assert(st.sttsRuns == runs && st.sampleSizes == sizes)
+      // the chunk offset is exactly where the mdat payload begins
+      assert(st.chunkOffset == bytes.length - sizes.sum)
+    }
+  }
+
+  test("sample table: strict validation rejects inconsistent tables") {
+    val runs = Seq((5L, 100L))
+    val sizes = (0 until 5).map(i => 100L + i)
+    def enc() = VideoHeader.encodeMp4("isom", 90000L, 1000L, Seq((640, 360)),
+      sizes.sum.toInt, Some((30000L, runs, sizes)))
+    val good = enc()
+    assert(VideoHeader.decodeSampleTable(good).isDefined)
+    // no sample table at all -> None (but still a valid mp4)
+    val plain = VideoHeader.encodeMp4("isom", 90000L, 1000L, Seq((640, 360)), 16)
+    assert(VideoHeader.decodeMp4(plain).isDefined)
+    assert(VideoHeader.decodeSampleTable(plain).isEmpty)
+    // stco pointing past the file: framing intact, table rejected
+    val badOff = enc()
+    val pos = badOff.length - sizes.sum.toInt - 12
+    badOff(pos) = (badOff(pos) + 1).toByte
+    assert(VideoHeader.decodeMp4(badOff).isDefined, "box framing must still parse")
+    assert(VideoHeader.decodeSampleTable(badOff).isEmpty)
+    // stsz count disagreeing with stts totals rejects: bump the stts
+    // run count (stts precedes stsz; run count is at stbl+8+16+... )
+    val badCount = enc()
+    // locate "stts" and corrupt its first run's count low byte
+    val sttsAt = badCount.indices.find(i => i + 4 <= badCount.length - 4 &&
+      new String(badCount, i, 4, "US-ASCII") == "stts").get
+    badCount(sttsAt + 15) = (badCount(sttsAt + 15) + 1).toByte
+    assert(VideoHeader.decodeSampleTable(badCount).isEmpty)
+  }
 }
