@@ -250,6 +250,78 @@ object ImagePixels {
     Raster(w2, h2, r.channels, out)
   }
 
+  /** Bicubic (Catmull-Rom) resize in EXACT fixed-point arithmetic —
+    * the high-quality kernel of the classic resampler family (nearest /
+    * bilinear / area / bicubic), bit-reproducible by an oracle because
+    * Catmull-Rom's coefficients are rational with denominator 2: at
+    * fractional position t = fx/D (D = 2*w2, the same half-pixel
+    * convention as bilinear), the four tap weights scaled by 2D³ are
+    * the INTEGER cubics
+    *   W0 = -fx³ + 2D·fx² - D²·fx      W1 = 3fx³ - (5D)·fx² + 2D³
+    *   W2 = -3fx³ + (4D)·fx² + D²·fx   W3 = fx³ - D·fx²
+    * (they sum to 2D³ for every fx). The output pixel is the separable
+    *   floor( (Σ_j WY_j · Σ_i WX_i · p(x_i, y_j) + 256·DEN) / DEN ) - 256
+    * clamped to [0,255], DEN = 2Dx³·2Dy³ — the +256·DEN bias keeps the
+    * numerator positive so floor division is identical in every engine
+    * (negative-lobe overshoot is bounded well inside ±256), and taps
+    * replicate the border (index clamp), the standard edge rule. */
+  def resizeBicubic(r: Raster, w2: Int, h2: Int): Raster = {
+    require(w2 > 0 && h2 > 0, s"bad target ${w2}x$h2")
+    require(w2.toLong * h2 * r.channels <= MaxDecodedBytes, s"target ${w2}x$h2 exceeds buffer cap")
+    val dX = 2 * w2
+    val dY = 2 * h2
+    val denX = 2L * dX * dX * dX
+    val denY = 2L * dY * dY * dY
+    val den = denX * denY
+    def weights(f: Long, d: Long): Array[Long] = {
+      val f2 = f * f; val f3 = f2 * f
+      Array(
+        -f3 + 2 * d * f2 - d * d * f,
+        3 * f3 - 5 * d * f2 + 2 * d * d * d,
+        -3 * f3 + 4 * d * f2 + d * d * f,
+        f3 - d * f2)
+    }
+    val out = new Array[Byte](w2 * h2 * r.channels)
+    var y = 0
+    while (y < h2) {
+      var tY = (2 * y + 1) * r.height - h2
+      if (tY < 0) tY = 0
+      val y0 = tY / dY
+      val wy = weights(tY % dY, dY)
+      var x = 0
+      while (x < w2) {
+        var tX = (2 * x + 1) * r.width - w2
+        if (tX < 0) tX = 0
+        val x0 = tX / dX
+        val wx = weights(tX % dX, dX)
+        var c = 0
+        while (c < r.channels) {
+          var num = 0L
+          var j = 0
+          while (j < 4) {
+            val yj = math.min(math.max(y0 - 1 + j, 0), r.height - 1)
+            var rowSum = 0L
+            var i = 0
+            while (i < 4) {
+              val xi = math.min(math.max(x0 - 1 + i, 0), r.width - 1)
+              rowSum += wx(i) * (r.pixels((yj * r.width + xi) * r.channels + c) & 0xff)
+              i += 1
+            }
+            num += wy(j) * rowSum
+            j += 1
+          }
+          val v = (num + 256L * den) / den - 256L
+          out((y * w2 + x) * r.channels + c) =
+            math.min(255L, math.max(0L, v)).toByte
+          c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    Raster(w2, h2, r.channels, out)
+  }
+
   /** Area-average (box-filter) resize in EXACT integer arithmetic —
     * the anti-aliasing downsample kernel (the INTER_AREA class)
     * training-image pipelines use for thumbnails, here defined for any
@@ -313,6 +385,7 @@ object ImagePixels {
       case "nearest"  => resizeNearest
       case "bilinear" => resizeBilinear
       case "area"     => resizeArea
+      case "bicubic"  => resizeBicubic
       case other      => throw new IllegalArgumentException(s"unknown kernel $other")
     }
     decodePng(bytes).map(r => encodePng(resample(r, w2, h2)))

@@ -1125,5 +1125,59 @@ object Multimodal {
       sampleVideoFrames(asMediaFrame(payloads, "doc_id", "payload", "src"), stride = 3)
         .select(col("media_id"), col("sample_idx"), col("pts_us"),
           col("byte_offset"), col("n_bytes"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q134_image_resize_bicubic",
+      """The q103 pixel pipeline with the BICUBIC (Catmull-Rom)
+        |resampler — completing the classic kernel family (nearest
+        |q103, bilinear q118, area q124, bicubic here), the high-quality
+        |choice when training images are upscaled. Catmull-Rom's
+        |rational coefficients (denominator 2) make an EXACT fixed-point
+        |formulation possible: the four tap weights are integer cubics
+        |in the 1/32 fractional position summing to 65536, the 4x4
+        |separable blend divides once by 65536² with a +256·den bias so
+        |the negative-lobe numerator floors identically in both engines,
+        |and the result clamps to [0,255] (overshoot is the kernel's
+        |defining property — the oracle exercises it on every sharp
+        |pattern edge). Taps replicate the border. The oracle recomputes
+        |EVERY output pixel from first principles: same tap indices,
+        |same integer cubic weights, same bias/floor/clamp.""".stripMargin,
+      """WITH g AS (
+        |  SELECT doc_id, i,
+        |    (i % 48) // 3 AS x2, i // 48 AS y2, i % 3 AS ch,
+        |    doc_id % 32 + 1 AS w, doc_id % 24 + 1 AS h
+        |  FROM documents, range(0, 768) t(i)),
+        |f AS (
+        |  SELECT *, greatest((2 * x2 + 1) * w - 16, 0) AS tx,
+        |            greatest((2 * y2 + 1) * h - 16, 0) AS ty FROM g),
+        |e AS (
+        |  SELECT *, tx // 32 AS x0, tx % 32 AS fx,
+        |            ty // 32 AS y0, ty % 32 AS fy FROM f),
+        |tap AS (
+        |  SELECT doc_id, i, ch, fx, fy, kx.k AS kx, ky.k AS ky,
+        |    least(greatest(x0 - 1 + kx.k, 0), w - 1) AS xi,
+        |    least(greatest(y0 - 1 + ky.k, 0), h - 1) AS yj
+        |  FROM e, range(0, 4) kx(k), range(0, 4) ky(k)),
+        |v AS (
+        |  SELECT doc_id, i,
+        |    (sum(
+        |       (CASE kx WHEN 0 THEN -fx*fx*fx + 64*fx*fx - 1024*fx
+        |                WHEN 1 THEN 3*fx*fx*fx - 160*fx*fx + 65536
+        |                WHEN 2 THEN -3*fx*fx*fx + 128*fx*fx + 1024*fx
+        |                ELSE fx*fx*fx - 32*fx*fx END)
+        |     * (CASE ky WHEN 0 THEN -fy*fy*fy + 64*fy*fy - 1024*fy
+        |                WHEN 1 THEN 3*fy*fy*fy - 160*fy*fy + 65536
+        |                WHEN 2 THEN -3*fy*fy*fy + 128*fy*fy + 1024*fy
+        |                ELSE fy*fy*fy - 32*fy*fy END)
+        |     * ((doc_id * 7 + xi * 5 + yj * 3 + ch * 11) % 256))
+        |     + 256 * 4294967296) // 4294967296 - 256 AS raw
+        |  FROM tap GROUP BY doc_id, i)
+        |SELECT doc_id AS media_id,
+        |  CAST(16 AS BIGINT) AS out_w, CAST(16 AS BIGINT) AS out_h,
+        |  CAST(sum(least(greatest(raw, 0), 255)) AS BIGINT) AS checksum,
+        |  CAST(sum(least(greatest(raw, 0), 255) * (i + 1)) % 1000000007 AS BIGINT) AS wsum
+        |FROM v GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      pixelChecksums(resizeImages(docPatternPngs(s, dir), 16, 16, kernel = "bicubic"))
     })
 }

@@ -80,6 +80,54 @@ class ImagePixelsSpec extends SparkSpec {
     assert((down.pixels(0) & 0xff) == 30 && (down.pixels(3) & 0xff) == 150)
   }
 
+  test("bicubic resize: identity, constants, exact cubic weights, clamped overshoot") {
+    // identity: every fraction 0 -> weights (0, 2D^3, 0, 0) -> exact copy
+    val r = pattern(9, 7, 3, 5)
+    assert(ImagePixels.resizeBicubic(r, 9, 7).pixels.sameElements(r.pixels))
+    // a constant image stays constant (weights sum to the denominator)
+    val const = Raster(5, 4, 4, Array.fill(5 * 4 * 4)(173.toByte))
+    for ((w2, h2) <- Seq((1, 1), (3, 9), (16, 16)))
+      assert(ImagePixels.resizeBicubic(const, w2, h2).pixels.forall(_ == 173.toByte))
+    // exact 4x4 blend vs an independent recompute of the documented formula
+    for ((w, h, w2, h2, seed) <- Seq((10, 6, 4, 4, 2), (3, 3, 16, 16, 9), (1, 1, 5, 5, 3), (32, 24, 16, 16, 7))) {
+      val src = pattern(w, h, 3, seed)
+      val out = ImagePixels.resizeBicubic(src, w2, h2)
+      def p(x: Int, y: Int, c: Int) = src.pixels((y * w + x) * 3 + c) & 0xff
+      def wts(f: Long, d: Long) = Seq(
+        -f * f * f + 2 * d * f * f - d * d * f,
+        3 * f * f * f - 5 * d * f * f + 2 * d * d * d,
+        -3 * f * f * f + 4 * d * f * f + d * d * f,
+        f * f * f - d * f * f)
+      val dX = 2L * w2; val dY = 2L * h2
+      val den = 2 * dX * dX * dX * 2 * dY * dY * dY
+      for (y <- 0 until h2; x <- 0 until w2; c <- 0 until 3) {
+        val tx = math.max((2 * x + 1) * w - w2, 0)
+        val ty = math.max((2 * y + 1) * h - h2, 0)
+        val wx = wts(tx % dX, dX); val wy = wts(ty % dY, dY)
+        assert(wx.sum == 2 * dX * dX * dX && wy.sum == 2 * dY * dY * dY, "weights must sum to 2D^3")
+        val num = (for (j <- 0 to 3; i <- 0 to 3) yield {
+          val xi = math.min(math.max((tx / dX).toInt - 1 + i, 0), w - 1)
+          val yj = math.min(math.max((ty / dY).toInt - 1 + j, 0), h - 1)
+          wy(j) * wx(i) * p(xi, yj, c)
+        }).sum
+        val want = math.min(255L, math.max(0L, (num + 256L * den) / den - 256L))
+        assert((out.pixels((y * w2 + x) * 3 + c) & 0xff) == want.toInt,
+          s"($w,$h)->($w2,$h2) pixel ($x,$y,$c)")
+      }
+    }
+    // Catmull-Rom overshoots on a sharp edge; output must clamp, and the
+    // interpolated midpoints must sharpen past bilinear's 50% blend:
+    // upscaling the 1-D step [0,0,255,255] lands samples either side of
+    // the edge with negative-lobe contributions
+    val step = Raster(4, 1, 1, Array[Byte](0, 0, 255.toByte, 255.toByte))
+    val up = ImagePixels.resizeBicubic(step, 8, 1)
+    val vals = up.pixels.map(_ & 0xff)
+    assert(vals.forall(v => v >= 0 && v <= 255))
+    assert(vals.head == 0 && vals.last == 255)
+    assert(!vals.sameElements(ImagePixels.resizeBilinear(step, 8, 1).pixels.map(_ & 0xff)),
+      "bicubic must differ from bilinear on a sharp edge")
+  }
+
   test("area resize: identity, constants, exact coverage math, true box mean") {
     // identity: every output interval covers exactly one source pixel
     val r = pattern(9, 7, 3, 5)
