@@ -155,5 +155,15 @@ object Bench {
     } catch { case _: java.io.IOException => () } // detail file is best-effort
     println(line)
     spark.stop()
+    // Pre-snapshot self-check (VERDICT r9 #5): round 9 closed green on a
+    // stale-data signal while the driver's own run broke 47 queries. With
+    // SPARK_GRAFT_BENCH_STRICT=1 any query that errored makes the whole
+    // bench exit non-zero, so an end-of-round bench against the CURRENT
+    // testdata fails loudly instead of quietly recording err rows.
+    if (sys.env.get("SPARK_GRAFT_BENCH_STRICT").contains("1") && nExcluded > 0) {
+      System.err.println(s"STRICT: $nExcluded queries errored: " +
+        results.filter(!_.measured).map(_.name).mkString(", "))
+      sys.exit(1)
+    }
   }
 }

@@ -24,16 +24,44 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = apply(s, d, "lineitem")
-  /** events.parquet stores ts as parquet TIMESTAMP(NANOS), which Spark's
-    * reader rejects by default (micros is Spark's native precision). Read
-    * nanos as long and rebuild a micros timestamp with integer division —
-    * the data is micro-precision, so this is lossless and matches what
-    * DuckDB (also micros) sees. */
+  /** events.parquet has shipped with two physical encodings for `ts`
+    * across driver generations: parquet TIMESTAMP(NANOS) (which Spark's
+    * reader rejects unless `spark.sql.legacy.parquet.nanosAsLong` maps it
+    * to a bigint) and native TIMESTAMP(MICROS, isAdjustedToUTC=false)
+    * (which resolves as TIMESTAMP_NTZ). The Glue-crawler contract the
+    * reference pins (glue_cf_template.json:90-93, UpdateBehavior=LOG) is
+    * "detect drift, don't break" — so this loader adapts to whatever the
+    * footer says instead of assuming one frozen encoding, and always
+    * yields a session-local TimestampType `ts` (session tz is UTC in
+    * every entrypoint, so the NTZ→LTZ cast is value-preserving):
+    *   - LongType (nanos-as-long, or a raw bigint fixture): rebuild a
+    *     micros timestamp with `DIV 1000` — the data is micro-precision,
+    *     so this is lossless and matches what DuckDB (also micros) sees;
+    *   - TIMESTAMP_NTZ: cast to TimestampType;
+    *   - TimestampType: pass through.
+    * The legacy conf is only set when the plain read actually fails on a
+    * NANOS column — never as an unconditional session-wide side effect. */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts DIV 1000")))
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    val raw =
+      try apply(s, d, "events")
+      catch {
+        // "Illegal Parquet type: INT64 (TIMESTAMP(NANOS,…))" — only this
+        // shape warrants the legacy-conf retry; anything else propagates.
+        case e: Exception
+            if String.valueOf(e.getMessage).contains("NANOS") =>
+          s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          apply(s, d, "events")
+      }
+    raw.schema("ts").dataType match {
+      case LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType =>
+        raw.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
@@ -53,10 +81,9 @@ object Tables {
   def registerAll(spark: SparkSession, dir: String): Unit =
     if (lastRegistered.get(spark) != dir) {
       names.foreach { n =>
-        // events must go through its nanos-aware loader — a raw read
-        // fails on TIMESTAMP(NANOS) unless some earlier query happened
-        // to set the legacy conf (an ordering dependency we don't want),
-        // and the view should expose a true timestamp anyway.
+        // events must go through its encoding-adaptive loader so the
+        // view exposes a true TimestampType ts regardless of how the
+        // current testdata generation stored it.
         val df = if (n == "events") events(spark, dir) else apply(spark, dir, n)
         df.createOrReplaceTempView(n)
       }

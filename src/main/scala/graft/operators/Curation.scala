@@ -364,10 +364,35 @@ object Curation {
   /** Undirected co-purchase edge list {x < y}: parts that share an
     * order. q67's per-order pattern — sorted part array + codegen pair
     * expansion, bounded by per-order line count², one shuffle — never a
-    * lineitem self-join. Shared by q130 (triangles) and q131 (PageRank). */
-  private[graft] def coPurchaseEdges(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
-    undirectedEdges(Tables.lineitem(s, dir)
-      .select(col("l_orderkey").as("gid"), col("l_partkey").as("member")))
+    * lineitem self-join. Shared by q130 (triangles) and q131 (PageRank).
+    *
+    * MATERIALIZED ONCE per (session, dir): q130 fans the edge list into
+    * four plan branches (deg ×2 via unionAll, the oriented join, the
+    * n_edges count) and q131's unrolled PageRank touches it in every
+    * iteration — without a reuse point the collect_set aggregation
+    * re-evaluates 4×+ (it was 31% of the r9 bench). A persisted DF is
+    * the local-mode analog of the 100-TB answer (stage the derived edge
+    * table to storage once, then fan out). Keyed weakly by session so
+    * dead sessions evict; testdata dirs are immutable per run, so the
+    * dir-keyed memo can't serve stale data. */
+  private val edgeCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+        scala.collection.concurrent.TrieMap[String, DataFrame]]())
+  private[graft] def coPurchaseEdges(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val per = edgeCache.synchronized {
+      var m = edgeCache.get(s)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap[String, DataFrame]()
+        edgeCache.put(s, m)
+      }
+      m
+    }
+    per.getOrElseUpdate(dir,
+      undirectedEdges(Tables.lineitem(s, dir)
+          .select(col("l_orderkey").as("gid"), col("l_partkey").as("member")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
 
   /** Distinct undirected edges {x < y} between members sharing a group
     * id, built group-locally (array + pair expansion inside each group,

@@ -442,19 +442,27 @@ object TrainingOps {
     },
 
     // ----------------------------------------------------------------
-    QueryDef.rowsOnly("q129_bpe_train",
+    QueryDef.q("q129_bpe_train",
       """Distributed BPE tokenizer training surfaced through the query
         |contract: learn 10 merges over the documents corpus and emit
-        |the ordered merge table (rank, left, right, pair_count). The
-        |algorithm is not SQL-expressible (each round's pair counts
-        |depend on the previous round's merge applied corpus-wide), so
-        |there is no DuckDB oracle — correctness is pinned instead by
-        |BpeTrainerSpec's property test against the in-memory reference
-        |trainer (the incremental-dedup precedent). Scale shape per
-        |BpeTrainer's scaladoc: the corpus is scanned ONCE into a
-        |word-frequency histogram; all 20 rounds run over the bounded
-        |vocabulary table with a single-row collect each — the driver
-        |holds O(k) merge decisions, never data.""".stripMargin) { (s, dir) =>
+        |the ordered merge table (rank, left, right, pair_count).
+        |Correctness is pinned twice: BpeTrainerSpec's property test
+        |against the in-memory reference trainer, and a DuckDB oracle
+        |that unrolls all 10 merge rounds in SQL (the q131 PageRank
+        |precedent). The oracle's trick for the non-SQL-shaped step —
+        |left-to-right NON-OVERLAPPING merge application — is to render
+        |each word as individually bracketed symbols chr(1)sym chr(2)…
+        |so that plain `replace()` (itself left-to-right,
+        |non-overlapping, and resuming AFTER each replacement) applies
+        |the winning merge with exactly BPE semantics; adjacent matches
+        |share no characters, so nothing is missed. The corpus is pure
+        |ASCII (verified), so the control-char brackets and DuckDB's
+        |codepoint regex vs Scala's UTF-16 chars are both safe. Scale
+        |shape per BpeTrainer's scaladoc: the corpus is scanned ONCE
+        |into a word-frequency histogram; all rounds run over the
+        |bounded vocabulary table with a single-row collect each — the
+        |driver holds O(k) merge decisions, never data.""".stripMargin,
+      bpeOracleSql(10)) { (s, dir) =>
       import scala.jdk.CollectionConverters._
       val merges = BpeTrainer.train(
         Tables.documents(s, dir).select(col("text")), "text", 10)
@@ -473,4 +481,38 @@ object TrainingOps {
       s.createDataFrame(rows.asJava, schema)
     }
   )
+
+  /** DuckDB oracle for q129: `k` BPE merge rounds unrolled as CTEs.
+    * Round n: extract the bracketed symbol list, count adjacent pairs
+    * (zipped unnest of s[1:len-1] with s[2:len] — overlapping adjacency,
+    * matching the trainer), pick the (count DESC, left, right) winner,
+    * and apply it corpus-wide with `replace()` over the bracketed
+    * rendering (see the q129 doc for why that IS non-overlapping
+    * left-to-right BPE application). Validated merge-for-merge against
+    * BpeTrainer.trainLocal on sf0.01. */
+  private[graft] def bpeOracleSql(k: Int): String = {
+    val rounds = (1 to k).map { n =>
+      s"""s$n AS (SELECT regexp_extract_all(w, chr(1) || '([^' || chr(2) || ']*)' || chr(2), 1) AS s, f, w FROM w$n),
+         |p$n AS (
+         |  SELECT a, b, sum(f)::BIGINT AS cnt FROM (
+         |    SELECT unnest(s[1:len(s)-1]) AS a, unnest(s[2:len(s)]) AS b, f FROM s$n)
+         |  GROUP BY 1, 2),
+         |b$n AS (SELECT a, b, cnt FROM p$n ORDER BY cnt DESC, a, b LIMIT 1),
+         |w${n + 1} AS (
+         |  SELECT replace(w, chr(1) || a || chr(2) || chr(1) || b || chr(2),
+         |                    chr(1) || a || b || chr(2)) AS w, f
+         |  FROM w$n, b$n)""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to k).map { n =>
+      s"""SELECT $n::BIGINT AS rank, a AS "left", b AS "right", cnt AS pair_count FROM b$n"""
+    }.mkString("\nUNION ALL ")
+    s"""WITH w1 AS (
+       |  SELECT regexp_replace(w, '(.)', chr(1) || '\\1' || chr(2), 'g') AS w, count(*)::BIGINT AS f
+       |  FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS w FROM documents)
+       |  WHERE length(w) > 0
+       |  GROUP BY 1),
+       |$rounds
+       |$unions
+       |ORDER BY rank""".stripMargin
+  }
 }

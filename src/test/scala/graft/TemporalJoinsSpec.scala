@@ -49,9 +49,9 @@ class TemporalJoinsSpec extends SparkSpec {
 
   test("q104 'at or before' includes an equal-timestamp view (ASOF >= tie)") {
     // Synthetic corner: view and purchase share the exact timestamp.
-    // The driver's events.parquet stores ts as TIMESTAMP(NANOS), which
-    // Tables.events reads back via nanosAsLong + DIV 1000 — so the
-    // fixture writes the same physical layout: a nanos bigint.
+    // The fixture writes ts as a nanos bigint — one of the two physical
+    // encodings Tables.events adapts to (EventsEncodingSpec covers the
+    // full matrix).
     import org.apache.spark.sql.types._
     val tNanos = Timestamp.valueOf("2024-01-01 00:00:00").getTime * 1000000L
     val rows = Seq(
