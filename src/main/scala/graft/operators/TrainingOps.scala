@@ -479,6 +479,130 @@ object TrainingOps {
         org.apache.spark.sql.types.StructField("pair_count",
           org.apache.spark.sql.types.LongType, nullable = false)))
       s.createDataFrame(rows.asJava, schema)
+    },
+
+    // ----------------------------------------------------------------
+    q("q135_bigram_lm_score",
+      """Corpus-LM fluency scoring — the model-based quality filter a
+        |pretraining pipeline runs after the rule-based tier (q23
+        |ratios, q91 repetition, q128 diversity): train a bigram
+        |language model on the corpus itself, then score every document
+        |by its mean conditional bigram probability. Degenerate or
+        |shuffled text scores low because its word transitions are rare
+        |in the corpus; formulaic text scores high. All arithmetic is
+        |integer fixed-point (probabilities scaled by 1e6, floor
+        |divides) so both engines agree bit-for-bit — the perplexity
+        |log is deliberately replaced by the mean-probability form,
+        |which ranks the same direction without transcendentals. Scale
+        |shape: per-doc bigram counts are built scan-side (zip_with on
+        |the split array, no join) and materialized ONCE
+        |(localCheckpoint — they feed both the model build and the
+        |scoring join; at 100 TB this is the staged bigram table); the
+        |model is two vocab-sized hash aggs (bigram counts, then left
+        |context totals derived from them — the corpus is NOT re-read);
+        |scoring is a bigram-keyed equi-join plus one per-doc agg. No
+        |window, no driver data.""".stripMargin,
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |i AS (SELECT doc_id, unnest(w[1:len(w)-1]) AS a, unnest(w[2:len(w)]) AS b FROM w),
+        |db AS (SELECT doc_id, a, b, count(*)::BIGINT AS k FROM i GROUP BY 1, 2, 3),
+        |pair AS (SELECT a, b, CAST(sum(k) AS BIGINT) AS cab FROM db GROUP BY 1, 2),
+        |lft AS (SELECT a, CAST(sum(cab) AS BIGINT) AS ca FROM pair GROUP BY 1)
+        |SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+        |  CAST(CAST(sum(k * ((cab * 1000000) // ca)) AS BIGINT)
+        |       // CAST(sum(k) AS BIGINT) AS BIGINT) AS lm_score
+        |FROM db JOIN pair USING (a, b) JOIN lft USING (a)
+        |GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      val db = Tables.documents(s, dir)
+        .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+        .select(col("doc_id"), explode(expr(
+          """zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1),
+            |  (x, y) -> struct(x AS a, y AS b))""".stripMargin)).as("bg"))
+        .select(col("doc_id"), col("bg.a").as("a"), col("bg.b").as("b"))
+        .groupBy(col("doc_id"), col("a"), col("b"))
+        .agg(count(lit(1)).as("k"))
+        .localCheckpoint()
+      val pair = db.groupBy(col("a"), col("b")).agg(sum(col("k")).as("cab"))
+      val lft = pair.groupBy(col("a")).agg(sum(col("cab")).as("ca"))
+      db.join(pair, Seq("a", "b")).join(lft, Seq("a"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("k")).cast("bigint").as("n_bigrams"),
+          sum(col("k") * expr("(cab * 1000000) DIV ca")).as("sp"))
+        .select(col("doc_id"), col("n_bigrams"),
+          expr("sp DIV n_bigrams").cast("bigint").as("lm_score"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q136_bpe_encode",
+      """BPE tokenizer APPLICATION — the pair of q129's training: apply
+        |the 10 learned merges to every document and emit per-doc token
+        |counts (pre-merge symbol count, post-merge token count, merges
+        |applied). Semantics: merges applied once each, in rank order —
+        |exactly the corpus state at the end of training round 10,
+        |which is how the trainer itself evolves the corpus (round k
+        |applies merge k once, corpus-wide). The kernel is the
+        |bracketed-symbol rendering shared with q129's oracle: every
+        |non-space char becomes chr(1)c chr(2), and each merge is ONE
+        |string replace() of chr(1)a chr(2)chr(1)b chr(2) →
+        |chr(1)ab chr(2) — replace() is left-to-right, non-overlapping,
+        |resumes after each replacement, and adjacent matches share no
+        |characters, so it IS BPE merge application; token count is
+        |chr(1)-mark counting by length difference. Scale shape: the
+        |merge table is a session-cached training artifact
+        |(BpeTrainer.trainCached — train once, encode everywhere, as a
+        |production pipeline ships a frozen tokenizer); the encode
+        |itself is a pure scan-side projection — 10 chained codegen
+        |string replaces, zero shuffle, zero UDF.""".stripMargin,
+      bpeEncodeOracleSql(10)) { (s, dir) =>
+      val merges = BpeTrainer.trainCached(s, dir, 10)
+      val S1 = "\u0001"; val S2 = "\u0002"
+      val br = regexp_replace(col("text"), "(\\S)", S1 + "$1" + S2)
+      val enc = merges.foldLeft(br) { (c, m) =>
+        call_function("replace", c,
+          lit(S1 + m.left + S2 + S1 + m.right + S2),
+          lit(S1 + m.left + m.right + S2))
+      }
+      def nMarks(c: org.apache.spark.sql.Column) =
+        (length(c) - length(call_function("replace", c, lit(S1), lit("")))).cast("long")
+      Tables.documents(s, dir).select(col("doc_id"),
+        nMarks(br).as("n_syms"),
+        nMarks(enc).as("n_tokens"),
+        (nMarks(br) - nMarks(enc)).as("n_merges_applied"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q137_lang_rebalance",
+      """Data-derived corpus rebalancing — q81's stratified gate with
+        |the rates computed FROM the data instead of fixed: downsample
+        |every language to (approximately) the smallest language's
+        |volume, the uniform-mixture construction step of multilingual
+        |pretraining. rate_lang = (n_min * 1000) DIV n_lang per-mille,
+        |applied through the deterministic affine hash gate (same
+        |family as q81/q80, different constants — reproducible across
+        |reruns, partitionings and cluster sizes, which seeded rand()
+        |is not). Scale shape: the per-lang histogram is one tiny agg;
+        |the single-row min and the rated histogram ride back as
+        |BROADCASTS, so the gate stays a scan-side predicate on the
+        |corpus — no corpus shuffle at any scale. Emits per-lang totals
+        |and kept counts.""".stripMargin,
+      s"""WITH c AS (SELECT lang, count(*)::BIGINT AS n_total FROM documents GROUP BY 1),
+        |m AS (SELECT min(n_total) AS n_min FROM c),
+        |r AS (SELECT lang, n_total, (n_min * 1000) // n_total AS rate FROM c, m)
+        |SELECT d.lang, r.n_total,
+        |  CAST(sum(CASE WHEN ((37 * d.doc_id + 11) % $P) % 1000 < r.rate
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM documents d JOIN r ON d.lang = r.lang
+        |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_total"))
+      val nmin = counts.agg(min(col("n_total")).as("n_min"))
+      val rated = counts.crossJoin(broadcast(nmin))
+        .select(col("lang"), col("n_total"),
+          expr("(n_min * 1000) DIV n_total").as("rate"))
+      val gate = ((lit(37L) * col("doc_id") + lit(11L)) % P) % 1000 < col("rate")
+      docs.join(broadcast(rated), Seq("lang"))
+        .groupBy(col("lang"), col("n_total"))
+        .agg(sum(when(gate, 1L).otherwise(0L)).cast("bigint").as("n_kept"))
+        .select(col("lang"), col("n_total"), col("n_kept"))
     }
   )
 
@@ -491,6 +615,18 @@ object TrainingOps {
     * left-to-right BPE application). Validated merge-for-merge against
     * BpeTrainer.trainLocal on sf0.01. */
   private[graft] def bpeOracleSql(k: Int): String = {
+    val unions = (1 to k).map { n =>
+      s"""SELECT $n::BIGINT AS rank, a AS "left", b AS "right", cnt AS pair_count FROM b$n"""
+    }.mkString("\nUNION ALL ")
+    s"""WITH ${bpeRoundsCtes(k)}
+       |$unions
+       |ORDER BY rank""".stripMargin
+  }
+
+  /** The shared WITH-body of the BPE oracles: the bracketed word
+    * histogram (w1) plus `k` training rounds (s/p/b/w CTEs per round —
+    * symbol extraction, pair counts, winner, merge application). */
+  private def bpeRoundsCtes(k: Int): String = {
     val rounds = (1 to k).map { n =>
       s"""s$n AS (SELECT regexp_extract_all(w, chr(1) || '([^' || chr(2) || ']*)' || chr(2), 1) AS s, f, w FROM w$n),
          |p$n AS (
@@ -503,16 +639,35 @@ object TrainingOps {
          |                    chr(1) || a || b || chr(2)) AS w, f
          |  FROM w$n, b$n)""".stripMargin
     }.mkString(",\n")
-    val unions = (1 to k).map { n =>
-      s"""SELECT $n::BIGINT AS rank, a AS "left", b AS "right", cnt AS pair_count FROM b$n"""
-    }.mkString("\nUNION ALL ")
-    s"""WITH w1 AS (
+    s"""w1 AS (
        |  SELECT regexp_replace(w, '(.)', chr(1) || '\\1' || chr(2), 'g') AS w, count(*)::BIGINT AS f
        |  FROM (SELECT unnest(string_split_regex(text, '\\s+')) AS w FROM documents)
        |  WHERE length(w) > 0
        |  GROUP BY 1),
-       |$rounds
-       |$unions
-       |ORDER BY rank""".stripMargin
+       |$rounds""".stripMargin
+  }
+
+  /** DuckDB oracle for q136: re-learn the `k` merges (same round CTEs
+    * as q129's oracle), then encode every document by nesting `k`
+    * replace() calls over the bracketed rendering of its text — the
+    * merge table rides in as `k` single-row CTE cross joins. Token
+    * counts fall out of chr(1)-mark counting by length difference,
+    * mirroring the Spark side exactly. */
+  private[graft] def bpeEncodeOracleSql(k: Int): String = {
+    val enc0 = """regexp_replace(text, '(\S)', chr(1) || '\1' || chr(2), 'g')"""
+    val enc = (1 to k).foldLeft(enc0) { (e, n) =>
+      s"replace($e, chr(1) || b$n.a || chr(2) || chr(1) || b$n.b || chr(2), chr(1) || b$n.a || b$n.b || chr(2))"
+    }
+    val froms = (1 to k).map(n => s"b$n").mkString(", ")
+    s"""WITH ${bpeRoundsCtes(k)},
+       |enc AS (
+       |  SELECT doc_id,
+       |    length(regexp_replace(text, '\\s', '', 'g'))::BIGINT AS n_syms,
+       |    $enc AS e
+       |  FROM documents, $froms)
+       |SELECT doc_id, n_syms,
+       |  (length(e) - length(replace(e, chr(1), '')))::BIGINT AS n_tokens,
+       |  (n_syms - (length(e) - length(replace(e, chr(1), ''))))::BIGINT AS n_merges_applied
+       |FROM enc""".stripMargin
   }
 }

@@ -63,9 +63,66 @@ class TrainingOpsSpec extends SparkSpec {
   test("TrainingOps queries are registered with oracles") {
     Seq("q81_stratified_sample", "q82_vocab_coverage", "q83_user_sequences",
       "q84_snapshot_cdc", "q85_equidepth_hist", "q87_keyword_search",
-      "q88_negative_sampling").foreach { n =>
+      "q88_negative_sampling", "q129_bpe_train", "q135_bigram_lm_score",
+      "q136_bpe_encode", "q137_lang_rebalance").foreach { n =>
       assert(SparkEntry.queries.contains(n), n)
       assert(SparkEntry.oracleSql.contains(n), n)
+    }
+  }
+
+  test("q135 lm score matches a brute-force in-memory bigram-model recompute") {
+    val texts = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), lower(col("text"))).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val docBigrams = texts.view.mapValues { t =>
+      val w = t.split(" ", -1) // keep empty tokens: split(col, " ") does
+      w.iterator.zip(w.iterator.drop(1)).toSeq
+    }.toMap
+    val cab = docBigrams.values.flatten
+      .groupMapReduce(identity)(_ => 1L)(_ + _)
+    val ca = cab.groupMapReduce(_._1._1)(_._2)(_ + _)
+    val expected = docBigrams.collect { case (id, bgs) if bgs.nonEmpty =>
+      val sp = bgs.iterator.map(bg => cab(bg) * 1000000L / ca(bg._1)).sum
+      id -> (bgs.size.toLong, sp / bgs.size)
+    }
+    val got = byName("q135_bigram_lm_score").run(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expected)
+  }
+
+  test("q136 encode matches in-memory merge application of the trained table") {
+    val merges = graft.operators.BpeTrainer.trainCached(spark, sfDir, 10)
+    assert(merges.length == 10)
+    val expected = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect().map { r =>
+      val words = r.getString(1).split("\\s+").filter(_.nonEmpty)
+      val syms = words.map(_.map(_.toString).toIndexedSeq)
+      val nSyms = syms.map(_.size.toLong).sum
+      val enc = syms.map(s0 => merges.foldLeft(s0)((s1, m) =>
+        graft.operators.BpeTrainer.applyMerge(s1, m.left, m.right)))
+      val nTok = enc.map(_.size.toLong).sum
+      r.getLong(0) -> (nSyms, nTok)
+    }.toMap
+    val got = byName("q136_bpe_encode").run(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expected)
+    // the merges genuinely compress: some document lost symbols
+    assert(expected.exists { case (_, (a, b)) => b < a })
+  }
+
+  test("q137 rebalance: smallest language keeps everything, others are cut toward it") {
+    val rows = byName("q137_lang_rebalance").run(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val minTotal = rows.values.map(_._1).min
+    rows.foreach { case (lang, (total, kept)) =>
+      assert(kept <= total, lang)
+      if (total == minTotal) assert(kept == total, s"$lang is smallest, must keep all")
+    }
+    // every language's kept count lands within sampling noise of the
+    // smallest language's volume (the whole point of the op)
+    rows.foreach { case (lang, (total, kept)) =>
+      assert(math.abs(kept - minTotal) <= math.max(8L, minTotal / 4),
+        s"$lang kept $kept, target $minTotal (total $total)")
     }
   }
 }
