@@ -34,7 +34,13 @@ object Bench {
     def exec(d: QueryDef): Unit =
       d.run(spark, sfDir).write.format("noop").mode("overwrite").save()
 
+    // SPARK_GRAFT_BENCH_ONLY=q130_triangle_count,q131_pagerank — restrict
+    // to a comma-separated subset for targeted perf iteration; the full
+    // run (no filter) is the round artifact.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val ordered = SparkEntry.all.sortBy(_.name)
+      .filter(d => only.forall(_.contains(d.name)))
     val warmups = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUPS", "1").toInt
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
 

@@ -391,6 +391,90 @@ object ScaleOps {
           min(col("x")).as("x_lo"), max(col("x")).as("x_hi"),
           min(col("y")).as("y_lo"), max(col("y")).as("y_hi"),
           min(col("zcode")).as("z_lo"), max(col("zcode")).as("z_hi"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q138_embedding_dim_stats",
+      """Per-dimension feature statistics over the embedding column —
+        |the normalization/whitening precursor (mean/variance per dim)
+        |and the first sanity check any vector pipeline runs (dead
+        |dims, range outliers). Values go through q93's exact 1e-4
+        |fixed-point (round-to-decimal then scale to BIGINT) so count /
+        |sum / sum-of-squares / min / max are all integer-exact
+        |cross-engine — variance is left to the consumer as
+        |(sum_sq - sum²/n)/n to keep the emitted stats drift-free.
+        |Scale shape: posexplode is scan-side; the aggregation keys on
+        |the DIMENSION (64 groups), so partial aggregation collapses
+        |every partition to dim-count rows before the one tiny shuffle
+        |— corpus size never crosses the wire. Output is dim-bounded
+        |(64 rows).""".stripMargin,
+      """WITH e AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(CAST(round(CAST(x AS DOUBLE), 4) AS DECIMAL(9,4))
+        |                * 10000 AS BIGINT)) AS vm
+        |  FROM embeddings),
+        |d AS (
+        |  SELECT unnest(range(0, len(vm))) AS dim, unnest(vm) AS v FROM e)
+        |SELECT dim, count(*)::BIGINT AS n,
+        |  CAST(sum(v) AS BIGINT) AS sum_v,
+        |  CAST(sum(v * v) AS BIGINT) AS sum_v2,
+        |  min(v) AS min_v, max(v) AS max_v
+        |FROM d GROUP BY dim""".stripMargin) { (s, dir) =>
+      Tables.embeddings(s, dir)
+        .withColumn("vm", expr(
+          s"transform(${quant("embedding")}, x -> CAST(x * 10000 AS BIGINT))"))
+        .select(posexplode(col("vm")).as(Seq("dim", "v")))
+        .groupBy(col("dim").cast("bigint").as("dim"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("v")).as("sum_v"),
+          sum(col("v") * col("v")).as("sum_v2"),
+          min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q139_gram_topk_pairs",
+      """Top-20 most-correlated dimension PAIRS by |Gram entry|
+        |Σ_rows v_i·v_j — the redundancy probe behind feature
+        |decorrelation and PQ subspace design (q109's codebooks assume
+        |subspaces are roughly independent; this measures where that
+        |fails). Exact integer arithmetic on the 1e-4 fixed-point
+        |values; products and the corpus-wide sums stay well inside
+        |int64 at any realistic row count (|v| ≤ ~3e4 fixed-point →
+        |product ≤ 9e8; 1e9 rows of worst-case products still fit with
+        |the sum split per dim pair). Scale shape: the pair expansion
+        |(dim²/2 = 2016 structs) is scan-side per row, and the
+        |aggregation keys on the PAIR — partial aggregation collapses
+        |every partition to 2016 rows (a per-partition Gram matrix)
+        |before the single tiny shuffle; TakeOrdered picks the top 20.
+        |At 100 TB this is the map-side-combined Gram accumulation a
+        |dedicated BLAS pass would do, expressed relationally.""".stripMargin,
+      """WITH e AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(CAST(round(CAST(x AS DOUBLE), 4) AS DECIMAL(9,4))
+        |                * 10000 AS BIGINT)) AS vm
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT unnest(flatten(list_transform(range(0, len(vm) - 1), i ->
+        |    list_transform(range(i + 1, len(vm)), j ->
+        |      struct_pack(i := i, j := j, p := vm[i + 1] * vm[j + 1]))))) AS s
+        |  FROM e)
+        |SELECT s.i AS i, s.j AS j, CAST(sum(s.p) AS BIGINT) AS gram
+        |FROM p GROUP BY 1, 2
+        |ORDER BY abs(CAST(sum(s.p) AS BIGINT)) DESC, i, j LIMIT 20""".stripMargin) { (s, dir) =>
+      Tables.embeddings(s, dir)
+        .withColumn("vm", expr(
+          s"transform(${quant("embedding")}, x -> CAST(x * 10000 AS BIGINT))"))
+        .select(explode(expr(
+          """flatten(transform(sequence(0, size(vm) - 2), i ->
+            |  transform(sequence(i + 1, size(vm) - 1), j ->
+            |    struct(CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
+            |           element_at(vm, i + 1) * element_at(vm, j + 1) AS p))))""".stripMargin)).as("s"))
+        .groupBy(col("s.i").as("i"), col("s.j").as("j"))
+        .agg(sum(col("s.p")).as("gram"))
+        .orderBy(abs(col("gram")).desc, col("i"), col("j"))
+        .limit(20)
     }
   )
 }

@@ -146,10 +146,44 @@ class ScaleOpsSpec extends SparkSpec {
 
   test("new ScaleOps queries are registered with oracles") {
     Seq("q78_topk_bounded_agg", "q79_kmeans_assign", "q80_countmin_sketch",
-      "q86_heavy_hitters_mg")
+      "q86_heavy_hitters_mg", "q138_embedding_dim_stats", "q139_gram_topk_pairs")
       .foreach { n =>
         assert(SparkEntry.queries.contains(n), n)
         assert(SparkEntry.oracleSql.contains(n), n)
       }
+  }
+
+  test("q138 per-dim stats agree with a brute-force recompute and cover every dim") {
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(v =>
+        math.round(BigDecimal(v.toDouble).setScale(4,
+          BigDecimal.RoundingMode.HALF_UP).toDouble * 10000).toLong))
+    val dims = vecs.head.length
+    val got = byName("q138_embedding_dim_stats").run(spark, sfDir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got.size == dims)
+    for (d <- 0 until dims) {
+      val col0 = vecs.map(_(d))
+      assert(got(d.toLong) == ((col0.length.toLong, col0.sum,
+        col0.map(v => v * v).sum, col0.min, col0.max)), s"dim $d")
+    }
+  }
+
+  test("q139 gram entries are symmetric-free (i<j) and match brute force for the top pair") {
+    val rows = byName("q139_gram_topk_pairs").run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 20)
+    rows.foreach { case (i, j, _) => assert(i < j, s"($i,$j)") }
+    // |gram| is non-increasing down the list
+    rows.map(_._3.abs).sliding(2).foreach { case Array(a, b) => assert(a >= b) }
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(v =>
+        math.round(BigDecimal(v.toDouble).setScale(4,
+          BigDecimal.RoundingMode.HALF_UP).toDouble * 10000).toLong))
+    val (ti, tj, tg) = rows.head
+    assert(vecs.map(v => v(ti.toInt) * v(tj.toInt)).sum == tg)
   }
 }
