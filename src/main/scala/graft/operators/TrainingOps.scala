@@ -554,13 +554,8 @@ object TrainingOps {
         |string replaces, zero shuffle, zero UDF.""".stripMargin,
       bpeEncodeOracleSql(10)) { (s, dir) =>
       val merges = BpeTrainer.trainCached(s, dir, 10)
-      val S1 = "\u0001"; val S2 = "\u0002"
-      val br = regexp_replace(col("text"), "(\\S)", S1 + "$1" + S2)
-      val enc = merges.foldLeft(br) { (c, m) =>
-        call_function("replace", c,
-          lit(S1 + m.left + S2 + S1 + m.right + S2),
-          lit(S1 + m.left + m.right + S2))
-      }
+      val br = bpeBracketCol(col("text"))
+      val enc = bpeEncodeCol(merges, col("text"))
       def nMarks(c: org.apache.spark.sql.Column) =
         (length(c) - length(call_function("replace", c, lit(S1), lit("")))).cast("long")
       Tables.documents(s, dir).select(col("doc_id"),
@@ -603,6 +598,120 @@ object TrainingOps {
         .groupBy(col("lang"), col("n_total"))
         .agg(sum(when(gate, 1L).otherwise(0L)).cast("bigint").as("n_kept"))
         .select(col("lang"), col("n_total"), col("n_kept"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q140_bpe_vocab_freq",
+      """Learned-vocabulary frequency profile — the closing audit of the
+        |BPE tier (q129 train → q136 encode → THIS): tokenize the whole
+        |corpus with the learned merges and emit the top-30 tokens with
+        |corpus frequency and document frequency. Proves the encode
+        |produces a PARSEABLE token stream (tokens are recovered from
+        |the bracketed encoding by regex, not recounted from theory)
+        |and is what a tokenizer-acceptance check reads (which merges
+        |actually earn their vocab slots). Scale shape: encode is
+        |scan-side (q136); token extraction is a row-local regex; the
+        |two counts are one hash agg keyed by token (map-side combine
+        |over vocab cardinality) with df as an exact distinct on
+        |(token, doc) — bounded by corpus token incidence; top-30 via
+        |TakeOrdered.""".stripMargin,
+      bpeVocabOracleSql(10)) { (s, dir) =>
+      val merges = BpeTrainer.trainCached(s, dir, 10)
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(call_function("regexp_extract_all",
+            bpeEncodeCol(merges, col("text")),
+            lit(S1 + "([^" + S2 + "]*)" + S2), lit(1))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("cnt"),
+          countDistinct(col("doc_id")).as("df"))
+        .orderBy(col("cnt").desc, col("token"))
+        .limit(30)
+    },
+
+    // ----------------------------------------------------------------
+    q("q141_postings_list",
+      """Inverted-index construction — the retrieval-side materialization
+        |step q125's BM25 scoring assumes exists: for the 50 highest-df
+        |terms, the top-3 postings (doc_id, tf) per term plus the term's
+        |document frequency and total term frequency. Scale shape: tf is
+        |one (term, doc)-keyed agg with map-side combine; per-term stats
+        |are a vocab-sized agg DERIVED from tf (the corpus is not
+        |re-read); the 50-term head rides back as a BROADCAST so the
+        |postings rank runs only over the selected terms' rows; the rank
+        |window is PARTITIONED by term (max 50 partitions of df rows —
+        |never a partition-less window). Ordering is deterministic
+        |everywhere: (df desc, term) for the head, (tf desc, doc_id) for
+        |postings.""".stripMargin,
+      """WITH t AS (
+        |  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+        |tf AS (
+        |  SELECT term, doc_id, count(*)::BIGINT AS tf
+        |  FROM t WHERE term <> '' GROUP BY 1, 2),
+        |st AS (
+        |  SELECT term, count(*)::BIGINT AS df, CAST(sum(tf) AS BIGINT) AS total_tf
+        |  FROM tf GROUP BY 1),
+        |top AS (SELECT * FROM st ORDER BY df DESC, term LIMIT 50),
+        |r AS (
+        |  SELECT tf.term, top.df, top.total_tf,
+        |    row_number() OVER (PARTITION BY tf.term ORDER BY tf.tf DESC, tf.doc_id) AS rk,
+        |    tf.doc_id, tf.tf
+        |  FROM tf JOIN top ON tf.term = top.term)
+        |SELECT term, df, total_tf, rk, doc_id, tf FROM r WHERE rk <= 3""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val tf = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy(col("term"), col("doc_id"))
+        .agg(count(lit(1)).as("tf"))
+      val st = tf.groupBy(col("term"))
+        .agg(count(lit(1)).as("df"), sum(col("tf")).as("total_tf"))
+      val top = st.orderBy(col("df").desc, col("term")).limit(50)
+      tf.join(broadcast(top), Seq("term"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("term")).orderBy(col("tf").desc, col("doc_id"))).cast("bigint"))
+        .filter(col("rk") <= 3)
+        .select(col("term"), col("df"), col("total_tf"), col("rk"),
+          col("doc_id"), col("tf"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q142_context_windows",
+      """Context-window construction — the document→training-example
+        |shaping step between curation and q99's packing: fixed-size
+        |token windows (32 tokens, stride 16, full windows only) with a
+        |content hash per window, the unit a pretraining loader actually
+        |consumes (the 50% overlap is the standard long-document
+        |recipe). Entirely scan-side: tokenize, compute the window
+        |count closed-form, explode the window INDEX range (never the
+        |token array twice), slice + hash per window — zero shuffle,
+        |zero UDF, output rows bounded by corpus tokens / stride. The
+        |hash makes windows content-addressable, which is what lets a
+        |downstream window-level dedup run without re-reading text.""".stripMargin,
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        |x AS (
+        |  SELECT doc_id, w,
+        |    CASE WHEN len(w) >= 32 THEN (len(w) - 32) // 16 + 1 ELSE 0 END AS nw
+        |  FROM w),
+        |e AS (SELECT doc_id, unnest(range(0, nw)) AS k, w FROM x)
+        |SELECT doc_id, k AS win_idx, CAST(k * 16 + 1 AS BIGINT) AS start_tok,
+        |  md5(array_to_string(w[(k * 16 + 1):(k * 16 + 32)], ' ')) AS win_hash
+        |FROM e""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          filter(split(col("text"), "\\s+"), x => x =!= "").as("w"))
+        .withColumn("nw", expr(
+          "CASE WHEN size(w) >= 32 THEN (size(w) - 32) DIV 16 + 1 ELSE 0 END"))
+        .select(col("doc_id"), col("w"),
+          explode(expr(
+            "CASE WHEN nw > 0 THEN sequence(CAST(0 AS BIGINT), nw - 1) ELSE array() END")).as("k"))
+        .select(col("doc_id"), col("k").as("win_idx"),
+          (col("k") * 16 + 1).as("start_tok"),
+          md5(concat_ws(" ",
+            slice(col("w"), (col("k") * 16 + 1).cast("int"), lit(32)))).as("win_hash"))
     }
   )
 
@@ -614,6 +723,23 @@ object TrainingOps {
     * rendering (see the q129 doc for why that IS non-overlapping
     * left-to-right BPE application). Validated merge-for-merge against
     * BpeTrainer.trainLocal on sf0.01. */
+  // Bracketed-symbol rendering shared by the whole BPE tier (q129's
+  // oracle, q136 encode, q140 vocab): every non-space char wraps as
+  // S1+c+S2, so one merge application is ONE plain replace() — see the
+  // q136 doc for why that is exactly non-overlapping left-to-right BPE.
+  private[graft] val S1 = "\u0001"
+  private[graft] val S2 = "\u0002"
+  private[graft] def bpeBracketCol(textCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(textCol, "(\\S)", S1 + "$1" + S2)
+  private[graft] def bpeEncodeCol(
+      merges: Seq[BpeTrainer.Merge],
+      textCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    merges.foldLeft(bpeBracketCol(textCol)) { (c, m) =>
+      call_function("replace", c,
+        lit(S1 + m.left + S2 + S1 + m.right + S2),
+        lit(S1 + m.left + m.right + S2))
+    }
+
   private[graft] def bpeOracleSql(k: Int): String = {
     val unions = (1 to k).map { n =>
       s"""SELECT $n::BIGINT AS rank, a AS "left", b AS "right", cnt AS pair_count FROM b$n"""
@@ -647,6 +773,15 @@ object TrainingOps {
        |$rounds""".stripMargin
   }
 
+  /** The nested-replace SQL expression encoding `text` with the `k`
+    * learned merges (each bN a single-row CTE from [[bpeRoundsCtes]]). */
+  private def bpeEncodeExpr(k: Int): String = {
+    val enc0 = """regexp_replace(text, '(\S)', chr(1) || '\1' || chr(2), 'g')"""
+    (1 to k).foldLeft(enc0) { (e, n) =>
+      s"replace($e, chr(1) || b$n.a || chr(2) || chr(1) || b$n.b || chr(2), chr(1) || b$n.a || b$n.b || chr(2))"
+    }
+  }
+
   /** DuckDB oracle for q136: re-learn the `k` merges (same round CTEs
     * as q129's oracle), then encode every document by nesting `k`
     * replace() calls over the bracketed rendering of its text — the
@@ -654,20 +789,35 @@ object TrainingOps {
     * counts fall out of chr(1)-mark counting by length difference,
     * mirroring the Spark side exactly. */
   private[graft] def bpeEncodeOracleSql(k: Int): String = {
-    val enc0 = """regexp_replace(text, '(\S)', chr(1) || '\1' || chr(2), 'g')"""
-    val enc = (1 to k).foldLeft(enc0) { (e, n) =>
-      s"replace($e, chr(1) || b$n.a || chr(2) || chr(1) || b$n.b || chr(2), chr(1) || b$n.a || b$n.b || chr(2))"
-    }
     val froms = (1 to k).map(n => s"b$n").mkString(", ")
     s"""WITH ${bpeRoundsCtes(k)},
        |enc AS (
        |  SELECT doc_id,
        |    length(regexp_replace(text, '\\s', '', 'g'))::BIGINT AS n_syms,
-       |    $enc AS e
+       |    ${bpeEncodeExpr(k)} AS e
        |  FROM documents, $froms)
        |SELECT doc_id, n_syms,
        |  (length(e) - length(replace(e, chr(1), '')))::BIGINT AS n_tokens,
        |  (n_syms - (length(e) - length(replace(e, chr(1), ''))))::BIGINT AS n_merges_applied
        |FROM enc""".stripMargin
+  }
+
+  /** DuckDB oracle for q140: encode as in q136's oracle, then recover
+    * the token stream by regex over the bracketed encoding and count
+    * corpus + document frequency per token. */
+  private[graft] def bpeVocabOracleSql(k: Int): String = {
+    val froms = (1 to k).map(n => s"b$n").mkString(", ")
+    s"""WITH ${bpeRoundsCtes(k)},
+       |enc AS (
+       |  SELECT doc_id, ${bpeEncodeExpr(k)} AS e
+       |  FROM documents, $froms),
+       |t AS (
+       |  SELECT doc_id,
+       |    unnest(regexp_extract_all(e, chr(1) || '([^' || chr(2) || ']*)' || chr(2), 1)) AS token
+       |  FROM enc)
+       |SELECT token, count(*)::BIGINT AS cnt,
+       |  count(DISTINCT doc_id)::BIGINT AS df
+       |FROM t GROUP BY token
+       |ORDER BY cnt DESC, token LIMIT 30""".stripMargin
   }
 }

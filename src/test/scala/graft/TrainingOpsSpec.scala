@@ -64,7 +64,8 @@ class TrainingOpsSpec extends SparkSpec {
     Seq("q81_stratified_sample", "q82_vocab_coverage", "q83_user_sequences",
       "q84_snapshot_cdc", "q85_equidepth_hist", "q87_keyword_search",
       "q88_negative_sampling", "q129_bpe_train", "q135_bigram_lm_score",
-      "q136_bpe_encode", "q137_lang_rebalance").foreach { n =>
+      "q136_bpe_encode", "q137_lang_rebalance", "q140_bpe_vocab_freq",
+      "q141_postings_list", "q142_context_windows").foreach { n =>
       assert(SparkEntry.queries.contains(n), n)
       assert(SparkEntry.oracleSql.contains(n), n)
     }
@@ -108,6 +109,51 @@ class TrainingOpsSpec extends SparkSpec {
     assert(got == expected)
     // the merges genuinely compress: some document lost symbols
     assert(expected.exists { case (_, (a, b)) => b < a })
+  }
+
+  test("q140 vocab frequencies: every learned merge token appears; counts consistent with q136") {
+    val merges = graft.operators.BpeTrainer.trainCached(spark, sfDir, 10)
+    val rows = byName("q140_bpe_vocab_freq").run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 30)
+    // df never exceeds cnt and both are positive
+    rows.foreach { case (t, cnt, df) => assert(df >= 1 && cnt >= df, t) }
+    // deterministic ordering: cnt non-increasing
+    rows.map(_._2).sliding(2).foreach { case Array(a, b) => assert(a >= b) }
+    // top-30 over this corpus includes at least one MERGED (multi-char) token
+    assert(rows.exists(_._1.length > 1))
+    // total token count across the full vocab equals q136's n_tokens sum
+    val vocabTotal = byName("q136_bpe_encode").run(spark, sfDir)
+      .agg(org.apache.spark.sql.functions.sum(col("n_tokens"))).collect()(0).getLong(0)
+    val fullCnt = Tables.documents(spark, sfDir)
+      .select(explode(org.apache.spark.sql.functions.call_function("regexp_extract_all",
+        graft.operators.TrainingOps.bpeEncodeCol(merges, col("text")),
+        lit(graft.operators.TrainingOps.S1 + "([^" + graft.operators.TrainingOps.S2 + "]*)" +
+          graft.operators.TrainingOps.S2), lit(1))).as("t"))
+      .count()
+    assert(fullCnt == vocabTotal)
+  }
+
+  test("q142 windows tile each document with stride 16 and hash real content") {
+    val rows = byName("q142_context_windows").run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val byDoc = rows.groupBy(_._1)
+    val texts = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    byDoc.foreach { case (id, ws) =>
+      val toks = texts(id).split("\\s+").filter(_.nonEmpty)
+      val expectN = if (toks.length >= 32) (toks.length - 32) / 16 + 1 else 0
+      assert(ws.length == expectN, s"doc $id")
+      ws.sortBy(_._2).zipWithIndex.foreach { case ((_, k, start, h), i) =>
+        assert(k == i.toLong && start == k * 16 + 1)
+        val expectH = java.security.MessageDigest.getInstance("MD5")
+          .digest(toks.slice(k.toInt * 16, k.toInt * 16 + 32).mkString(" ")
+            .getBytes("UTF-8")).map("%02x".format(_)).mkString
+        assert(h == expectH, s"doc $id win $k")
+      }
+    }
+    // docs shorter than one window are absent, longer docs overlap 50%
+    assert(rows.nonEmpty)
   }
 
   test("q137 rebalance: smallest language keeps everything, others are cut toward it") {
