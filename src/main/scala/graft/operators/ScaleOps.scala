@@ -442,13 +442,17 @@ object ScaleOps {
         |values; products and the corpus-wide sums stay well inside
         |int64 at any realistic row count (|v| ≤ ~3e4 fixed-point →
         |product ≤ 9e8; 1e9 rows of worst-case products still fit with
-        |the sum split per dim pair). Scale shape: the pair expansion
-        |(dim²/2 = 2016 structs) is scan-side per row, and the
-        |aggregation keys on the PAIR — partial aggregation collapses
-        |every partition to 2016 rows (a per-partition Gram matrix)
-        |before the single tiny shuffle; TakeOrdered picks the top 20.
-        |At 100 TB this is the map-side-combined Gram accumulation a
-        |dedicated BLAS pass would do, expressed relationally.""".stripMargin,
+        |the sum split per dim pair). Scale shape: the whole Gram
+        |accumulates through graft's native `gram_upper`
+        |TypedImperativeAggregate (plans/GramAggregate) — each row
+        |folds into ONE per-partition long-array state in place (no
+        |dim²/2 struct explosion per row, no per-pair hashing), partial
+        |buffers shuffle as one packed row per partition, and merge is
+        |element-wise addition (partition-count-invariant by spec). The
+        |(i,j) labels rejoin the flat array by position on the single
+        |result row; TakeOrdered picks the top 20. The ORACLE stays the
+        |relational pair-explosion formulation, so the hash match
+        |proves the custom aggregate against an independent shape.""".stripMargin,
       """WITH e AS (
         |  SELECT vec_id,
         |    list_transform(embedding,
@@ -463,16 +467,22 @@ object ScaleOps {
         |SELECT s.i AS i, s.j AS j, CAST(sum(s.p) AS BIGINT) AS gram
         |FROM p GROUP BY 1, 2
         |ORDER BY abs(CAST(sum(s.p) AS BIGINT)) DESC, i, j LIMIT 20""".stripMargin) { (s, dir) =>
+      graft.plans.GraftFunctions.register(s)
       Tables.embeddings(s, dir)
         .withColumn("vm", expr(
           s"transform(${quant("embedding")}, x -> CAST(x * 10000 AS BIGINT))"))
+        .agg(call_function("gram_upper", col("vm")).as("g"),
+          first(size(col("vm"))).as("d"))
+        // label the flat upper-triangle array by position on the ONE
+        // result row: pair k of zip_with is (i,j) in the same row-major
+        // order gram_upper accumulates
         .select(explode(expr(
-          """flatten(transform(sequence(0, size(vm) - 2), i ->
-            |  transform(sequence(i + 1, size(vm) - 1), j ->
-            |    struct(CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j,
-            |           element_at(vm, i + 1) * element_at(vm, j + 1) AS p))))""".stripMargin)).as("s"))
-        .groupBy(col("s.i").as("i"), col("s.j").as("j"))
-        .agg(sum(col("s.p")).as("gram"))
+          """zip_with(
+            |  flatten(transform(sequence(0, d - 2), i ->
+            |    transform(sequence(i + 1, d - 1), j ->
+            |      struct(CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j)))),
+            |  g, (p, x) -> struct(p.i AS i, p.j AS j, x AS gram))""".stripMargin)).as("s"))
+        .select(col("s.i").as("i"), col("s.j").as("j"), col("s.gram").as("gram"))
         .orderBy(abs(col("gram")).desc, col("i"), col("j"))
         .limit(20)
     }

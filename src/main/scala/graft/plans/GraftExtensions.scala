@@ -60,6 +60,13 @@ object GraftFunctions {
         require(children.size == 2,
           s"zorder2 expects exactly 2 arguments, got ${children.size}")
         ZOrder2(children.head, children(1))
+      }),
+    (FunctionIdentifier("gram_upper"),
+      new ExpressionInfo(classOf[GramUpper].getName, "gram_upper"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1,
+          s"gram_upper expects exactly 1 argument, got ${children.size}")
+        GramUpper(children.head)
       }))
 
   /** Idempotent in-session registration. */
