@@ -485,6 +485,85 @@ object ScaleOps {
         .select(col("s.i").as("i"), col("s.j").as("j"), col("s.gram").as("gram"))
         .orderBy(abs(col("gram")).desc, col("i"), col("j"))
         .limit(20)
+    },
+
+    // ----------------------------------------------------------------
+    q("q143_kmeans_lloyd",
+      """Full distributed k-means TRAINING (2 Lloyd iterations, k=4) —
+        |q79 is the assignment half; this closes the loop with the
+        |centroid-update half, the clustering step behind corpus
+        |bucketing and IVF codebook training (q32/q90 consume exactly
+        |such a codebook). Determinism: values in exact 1e-4
+        |fixed-point SHIFTED +10000 so every coordinate is positive —
+        |squared distances are translation-invariant, and the centroid
+        |mean's floor division only ever sees nonnegative sums, where
+        |Spark's DIV (truncate) and DuckDB's // (floor) agree.
+        |Initial centroids are vectors 0..3; assignment ties break on
+        |(dist, cid). Scale shape per iteration: the k centroids
+        |collapse to ONE broadcast array row (q79/q90's codebook
+        |discipline) so assignment is scan-side argmin over a struct
+        |array — zero shuffle; the update is a k-group aggregation
+        |through the native vec_sum TypedImperativeAggregate
+        |(plans/GramAggregate) — in-place long-array state, one packed
+        |row per partition, element-wise merge — with the mean as a
+        |transform over the summed array. Two tiny shuffles total.
+        |Output: (cid, n_members, dim, cval), 256 rows.""".stripMargin,
+      kmeansOracleSql(iters = 2)) { (s, dir) =>
+      graft.plans.GraftFunctions.register(s)
+      val e = Tables.embeddings(s, dir)
+        .withColumn("vm", expr(
+          s"transform(${quant("embedding")}, x -> CAST(x * 10000 AS BIGINT) + 10000)"))
+        .select(col("vec_id"), col("vm"))
+      var cents = e.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("cid"), col("vm").as("c"), lit(0L).as("n"))
+      for (_ <- 1 to 2) {
+        val cb = cents.agg(collect_list(struct(col("cid"), col("c"))).as("cb"))
+        val assigned = e.crossJoin(broadcast(cb))
+          .withColumn("cid", expr(
+            """(array_min(transform(cb, cc -> struct(
+              |  aggregate(zip_with(vm, cc.c, (a, b) -> (a - b) * (a - b)),
+              |            CAST(0 AS BIGINT), (acc, x) -> acc + x) AS dist,
+              |  cc.cid AS cid)))).cid""".stripMargin))
+        cents = assigned.groupBy(col("cid"))
+          .agg(call_function("vec_sum", col("vm")).as("sv"),
+            count(lit(1)).as("n"))
+          .select(col("cid"), expr("transform(sv, x -> x DIV n)").as("c"), col("n"))
+      }
+      cents.select(col("cid"), col("n").as("n_members"),
+          posexplode(col("c")).as(Seq("dim", "cval")))
+        .select(col("cid"), col("n_members"),
+          col("dim").cast("bigint").as("dim"), col("cval"))
     }
   )
+
+  /** DuckDB oracle for q143: `iters` Lloyd rounds unrolled as CTEs —
+    * per round a k×n distance cross join with QUALIFY row_number
+    * picking the (dist, cid)-min assignment, then an unnest/re-pack
+    * per-dim floor-divide mean. Validated round-for-round against an
+    * independent in-python recompute on sf0.01. */
+  private def kmeansOracleSql(iters: Int): String = {
+    val rounds = (1 to iters).map { it =>
+      val prev = if (it == 1) "c0" else s"c${it - 1}"
+      s"""d$it AS (
+         |  SELECT e.vec_id, e.vm, $prev.cid,
+         |    list_sum(list_transform(range(1, len(e.vm) + 1), i -> (e.vm[i] - $prev.c[i]) * (e.vm[i] - $prev.c[i]))) AS dist
+         |  FROM e, $prev),
+         |a$it AS (SELECT vec_id, vm, cid FROM d$it QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1),
+         |u$it AS (
+         |  SELECT cid, dim, CAST(CAST(sum(v) AS BIGINT) // count(*) AS BIGINT) AS cv
+         |  FROM (SELECT cid, unnest(range(0, len(vm))) AS dim, unnest(vm) AS v FROM a$it)
+         |  GROUP BY 1, 2),
+         |c$it AS (SELECT cid, list(cv ORDER BY dim) AS c FROM u$it GROUP BY cid)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding,
+       |      x -> CAST(CAST(round(CAST(x AS DOUBLE), 4) AS DECIMAL(9,4)) * 10000 AS BIGINT) + 10000) AS vm
+       |  FROM embeddings),
+       |c0 AS (SELECT vec_id AS cid, vm AS c FROM e WHERE vec_id < 4),
+       |$rounds,
+       |n$iters AS (SELECT cid, count(*)::BIGINT AS n_members FROM a$iters GROUP BY 1)
+       |SELECT u$iters.cid, n$iters.n_members, u$iters.dim, u$iters.cv AS cval
+       |FROM u$iters JOIN n$iters USING (cid)""".stripMargin
+  }
 }

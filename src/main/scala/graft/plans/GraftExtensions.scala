@@ -67,6 +67,13 @@ object GraftFunctions {
         require(children.size == 1,
           s"gram_upper expects exactly 1 argument, got ${children.size}")
         GramUpper(children.head)
+      }),
+    (FunctionIdentifier("vec_sum"),
+      new ExpressionInfo(classOf[VecSum].getName, "vec_sum"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1,
+          s"vec_sum expects exactly 1 argument, got ${children.size}")
+        VecSum(children.head)
       }))
 
   /** Idempotent in-session registration. */

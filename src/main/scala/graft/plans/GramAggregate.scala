@@ -110,3 +110,79 @@ case class GramUpper(
   override protected def withNewChildInternal(newChild: Expression): GramUpper =
     copy(child = newChild)
 }
+
+/** Element-wise vector sum over a bigint-vector column:
+  * `vec_sum(vm)` returns the dim-length array S[i] = Σ_rows vm[i].
+  *
+  * The centroid-update half of a distributed Lloyd iteration (q143):
+  * per-partition state is one long array folded in place (the
+  * [[GramUpper]] discipline — no posexplode to (row, dim) pairs, no
+  * per-dim hashing), merge is element-wise addition, and the packed
+  * partial buffers shuffle one row per partition. Dimension-agnostic
+  * via lazy allocation; mixed lengths fail loudly. */
+case class VecSum(
+    child: Expression,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]]
+  with UnaryLike[Expression] {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"vec_sum expects array<bigint>, got ${other.catalogString}")
+  }
+
+  override def createAggregationBuffer(): Array[Long] = Array.emptyLongArray
+
+  override def update(buffer: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v == null) buffer
+    else {
+      val arr = v.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      val buf = if (buffer.length == 0 && n > 0) new Array[Long](n) else buffer
+      require(buf.length == n,
+        s"vec_sum: vector length $n does not match state of ${buf.length}")
+      var i = 0
+      while (i < n) { buf(i) += arr.getLong(i); i += 1 }
+      buf
+    }
+  }
+
+  override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] =
+    if (b1.isEmpty) b2
+    else if (b2.isEmpty) b1
+    else {
+      require(b1.length == b2.length,
+        s"vec_sum: merging states of ${b1.length} vs ${b2.length}")
+      var k = 0
+      while (k < b1.length) { b1(k) += b2(k); k += 1 }
+      b1
+    }
+
+  override def eval(buffer: Array[Long]): Any = new GenericArrayData(buffer)
+
+  override def serialize(buffer: Array[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(buffer.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+    bb.asLongBuffer().put(buffer)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](bytes.length / 8)
+    ByteBuffer.wrap(bytes).order(ByteOrder.LITTLE_ENDIAN).asLongBuffer().get(out)
+    out
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "vec_sum"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): VecSum =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): VecSum =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): VecSum =
+    copy(child = newChild)
+}

@@ -62,4 +62,19 @@ class GramAggregateSpec extends SparkSpec {
     assert(chain(e).exists(c =>
       String.valueOf(c.getMessage).contains("does not match state")), e.toString)
   }
+
+  private def vecSum(df: org.apache.spark.sql.DataFrame): Seq[Long] = {
+    graft.plans.GraftFunctions.register(spark)
+    df.agg(call_function("vec_sum", col("vm")).as("s"))
+      .collect()(0).getSeq[Long](0).toSeq
+  }
+
+  test("vec_sum equals per-dim sums and is partition-count invariant") {
+    val data = Seq.tabulate(300)(r => Seq.tabulate(6)(d => (r * 11 - d * 5 - 100).toLong))
+    val expected = (0 until 6).map(d => data.map(_(d)).sum)
+    val results = Seq(1, 5, 32).map(n => vecSum(data.toDF("vm").repartition(n)))
+    assert(results.distinct.size == 1)
+    assert(results.head == expected)
+    assert(vecSum(Seq.empty[Seq[Long]].toDF("vm")).isEmpty)
+  }
 }
