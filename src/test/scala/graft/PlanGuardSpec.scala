@@ -95,6 +95,30 @@ class PlanGuardSpec extends SparkSpec {
     assert(perVector.isEmpty, "q79 must not aggregate per vec_id")
   }
 
+  test("q139/q143 run through the native imperative aggregates, not per-row explosion") {
+    // q139's original shape exploded dim²/2 structs per input row; the
+    // rewrite folds rows into gram_upper's array state. The only
+    // Generate allowed is the single-row (i,j) labeling AFTER the
+    // aggregate. Same for q143: centroid updates go through vec_sum,
+    // never a posexplode to (row, dim) pairs feeding a hash agg.
+    val p139 = SparkEntry.all.find(_.name == "q139_gram_topk_pairs").get
+      .run(spark, sfDir).queryExecution.executedPlan.toString
+    assert(p139.contains("gram_upper"), "q139 must aggregate via gram_upper")
+    assert("Generate".r.findAllIn(p139).size <= 1,
+      "q139 may only Generate on the single labeled result row")
+    val p143 = SparkEntry.all.find(_.name == "q143_kmeans_lloyd").get
+      .run(spark, sfDir).queryExecution.executedPlan.toString
+    assert(p143.contains("vec_sum"), "q143 must update centroids via vec_sum")
+  }
+
+  test("q138 per-dim stats hash-shuffle exactly once (dim-keyed partial agg)") {
+    val plan = SparkEntry.all.find(_.name == "q138_embedding_dim_stats").get
+      .run(spark, sfDir).queryExecution.executedPlan.toString
+    val hashShuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashShuffles == 1,
+      s"q138 should shuffle once on dim, found $hashShuffles")
+  }
+
   test("every oracle-paired query declares matching column names in its SQL") {
     // cheap drift guard: each Spark output column name must appear as a
     // token in the oracle SQL (aliased the same way) — the driver's
