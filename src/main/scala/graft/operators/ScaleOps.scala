@@ -509,39 +509,76 @@ object ScaleOps {
         |transform over the summed array. Two tiny shuffles total.
         |Output: (cid, n_members, dim, cval), 256 rows.""".stripMargin,
       kmeansOracleSql(iters = 2)) { (s, dir) =>
-      graft.plans.GraftFunctions.register(s)
-      val e = Tables.embeddings(s, dir)
-        .withColumn("vm", expr(
-          s"transform(${quant("embedding")}, x -> CAST(x * 10000 AS BIGINT) + 10000)"))
-        .select(col("vec_id"), col("vm"))
-      var cents = e.filter(col("vec_id") < 4)
-        .select(col("vec_id").as("cid"), col("vm").as("c"), lit(0L).as("n"))
-      for (_ <- 1 to 2) {
-        val cb = cents.agg(collect_list(struct(col("cid"), col("c"))).as("cb"))
-        val assigned = e.crossJoin(broadcast(cb))
-          .withColumn("cid", expr(
-            """(array_min(transform(cb, cc -> struct(
-              |  aggregate(zip_with(vm, cc.c, (a, b) -> (a - b) * (a - b)),
-              |            CAST(0 AS BIGINT), (acc, x) -> acc + x) AS dist,
-              |  cc.cid AS cid)))).cid""".stripMargin))
-        cents = assigned.groupBy(col("cid"))
-          .agg(call_function("vec_sum", col("vm")).as("sv"),
-            count(lit(1)).as("n"))
-          .select(col("cid"), expr("transform(sv, x -> x DIV n)").as("c"), col("n"))
-      }
+      val (cents, _) = lloyd(s, dir, iters = 2)
       cents.select(col("cid"), col("n").as("n_members"),
           posexplode(col("c")).as(Seq("dim", "cval")))
         .select(col("cid"), col("n_members"),
           col("dim").cast("bigint").as("dim"), col("cval"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q144_cluster_sse",
+      """Training-quality metric for q143's clustering: per-cluster
+        |inertia — the exact integer sum of squared distances from each
+        |member (under the final assignment) to its UPDATED centroid —
+        |plus member counts. This is the number a clustering job
+        |monitors across refreshes (rising inertia = drifted corpus =
+        |retrain), computed in the same shifted fixed-point space as
+        |the training so both engines agree bit-for-bit. Scale shape:
+        |the final centroids rejoin the assignment as a k-row BROADCAST
+        |and the distance folds scan-side (zip_with aggregate); one
+        |k-group shuffle ends it. Output: 4 rows.""".stripMargin,
+      kmeansSseOracleSql(iters = 2)) { (s, dir) =>
+      val (cents, assigned) = lloyd(s, dir, iters = 2)
+      assigned
+        .join(broadcast(cents.select(col("cid"), col("c"))), Seq("cid"))
+        .select(col("cid"), expr(
+          """aggregate(zip_with(vm, c, (a, b) -> (a - b) * (a - b)),
+            |          CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin).as("d2"))
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_members"),
+          sum(col("d2")).cast("bigint").as("sse"))
     }
   )
 
-  /** DuckDB oracle for q143: `iters` Lloyd rounds unrolled as CTEs —
+  /** Shared Lloyd trainer for q143/q144: `iters` rounds of broadcast-
+    * codebook scan-side assignment + vec_sum centroid update over the
+    * shifted fixed-point embeddings. Returns (final centroids with
+    * member counts, the final-round assignment the update used). */
+  private def lloyd(s: org.apache.spark.sql.SparkSession, dir: String, iters: Int)
+      : (DataFrame, DataFrame) = {
+    graft.plans.GraftFunctions.register(s)
+    val e = Tables.embeddings(s, dir)
+      .withColumn("vm", expr(
+        s"transform(${quant("embedding")}, x -> CAST(x * 10000 AS BIGINT) + 10000)"))
+      .select(col("vec_id"), col("vm"))
+    var cents = e.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("cid"), col("vm").as("c"), lit(0L).as("n"))
+    var assigned: DataFrame = null
+    for (_ <- 1 to iters) {
+      val cb = cents.agg(collect_list(struct(col("cid"), col("c"))).as("cb"))
+      assigned = e.crossJoin(broadcast(cb))
+        .withColumn("cid", expr(
+          """(array_min(transform(cb, cc -> struct(
+            |  aggregate(zip_with(vm, cc.c, (a, b) -> (a - b) * (a - b)),
+            |            CAST(0 AS BIGINT), (acc, x) -> acc + x) AS dist,
+            |  cc.cid AS cid)))).cid""".stripMargin))
+        .select(col("vec_id"), col("vm"), col("cid"))
+      cents = assigned.groupBy(col("cid"))
+        .agg(call_function("vec_sum", col("vm")).as("sv"),
+          count(lit(1)).as("n"))
+        .select(col("cid"), expr("transform(sv, x -> x DIV n)").as("c"), col("n"))
+    }
+    (cents, assigned)
+  }
+
+  /** Shared WITH-body for the k-means oracles: fixed-point shifted
+    * embeddings (e), seed centroids (c0), and `iters` Lloyd rounds —
     * per round a k×n distance cross join with QUALIFY row_number
     * picking the (dist, cid)-min assignment, then an unnest/re-pack
     * per-dim floor-divide mean. Validated round-for-round against an
     * independent in-python recompute on sf0.01. */
-  private def kmeansOracleSql(iters: Int): String = {
+  private def kmeansCtes(iters: Int): String = {
     val rounds = (1 to iters).map { it =>
       val prev = if (it == 1) "c0" else s"c${it - 1}"
       s"""d$it AS (
@@ -555,15 +592,30 @@ object ScaleOps {
          |  GROUP BY 1, 2),
          |c$it AS (SELECT cid, list(cv ORDER BY dim) AS c FROM u$it GROUP BY cid)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS (
+    s"""e AS (
        |  SELECT vec_id,
        |    list_transform(embedding,
        |      x -> CAST(CAST(round(CAST(x AS DOUBLE), 4) AS DECIMAL(9,4)) * 10000 AS BIGINT) + 10000) AS vm
        |  FROM embeddings),
        |c0 AS (SELECT vec_id AS cid, vm AS c FROM e WHERE vec_id < 4),
-       |$rounds,
+       |$rounds""".stripMargin
+  }
+
+  /** DuckDB oracle for q143: the Lloyd rounds plus the flattened final
+    * centroids with member counts. */
+  private def kmeansOracleSql(iters: Int): String =
+    s"""WITH ${kmeansCtes(iters)},
        |n$iters AS (SELECT cid, count(*)::BIGINT AS n_members FROM a$iters GROUP BY 1)
        |SELECT u$iters.cid, n$iters.n_members, u$iters.dim, u$iters.cv AS cval
        |FROM u$iters JOIN n$iters USING (cid)""".stripMargin
-  }
+
+  /** DuckDB oracle for q144: per-cluster inertia of the final-round
+    * assignment against the UPDATED centroids. */
+  private def kmeansSseOracleSql(iters: Int): String =
+    s"""WITH ${kmeansCtes(iters)}
+       |SELECT a.cid, count(*)::BIGINT AS n_members,
+       |  CAST(sum(list_sum(list_transform(range(1, len(a.vm) + 1),
+       |    i -> (a.vm[i] - c.c[i]) * (a.vm[i] - c.c[i])))) AS BIGINT) AS sse
+       |FROM a$iters a JOIN c$iters c USING (cid)
+       |GROUP BY a.cid""".stripMargin
 }

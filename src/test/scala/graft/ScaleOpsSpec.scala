@@ -147,7 +147,7 @@ class ScaleOpsSpec extends SparkSpec {
   test("new ScaleOps queries are registered with oracles") {
     Seq("q78_topk_bounded_agg", "q79_kmeans_assign", "q80_countmin_sketch",
       "q86_heavy_hitters_mg", "q138_embedding_dim_stats", "q139_gram_topk_pairs",
-      "q143_kmeans_lloyd")
+      "q143_kmeans_lloyd", "q144_cluster_sse")
       .foreach { n =>
         assert(SparkEntry.queries.contains(n), n)
         assert(SparkEntry.oracleSql.contains(n), n)
