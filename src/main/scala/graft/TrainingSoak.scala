@@ -322,8 +322,38 @@ object TrainingSoak {
     val (funnelWideOk, funnelWideSec, funnelWinWideOk, funnelWinWideSec) = funnelStanza(1000000L)
     val (funnelHotOk, funnelHotSec, funnelWinHotOk, funnelWinHotSec) = funnelStanza(100L)
 
+    // ---- vec_sum + gram_upper imperative aggregates (q138/q139/q143
+    // state shape) at n rows, dim 8, closed-form ground truth:
+    // vm[d] = (id % 1000) + d, so with x cycling uniformly over 0..999
+    // (n % 1000 == 0):
+    //   S[d]    = n/1000 * Σx + n*d                    (Σx = 499500)
+    //   G[i][j] = n/1000 * (Σx² + (i+j)Σx + 1000·i·j)  (Σx² = 332833500)
+    // One aggregation pass computes BOTH: per-partition state is one
+    // 8-long and one 28-long array folded in place — the soak proves the
+    // in-place update + element-wise merge exact at 10^8 rows.
+    val (vecaggOk, vecaggSec) = {
+      require(n % 1000 == 0, s"vec/gram soak needs n % 1000 == 0, got $n")
+      graft.plans.GraftFunctions.register(spark)
+      val dim = 8
+      val df = spark.range(n).select(expr(
+        s"transform(sequence(0, ${dim - 1}), d -> id % 1000L + d)").as("vm"))
+      val ((sums, gram), sec) = timed {
+        val r = df.agg(
+          call_function("vec_sum", col("vm")).as("s"),
+          call_function("gram_upper", col("vm")).as("g")).collect()(0)
+        (r.getSeq[Long](0).toSeq, r.getSeq[Long](1).toSeq)
+      }
+      val sx = 499500L; val sx2 = 332833500L; val c = n / 1000L
+      val expectS = (0 until dim).map(d => c * sx + n * d)
+      val expectG = for {
+        i <- 0 until dim; j <- (i + 1) until dim
+      } yield c * (sx2 + (i + j) * sx + 1000L * i * j)
+      (sums == expectS && gram == expectG, sec)
+    }
+
     println(
       s"""{"metric":"training_soak","rows":$n,""" +
+        s""""vecagg_sec":$vecaggSec,"vecagg_ok":$vecaggOk,""" +
         s""""mg_sec":$mgSec,"mg_summary_size":${summary.size},"mg_m":$m,"mg_ok":$mgOk,""" +
         s""""sample_sec":$sampleSec,"sample_ok":$sampleOk,""" +
         s""""vocab_sec":$vocabSec,"vocab_ok":$vocabOk,""" +
@@ -336,6 +366,7 @@ object TrainingSoak {
         s""""funnel_win_hot_sec":$funnelWinHotSec,"funnel_win_hot_ok":$funnelWinHotOk}""")
     spark.stop()
     if (!(mgOk && sampleOk && vocabOk && ivfOk && asofOk && rangeOk &&
-        funnelWideOk && funnelHotOk && funnelWinWideOk && funnelWinHotOk)) sys.exit(1)
+        funnelWideOk && funnelHotOk && funnelWinWideOk && funnelWinHotOk &&
+        vecaggOk)) sys.exit(1)
   }
 }
