@@ -338,6 +338,56 @@ object Dedup {
     },
 
     // ----------------------------------------------------------------
+    q("q145_containment",
+      """ASYMMETRIC near-dup detection: shingle containment
+        ||A∩B| / min(|A|,|B|) over the LSH candidate pairs — the rule
+        |that catches what symmetric Jaccard (q29) structurally misses:
+        |a short document quoted wholesale inside a long one has low
+        |Jaccard (the union is dominated by the long doc) but high
+        |containment, and containment ≥ Jaccard always. This is the
+        |subset/quotation sweep a curation pipeline runs AFTER Jaccard
+        |dedup. Integer permille with floor division so both engines
+        |agree exactly; threshold 300‰. Scale shape identical to q29's
+        |verify stage: candidates come from the LSH band join (never
+        |all pairs), the shingle table is broadcast-semi-filtered down
+        |to candidate docs before the intersection join, and sizes are
+        |per-doc aggregates of the same filtered table.""".stripMargin,
+      s"""WITH cand AS ($candidatesSql),
+        |  sh AS ($shinglesSql),
+        |  sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |  inter AS (
+        |    SELECT c.doc_a, c.doc_b, count(*) AS n_common
+        |    FROM cand c
+        |    JOIN sh sa ON sa.doc_id = c.doc_a
+        |    JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+        |    GROUP BY c.doc_a, c.doc_b)
+        |SELECT i.doc_a, i.doc_b, CAST(i.n_common AS BIGINT) AS n_common,
+        |  CAST((i.n_common * 1000) // least(za.n, zb.n) AS BIGINT) AS containment_pm
+        |FROM inter i
+        |JOIN sizes za ON za.doc_id = i.doc_a
+        |JOIN sizes zb ON zb.doc_id = i.doc_b
+        |WHERE (i.n_common * 1000) // least(za.n, zb.n) >= 300""".stripMargin) { (s, dir) =>
+      val cand = candidates(s, dir)
+      val candDocs = cand.select(col("doc_a").as("doc_id"))
+        .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+      val sh = shingles(s, dir)
+        .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = broadcast(cand)
+        .join(sh.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("n_common"))
+      inter
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+        .withColumn("containment_pm",
+          expr("(n_common * 1000) DIV least(na, nb)"))
+        .filter(col("containment_pm") >= 300)
+        .select(col("doc_a"), col("doc_b"), col("n_common"), col("containment_pm"))
+    },
+
+    // ----------------------------------------------------------------
     q("q95_chunk_dedup",
       """Span-level dedup (the C4 "line dedup" rule, with fixed 8-token
         |chunks standing in for lines since the corpus has no newlines):
