@@ -456,5 +456,41 @@ object EventsOps {
         .groupBy(col("cohort_day"),
           datediff(col("day"), col("cohort_day")).cast("long").as("offset_days"))
         .agg(count(lit(1)).as("n_users"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q146_decayed_engagement",
+      """Exponential time-decay scoring — the recency-weighting
+        |primitive behind freshness-aware sampling and trending-user
+        |selection: each event contributes 2^20 >> age_days (half-life
+        |one day, capped at 20 doublings so the shift is defined), and
+        |users rank by the decayed sum. The weight is an integer BIT
+        |SHIFT, not exp()/pow() — bit-identical cross-engine where
+        |float decay would drift, and monotone in recency exactly like
+        |the real thing. The decay anchor is max(ts) over the data (a
+        |single-row scalar aggregate broadcast back), so the score is a
+        |pure function of the dataset — reproducible on any cluster at
+        |any wall-clock time. Scale shape: anchor = one scalar agg;
+        |weights are scan-side arithmetic; one user-keyed agg with
+        |map-side combine; top-20 via TakeOrdered.""".stripMargin,
+      """WITH a AS (SELECT max(ts) AS mx FROM events),
+        |w AS (
+        |  SELECT user_id,
+        |    1048576 >> CAST(least((epoch_us(a.mx) - epoch_us(ts)) // 86400000000, 20) AS INT) AS wt
+        |  FROM events, a)
+        |SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(wt) AS BIGINT) AS decayed_score
+        |FROM w GROUP BY user_id
+        |ORDER BY decayed_score DESC, user_id LIMIT 20""".stripMargin) { (s, dir) =>
+      val anchor = Tables.events(s, dir).agg(max(col("ts")).as("mx"))
+      Tables.events(s, dir)
+        .crossJoin(broadcast(anchor))
+        .select(col("user_id"), expr(
+          "shiftright(1048576L, CAST(least((unix_micros(mx) - unix_micros(ts)) DIV 86400000000, 20) AS INT))").as("wt"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("wt")).cast("bigint").as("decayed_score"))
+        .orderBy(col("decayed_score").desc, col("user_id"))
+        .limit(20)
     })
 }
