@@ -712,6 +712,54 @@ object TrainingOps {
           (col("k") * 16 + 1).as("start_tok"),
           md5(concat_ws(" ",
             slice(col("w"), (col("k") * 16 + 1).cast("int"), lit(32)))).as("win_hash"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q147_token_apportionment",
+      """Mixture construction by EXACT budget apportionment: split a
+        |100k-token budget across sources proportionally to their
+        |volume using the largest-remainder (Hamilton) method — floor
+        |quotas first, then the leftover units go to the largest
+        |remainders with a deterministic (remainder desc, source) tie
+        |break. The allocations are integers that sum to the budget
+        |EXACTLY (asserted by spec) — what a sampling job actually
+        |needs, where proportional floats never add up. Window-free on
+        |the Spark side: the per-source table collapses to ONE sorted
+        |array row (q82's TakeOrdered/array-math discipline — source
+        |cardinality is small, but the no-partition-less-window rule
+        |holds suite-wide), so ranking is array position; the oracle
+        |uses DuckDB's row_number freely as an independent shape.
+        |Scale: one source-keyed agg with map-side combine, one scalar
+        |total broadcast, arithmetic on a source-cardinality array.""".stripMargin,
+      """WITH s AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS n_tok FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_tok) AS BIGINT) AS total FROM s),
+        |b AS (SELECT source, n_tok, (100000 * n_tok) // total AS base,
+        |        (100000 * n_tok) % total AS rem FROM s, t),
+        |l AS (SELECT 100000 - CAST(sum(base) AS BIGINT) AS leftover FROM b),
+        |r AS (SELECT b.*, row_number() OVER (ORDER BY rem DESC, source) AS rk FROM b)
+        |SELECT source, n_tok,
+        |  CAST(base + CASE WHEN rk <= l.leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        |FROM r, l""".stripMargin) { (s, dir) =>
+      val B = 100000L
+      val src = Tables.documents(s, dir)
+        .groupBy(col("source")).agg(sum(col("n_chars")).as("n_tok"))
+      val tot = src.agg(sum(col("n_tok")).as("total"))
+      val based = src.crossJoin(broadcast(tot)).select(
+        col("source"), col("n_tok"),
+        expr(s"(${B}L * n_tok) DIV total").as("base"),
+        expr(s"(${B}L * n_tok) % total").as("rem"))
+      // one sorted array row: ascending struct order on (-rem, source)
+      // IS (remainder desc, source asc) — rank becomes array position
+      val one = based.agg(
+        sum(col("base")).as("sumbase"),
+        sort_array(collect_list(struct((-col("rem")).as("nr"),
+          col("source").as("source"), col("n_tok").as("n_tok"),
+          col("base").as("base")))).as("xs"))
+      one.select(expr(s"${B}L - sumbase").as("leftover"), posexplode(col("xs")))
+        .select(col("col.source").as("source"), col("col.n_tok").as("n_tok"),
+          (col("col.base") +
+            when(col("pos") < col("leftover"), 1L).otherwise(0L))
+            .cast("bigint").as("alloc"))
     }
   )
 

@@ -65,7 +65,7 @@ class TrainingOpsSpec extends SparkSpec {
       "q84_snapshot_cdc", "q85_equidepth_hist", "q87_keyword_search",
       "q88_negative_sampling", "q129_bpe_train", "q135_bigram_lm_score",
       "q136_bpe_encode", "q137_lang_rebalance", "q140_bpe_vocab_freq",
-      "q141_postings_list", "q142_context_windows").foreach { n =>
+      "q141_postings_list", "q142_context_windows", "q147_token_apportionment").foreach { n =>
       assert(SparkEntry.queries.contains(n), n)
       assert(SparkEntry.oracleSql.contains(n), n)
     }
@@ -154,6 +154,21 @@ class TrainingOpsSpec extends SparkSpec {
     }
     // docs shorter than one window are absent, longer docs overlap 50%
     assert(rows.nonEmpty)
+  }
+
+  test("q147 apportionment: allocations are integers that sum EXACTLY to the budget") {
+    val rows = byName("q147_token_apportionment").run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._3).sum == 100000L)
+    // every source gets at least its floor quota and at most floor+1
+    val total = rows.map(_._2).sum
+    rows.foreach { case (src, nTok, alloc) =>
+      val base = 100000L * nTok / total
+      assert(alloc == base || alloc == base + 1, s"$src: $alloc vs base $base")
+    }
+    // monotone: a strictly larger source never gets a smaller allocation
+    for ((a, b) <- rows.combinations(2).map(c => (c(0), c(1))) if a._2 > b._2)
+      assert(a._3 >= b._3, s"${a._1} (${a._2}) < ${b._1} (${b._2})")
   }
 
   test("q137 rebalance: smallest language keeps everything, others are cut toward it") {
