@@ -388,6 +388,52 @@ object Dedup {
     },
 
     // ----------------------------------------------------------------
+    q("q151_dup_spans",
+      """Exact-substring duplication detection (the Lee et al. 2022
+        |"Deduplicating Training Data" signal, at 12-token granularity):
+        |every SLIDING 12-token span (stride 1 — unlike q95's fixed
+        |non-overlapping chunks, a duplicated passage is caught at ANY
+        |token offset), reported when it recurs across >= 2 distinct
+        |documents, with its occurrence count and first host doc. This
+        |is the detector a curation pipeline runs to find boilerplate
+        |and templated text that survives document-level dedup. Scale
+        |shape: spans hash scan-side (explode the index RANGE, slice +
+        |md5 — the token array is never materialized twice), the only
+        |shuffle keys on the 128-bit span hash with map-side combine,
+        |and output is bounded by the duplicated-span count, not the
+        |corpus. distinct-doc counting rides the same agg (count
+        |distinct over the hash-partitioned groups — exact, no
+        |sketch).""".stripMargin,
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        |x AS (SELECT doc_id, w, greatest(len(w) - 11, 0) AS nw FROM w),
+        |e AS (SELECT doc_id, unnest(range(1, nw + 1)) AS i, w FROM x),
+        |h AS (SELECT doc_id,
+        |        md5(array_to_string(w[i:(i+11)], ' ')) AS span_hash FROM e)
+        |SELECT span_hash, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  count(*) AS n_occurrences, CAST(min(doc_id) AS BIGINT) AS first_doc
+        |FROM h GROUP BY 1
+        |HAVING count(DISTINCT doc_id) >= 2""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          filter(split(col("text"), "\\s+"), x => x =!= "").as("w"))
+        .withColumn("nw", expr("greatest(size(w) - 11, 0)"))
+        .select(col("doc_id"), col("w"),
+          explode(expr(
+            "CASE WHEN nw > 0 THEN sequence(CAST(1 AS BIGINT), nw) ELSE array() END")).as("i"))
+        .select(col("doc_id"),
+          md5(concat_ws(" ",
+            slice(col("w"), col("i").cast("int"), lit(12)))).as("span_hash"))
+        .groupBy(col("span_hash"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occurrences"),
+          min(col("doc_id")).as("first_doc"))
+        .filter(col("n_docs") >= 2)
+    },
+
+    // ----------------------------------------------------------------
     q("q95_chunk_dedup",
       """Span-level dedup (the C4 "line dedup" rule, with fixed 8-token
         |chunks standing in for lines since the corpus has no newlines):

@@ -492,5 +492,136 @@ object EventsOps {
           sum(col("wt")).cast("bigint").as("decayed_score"))
         .orderBy(col("decayed_score").desc, col("user_id"))
         .limit(20)
+    },
+
+    // ----------------------------------------------------------------
+    q("q148_active_streaks",
+      """Gap-and-islands streak detection — the engagement metric q126's
+        |retention matrix can't express: each user's LONGEST run of
+        |consecutive active days (plus total active days). The classic
+        |islands trick makes it one keyed window + two aggs: within a
+        |user, day - row_number(day) is constant exactly along a
+        |consecutive-day run, so grouping on that anchor yields run
+        |lengths with no self-join and no per-day loop. Scale shape:
+        |the distinct (user, day) projection dedupes map-side before
+        |its shuffle (calendar-bounded like q126 — a 1e8-event bot
+        |carries <= 30 day rows); the window is PARTITIONED by user
+        |over those day rows only, never the event history; run
+        |grouping and the final per-user fold are two tiny keyed aggs.
+        |All-integer output, no ties anywhere (days are distinct within
+        |a user), so the result is deterministic cross-engine.""".stripMargin,
+      """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |r AS (SELECT user_id, day,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn FROM d),
+        |g AS (SELECT user_id, day - CAST(rn AS INT) AS grp, count(*) AS len
+        |      FROM r GROUP BY 1, 2)
+        |SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days,
+        |  CAST(max(len) AS BIGINT) AS longest_streak
+        |FROM g GROUP BY 1""".stripMargin) { (s, dir) =>
+      val d = Tables.events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+        .distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      d.withColumn("rn", row_number().over(w))
+        .groupBy(col("user_id"), date_sub(col("day"), col("rn")).as("grp"))
+        .agg(count(lit(1)).as("len"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("len")).cast("long").as("n_active_days"),
+          max(col("len")).cast("long").as("longest_streak"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q149_rolling_anomaly",
+      """Rolling z-score anomaly flag — q113's trailing RANGE frame put
+        |to its monitoring use: an event is anomalous when its value
+        |sits more than 3 standard deviations above/below the user's
+        |own 6-hour trailing mean (with at least 5 frame events, so the
+        |variance is meaningful). The test is INTEGER-EXACT: money
+        |enters as exact cents, and |x - S/n| > 3*sigma is evaluated in
+        |the cleared form (n*x - S)^2 > 9*(n*Q - S^2) over the frame's
+        |count/sum/sum-of-squares — no division, no sqrt, no floats, so
+        |both engines decide every row identically (a float z-score
+        |would flip rows sitting ON the boundary). Bounds: cents <
+        |2^16 and frames are minutes-deep, so every product stays far
+        |under 2^63. Scale shape: ONE keyed window (partition by user,
+        |RANGE frame on epoch micros) computes all three accumulators
+        |in a single streaming pass per partition — state is the frame,
+        |not the history; the flag itself is scan-side arithmetic.""".stripMargin,
+      """WITH c AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS t,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |w AS (
+        |  SELECT event_id, user_id, cents,
+        |    count(*) OVER win AS n,
+        |    CAST(sum(cents) OVER win AS BIGINT) AS s,
+        |    CAST(sum(cents * cents) OVER win AS BIGINT) AS q
+        |  FROM c
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY t
+        |                 RANGE BETWEEN 21600000000 PRECEDING AND CURRENT ROW))
+        |SELECT event_id, user_id, CAST(n AS BIGINT) AS n_frame,
+        |  CAST(n >= 5 AND
+        |       (n * cents - s) * (n * cents - s) > 9 * (n * q - s * s) AS INT) AS anomaly
+        |FROM w""".stripMargin) { (s, dir) =>
+      val e = Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      val win = Window.partitionBy(col("user_id"))
+        .orderBy(epochUs(col("ts")))
+        .rangeBetween(-21600000000L, 0)
+      e.select(col("event_id"), col("user_id"), col("cents"),
+          count(lit(1)).over(win).as("n"),
+          sum(col("cents")).over(win).cast("long").as("s"),
+          sum(col("cents") * col("cents")).over(win).cast("long").as("q"))
+        .select(col("event_id"), col("user_id"),
+          col("n").cast("long").as("n_frame"),
+          ((col("n") >= 5) &&
+            ((col("n") * col("cents") - col("s")) * (col("n") * col("cents") - col("s")) >
+              lit(9L) * (col("n") * col("q") - col("s") * col("s"))))
+            .cast("int").as("anomaly"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q150_markov_transitions",
+      """First-order Markov transition matrix over per-user event
+        |sequences — the behavioral model BEHIND q112's funnels: for
+        |every (prev_type → next_type) pair, the transition count and
+        |its probability given the source state, in integer permille
+        |(floor division — both engines agree exactly where a float
+        |ratio could differ in the last bit). Ordering is total and
+        |deterministic: (epoch micros, event_id) breaks timestamp ties
+        |identically cross-engine. Scale shape: ONE user-keyed window
+        |pass computes every lag (state = one previous row per
+        |partition stream); the transition aggregate collapses the
+        |corpus to |types|² rows with map-side combine; row totals come
+        |from a second tiny agg on those ≤25 rows, joined back as a
+        |BROADCAST — the corpus shuffles once, everything after is
+        |type-cardinality-sized.""".stripMargin,
+      """WITH o AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |                          ORDER BY epoch_us(ts), event_id) AS prev
+        |  FROM events),
+        |t AS (SELECT prev AS prev_type, event_type AS next_type, count(*) AS n
+        |      FROM o WHERE prev IS NOT NULL GROUP BY 1, 2),
+        |s AS (SELECT prev_type, CAST(sum(n) AS BIGINT) AS tot
+        |      FROM t GROUP BY 1)
+        |SELECT t.prev_type, t.next_type, CAST(t.n AS BIGINT) AS n_transitions,
+        |  (1000 * t.n) // s.tot AS permille
+        |FROM t JOIN s USING (prev_type)""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(epochUs(col("ts")), col("event_id"))
+      val t = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+      val tot = t.groupBy(col("prev_type"))
+        .agg(sum(col("n")).cast("long").as("tot"))
+      t.join(broadcast(tot), Seq("prev_type"))
+        .select(col("prev_type"), col("next_type"),
+          col("n").cast("long").as("n_transitions"),
+          expr("(1000 * n) DIV tot").as("permille"))
     })
 }

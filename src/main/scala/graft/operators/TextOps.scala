@@ -248,6 +248,48 @@ object TextOps {
     },
 
     // ----------------------------------------------------------------
+    q("q152_winnowing",
+      """TRUE winnowing fingerprint selection (Schleimer et al. SIGMOD
+        |2003, the MOSS algorithm) — the passage-overlap primitive q98's
+        |per-doc scalars can't provide: character 8-gram rolling hashes
+        |(q98's exact base-131 recurrence), a sliding 16-hash window,
+        |each window's MINIMUM selected; the distinct selections are the
+        |doc's fingerprint set. The guarantee: any shared passage of
+        |>= 23 chars (w + k - 1) between two docs yields a shared
+        |fingerprint, at ~2/(w+1) expected density — overlap detection
+        |becomes a fingerprint equi-join, never a text comparison. Runs
+        |through the NATIVE plans/Winnow expression: one static JVM
+        |kernel call per row inside whole-stage codegen (primitive
+        |arrays, no boxing, eval/codegen share the kernel). Scan-side:
+        |explode of a per-doc bounded array, zero shuffle. The oracle
+        |re-derives every gram hash, window minimum, and the distinct
+        |set in DuckDB list algebra.""".stripMargin,
+      """WITH codes AS (
+        |  SELECT doc_id, list_transform(range(1, length(text) + 1),
+        |    i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)) AS cs
+        |  FROM documents),
+        |g AS (SELECT doc_id, cs, greatest(len(cs) - 7, 0) AS m FROM codes),
+        |h AS (
+        |  SELECT doc_id, m,
+        |    list_transform(range(1, m + 1),
+        |      i -> list_reduce(list_prepend(CAST(0 AS BIGINT), cs[i:i+7]),
+        |        (a, c) -> (a * 131 + c) % 1000000007)) AS hs
+        |  FROM g),
+        |wins AS (
+        |  SELECT doc_id, hs,
+        |    CASE WHEN m <= 0 THEN 0 ELSE greatest(m - 15, 1) END AS nwin
+        |  FROM h)
+        |SELECT doc_id,
+        |  CAST(unnest(list_distinct(list_transform(range(1, nwin + 1),
+        |    j -> list_min(hs[j:j+15])))) AS BIGINT) AS fp
+        |FROM wins""".stripMargin) { (s, dir) =>
+      graft.plans.GraftFunctions.register(s)
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(call_function("winnow_fingerprints", col("text"))).as("fp"))
+    },
+
+    // ----------------------------------------------------------------
     q("q100_bigram_vocab",
       """BPE-style merge-candidate counting — the inner step of
         |tokenizer training: count every adjacent token pair across the

@@ -74,6 +74,13 @@ object GraftFunctions {
         require(children.size == 1,
           s"vec_sum expects exactly 1 argument, got ${children.size}")
         VecSum(children.head)
+      }),
+    (FunctionIdentifier("winnow_fingerprints"),
+      new ExpressionInfo(classOf[Winnow].getName, "winnow_fingerprints"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1,
+          s"winnow_fingerprints expects exactly 1 argument, got ${children.size}")
+        Winnow(children.head)
       }))
 
   /** Idempotent in-session registration. */

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Brute-force reference checks for the events analytics tier's
+  * window-based operators (q148 streaks, q149 rolling anomaly): the
+  * distributed islands/frame arithmetic must equal a driver-side
+  * recomputation from first principles on the same data.
+  */
+class EventsAnalyticsSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private def byName(n: String) = SparkEntry.all.find(_.name == n).get
+
+  test("q148 streaks equal a driver-side consecutive-run scan per user") {
+    val days = Tables.events(spark, sfDir)
+      .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      .collect().map(r => r.getLong(0) -> r.getDate(1).toLocalDate.toEpochDay)
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toVector).toMap
+
+    val expected = days.map { case (u, ds) =>
+      // longest run of consecutive epoch-days in the sorted distinct list
+      val longest = ds.foldLeft((0L, 0L, Long.MinValue)) {
+        case ((best, cur, prev), d) =>
+          val run = if (d == prev + 1) cur + 1 else 1L
+          (math.max(best, run), run, d)
+      }._1
+      u -> (ds.size.toLong, longest)
+    }
+
+    val got = byName("q148_active_streaks").run(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == expected, "streaks diverge from brute force")
+    // sanity: at least one user has a streak > 1 at this SF, so the
+    // islands grouping is actually exercised
+    assert(got.values.exists(_._2 > 1), "no multi-day streak in fixture")
+  }
+
+  test("q149 anomaly flags equal a brute-force trailing-frame recompute") {
+    val evs = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("t"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+
+    val byUser = evs.groupBy(_._2)
+    val expected = evs.map { case (id, u, t, x) =>
+      // RANGE frame semantics: every row of the same user with
+      // t' in [t - 6h, t] is in the frame (peers at equal t included)
+      val frame = byUser(u).filter(e => e._3 >= t - 21600000000L && e._3 <= t)
+      val n = frame.size.toLong
+      val s = frame.map(_._4).sum
+      val q = frame.map(e => e._4 * e._4).sum
+      val flag = n >= 5 && (n * x - s) * (n * x - s) > 9 * (n * q - s * s)
+      id -> (n, if (flag) 1 else 0)
+    }.toMap
+
+    val got = byName("q149_rolling_anomaly").run(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getInt(3))).toMap
+    assert(got == expected, "anomaly flags diverge from brute force")
+  }
+
+  test("q150 transition matrix equals a driver-side sequence recompute") {
+    val evs = Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("t"),
+        col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+
+    val trans = evs.groupBy(_._1).values.flatMap { seq =>
+      val ordered = seq.sortBy(e => (e._2, e._3)).map(_._4)
+      ordered.zip(ordered.drop(1))
+    }.toSeq
+    val counts = trans.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val totals = counts.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val expected = counts.map { case ((p, nx), n) =>
+      (p, nx) -> (n, 1000L * n / totals(p))
+    }
+
+    val got = byName("q150_markov_transitions").run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got == expected, "transitions diverge from brute force")
+    // permilles per source state sum to ~1000 (floor-division slack < |types|)
+    got.groupBy(_._1._1).foreach { case (p, m) =>
+      val s = m.values.map(_._2).sum
+      assert(s > 1000 - m.size && s <= 1000, s"permille sum $s for $p")
+    }
+  }
+
+  test("events analytics queries are registered with oracles") {
+    Seq("q148_active_streaks", "q149_rolling_anomaly",
+      "q150_markov_transitions").foreach { n =>
+      assert(SparkEntry.queries.contains(n), n)
+      assert(SparkEntry.oracleSql.contains(n), n)
+    }
+  }
+}

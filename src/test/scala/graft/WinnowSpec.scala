@@ -1,0 +1,103 @@
+package graft
+
+import graft.plans.{RollingHashConsts, Winnow, WinnowConsts}
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** The winnowing kernel (plans/Winnow, q152) against an independent
+  * reference implementation, its published guarantee, and the
+  * sliding-span duplication detector (q151) against brute force.
+  */
+class WinnowSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private def byName(n: String) = SparkEntry.all.find(_.name == n).get
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  /** Straightforward reference: gram hashes via functional fold,
+    * window minima via sliding, distinct+sorted via stdlib. */
+  private def reference(s: String): Seq[Long] = {
+    import RollingHashConsts.{Base, Mod}
+    import WinnowConsts.{K, W}
+    val cps = s.codePoints().toArray.toSeq
+    val grams = cps.sliding(K).filter(_.size == K).toVector
+    if (grams.isEmpty) Seq.empty
+    else {
+      val hs = grams.map(_.foldLeft(0L)((a, c) => (a * Base + c) % Mod))
+      val wins =
+        if (hs.size <= W) Vector(hs) else hs.sliding(W).toVector
+      wins.map(_.min).distinct.sorted
+    }
+  }
+
+  private def kernel(s: String): Seq[Long] =
+    Winnow.compute(s).toLongArray().toSeq
+
+  test("kernel equals the reference on random strings (incl. short, empty, unicode)") {
+    val genChar = Gen.frequency(
+      (8, Gen.alphaNumChar), (2, Gen.const(' ')), (1, Gen.const('é')),
+      (1, Gen.const('中')))
+    val genStr = Gen.chooseNum(0, 120).flatMap(n => Gen.stringOfN(n, genChar))
+    check(Prop.forAll(genStr) { s => kernel(s) == reference(s) })
+  }
+
+  test("winnowing guarantee: a shared passage of w+k-1 chars yields a shared fingerprint") {
+    import WinnowConsts.{K, W}
+    val genStr = Gen.chooseNum(0, 80).flatMap(n => Gen.stringOfN(n, Gen.alphaNumChar))
+    val genShared = Gen.stringOfN(W + K - 1, Gen.alphaNumChar)
+    check(Prop.forAll(genStr, genStr, genStr, genStr, genShared) {
+      (a1, a2, b1, b2, sharedS) =>
+        val fa = kernel(a1 + sharedS + a2).toSet
+        val fb = kernel(b1 + sharedS + b2).toSet
+        fa.intersect(fb).nonEmpty
+    })
+  }
+
+  test("q152 through the DataFrame (codegen path) equals the kernel per doc") {
+    val texts = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = byName("q152_winnowing").run(spark, sfDir).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).sorted.toSeq).toMap
+    val expected = texts.view.mapValues(t => reference(t)).filter(_._2.nonEmpty).toMap
+    assert(got == expected.toMap, "codegen winnowing diverges from kernel reference")
+    // density sanity: selection is a genuine subsample of the gram space
+    val doc = texts.maxBy(_._2.length)
+    assert(kernel(doc._2).size < doc._2.length - WinnowConsts.K + 1)
+  }
+
+  test("q151 duplicated spans equal a brute-force token-window recompute") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+
+    val spans = docs.flatMap { case (id, t) =>
+      val w = t.split("\\s+").filter(_.nonEmpty)
+      w.sliding(12).filter(_.length == 12).map(s => id -> s.mkString(" "))
+    }
+    val expected = spans.groupBy(_._2).collect {
+      case (_, occ) if occ.map(_._1).distinct.size >= 2 =>
+        val ids = occ.map(_._1)
+        (occ.head._2.hashCode, ids.distinct.size.toLong, occ.size.toLong, ids.min)
+    }
+    // compare on (n_docs, n_occurrences, first_doc) multisets — the md5
+    // span key is content-addressed, so multiset equality + count match
+    // pins the same groups without recomputing md5 here
+    val got = byName("q151_dup_spans").run(spark, sfDir).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == expected.size, s"${got.length} vs ${expected.size} groups")
+    assert(got.map(t => (t._1, t._2, t._3)).sorted.toSeq ==
+      expected.map(t => (t._2, t._3, t._4)).toSeq.sorted, "span group stats diverge")
+  }
+
+  test("winnow/span queries are registered with oracles") {
+    Seq("q151_dup_spans", "q152_winnowing").foreach { n =>
+      assert(SparkEntry.queries.contains(n), n)
+      assert(SparkEntry.oracleSql.contains(n), n)
+    }
+  }
+}
