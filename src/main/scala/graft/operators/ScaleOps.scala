@@ -28,6 +28,15 @@ object ScaleOps {
   private def quant(c: String): String =
     s"transform($c, x -> CAST(round(CAST(x AS DOUBLE), 4) AS DECIMAL(9,4)))"
 
+  /** q153's LinearCounting table: ln(64/V) for V = 1..64 in integer
+    * micro-nats — computed ONCE here and interpolated into both the
+    * Spark program and the DuckDB oracle, so the small-range
+    * correction divides the same constants on both engines. (Declared
+    * before `defs`: object vals initialize in order, and the oracle
+    * string interpolates this eagerly.) */
+  private val hllLnMicro: IndexedSeq[Long] =
+    (1 to 64).map(v => math.round(math.log(64.0 / v) * 1e6))
+
   // Accumulator is DECIMAL(30,8), NOT (38,8): Spark types acc+v at
   // precision 39 when acc is (38,8), which exceeds 38 and silently
   // ROUNDS each accumulation step to scale 7 (allowPrecisionLoss) —
@@ -538,6 +547,90 @@ object ScaleOps {
         .groupBy(col("cid"))
         .agg(count(lit(1)).as("n_members"),
           sum(col("d2")).cast("bigint").as("sse"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q153_hll_cardinality",
+      """HyperLogLog cardinality sketch (Flajolet et al. 2007) built as
+        |a relational program — the third mergeable summary beside q80's
+        |count-min and q86's Misra-Gries, and the one behind every
+        |distributed COUNT(DISTINCT) estimator: 64 registers, each the
+        |MAX leading-zero rank seen among hashes routed to it, plus the
+        |harmonic-mean estimate and the exact count beside it so the
+        |sketch error is visible in the result. max() is algebraic, so
+        |partial registers combine map-side and any partition merge IS
+        |the HLL union — the whole sketch shuffles 64 rows no matter
+        |the corpus size. Everything is integer-exact cross-engine:
+        |rank = 25 - bitlength(h DIV 64) via bin(), the estimate's
+        |denominator is a sum of bit shifts, and alpha_64 = 0.709 enters
+        |as the rational 709/1000 under floor division. The published
+        |small-range correction is included: when the raw estimate is
+        |<= 2.5m and empty registers remain, LinearCounting
+        |m·ln(m/V) takes over — its ln() enters BOTH engines as the
+        |same 64-entry micro-nat integer table (built once JVM-side,
+        |interpolated into both programs), so even the correction is
+        |floor-division-exact cross-engine. The hash reuses q98's
+        |base-131 fold over the zero-padded key, then ONE modular
+        |squaring pass (h² + h mod p): a polynomial hash of sequential
+        |keys never wraps the modulus, so its high bits don't avalanche
+        |— squaring multiplies the band's width by ~2h/p ring turns and
+        |restores uniformity (estimate 1468 vs 1500 exact at sf0.1;
+        |unmixed it read 90).""".stripMargin,
+      s"""WITH h0 AS (
+        |  SELECT list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(1, 13),
+        |      i -> CAST(ascii(substr(lpad(CAST(user_id AS VARCHAR), 12, '0'), i, 1)) AS BIGINT))),
+        |    (a, c) -> (a * 131 + c) % 1000000007) AS h
+        |  FROM events),
+        |hm AS (SELECT (h * h + h) % 1000000007 AS h FROM h0),
+        |r AS (SELECT h % 64 AS reg, h // 64 AS rest FROM hm),
+        |m AS (SELECT reg, max(CASE WHEN rest = 0 THEN 25
+        |                          ELSE 25 - length(bin(rest)) END) AS rho
+        |      FROM r GROUP BY 1),
+        |f AS (SELECT CAST(g.reg AS BIGINT) AS reg,
+        |             CAST(coalesce(m.rho, 0) AS BIGINT) AS rho
+        |      FROM (SELECT unnest(range(0, 64)) AS reg) g
+        |      LEFT JOIN m ON m.reg = g.reg),
+        |z AS (SELECT CAST(sum(1::BIGINT << CAST(25 - rho AS INT)) AS BIGINT) AS sumpow,
+        |             CAST(sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT) AS vzero
+        |      FROM f),
+        |e AS (SELECT CASE WHEN (CAST(709 AS BIGINT) * 4096 * 33554432) // (1000 * sumpow) <= 160
+        |                       AND vzero > 0
+        |             THEN (64 * CAST([${hllLnMicro.mkString(",")}][CAST(vzero AS INT)] AS BIGINT)) // 1000000
+        |             ELSE (CAST(709 AS BIGINT) * 4096 * 33554432) // (1000 * sumpow) END AS est
+        |      FROM z),
+        |x AS (SELECT count(DISTINCT user_id) AS n_exact FROM events)
+        |SELECT f.reg, f.rho, e.est AS hll_estimate,
+        |  CAST(x.n_exact AS BIGINT) AS n_exact
+        |FROM f, e, x""".stripMargin) { (s, dir) =>
+      graft.plans.GraftFunctions.register(s)
+      val hm = Tables.events(s, dir)
+        .select(call_function("rolling_hash",
+          lpad(col("user_id").cast("string"), 12, "0")).as("h0"))
+        .select(expr("(h0 * h0 + h0) % 1000000007").as("h"))
+      val m = hm
+        .select((col("h") % 64).as("reg"), expr("h DIV 64").as("rest"))
+        .groupBy(col("reg"))
+        .agg(max(expr(
+          "CASE WHEN rest = 0 THEN 25L ELSE CAST(25 - length(bin(rest)) AS BIGINT) END")).as("rho"))
+      val f = s.range(64).select(col("id").as("reg"))
+        .join(m, Seq("reg"), "left")
+        .select(col("reg"), coalesce(col("rho"), lit(0L)).as("rho"))
+      val z = f.agg(
+        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(25 - rho AS INT))")).cast("long").as("sumpow"),
+        sum(when(col("rho") === 0, 1L).otherwise(0L)).cast("long").as("vzero"))
+      val x = Tables.events(s, dir)
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      f.crossJoin(broadcast(z)).crossJoin(broadcast(x))
+        .select(col("reg"), col("rho"),
+          expr(
+            s"""CASE WHEN (CAST(709 AS BIGINT) * 4096 * 33554432) DIV (1000 * sumpow) <= 160
+               |          AND vzero > 0
+               |     THEN (64 * CAST(element_at(array(${hllLnMicro.mkString(",")}),
+               |                     CAST(vzero AS INT)) AS BIGINT)) DIV 1000000
+               |     ELSE (CAST(709 AS BIGINT) * 4096 * 33554432) DIV (1000 * sumpow)
+               |END""".stripMargin).as("hll_estimate"),
+          col("n_exact").cast("long").as("n_exact"))
     }
   )
 

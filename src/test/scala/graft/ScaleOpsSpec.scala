@@ -147,7 +147,7 @@ class ScaleOpsSpec extends SparkSpec {
   test("new ScaleOps queries are registered with oracles") {
     Seq("q78_topk_bounded_agg", "q79_kmeans_assign", "q80_countmin_sketch",
       "q86_heavy_hitters_mg", "q138_embedding_dim_stats", "q139_gram_topk_pairs",
-      "q143_kmeans_lloyd", "q144_cluster_sse")
+      "q143_kmeans_lloyd", "q144_cluster_sse", "q153_hll_cardinality")
       .foreach { n =>
         assert(SparkEntry.queries.contains(n), n)
         assert(SparkEntry.oracleSql.contains(n), n)
@@ -186,5 +186,25 @@ class ScaleOpsSpec extends SparkSpec {
           BigDecimal.RoundingMode.HALF_UP).toDouble * 10000).toLong))
     val (ti, tj, tg) = rows.head
     assert(vecs.map(v => v(ti.toInt) * v(tj.toInt)).sum == tg)
+  }
+
+  test("q153 HLL: 64 registers, partitioning-invariant, estimate within 2x of exact") {
+    val d = byName("q153_hll_cardinality")
+    def run(parts: String) = withSQLConf("spark.sql.shuffle.partitions" -> parts) {
+      d.run(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted.toSeq
+    }
+    val a = run("1")
+    val b = run("7")
+    // max is algebraic: any partition merge yields the same registers —
+    // the HLL union property, proven under two different shuffle shapes
+    assert(a == b, "registers depend on partitioning")
+    assert(a.map(_._1) == (0L until 64L), "register ids must cover 0..63")
+    a.foreach { case (reg, rho, _, _) =>
+      assert(rho >= 0 && rho <= 25, s"rho $rho out of range at reg $reg")
+    }
+    val (_, _, est, exact) = a.head
+    assert(est >= exact / 2 && est <= exact * 2,
+      s"HLL estimate $est not within 2x of exact $exact (m=64 expects ~13% error)")
   }
 }
