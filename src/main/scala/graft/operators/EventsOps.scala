@@ -532,21 +532,28 @@ object EventsOps {
 
     // ----------------------------------------------------------------
     q("q149_rolling_anomaly",
-      """Rolling z-score anomaly flag — q113's trailing RANGE frame put
-        |to its monitoring use: an event is anomalous when its value
-        |sits more than 3 standard deviations above/below the user's
-        |own 6-hour trailing mean (with at least 5 frame events, so the
-        |variance is meaningful). The test is INTEGER-EXACT: money
-        |enters as exact cents, and |x - S/n| > 3*sigma is evaluated in
-        |the cleared form (n*x - S)^2 > 9*(n*Q - S^2) over the frame's
-        |count/sum/sum-of-squares — no division, no sqrt, no floats, so
-        |both engines decide every row identically (a float z-score
-        |would flip rows sitting ON the boundary). Bounds: cents <
-        |2^16 and frames are minutes-deep, so every product stays far
-        |under 2^63. Scale shape: ONE keyed window (partition by user,
-        |RANGE frame on epoch micros) computes all three accumulators
-        |in a single streaming pass per partition — state is the frame,
-        |not the history; the flag itself is scan-side arithmetic.""".stripMargin,
+      """Rolling z-score anomaly detection — q113's trailing RANGE frame
+        |put to its monitoring use: an event is anomalous when its value
+        |sits more than 3 standard deviations from the mean of the
+        |user's own PRIOR 6 hours (the frame EXCLUDES the event and its
+        |timestamp peers — a spike must not get to dilute the variance
+        |it is judged against; self-inclusive frames cap the reachable
+        |z at sqrt(n-1), which is why monitoring systems baseline on
+        |history), with at least 5 prior events so the variance is
+        |meaningful. The test is INTEGER-EXACT: money enters as exact
+        |cents, and |x - S/n| > 3*sigma is evaluated in the cleared
+        |form dev2 = (n*x - S)^2 vs thr = 9*(n*Q - S^2) — no division,
+        |no sqrt, no floats, so both engines decide every row
+        |identically, and BOTH sides of the comparison are emitted at
+        |full resolution (the hash gate then verifies the frame
+        |arithmetic on every row, not just the rare flag). Bounds:
+        |cents < 2^16 and frames are minutes-deep, so every product
+        |stays far under 2^63. Scale shape: ONE keyed window (partition
+        |by user, RANGE frame on epoch micros) computes all three
+        |accumulators in a single streaming pass per partition — state
+        |is the frame, not the history; the verdict is scan-side
+        |arithmetic. streaming/StreamAnomaly is the streaming twin with
+        |a stream ≡ batch proof over this exact function.""".stripMargin,
       """WITH c AS (
         |  SELECT event_id, user_id, epoch_us(ts) AS t,
         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
@@ -554,31 +561,18 @@ object EventsOps {
         |w AS (
         |  SELECT event_id, user_id, cents,
         |    count(*) OVER win AS n,
-        |    CAST(sum(cents) OVER win AS BIGINT) AS s,
-        |    CAST(sum(cents * cents) OVER win AS BIGINT) AS q
+        |    CAST(coalesce(sum(cents) OVER win, 0) AS BIGINT) AS s,
+        |    CAST(coalesce(sum(cents * cents) OVER win, 0) AS BIGINT) AS q
         |  FROM c
         |  WINDOW win AS (PARTITION BY user_id ORDER BY t
-        |                 RANGE BETWEEN 21600000000 PRECEDING AND CURRENT ROW))
+        |                 RANGE BETWEEN 21600000000 PRECEDING AND 1 PRECEDING))
         |SELECT event_id, user_id, CAST(n AS BIGINT) AS n_frame,
+        |  (n * cents - s) * (n * cents - s) AS dev2,
+        |  9 * (n * q - s * s) AS thr,
         |  CAST(n >= 5 AND
         |       (n * cents - s) * (n * cents - s) > 9 * (n * q - s * s) AS INT) AS anomaly
         |FROM w""".stripMargin) { (s, dir) =>
-      val e = Tables.events(s, dir)
-        .select(col("event_id"), col("user_id"), col("ts"),
-          (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
-      val win = Window.partitionBy(col("user_id"))
-        .orderBy(epochUs(col("ts")))
-        .rangeBetween(-21600000000L, 0)
-      e.select(col("event_id"), col("user_id"), col("cents"),
-          count(lit(1)).over(win).as("n"),
-          sum(col("cents")).over(win).cast("long").as("s"),
-          sum(col("cents") * col("cents")).over(win).cast("long").as("q"))
-        .select(col("event_id"), col("user_id"),
-          col("n").cast("long").as("n_frame"),
-          ((col("n") >= 5) &&
-            ((col("n") * col("cents") - col("s")) * (col("n") * col("cents") - col("s")) >
-              lit(9L) * (col("n") * col("q") - col("s") * col("s"))))
-            .cast("int").as("anomaly"))
+      rollingAnomaly(Tables.events(s, dir))
     },
 
     // ----------------------------------------------------------------
@@ -624,4 +618,29 @@ object EventsOps {
           col("n").cast("long").as("n_transitions"),
           expr("(1000 * n) DIV tot").as("permille"))
     })
+
+  /** q149's kernel, shared with the streaming twin's stream ≡ batch
+    * proof (StreamAnomalySpec) and the spike-fixture spec: per event,
+    * the count/sum/sum-of-squares of the user's PRIOR 6-hour frame
+    * (exclusive of the event and its timestamp peers) and the cleared
+    * integer z-test dev2 = (n·x−S)² vs thr = 9(n·Q−S²). Input needs
+    * (event_id, user_id, ts, value). */
+  def rollingAnomaly(events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val e = events
+      .select(col("event_id"), col("user_id"), col("ts"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    val win = Window.partitionBy(col("user_id"))
+      .orderBy(epochUs(col("ts")))
+      .rangeBetween(-21600000000L, -1)
+    val dev2 = (col("n") * col("cents") - col("s")) * (col("n") * col("cents") - col("s"))
+    val thr = lit(9L) * (col("n") * col("q") - col("s") * col("s"))
+    e.select(col("event_id"), col("user_id"), col("cents"),
+        count(lit(1)).over(win).as("n"),
+        coalesce(sum(col("cents")).over(win), lit(0L)).cast("long").as("s"),
+        coalesce(sum(col("cents") * col("cents")).over(win), lit(0L)).cast("long").as("q"))
+      .select(col("event_id"), col("user_id"),
+        col("n").cast("long").as("n_frame"),
+        dev2.as("dev2"), thr.as("thr"),
+        ((col("n") >= 5) && (dev2 > thr)).cast("int").as("anomaly"))
+  }
 }

@@ -45,19 +45,21 @@ class EventsAnalyticsSpec extends SparkSpec {
 
     val byUser = evs.groupBy(_._2)
     val expected = evs.map { case (id, u, t, x) =>
-      // RANGE frame semantics: every row of the same user with
-      // t' in [t - 6h, t] is in the frame (peers at equal t included)
-      val frame = byUser(u).filter(e => e._3 >= t - 21600000000L && e._3 <= t)
+      // exclusive RANGE frame: strictly-earlier rows of the same user
+      // within 6h — the event and its timestamp peers are NOT in it
+      val frame = byUser(u).filter(e => e._3 >= t - 21600000000L && e._3 < t)
       val n = frame.size.toLong
       val s = frame.map(_._4).sum
       val q = frame.map(e => e._4 * e._4).sum
-      val flag = n >= 5 && (n * x - s) * (n * x - s) > 9 * (n * q - s * s)
-      id -> (n, if (flag) 1 else 0)
+      val dev2 = (n * x - s) * (n * x - s)
+      val thr = 9 * (n * q - s * s)
+      id -> ((n, dev2, thr, if (n >= 5 && dev2 > thr) 1 else 0))
     }.toMap
 
     val got = byName("q149_rolling_anomaly").run(spark, sfDir).collect()
-      .map(r => r.getLong(0) -> (r.getLong(2), r.getInt(3))).toMap
-    assert(got == expected, "anomaly flags diverge from brute force")
+      .map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getInt(5)))).toMap
+    assert(got == expected, "anomaly frame arithmetic diverges from brute force")
   }
 
   test("q150 transition matrix equals a driver-side sequence recompute") {
