@@ -631,6 +631,61 @@ object ScaleOps {
                |     ELSE (CAST(709 AS BIGINT) * 4096 * 33554432) DIV (1000 * sumpow)
                |END""".stripMargin).as("hll_estimate"),
           col("n_exact").cast("long").as("n_exact"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q154_dim_quantiles",
+      """EXACT per-dimension median and p90 over the embedding corpus —
+        |the robust-scaling companion to q138's moments (median/IQR
+        |normalization shrugs off the outliers that wreck mean/std).
+        |The algorithm is histogram INVERSION, the bounded-precision
+        |exact-quantile method that scales where per-group sorting
+        |dies: values are already 1e-4 fixed-point (q93/q138 contract),
+        |so each dimension's distribution collapses map-side to at most
+        ||value domain| (dim, value, count) rows — the corpus never
+        |crosses the wire, only its histogram does. The cumulative
+        |count runs in a dim-keyed window over that BOUNDED histogram
+        |(~20k rows per dim at ANY corpus size — the window's input is
+        |value-cardinality-, not row-count-, sized), and rank k =
+        |(n+1) DIV 2 / ceil(0.9n) selects the covering value exactly:
+        |the k-th order statistic, no interpolation, no floats, no
+        |sampling error. Output is dim-bounded (64 rows).""".stripMargin,
+      """WITH e AS (
+        |  SELECT list_transform(embedding,
+        |    x -> CAST(CAST(round(CAST(x AS DOUBLE), 4) AS DECIMAL(9,4))
+        |              * 10000 AS BIGINT)) AS vm
+        |  FROM embeddings),
+        |d AS (SELECT unnest(range(0, len(vm))) AS dim, unnest(vm) AS v FROM e),
+        |h AS (SELECT dim, v, count(*)::BIGINT AS c FROM d GROUP BY 1, 2),
+        |t AS (SELECT dim, CAST(sum(c) AS BIGINT) AS n FROM h GROUP BY 1),
+        |cw AS (SELECT h.dim, h.v, h.c, t.n,
+        |         CAST(sum(h.c) OVER (PARTITION BY h.dim ORDER BY h.v) AS BIGINT) AS cum
+        |       FROM h JOIN t USING (dim))
+        |SELECT m.dim, m.n, m.v AS median_fp, p.v AS p90_fp
+        |FROM (SELECT dim, n, v FROM cw
+        |      WHERE cum >= (n + 1) // 2 AND cum - c < (n + 1) // 2) m
+        |JOIN (SELECT dim, v FROM cw
+        |      WHERE cum >= (9 * n + 9) // 10 AND cum - c < (9 * n + 9) // 10) p
+        |USING (dim)""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val hist = Tables.embeddings(s, dir)
+        .withColumn("vm", expr(
+          s"transform(${quant("embedding")}, x -> CAST(x * 10000 AS BIGINT))"))
+        .select(posexplode(col("vm")).as(Seq("dim", "v")))
+        .groupBy(col("dim").cast("bigint").as("dim"), col("v"))
+        .agg(count(lit(1)).as("c"))
+      val tot = hist.groupBy(col("dim")).agg(sum(col("c")).cast("long").as("n"))
+      val cum = hist
+        .withColumn("cum",
+          sum(col("c")).over(Window.partitionBy(col("dim")).orderBy(col("v")))
+            .cast("long"))
+        .join(broadcast(tot), Seq("dim"))
+      def pick(k: org.apache.spark.sql.Column) =
+        cum.filter(col("cum") >= k && col("cum") - col("c") < k)
+      pick(expr("(n + 1) DIV 2"))
+        .select(col("dim"), col("n"), col("v").as("median_fp"))
+        .join(pick(expr("(9 * n + 9) DIV 10"))
+          .select(col("dim"), col("v").as("p90_fp")), Seq("dim"))
     }
   )
 

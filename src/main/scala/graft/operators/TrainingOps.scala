@@ -760,6 +760,46 @@ object TrainingOps {
           (col("col.base") +
             when(col("pos") < col("leftover"), 1L).otherwise(0L))
             .cast("bigint").as("alloc"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q155_priority_sampling",
+      """Deterministic WEIGHTED sampling by priority (the Duffield/
+        |Lund/Thorup priority-sampling scheme): each document draws
+        |priority = weight / u for a per-item uniform u, and the top-k
+        |priorities are a weighted sample without replacement — heavier
+        |documents proportionally likelier, every item still possible.
+        |Here u comes from the q153 hash recipe (base-131 fold over the
+        |zero-padded key + one modular-squaring avalanche pass), so the
+        |sample is a PURE FUNCTION of the data: the same 25 documents
+        |on any cluster, any partitioning, any run — the
+        |reproducibility/auditability property q81's stratified gate
+        |established, extended to continuous weights. The ratio is
+        |integer fixed-point ((w * 1e9) DIV (mix(h) + 1)), so ranking
+        |is floor-division-exact cross-engine. Scale shape: priorities
+        |are scan-side arithmetic; top-25 by (priority, doc_id) runs as
+        |TakeOrdered — no global sort, no shuffle of the corpus.""".stripMargin,
+      """WITH h AS (
+        |  SELECT doc_id, source, n_chars,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, 13),
+        |        i -> CAST(ascii(substr(lpad(CAST(doc_id AS VARCHAR), 12, '0'), i, 1)) AS BIGINT))),
+        |      (a, c) -> (a * 131 + c) % 1000000007) AS h0
+        |  FROM documents)
+        |SELECT doc_id, source, n_chars,
+        |  (n_chars * CAST(1000000000 AS BIGINT)) // ((h0 * h0 + h0) % 1000000007 + 1) AS priority
+        |FROM h
+        |ORDER BY priority DESC, doc_id LIMIT 25""".stripMargin) { (s, dir) =>
+      graft.plans.GraftFunctions.register(s)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          call_function("rolling_hash",
+            lpad(col("doc_id").cast("string"), 12, "0")).as("h0"))
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          expr("(n_chars * CAST(1000000000 AS BIGINT)) DIV ((h0 * h0 + h0) % 1000000007 + 1)")
+            .as("priority"))
+        .orderBy(col("priority").desc, col("doc_id"))
+        .limit(25)
     }
   )
 

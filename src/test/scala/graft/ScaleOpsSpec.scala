@@ -207,4 +207,23 @@ class ScaleOpsSpec extends SparkSpec {
     assert(est >= exact / 2 && est <= exact * 2,
       s"HLL estimate $est not within 2x of exact $exact (m=64 expects ~13% error)")
   }
+
+  test("q154 medians/p90s equal the sorted order statistics per dimension") {
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(v =>
+        math.round(BigDecimal(v.toDouble).setScale(4,
+          BigDecimal.RoundingMode.HALF_UP).toDouble * 10000).toLong))
+    val dims = vecs.head.length
+    val got = byName("q154_dim_quantiles").run(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.size == dims)
+    for (d <- 0 until dims) {
+      val sorted = vecs.map(_(d)).sorted
+      val n = sorted.length
+      val median = sorted((n + 1) / 2 - 1) // k-th order stat, 1-based k=(n+1)/2
+      val p90 = sorted((9 * n + 9) / 10 - 1)
+      assert(got(d.toLong) == ((n.toLong, median, p90)), s"dim $d")
+    }
+  }
 }

@@ -7,6 +7,25 @@ class TrainingOpsSpec extends SparkSpec {
   private val sfDir = "/root/testdata/sf0.001"
   private def byName(n: String) = SparkEntry.all.find(_.name == n).get
 
+  test("q155 priority sample is partitioning-invariant and weight-tilted") {
+    val d = byName("q155_priority_sampling")
+    val a = withSQLConf("spark.sql.shuffle.partitions" -> "1") {
+      d.run(spark, sfDir).collect().map(_.getLong(0)).toSeq
+    }
+    val b = withSQLConf("spark.sql.shuffle.partitions" -> "7") {
+      d.run(spark, sfDir).collect().map(_.getLong(0)).toSeq
+    }
+    assert(a == b && a.size == 25, "sample must be a pure function of the data")
+    // weighted-by-length: the sample's mean doc length beats the corpus mean
+    val lens = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sampleMean = a.map(lens).sum.toDouble / a.size
+    val corpusMean = lens.values.sum.toDouble / lens.size
+    assert(sampleMean > corpusMean,
+      s"priority sample mean $sampleMean should exceed corpus mean $corpusMean")
+  }
+
   test("q81 sample is identical under different partitionings (the anti-rand claim)") {
     val d = byName("q81_stratified_sample")
     val a = withSQLConf("spark.sql.shuffle.partitions" -> "1") {
