@@ -617,6 +617,49 @@ object EventsOps {
         .select(col("prev_type"), col("next_type"),
           col("n").cast("long").as("n_transitions"),
           expr("(1000 * n) DIV tot").as("permille"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q157_gini_concentration",
+      """Gini coefficient of event spend — the inequality/concentration
+        |metric behind whale detection and revenue-risk reporting,
+        |computed EXACTLY from the rank formulation
+        |G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx) over the ascending total
+        |order (cents, event_id). The global rank comes from
+        |operators/DistributedRank (range shuffle + parallel local
+        |sorts + broadcast partition offsets) — the suite's standing
+        |answer to "global order without a partition-less window"; the
+        |rank-weighted sum then folds in ONE aggregate with
+        |DECIMAL(38,0) accumulation (rank × cents reaches ~1e19 at
+        |1e9 rows — past int64, inside decimal — and decimal sums are
+        |order-independent, so the result is bit-identical under any
+        |partitioning). Output: one row, Gini in integer permille by
+        |floor division, plus n and total cents.""".stripMargin,
+      """WITH c AS (
+        |  SELECT event_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |r AS (SELECT cents,
+        |        row_number() OVER (ORDER BY cents, event_id) AS rk FROM c),
+        |a AS (SELECT count(*)::BIGINT AS n,
+        |        CAST(sum(cents) AS BIGINT) AS total_cents,
+        |        sum(CAST(rk AS HUGEINT) * cents) AS sxr FROM r)
+        |SELECT n, total_cents,
+        |  CAST((1000 * (2 * sxr - (CAST(n AS HUGEINT) + 1) * total_cents))
+        |       // (CAST(n AS HUGEINT) * total_cents) AS BIGINT) AS gini_permille
+        |FROM a""".stripMargin) { (s, dir) =>
+      val c = Tables.events(s, dir)
+        .select(col("event_id"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      DistributedRank.withGlobalRank(c, Seq(col("cents"), col("event_id")), "rk", "nTot")
+        .agg(count(lit(1)).cast("long").as("n"),
+          sum(col("cents")).cast("long").as("total_cents"),
+          sum(col("rk").cast("decimal(19,0)") * col("cents").cast("decimal(19,0)"))
+            .cast("decimal(38,0)").as("sxr"))
+        .select(col("n"), col("total_cents"),
+          expr("""CAST((1000 * (2 * sxr - (CAST(n AS DECIMAL(19,0)) + 1) * total_cents))
+                 |     DIV (CAST(n AS DECIMAL(19,0)) * total_cents) AS BIGINT)""".stripMargin)
+            .as("gini_permille"))
     })
 
   /** q149's kernel, shared with the streaming twin's stream ≡ batch

@@ -322,6 +322,62 @@ object TextOps {
     },
 
     // ----------------------------------------------------------------
+    q("q156_pmi_collocations",
+      """Collocation extraction by pointwise mutual information — the
+        |phrase-mining step between q100's raw bigram counts and a
+        |tokenizer/phrase vocabulary: PMI = log of
+        |c_ab·N_u² / (N_b·c_a·c_b), and since log is monotone the
+        |ranking needs only the RATIO, carried as an integer in parts
+        |per million through DECIMAL(38) intermediates — no log(), no
+        |floats, no cross-engine drift (the classic failure here is two
+        |engines disagreeing in the 15th bit of a log and swapping two
+        |ranks). Min support c_ab >= 5 applies BEFORE the marginal
+        |joins, so only supported pairs (a vanishing fraction of pair
+        |space) ever join the unigram table. Scale shape: pair and
+        |unigram counting are one hash shuffle each with map-side
+        |combine over vocabulary cardinality; the two scalar totals
+        |broadcast; top-30 is TakeOrdered with a deterministic
+        |(pmi desc, bigram) tie break.""".stripMargin,
+      """WITH w AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |p AS (SELECT unnest(w[1:len(w)-1]) AS a, unnest(w[2:len(w)]) AS b
+        |      FROM w WHERE len(w) >= 2),
+        |pp AS (SELECT a, b FROM p WHERE a <> '' AND b <> ''),
+        |cab AS (SELECT a, b, count(*)::BIGINT AS c_ab FROM pp GROUP BY 1, 2),
+        |u AS (SELECT t, count(*)::BIGINT AS c
+        |      FROM (SELECT unnest(w) AS t FROM w) WHERE t <> '' GROUP BY 1),
+        |nu AS (SELECT CAST(sum(c) AS BIGINT) AS n_u FROM u),
+        |nb AS (SELECT CAST(sum(c_ab) AS BIGINT) AS n_b FROM cab)
+        |SELECT a || ' ' || b AS bigram, c_ab, ua.c AS c_a, ub.c AS c_b,
+        |  CAST((CAST(c_ab AS HUGEINT) * n_u * n_u * 1000000)
+        |       // (CAST(n_b AS HUGEINT) * ua.c * ub.c) AS BIGINT) AS pmi_ppm
+        |FROM cab JOIN u ua ON ua.t = cab.a JOIN u ub ON ub.t = cab.b, nu, nb
+        |WHERE c_ab >= 5
+        |ORDER BY pmi_ppm DESC, bigram LIMIT 30""".stripMargin) { (s, dir) =>
+      val w = Tables.documents(s, dir).select(split(col("text"), " ").as("w"))
+      val pairs = w.filter(size(col("w")) >= 2)
+        .select(explode(expr(
+          """transform(sequence(1, size(w) - 1),
+            |          i -> struct(element_at(w, i) AS a, element_at(w, i + 1) AS b))""".stripMargin)).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+        .filter(col("a") =!= "" && col("b") =!= "")
+      val cab = pairs.groupBy(col("a"), col("b")).agg(count(lit(1)).as("c_ab"))
+      val uni = w.select(explode(col("w")).as("t")).filter(col("t") =!= "")
+        .groupBy(col("t")).agg(count(lit(1)).as("c"))
+      val nu = uni.agg(sum(col("c")).cast("long").as("n_u"))
+      val nb = cab.agg(sum(col("c_ab")).cast("long").as("n_b"))
+      cab.filter(col("c_ab") >= 5)
+        .join(uni.select(col("t").as("a"), col("c").as("c_a")), Seq("a"))
+        .join(uni.select(col("t").as("b"), col("c").as("c_b")), Seq("b"))
+        .crossJoin(broadcast(nu)).crossJoin(broadcast(nb))
+        .select(concat_ws(" ", col("a"), col("b")).as("bigram"),
+          col("c_ab"), col("c_a"), col("c_b"),
+          expr("""CAST((CAST(c_ab AS DECIMAL(38,0)) * n_u * n_u * 1000000)
+                 |     DIV (CAST(n_b AS DECIMAL(38,0)) * c_a * c_b) AS BIGINT)""".stripMargin)
+            .as("pmi_ppm"))
+        .orderBy(col("pmi_ppm").desc, col("bigram")).limit(30)
+    },
+
+    // ----------------------------------------------------------------
     q("q111_unicode_nfc",
       """Unicode NFC normalization — the text-pipeline prerequisite every
         |byte-keyed dedup (q26/q95/q98) silently assumes: the same

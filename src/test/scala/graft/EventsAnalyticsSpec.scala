@@ -90,9 +90,29 @@ class EventsAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q157 Gini equals the brute-force rank formulation on sorted cents") {
+    val cents = Tables.events(spark, sfDir)
+      .select(col("event_id"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .collect().map(r => (r.getLong(1), r.getLong(0)))
+      .sortBy(identity).map(_._1)
+    val n = cents.length.toLong
+    val sx = cents.sum
+    val sxr = cents.zipWithIndex.map { case (x, i) => BigInt(i + 1) * x }.sum
+    val gini = (BigInt(1000) * (2 * sxr - BigInt(n + 1) * sx)) / (BigInt(n) * sx)
+
+    val r = byName("q157_gini_concentration").run(spark, sfDir).collect()
+    assert(r.length == 1)
+    assert(r(0).getLong(0) == n && r(0).getLong(1) == sx)
+    assert(r(0).getLong(2) == gini.toLong, s"gini ${r(0).getLong(2)} vs $gini")
+    // uniform [0, max] spend has Gini ~ 1/3 — sanity that the number is
+    // in a plausible band, not merely self-consistent
+    assert(r(0).getLong(2) > 150 && r(0).getLong(2) < 500)
+  }
+
   test("events analytics queries are registered with oracles") {
     Seq("q148_active_streaks", "q149_rolling_anomaly",
-      "q150_markov_transitions").foreach { n =>
+      "q150_markov_transitions", "q157_gini_concentration").foreach { n =>
       assert(SparkEntry.queries.contains(n), n)
       assert(SparkEntry.oracleSql.contains(n), n)
     }

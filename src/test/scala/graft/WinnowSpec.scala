@@ -94,8 +94,31 @@ class WinnowSpec extends SparkSpec {
       expected.map(t => (t._2, t._3, t._4)).toSeq.sorted, "span group stats diverge")
   }
 
-  test("winnow/span queries are registered with oracles") {
-    Seq("q151_dup_spans", "q152_winnowing").foreach { n =>
+  test("q156 PMI ranking equals a brute-force rational recompute") {
+    val texts = Tables.documents(spark, sfDir)
+      .select(col("text")).collect().map(_.getString(0))
+    val tokss = texts.map(_.split(" ", -1)) // keep empties like split(col, " ")
+    val uni = tokss.flatten.filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nU = uni.values.sum
+    val pairsAll = tokss.filter(_.length >= 2)
+      .flatMap(w => w.zip(w.drop(1)))
+      .filter(p => p._1.nonEmpty && p._2.nonEmpty)
+    val cab = pairsAll.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val nB = cab.values.sum
+    val expected = cab.toSeq.filter(_._2 >= 5).map { case ((a, b), c) =>
+      val ppm = (BigInt(c) * nU * nU * 1000000) / (BigInt(nB) * uni(a) * uni(b))
+      (s"$a $b", c, uni(a), uni(b), ppm.toLong)
+    }.sortBy(t => (-t._5, t._1)).take(30)
+
+    val got = byName("q156_pmi_collocations").run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == expected, "PMI collocations diverge from brute force")
+    assert(got.nonEmpty, "fixture yields no supported collocations")
+  }
+
+  test("winnow/span/collocation queries are registered with oracles") {
+    Seq("q151_dup_spans", "q152_winnowing", "q156_pmi_collocations").foreach { n =>
       assert(SparkEntry.queries.contains(n), n)
       assert(SparkEntry.oracleSql.contains(n), n)
     }
