@@ -434,6 +434,58 @@ object Dedup {
     },
 
     // ----------------------------------------------------------------
+    q("q158_source_overlap",
+      """Cross-SOURCE contamination matrix — q151's span signal rolled
+        |up to provenance: for every ordered source pair (a, b), how
+        |many distinct 12-token spans of a's documents also appear in
+        |b's (a ≠ b), plus the count of a's spans overall — the
+        |who-copies-from-whom report that decides which source to drop
+        |when leakage shows up, and the aggregate a licensing audit
+        |starts from. Scale shape: the span table builds exactly like
+        |q151 (scan-side index-range explode + md5, one hash-keyed
+        |dedup to distinct (span, source)); the pair space comes from
+        |joining that DEDUPED table to itself on the span hash — join
+        |input is distinct spans × sources (bounded by content volume,
+        |collapsing all repetition), output collapses immediately to
+        ||sources|² rows with map-side combine. The denominator rides
+        |the same deduped table, so the corpus is tokenized ONCE.""".stripMargin,
+      """WITH w AS (
+        |  SELECT doc_id, source,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        |x AS (SELECT doc_id, source, w, greatest(len(w) - 11, 0) AS nw FROM w),
+        |e AS (SELECT source, unnest(range(1, nw + 1)) AS i, w FROM x),
+        |sp AS (SELECT DISTINCT source,
+        |         md5(array_to_string(w[i:(i+11)], ' ')) AS h FROM e),
+        |den AS (SELECT source, count(*)::BIGINT AS n_spans FROM sp GROUP BY 1)
+        |SELECT a.source AS source_a, b.source AS source_b,
+        |  count(*)::BIGINT AS n_shared, den.n_spans AS n_spans_a
+        |FROM sp a JOIN sp b ON a.h = b.h AND a.source <> b.source
+        |JOIN den ON den.source = a.source
+        |GROUP BY 1, 2, 4""".stripMargin) { (s, dir) =>
+      val sp = Tables.documents(s, dir)
+        .select(col("source"),
+          filter(split(col("text"), "\\s+"), x => x =!= "").as("w"))
+        .withColumn("nw", expr("greatest(size(w) - 11, 0)"))
+        .select(col("source"), col("w"),
+          explode(expr(
+            "CASE WHEN nw > 0 THEN sequence(CAST(1 AS BIGINT), nw) ELSE array() END")).as("i"))
+        .select(col("source"),
+          md5(concat_ws(" ",
+            slice(col("w"), col("i").cast("int"), lit(12)))).as("h"))
+        .distinct()
+      val den = sp.groupBy(col("source")).agg(count(lit(1)).as("n_spans"))
+      sp.as("a")
+        .join(sp.as("b"),
+          col("a.h") === col("b.h") && col("a.source") =!= col("b.source"))
+        .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .join(broadcast(den.select(col("source").as("source_a"),
+          col("n_spans").as("n_spans_a"))), Seq("source_a"))
+        .select(col("source_a"), col("source_b"), col("n_shared"), col("n_spans_a"))
+    },
+
+    // ----------------------------------------------------------------
     q("q95_chunk_dedup",
       """Span-level dedup (the C4 "line dedup" rule, with fixed 8-token
         |chunks standing in for lines since the corpus has no newlines):

@@ -660,6 +660,48 @@ object EventsOps {
           expr("""CAST((1000 * (2 * sxr - (CAST(n AS DECIMAL(19,0)) + 1) * total_cents))
                  |     DIV (CAST(n AS DECIMAL(19,0)) * total_cents) AS BIGINT)""".stripMargin)
             .as("gini_permille"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q159_path_trigrams",
+      """Behavioral path mining — the discovery step BEFORE q112's
+        |funnels (funnels evaluate a pattern someone already chose;
+        |this finds the patterns worth evaluating): every CONTIGUOUS
+        |3-step event-type path, counted by occurrences and by distinct
+        |users traveling it, top-20 by support. No per-user history is
+        |ever collected: two lag() steps over ONE user-keyed window
+        |turn each event into its trailing trigram scan-side, so the
+        |window state is two rows per partition stream and the
+        |aggregate collapses the corpus to |types|³ rows max with
+        |map-side combine (distinct-user support via count distinct
+        |inside the trigram-keyed groups). Ordering is the suite's
+        |total (epoch micros, event_id) tie break; top-20 is
+        |TakeOrdered with (support desc, path) determinism.""".stripMargin,
+      """WITH o AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type, 1) OVER w AS p1,
+        |    lag(event_type, 2) OVER w AS p2
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |t AS (SELECT p2 || '>' || p1 || '>' || event_type AS path, user_id
+        |      FROM o WHERE p2 IS NOT NULL)
+        |SELECT path, count(*) AS n_occurrences,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM t GROUP BY 1
+        |ORDER BY n_users DESC, path LIMIT 20""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(epochUs(col("ts")), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("p1", lag(col("event_type"), 1).over(w))
+        .withColumn("p2", lag(col("event_type"), 2).over(w))
+        .filter(col("p2").isNotNull)
+        .select(concat_ws(">", col("p2"), col("p1"), col("event_type")).as("path"),
+          col("user_id"))
+        .groupBy(col("path"))
+        .agg(count(lit(1)).as("n_occurrences"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("n_users").desc, col("path")).limit(20)
     })
 
   /** q149's kernel, shared with the streaming twin's stream ≡ batch

@@ -110,9 +110,31 @@ class EventsAnalyticsSpec extends SparkSpec {
     assert(r(0).getLong(2) > 150 && r(0).getLong(2) < 500)
   }
 
+  test("q159 trigram paths equal a brute-force sequence recompute") {
+    val evs = Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("t"),
+        col("event_id"), col("event_type"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val trigrams = evs.groupBy(_._1).toSeq.flatMap { case (u, seq) =>
+      val ordered = seq.sortBy(e => (e._2, e._3)).map(_._4)
+      ordered.sliding(3).filter(_.length == 3)
+        .map(w => w.mkString(">") -> u).toSeq
+    }
+    val expected = trigrams.groupBy(_._1).view.mapValues { occ =>
+      (occ.size.toLong, occ.map(_._2).distinct.size.toLong)
+    }.toMap.toSeq
+      .sortBy { case (p, (_, users)) => (-users, p) }.take(20)
+
+    val got = byName("q159_path_trigrams").run(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toSeq
+    assert(got == expected, "trigram mining diverges from brute force")
+  }
+
   test("events analytics queries are registered with oracles") {
     Seq("q148_active_streaks", "q149_rolling_anomaly",
-      "q150_markov_transitions", "q157_gini_concentration").foreach { n =>
+      "q150_markov_transitions", "q157_gini_concentration",
+      "q159_path_trigrams").foreach { n =>
       assert(SparkEntry.queries.contains(n), n)
       assert(SparkEntry.oracleSql.contains(n), n)
     }

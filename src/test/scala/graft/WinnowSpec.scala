@@ -117,8 +117,32 @@ class WinnowSpec extends SparkSpec {
     assert(got.nonEmpty, "fixture yields no supported collocations")
   }
 
+  test("q158 source-overlap matrix equals a brute-force span-set recompute") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("source"), col("text")).collect()
+      .map(r => r.getString(0) -> r.getString(1))
+    val spansBySource = docs.groupBy(_._1).view.mapValues { ds =>
+      ds.flatMap { case (_, t) =>
+        val w = t.split("\\s+").filter(_.nonEmpty)
+        w.sliding(12).filter(_.length == 12).map(_.mkString(" "))
+      }.toSet
+    }.toMap
+    val expected = (for {
+      (sa, spa) <- spansBySource.toSeq
+      (sb, spb) <- spansBySource.toSeq if sa != sb
+      shared = spa.intersect(spb).size if shared > 0
+    } yield (sa, sb) -> ((shared.toLong, spa.size.toLong))).toMap
+
+    val got = byName("q158_source_overlap").run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got == expected, "source overlap diverges from brute force")
+    assert(got.nonEmpty, "fixture has no cross-source span overlap")
+  }
+
   test("winnow/span/collocation queries are registered with oracles") {
-    Seq("q151_dup_spans", "q152_winnowing", "q156_pmi_collocations").foreach { n =>
+    Seq("q151_dup_spans", "q152_winnowing", "q156_pmi_collocations",
+      "q158_source_overlap").foreach { n =>
       assert(SparkEntry.queries.contains(n), n)
       assert(SparkEntry.oracleSql.contains(n), n)
     }
