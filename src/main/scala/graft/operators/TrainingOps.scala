@@ -800,6 +800,60 @@ object TrainingOps {
             .as("priority"))
         .orderBy(col("priority").desc, col("doc_id"))
         .limit(25)
+    },
+
+    // ----------------------------------------------------------------
+    q("q160_skyline",
+      """Pareto-skyline curation (the classic skyline operator, Börzsönyi
+        |et al. ICDE 2001): the documents no other document dominates on
+        |(length, lexical diversity) — longer AND more diverse beats
+        |either alone, so the skyline is the efficient frontier a
+        |quality-vs-quantity selection sweeps. Diversity is integer
+        |permille (1000·distinct tokens DIV tokens); dominance is the
+        |standard ∃-strict form. The naive skyline is an all-pairs
+        |anti-join; this runs the 2-D SWEEP reduction instead: per
+        |distinct length the max diversity M(x) (value-cardinality-
+        |bounded agg), the STRICT prefix max H(x) = max{M(x') : x' > x}
+        |via the triangular join on the bounded distinct-length table
+        |(DistributedRank's offs discipline — no partition-less window
+        |even over tiny inputs), and a doc survives iff y = M(x) and
+        |y > H(x) — a per-row test against two broadcast-joined
+        |length-keyed columns. Corpus work is one scan + one
+        |length-keyed agg; the quadratic piece touches only distinct
+        |lengths. The oracle is the DOMINANCE DEFINITION ITSELF
+        |(NOT EXISTS all-pairs in DuckDB) — two independent
+        |formulations, one frontier.""".stripMargin,
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'), t -> t <> '')) AS BIGINT) AS n_tok,
+        |    CAST(len(list_distinct(list_filter(string_split_regex(text, '\s+'), t -> t <> ''))) AS BIGINT) AS n_dis
+        |  FROM documents),
+        |s AS (SELECT doc_id, n_tok, (1000 * n_dis) // n_tok AS diversity_pm
+        |      FROM d WHERE n_tok > 0)
+        |SELECT a.doc_id, a.n_tok, a.diversity_pm
+        |FROM s a
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM s b
+        |  WHERE (b.n_tok > a.n_tok AND b.diversity_pm >= a.diversity_pm)
+        |     OR (b.n_tok >= a.n_tok AND b.diversity_pm > a.diversity_pm))""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          filter(split(col("text"), "\\s+"), t => t =!= "").as("w"))
+        .select(col("doc_id"), size(col("w")).cast("long").as("n_tok"),
+          size(array_distinct(col("w"))).cast("long").as("n_dis"))
+        .filter(col("n_tok") > 0)
+        .select(col("doc_id"), col("n_tok"),
+          expr("(1000 * n_dis) DIV n_tok").as("diversity_pm"))
+      val m = docs.groupBy(col("n_tok")).agg(max(col("diversity_pm")).as("m"))
+      val h = m.as("a")
+        .join(m.as("b"), col("b.n_tok") > col("a.n_tok"), "left")
+        .groupBy(col("a.n_tok").as("n_tok"))
+        .agg(coalesce(max(col("b.m")), lit(-1L)).as("h"))
+      docs
+        .join(broadcast(m), Seq("n_tok"))
+        .join(broadcast(h), Seq("n_tok"))
+        .filter(col("diversity_pm") === col("m") && col("diversity_pm") > col("h"))
+        .select(col("doc_id"), col("n_tok"), col("diversity_pm"))
     }
   )
 

@@ -26,6 +26,24 @@ class TrainingOpsSpec extends SparkSpec {
       s"priority sample mean $sampleMean should exceed corpus mean $corpusMean")
   }
 
+  test("q160 skyline is exactly the non-dominated set (soundness + completeness)") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map { r =>
+        val w = r.getString(1).split("\\s+").filter(_.nonEmpty)
+        (r.getLong(0), w.length.toLong, 1000L * w.distinct.length / w.length)
+      }.filter(_._2 > 0)
+    def dominates(a: (Long, Long, Long), b: (Long, Long, Long)): Boolean =
+      (a._2 > b._2 && a._3 >= b._3) || (a._2 >= b._2 && a._3 > b._3)
+    val expected = docs.filter(d => !docs.exists(e => dominates(e, d)))
+      .map(_._1).toSet
+
+    val got = byName("q160_skyline").run(spark, sfDir).collect()
+      .map(_.getLong(0)).toSet
+    assert(got == expected, "skyline diverges from the dominance definition")
+    assert(got.nonEmpty && got.size < docs.length, "frontier should be a proper subset")
+  }
+
   test("q81 sample is identical under different partitionings (the anti-rand claim)") {
     val d = byName("q81_stratified_sample")
     val a = withSQLConf("spark.sql.shuffle.partitions" -> "1") {
