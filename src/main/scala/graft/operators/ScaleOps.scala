@@ -686,6 +686,90 @@ object ScaleOps {
         .select(col("dim"), col("n"), col("v").as("median_fp"))
         .join(pick(expr("(9 * n + 9) DIV 10"))
           .select(col("dim"), col("v").as("p90_fp")), Seq("dim"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q161_power_iteration",
+      """Top principal direction of the embedding corpus by POWER
+        |ITERATION on the Gram matrix — the first PCA component, the
+        |step behind whitening, dominant-direction removal (the
+        |all-but-the-top trick of common-component postprocessing), and
+        |PQ subspace rotation. The corpus is touched ONCE: the full
+        |Gram assembles from q139's native gram_upper fold (mirrored)
+        |plus q138's per-dim sum-of-squares diagonal, localCheckpointed
+        |so the three unrolled multiply rounds read a 64x64 table, not
+        |the corpus. Each round is G.v (dim-keyed join + agg over
+        |dim^2 rows) then an integer renormalization to max-abs 1000:
+        |quotients are made NONNEGATIVE before the floor division
+        |((1000w + 1001*mx) DIV mx - 1001, exact since |w| <= mx), so
+        |Spark's truncating DIV and DuckDB's flooring // agree — the
+        |q143 shift discipline applied to signed vectors. DECIMAL(38)/
+        |HUGEINT carries w (up to ~1e20 at 1e9 rows) exactly. After 3
+        |rounds the iterate is a deterministic integer vector — the
+        |oracle unrolls the same rounds over a relational Gram built
+        |WITHOUT gram_upper, so the native aggregate is cross-checked
+        |end to end.""".stripMargin,
+      """WITH e AS (
+        |  SELECT list_transform(embedding,
+        |    x -> CAST(CAST(round(CAST(x AS DOUBLE), 4) AS DECIMAL(9,4))
+        |              * 10000 AS BIGINT)) AS vm
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT unnest(flatten(list_transform(range(0, len(vm)), i ->
+        |    list_transform(range(0, len(vm)), j ->
+        |      struct_pack(i := i, j := j, p := vm[i + 1] * vm[j + 1]))))) AS s
+        |  FROM e),
+        |g AS (SELECT s.i AS i, s.j AS j, CAST(sum(s.p) AS BIGINT) AS g
+        |      FROM p GROUP BY 1, 2),
+        |v0 AS (SELECT DISTINCT i AS j, CAST(1000 AS HUGEINT) AS v FROM g),
+        |w1 AS (SELECT g.i, sum(CAST(g.g AS HUGEINT) * v0.v) AS w
+        |       FROM g JOIN v0 ON v0.j = g.j GROUP BY 1),
+        |m1 AS (SELECT greatest(max(abs(w)), 1) AS mx FROM w1),
+        |v1 AS (SELECT i AS j, (1000 * w + 1001 * mx) // mx - 1001 AS v FROM w1, m1),
+        |w2 AS (SELECT g.i, sum(CAST(g.g AS HUGEINT) * v1.v) AS w
+        |       FROM g JOIN v1 ON v1.j = g.j GROUP BY 1),
+        |m2 AS (SELECT greatest(max(abs(w)), 1) AS mx FROM w2),
+        |v2 AS (SELECT i AS j, (1000 * w + 1001 * mx) // mx - 1001 AS v FROM w2, m2),
+        |w3 AS (SELECT g.i, sum(CAST(g.g AS HUGEINT) * v2.v) AS w
+        |       FROM g JOIN v2 ON v2.j = g.j GROUP BY 1),
+        |m3 AS (SELECT greatest(max(abs(w)), 1) AS mx FROM w3),
+        |v3 AS (SELECT i AS j, (1000 * w + 1001 * mx) // mx - 1001 AS v FROM w3, m3)
+        |SELECT j AS dim, CAST(v AS BIGINT) AS component FROM v3""".stripMargin) { (s, dir) =>
+      graft.plans.GraftFunctions.register(s)
+      val e = Tables.embeddings(s, dir)
+        .withColumn("vm", expr(
+          s"transform(${quant("embedding")}, x -> CAST(x * 10000 AS BIGINT))"))
+      val upper = e
+        .agg(call_function("gram_upper", col("vm")).as("g"),
+          first(size(col("vm"))).as("d"))
+        .select(explode(expr(
+          """zip_with(
+            |  flatten(transform(sequence(0, d - 2), i ->
+            |    transform(sequence(i + 1, d - 1), j ->
+            |      struct(CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j)))),
+            |  g, (p, x) -> struct(p.i AS i, p.j AS j, x AS g))""".stripMargin)).as("s"))
+        .select(col("s.i").as("i"), col("s.j").as("j"), col("s.g").as("g"))
+      val diag = e.select(posexplode(col("vm")).as(Seq("i", "v")))
+        .groupBy(col("i").cast("bigint").as("i"))
+        .agg(sum(col("v") * col("v")).cast("long").as("g"))
+        .select(col("i"), col("i").as("j"), col("g"))
+      val gram = upper
+        .union(upper.select(col("j").as("i"), col("i").as("j"), col("g")))
+        .union(diag)
+        .localCheckpoint()
+      var v = diag.select(col("i").as("j"), lit(1000L).cast("decimal(38,0)").as("v"))
+      for (_ <- 1 to 3) {
+        val w = gram.join(v, Seq("j"))
+          .groupBy(col("i"))
+          .agg(sum(col("g").cast("decimal(38,0)") * col("v")).cast("decimal(38,0)").as("w"))
+        val mx = w.agg(
+          greatest(max(abs(col("w"))), lit(1).cast("decimal(38,0)"))
+            .cast("decimal(38,0)").as("mx"))
+        v = w.crossJoin(broadcast(mx))
+          .select(col("i").as("j"),
+            expr("CAST((1000 * w + 1001 * mx) DIV mx - 1001 AS DECIMAL(38,0))").as("v"))
+      }
+      v.select(col("j").as("dim"), col("v").cast("long").as("component"))
     }
   )
 

@@ -208,6 +208,33 @@ class ScaleOpsSpec extends SparkSpec {
       s"HLL estimate $est not within 2x of exact $exact (m=64 expects ~13% error)")
   }
 
+  test("q161 power iteration equals an exact BigInt driver-side replay") {
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("embedding")).collect()
+      .map(_.getSeq[Float](0).map(v =>
+        math.round(BigDecimal(v.toDouble).setScale(4,
+          BigDecimal.RoundingMode.HALF_UP).toDouble * 10000).toLong).toArray)
+    val d = vecs.head.length
+    val gram = Array.ofDim[BigInt](d, d)
+    for (i <- 0 until d; j <- 0 until d)
+      gram(i)(j) = vecs.map(v => BigInt(v(i)) * v(j)).sum
+    var v = Array.fill(d)(BigInt(1000))
+    for (_ <- 1 to 3) {
+      val w = (0 until d).map(i => (0 until d).map(j => gram(i)(j) * v(j)).sum)
+      val mx = w.map(_.abs).max.max(BigInt(1))
+      // (1000w + 1001mx) / mx - 1001: numerator nonneg, so BigInt /
+      // (truncation) IS floor — the engines' shared convention
+      v = w.map(x => (BigInt(1000) * x + BigInt(1001) * mx) / mx - 1001).toArray
+    }
+    val got = byName("q161_power_iteration").run(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == d)
+    for (i <- 0 until d)
+      assert(got(i.toLong) == v(i).toLong, s"component $i: ${got(i.toLong)} vs ${v(i)}")
+    // the iterate is normalized: some component sits at +-1000
+    assert(got.values.map(_.abs).max == 1000L)
+  }
+
   test("q154 medians/p90s equal the sorted order statistics per dimension") {
     val vecs = Tables.embeddings(spark, sfDir)
       .select(col("embedding")).collect()
