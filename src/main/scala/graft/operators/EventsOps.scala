@@ -692,9 +692,11 @@ object EventsOps {
       val w = Window.partitionBy(col("user_id"))
         .orderBy(epochUs(col("ts")), col("event_id"))
       Tables.events(s, dir)
-        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
-        .withColumn("p1", lag(col("event_type"), 1).over(w))
-        .withColumn("p2", lag(col("event_type"), 2).over(w))
+        .select(col("user_id"), col("event_type"),
+          // both lags in ONE projection so they plan as a single
+          // Window operator (one sort, one pass) rather than two
+          lag(col("event_type"), 1).over(w).as("p1"),
+          lag(col("event_type"), 2).over(w).as("p2"))
         .filter(col("p2").isNotNull)
         .select(concat_ws(">", col("p2"), col("p1"), col("event_type")).as("path"),
           col("user_id"))
