@@ -704,6 +704,67 @@ object EventsOps {
         .agg(count(lit(1)).as("n_occurrences"),
           countDistinct(col("user_id")).as("n_users"))
         .orderBy(col("n_users").desc, col("path")).limit(20)
+    },
+
+    // ----------------------------------------------------------------
+    q("q162_spend_trend",
+      """Per-user spend TREND by closed-form least squares — distributed
+        |regression as pure aggregation: slope of cents against
+        |days-since-launch is (n·Σtx − Σt·Σx) / (n·Σt² − (Σt)²), so one
+        |user-keyed groupBy computing five sums yields every user's
+        |trend in a single shuffle with map-side combine — no iteration,
+        |no solver, no per-user sort. The time axis anchors on min(ts)
+        |over the DATA (q146's reproducibility discipline: the result
+        |is a pure function of the dataset). Numerator and denominator
+        |are emitted EXACTLY alongside the floor-divided slope in
+        |micro-cents/day, and the degenerate single-day user (den = 0)
+        |reports slope 0 rather than dividing — all decisions integer,
+        |both engines identical. Bounds: t ≤ horizon days, cents <
+        |2^16 → n·Σtx at 1e3 events/user ~ 1e12, ×1e6 still inside
+        |int64; a longer horizon moves the slope scale factor down, not
+        |the algorithm.""".stripMargin,
+      """WITH a AS (SELECT min(ts) AS t0 FROM events),
+        |c AS (
+        |  SELECT user_id,
+        |    (epoch_us(ts) - epoch_us(a.t0)) // 86400000000 AS t,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS x
+        |  FROM events, a),
+        |g AS (
+        |  SELECT user_id, count(*)::BIGINT AS n,
+        |    CAST(sum(t) AS BIGINT) AS st, CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(t * x) AS BIGINT) AS stx, CAST(sum(t * t) AS BIGINT) AS stt
+        |  FROM c GROUP BY 1)
+        |SELECT user_id, n,
+        |  n * stx - st * sx AS slope_num, n * stt - st * st AS slope_den,
+        |  CASE WHEN n * stt - st * st = 0 THEN 0
+        |       WHEN n * stx - st * sx >= 0
+        |       THEN (1000000 * (n * stx - st * sx)) // (n * stt - st * st)
+        |       ELSE -((1000000 * (st * sx - n * stx)) // (n * stt - st * st))
+        |  END AS slope_microcents_day
+        |FROM g""".stripMargin) { (s, dir) =>
+      val anchor = Tables.events(s, dir).agg(min(col("ts")).as("t0"))
+      Tables.events(s, dir)
+        .crossJoin(broadcast(anchor))
+        .select(col("user_id"),
+          expr("(unix_micros(ts) - unix_micros(t0)) DIV 86400000000").as("t"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long").as("x"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("t")).cast("long").as("st"),
+          sum(col("x")).cast("long").as("sx"),
+          sum(col("t") * col("x")).cast("long").as("stx"),
+          sum(col("t") * col("t")).cast("long").as("stt"))
+        .select(col("user_id"), col("n"),
+          (col("n") * col("stx") - col("st") * col("sx")).as("slope_num"),
+          (col("n") * col("stt") - col("st") * col("st")).as("slope_den"),
+          // division runs on the MAGNITUDE with the sign reapplied, so
+          // Spark's truncating DIV and DuckDB's flooring // cannot
+          // disagree on negative slopes (den > 0 always; num may not be)
+          expr("""CASE WHEN n * stt - st * st = 0 THEN 0
+                 |     WHEN n * stx - st * sx >= 0
+                 |     THEN (1000000 * (n * stx - st * sx)) DIV (n * stt - st * st)
+                 |     ELSE -((1000000 * (st * sx - n * stx)) DIV (n * stt - st * st))
+                 |END""".stripMargin).as("slope_microcents_day"))
     })
 
   /** q149's kernel, shared with the streaming twin's stream ≡ batch

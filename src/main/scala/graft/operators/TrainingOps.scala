@@ -854,6 +854,130 @@ object TrainingOps {
         .join(broadcast(h), Seq("n_tok"))
         .filter(col("diversity_pm") === col("m") && col("diversity_pm") > col("h"))
         .select(col("doc_id"), col("n_tok"), col("diversity_pm"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q163_hybrid_rrf",
+      """Hybrid retrieval by reciprocal-rank fusion (Cormack et al.
+        |2009, the standard hybrid-search combiner): q125's exact
+        |fixed-point BM25 ranking and an exact integer inner-product
+        |ranking against a query embedding (vector 0 — the MIPS mode
+        |DPR-style embeddings retrieve with) are fused as
+        |Σ 1e6 DIV (60 + rank) over each list's top-50 — rank fusion
+        |needs no score calibration, which is exactly why it's the
+        |production default. Window-free ranking: each side's top-50
+        |comes from TakeOrdered, then collapses to ONE sorted array row
+        |(q147's discipline) so rank = array position; absent-from-list
+        |contributes 0 (rank reported as 0). The two lists meet in a
+        |doc-keyed full outer join of 50-row inputs; every score, rank,
+        |and fusion term is integer, so the fused order is bit-identical
+        |cross-engine — the oracle re-ranks both lists independently
+        |with row_number. Scale shape: both scorings are scan-side with
+        |one-row broadcast stats/query; the corpus never shuffles.""".stripMargin,
+      """WITH tf AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS dl,
+        |    len(list_filter(string_split(lower(text), ' '), x -> x = 'join'))   AS tf_join,
+        |    len(list_filter(string_split(lower(text), ' '), x -> x = 'spark'))  AS tf_spark,
+        |    len(list_filter(string_split(lower(text), ' '), x -> x = 'window')) AS tf_window
+        |  FROM documents),
+        |st AS (
+        |  SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS sumdl,
+        |    sum(CASE WHEN tf_join > 0 THEN 1 ELSE 0 END)   AS df_join,
+        |    sum(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END)  AS df_spark,
+        |    sum(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) AS df_window
+        |  FROM tf),
+        |bm AS (
+        |  SELECT doc_id,
+        |    CAST(((n * 100) // greatest(df_join, 1))
+        |           * ((22 * tf_join * sumdl * 1000000)
+        |              // (10 * tf_join * sumdl + 3 * sumdl + 9 * dl * n))
+        |       + ((n * 100) // greatest(df_spark, 1))
+        |           * ((22 * tf_spark * sumdl * 1000000)
+        |              // (10 * tf_spark * sumdl + 3 * sumdl + 9 * dl * n))
+        |       + ((n * 100) // greatest(df_window, 1))
+        |           * ((22 * tf_window * sumdl * 1000000)
+        |              // (10 * tf_window * sumdl + 3 * sumdl + 9 * dl * n))
+        |      AS BIGINT) AS score
+        |  FROM tf, st),
+        |bt AS (SELECT doc_id AS id,
+        |         row_number() OVER (ORDER BY score DESC, doc_id) AS rank_text
+        |       FROM bm ORDER BY score DESC, doc_id LIMIT 50),
+        |e AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(CAST(round(CAST(x AS DOUBLE), 4) AS DECIMAL(9,4))
+        |              * 10000 AS BIGINT)) AS vm
+        |  FROM embeddings),
+        |qv AS (SELECT vm AS qm FROM e WHERE vec_id = 0),
+        |ip AS (
+        |  SELECT vec_id AS id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, len(vm) + 1), i -> vm[i] * qm[i])),
+        |      (a, b) -> a + b) AS score
+        |  FROM e, qv),
+        |vt AS (SELECT id,
+        |         row_number() OVER (ORDER BY score DESC, id) AS rank_vec
+        |       FROM ip ORDER BY score DESC, id LIMIT 50),
+        |f AS (
+        |  SELECT coalesce(bt.id, vt.id) AS doc_id,
+        |    CAST(coalesce(bt.rank_text, 0) AS BIGINT) AS rank_text,
+        |    CAST(coalesce(vt.rank_vec, 0) AS BIGINT) AS rank_vec,
+        |    CAST(CASE WHEN bt.rank_text IS NOT NULL
+        |              THEN 1000000 // (60 + bt.rank_text) ELSE 0 END
+        |       + CASE WHEN vt.rank_vec IS NOT NULL
+        |              THEN 1000000 // (60 + vt.rank_vec) ELSE 0 END AS BIGINT) AS rrf
+        |  FROM bt FULL OUTER JOIN vt ON bt.id = vt.id)
+        |SELECT doc_id, rank_text, rank_vec, rrf
+        |FROM f ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin) { (s, dir) =>
+      val terms = Seq("join", "spark", "window")
+      val tf = Tables.documents(s, dir).select(
+        col("doc_id") +:
+          size(split(lower(col("text")), " ")).cast("long").as("dl") +:
+          terms.map(t => size(expr(
+            s"filter(split(lower(text), ' '), x -> x = '$t')")).cast("long")
+            .as(s"tf_$t")): _*)
+      val statCols: Seq[org.apache.spark.sql.Column] =
+        count(lit(1)).as("n") +: sum(col("dl")).as("sumdl") +:
+          terms.map(t =>
+            sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
+      val st = tf.agg(statCols.head, statCols.tail: _*)
+      val bm = tf.crossJoin(broadcast(st))
+        .select(col("doc_id"),
+          terms.map(t => expr(
+            s"""((n * 100) DIV greatest(df_$t, 1))
+               |* ((22 * tf_$t * sumdl * 1000000)
+               |   DIV (10 * tf_$t * sumdl + 3 * sumdl + 9 * dl * n))""".stripMargin))
+            .reduce(_ + _).cast("long").as("score"))
+      def ranks(top: org.apache.spark.sql.DataFrame, rankName: String) =
+        top.agg(sort_array(collect_list(struct(
+            (-col("score")).as("ns"), col("id").as("id")))).as("xs"))
+          .select(posexplode(col("xs")))
+          .select(col("col.id").as("id"), (col("pos") + 1).cast("long").as(rankName))
+      val bmRank = ranks(
+        bm.orderBy(col("score").desc, col("doc_id")).limit(50)
+          .select(col("doc_id").as("id"), col("score")), "rank_text")
+      val e = Tables.embeddings(s, dir)
+        .withColumn("vm", expr(
+          """transform(embedding,
+            |  x -> CAST(CAST(round(CAST(x AS DOUBLE), 4) AS DECIMAL(9,4))
+            |            * 10000 AS BIGINT))""".stripMargin))
+      val qv = e.filter(col("vec_id") === 0).select(col("vm").as("qm"))
+      val ip = e.crossJoin(broadcast(qv))
+        .select(col("vec_id").as("id"), expr(
+          """aggregate(zip_with(vm, qm, (a, b) -> a * b),
+            |          CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin).as("score"))
+      val ipRank = ranks(
+        ip.orderBy(col("score").desc, col("id")).limit(50), "rank_vec")
+      bmRank.join(ipRank, Seq("id"), "full_outer")
+        .select(col("id").as("doc_id"),
+          coalesce(col("rank_text"), lit(0L)).as("rank_text"),
+          coalesce(col("rank_vec"), lit(0L)).as("rank_vec"),
+          (when(col("rank_text").isNotNull,
+              expr("1000000 DIV (60 + rank_text)")).otherwise(0L) +
+            when(col("rank_vec").isNotNull,
+              expr("1000000 DIV (60 + rank_vec)")).otherwise(0L))
+            .cast("long").as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id")).limit(20)
     }
   )
 

@@ -131,10 +131,38 @@ class EventsAnalyticsSpec extends SparkSpec {
     assert(got == expected, "trigram mining diverges from brute force")
   }
 
+  test("q162 trend sums and slopes equal a brute-force least-squares recompute") {
+    val evs = Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("t"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("x"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val t0 = evs.map(_._2).min
+    val expected = evs.groupBy(_._1).map { case (u, es) =>
+      val pts = es.map(e => ((e._2 - t0) / 86400000000L, e._3))
+      val n = pts.size.toLong
+      val st = pts.map(_._1).sum; val sx = pts.map(_._2).sum
+      val stx = pts.map(p => p._1 * p._2).sum
+      val stt = pts.map(p => p._1 * p._1).sum
+      val num = n * stx - st * sx; val den = n * stt - st * st
+      val slope =
+        if (den == 0) 0L
+        else if (num >= 0) 1000000L * num / den
+        else -(1000000L * -num / den)
+      u -> ((n, num, den, slope))
+    }
+    val got = byName("q162_spend_trend").run(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == expected, "trend regression diverges from brute force")
+    // both slope signs appear, so the sign-symmetric division is exercised
+    assert(got.values.exists(_._4 > 0) && got.values.exists(_._4 < 0),
+      "fixture should produce both rising and falling trends")
+  }
+
   test("events analytics queries are registered with oracles") {
     Seq("q148_active_streaks", "q149_rolling_anomaly",
       "q150_markov_transitions", "q157_gini_concentration",
-      "q159_path_trigrams").foreach { n =>
+      "q159_path_trigrams", "q162_spend_trend").foreach { n =>
       assert(SparkEntry.queries.contains(n), n)
       assert(SparkEntry.oracleSql.contains(n), n)
     }

@@ -26,6 +26,28 @@ class TrainingOpsSpec extends SparkSpec {
       s"priority sample mean $sampleMean should exceed corpus mean $corpusMean")
   }
 
+  test("q163 RRF output is internally consistent and partitioning-invariant") {
+    val d = byName("q163_hybrid_rrf")
+    def run(parts: String) = withSQLConf("spark.sql.shuffle.partitions" -> parts) {
+      d.run(spark, sfDir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    }
+    val rows = run("4")
+    assert(rows == run("1"), "fusion must not depend on partitioning")
+    assert(rows.size == 20)
+    rows.foreach { case (id, rt, rv, rrf) =>
+      assert(rt >= 0 && rt <= 50 && rv >= 0 && rv <= 50, s"rank range at $id")
+      assert(rt > 0 || rv > 0, s"doc $id in neither list")
+      val expect = (if (rt > 0) 1000000L / (60 + rt) else 0L) +
+        (if (rv > 0) 1000000L / (60 + rv) else 0L)
+      assert(rrf == expect, s"rrf mismatch at $id: $rrf vs $expect")
+    }
+    // fusion actually fuses: the result draws on both rankings
+    assert(rows.exists(_._2 > 0) && rows.exists(_._3 > 0))
+    // rrf is non-increasing down the list
+    rows.map(_._4).sliding(2).foreach { case Seq(a, b) => assert(a >= b) }
+  }
+
   test("q160 skyline is exactly the non-dominated set (soundness + completeness)") {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("text")).collect()
