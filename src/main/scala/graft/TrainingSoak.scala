@@ -351,8 +351,36 @@ object TrainingSoak {
       (sums == expectS && gram == expectG, sec)
     }
 
+    // ---- HLL registers (q153 shape) at n rows, K = 10^6 TRUE distinct
+    // keys (id % 1e6 — sequential, the exact adversarial input the
+    // squaring avalanche pass exists for). The register build is the
+    // q153 pipeline verbatim: base-131 fold over the zero-padded key,
+    // (h²+h) mod p mix, reg = h % 64, rho = 25 - bitlen(h DIV 64),
+    // groupBy(reg).max — ONE pass over 10^8 rows collapsing map-side to
+    // 64 rows. Ground truth is closed-form (K known by construction);
+    // m = 64 gives ~13% standard error, so ±30% is a 2.3σ gate.
+    val (hllOk, hllEst, hllSec) = {
+      graft.plans.GraftFunctions.register(spark)
+      val trueK = 1000000L
+      val (est, sec) = timed {
+        val regs = spark.range(n)
+          .select(call_function("rolling_hash",
+            lpad((col("id") % trueK).cast("string"), 12, "0")).as("h0"))
+          .select(expr("(h0 * h0 + h0) % 1000000007").as("h"))
+          .select((col("h") % 64).as("reg"), expr("h DIV 64").as("rest"))
+          .groupBy(col("reg"))
+          .agg(max(expr(
+            "CASE WHEN rest = 0 THEN 25L ELSE CAST(25 - length(bin(rest)) AS BIGINT) END")).as("rho"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        val sumpow = (0L until 64L).map(r => 1L << (25 - regs.getOrElse(r, 0L)).toInt).sum
+        709L * 4096 * 33554432 / (1000 * sumpow)
+      }
+      (est > trueK * 70 / 100 && est < trueK * 130 / 100, est, sec)
+    }
+
     println(
       s"""{"metric":"training_soak","rows":$n,""" +
+        s""""hll_sec":$hllSec,"hll_est":$hllEst,"hll_ok":$hllOk,""" +
         s""""vecagg_sec":$vecaggSec,"vecagg_ok":$vecaggOk,""" +
         s""""mg_sec":$mgSec,"mg_summary_size":${summary.size},"mg_m":$m,"mg_ok":$mgOk,""" +
         s""""sample_sec":$sampleSec,"sample_ok":$sampleOk,""" +
@@ -367,6 +395,6 @@ object TrainingSoak {
     spark.stop()
     if (!(mgOk && sampleOk && vocabOk && ivfOk && asofOk && rangeOk &&
         funnelWideOk && funnelHotOk && funnelWinWideOk && funnelWinHotOk &&
-        vecaggOk)) sys.exit(1)
+        vecaggOk && hllOk)) sys.exit(1)
   }
 }
