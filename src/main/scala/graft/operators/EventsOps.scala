@@ -765,6 +765,74 @@ object EventsOps {
                  |     THEN (1000000 * (n * stx - st * sx)) DIV (n * stt - st * st)
                  |     ELSE -((1000000 * (st * sx - n * stx)) DIV (n * stt - st * st))
                  |END""".stripMargin).as("slope_microcents_day"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q164_session_entry_stats",
+      """Session-grain product metrics by ENTRY event type — the bounce
+        |report built on q21's sessionization (same >2h-gap rule, same
+        |one-shuffle two-window plan): per entry type, session count,
+        |bounce count (single-event sessions), bounce rate in integer
+        |permille, and mean session duration in whole seconds. The
+        |entry event is picked engine-independently two DIFFERENT ways
+        |that must agree: Spark takes min(struct(t, event_id, type))
+        |inside the session aggregate (the q95 first-occurrence
+        |discipline — no extra window), the oracle takes the rn = 1 row
+        |of a session-keyed row_number; (t, event_id) is a total order,
+        |so both pick the same event. All derived rates are floor
+        |divisions of nonnegative integers. Scale shape: the session
+        |windows are user-keyed; the session aggregate collapses events
+        |to session rows; the final shuffle carries |types| groups.""".stripMargin,
+      """WITH marked AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id) > 7200000000
+        |         OR lag(epoch_us(ts))
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |    THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |sess AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM marked),
+        |f AS (
+        |  SELECT user_id, session_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id, session_id
+        |                       ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM sess),
+        |g AS (
+        |  SELECT user_id, session_id, count(*)::BIGINT AS n_events,
+        |    CAST(max(epoch_us(ts)) - min(epoch_us(ts)) AS BIGINT) AS dur_us
+        |  FROM sess GROUP BY 1, 2)
+        |SELECT f.event_type AS entry_type, count(*)::BIGINT AS n_sessions,
+        |  CAST(sum(CASE WHEN g.n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+        |  (1000 * CAST(sum(CASE WHEN g.n_events = 1 THEN 1 ELSE 0 END) AS BIGINT))
+        |    // count(*) AS bounce_permille,
+        |  (CAST(sum(g.dur_us) AS BIGINT) // count(*)) // 1000000 AS mean_duration_s
+        |FROM f JOIN g USING (user_id, session_id)
+        |WHERE f.rn = 1
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val byTs = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val cum = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val gap = epochUs(col("ts")) - lag(epochUs(col("ts")), 1).over(byTs)
+      val sess = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("brk", when(gap > 7200000000L || gap.isNull, 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("brk")).over(cum).cast("long"))
+      sess.groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(struct(epochUs(col("ts")).as("t"), col("event_id").as("e"),
+            col("event_type").as("y"))).as("first"),
+          (max(epochUs(col("ts"))) - min(epochUs(col("ts")))).as("dur_us"))
+        .groupBy(col("first.y").as("entry_type"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(when(col("n_events") === 1, 1L).otherwise(0L)).cast("long").as("n_bounces"),
+          sum(col("dur_us")).cast("long").as("dur"))
+        .select(col("entry_type"), col("n_sessions"), col("n_bounces"),
+          expr("(1000 * n_bounces) DIV n_sessions").as("bounce_permille"),
+          expr("(dur DIV n_sessions) DIV 1000000").as("mean_duration_s"))
     })
 
   /** q149's kernel, shared with the streaming twin's stream ≡ batch

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import graft.QueryDef.q
+import graft.functions.Fns.bucketS
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -770,6 +771,84 @@ object ScaleOps {
             expr("CAST((1000 * w + 1001 * mx) DIV mx - 1001 AS DECIMAL(38,0))").as("v"))
       }
       v.select(col("j").as("dim"), col("v").cast("long").as("component"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q165_hourly_hll",
+      """q153's HLL sketch as a GROUPED aggregate — distinct users per
+        |tumbling hour, the per-window cardinality telemetry every
+        |traffic dashboard runs, with the exact count beside it so the
+        |error is visible. The grouped form adds one scale trick the
+        |global sketch didn't need: ABSENT registers are filled
+        |ARITHMETICALLY (sumpow += (64 − observed) · 2²⁵, V = 64 −
+        |observed — an observed register always has rank ≥ 1, so rank 0
+        |identifies exactly the absent ones) instead of densifying via
+        |an hours × 64 cross join — no row explosion, no second pass,
+        |works for any window count. Registers combine map-side
+        |(max is algebraic), each hour shuffles ≤ 64 register rows plus
+        |its exact-distinct partials, and the LinearCounting correction
+        |reuses q153's shared micro-nat table. Hour keying is epoch
+        |floor arithmetic (q13's bucket discipline), bit-identical
+        |cross-engine.""".stripMargin,
+      s"""WITH h0 AS (
+        |  SELECT (epoch_us(ts) // 3600000000) * 3600 AS hour_start,
+        |    user_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, 13),
+        |        i -> CAST(ascii(substr(lpad(CAST(user_id AS VARCHAR), 12, '0'), i, 1)) AS BIGINT))),
+        |      (a, c) -> (a * 131 + c) % 1000000007) AS h
+        |  FROM events),
+        |hm AS (SELECT hour_start, user_id, (h * h + h) % 1000000007 AS h FROM h0),
+        |m AS (SELECT hour_start, h % 64 AS reg,
+        |        max(CASE WHEN h // 64 = 0 THEN 25
+        |                 ELSE 25 - length(bin(h // 64)) END) AS rho
+        |      FROM hm GROUP BY 1, 2),
+        |z AS (SELECT hour_start,
+        |        CAST(sum(1::BIGINT << CAST(25 - rho AS INT))
+        |             + (64 - count(*)) * 33554432 AS BIGINT) AS sumpow,
+        |        CAST(64 - count(*) AS BIGINT) AS vzero
+        |      FROM m GROUP BY 1),
+        |x AS (SELECT (epoch_us(ts) // 3600000000) * 3600 AS hour_start,
+        |        count(DISTINCT user_id)::BIGINT AS n_exact
+        |      FROM events GROUP BY 1)
+        |SELECT z.hour_start,
+        |  CASE WHEN (CAST(709 AS BIGINT) * 4096 * 33554432) // (1000 * sumpow) <= 160
+        |            AND vzero > 0
+        |       THEN (64 * CAST([${hllLnMicro.mkString(",")}][CAST(vzero AS INT)] AS BIGINT)) // 1000000
+        |       ELSE (CAST(709 AS BIGINT) * 4096 * 33554432) // (1000 * sumpow)
+        |  END AS hll_estimate,
+        |  x.n_exact
+        |FROM z JOIN x USING (hour_start)""".stripMargin) { (s, dir) =>
+      graft.plans.GraftFunctions.register(s)
+      val hm = Tables.events(s, dir)
+        .select(bucketS(col("ts"), 3600).as("hour_start"), col("user_id"),
+          call_function("rolling_hash",
+            lpad(col("user_id").cast("string"), 12, "0")).as("h0"))
+        .select(col("hour_start"), col("user_id"),
+          expr("(h0 * h0 + h0) % 1000000007").as("h"))
+      val z = hm
+        .select(col("hour_start"), (col("h") % 64).as("reg"),
+          expr("h DIV 64").as("rest"))
+        .groupBy(col("hour_start"), col("reg"))
+        .agg(max(expr(
+          "CASE WHEN rest = 0 THEN 25L ELSE CAST(25 - length(bin(rest)) AS BIGINT) END")).as("rho"))
+        .groupBy(col("hour_start"))
+        .agg((sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(25 - rho AS INT))")) +
+            (lit(64L) - count(lit(1))) * 33554432L).cast("long").as("sumpow"),
+          (lit(64L) - count(lit(1))).cast("long").as("vzero"))
+      val x = Tables.events(s, dir)
+        .groupBy(bucketS(col("ts"), 3600).as("hour_start"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      z.join(x, Seq("hour_start"))
+        .select(col("hour_start"),
+          expr(
+            s"""CASE WHEN (CAST(709 AS BIGINT) * 4096 * 33554432) DIV (1000 * sumpow) <= 160
+               |          AND vzero > 0
+               |     THEN (64 * CAST(element_at(array(${hllLnMicro.mkString(",")}),
+               |                     CAST(vzero AS INT)) AS BIGINT)) DIV 1000000
+               |     ELSE (CAST(709 AS BIGINT) * 4096 * 33554432) DIV (1000 * sumpow)
+               |END""".stripMargin).as("hll_estimate"),
+          col("n_exact").cast("long").as("n_exact"))
     }
   )
 

@@ -162,7 +162,8 @@ class EventsAnalyticsSpec extends SparkSpec {
   test("events analytics queries are registered with oracles") {
     Seq("q148_active_streaks", "q149_rolling_anomaly",
       "q150_markov_transitions", "q157_gini_concentration",
-      "q159_path_trigrams", "q162_spend_trend").foreach { n =>
+      "q159_path_trigrams", "q162_spend_trend",
+      "q164_session_entry_stats").foreach { n =>
       assert(SparkEntry.queries.contains(n), n)
       assert(SparkEntry.oracleSql.contains(n), n)
     }

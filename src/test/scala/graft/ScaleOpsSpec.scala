@@ -147,7 +147,8 @@ class ScaleOpsSpec extends SparkSpec {
   test("new ScaleOps queries are registered with oracles") {
     Seq("q78_topk_bounded_agg", "q79_kmeans_assign", "q80_countmin_sketch",
       "q86_heavy_hitters_mg", "q138_embedding_dim_stats", "q139_gram_topk_pairs",
-      "q143_kmeans_lloyd", "q144_cluster_sse", "q153_hll_cardinality")
+      "q143_kmeans_lloyd", "q144_cluster_sse", "q153_hll_cardinality",
+      "q154_dim_quantiles", "q161_power_iteration", "q165_hourly_hll")
       .foreach { n =>
         assert(SparkEntry.queries.contains(n), n)
         assert(SparkEntry.oracleSql.contains(n), n)
