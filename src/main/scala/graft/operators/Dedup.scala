@@ -536,6 +536,62 @@ object Dedup {
             sort_array(collect_list(when(col("is_first"),
               struct(col("idx"), col("chunk"))))),
             x => x.getField("chunk")))).as("kept_fp"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q168_shingle_novelty",
+      """Per-document NOVELTY score — the curation signal that ranks
+        |docs by how much text they contribute that the corpus (in
+        |doc_id order — the ingestion order here) has not already
+        |seen: the permille of the doc's DISTINCT 8-token shingles
+        |whose first corpus occurrence (min doc_id over all hosts) is
+        |this doc.  Complements q151 (which reports the duplicated
+        |spans themselves) and q95 (which cuts at fixed chunk
+        |boundaries): novelty is the doc-level roll-up a sampler
+        |weights by, computed at sliding-window granularity so a
+        |shifted copy scores near zero.  Scale shape: distinct
+        |(shingle, doc) pairs build scan-side exactly like q151; the
+        |first-host table is one min aggregate on the shingle hash;
+        |the verdict join runs shingle-keyed against the SAME
+        |partitioning (co-partitioned, no extra exchange) and
+        |collapses immediately to doc-keyed counts.  Docs shorter
+        |than 8 tokens have no shingles and drop out — they carry no
+        |evidence either way.""".stripMargin,
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        |x AS (SELECT doc_id, w, greatest(len(w) - 7, 0) AS nw FROM w),
+        |e AS (SELECT doc_id, unnest(range(1, nw + 1)) AS i, w FROM x),
+        |sp AS (SELECT DISTINCT doc_id,
+        |         md5(array_to_string(w[i:(i+7)], ' ')) AS h FROM e),
+        |firsts AS (SELECT h, CAST(min(doc_id) AS BIGINT) AS first_doc
+        |           FROM sp GROUP BY 1)
+        |SELECT sp.doc_id, count(*)::BIGINT AS n_shingles,
+        |  CAST(sum(CASE WHEN firsts.first_doc = sp.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |  (1000 * CAST(sum(CASE WHEN firsts.first_doc = sp.doc_id THEN 1 ELSE 0 END) AS BIGINT))
+        |    // count(*) AS novel_permille
+        |FROM sp JOIN firsts USING (h)
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val sp = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          filter(split(col("text"), "\\s+"), x => x =!= "").as("w"))
+        .withColumn("nw", expr("greatest(size(w) - 7, 0)"))
+        .select(col("doc_id"), col("w"),
+          explode(expr(
+            "CASE WHEN nw > 0 THEN sequence(CAST(1 AS BIGINT), nw) ELSE array() END")).as("i"))
+        .select(col("doc_id"),
+          md5(concat_ws(" ",
+            slice(col("w"), col("i").cast("int"), lit(8)))).as("h"))
+        .distinct()
+      val firsts = sp.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
+      sp.join(firsts, "h")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .cast("long").as("n_novel"))
+        .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+          expr("(1000 * n_novel) DIV n_shingles").as("novel_permille"))
     })
 
   /** 16-bit SimHash signature per doc (doc_id, simhash16), cached per

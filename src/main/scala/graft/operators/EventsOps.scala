@@ -833,6 +833,203 @@ object EventsOps {
         .select(col("entry_type"), col("n_sessions"), col("n_bounces"),
           expr("(1000 * n_bounces) DIV n_sessions").as("bounce_permille"),
           expr("(dur DIV n_sessions) DIV 1000000").as("mean_duration_s"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q166_time_weighted_value",
+      """Per-user TIME-WEIGHTED average value (TWAP) — the feature a
+        |pricing/engagement pipeline wants when events are irregular:
+        |treat each event's value as a step function held until the
+        |user's next event and integrate.  One lead() in a user-keyed
+        |window yields every segment's width; the integral Σ cents·Δt
+        |and the span max(t)−min(t) are then plain user-keyed sums —
+        |one window + one groupBy on the SAME key, so a single hash
+        |shuffle end to end (the agg reuses the window's
+        |partitioning).  All arithmetic is integer-exact: cents ≤
+        |~50 000 and span ≤ horizon µs keep Σ cents·Δt under 4e17;
+        |the millicents quotient is computed as the overflow-free
+        |identity 1000·⌊n/d⌋ + ⌊(n mod d)·1000/d⌋ = ⌊1000n/d⌋ (valid
+        |since n, d ≥ 0 here — values are positive in this schema),
+        |so neither engine ever forms 1000·n.  Single-event users
+        |(span 0) report 0 by convention, decided by the same CASE in
+        |both engines.""".stripMargin,
+      """WITH c AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS t,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |seg AS (
+        |  SELECT user_id, cents,
+        |    coalesce(lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id), t) - t AS dt,
+        |    t
+        |  FROM c),
+        |g AS (
+        |  SELECT user_id, count(*)::BIGINT AS n_events,
+        |    CAST(max(t) - min(t) AS BIGINT) AS span_us,
+        |    CAST(sum(cents * dt) AS BIGINT) AS vt_integral
+        |  FROM seg GROUP BY 1)
+        |SELECT user_id, n_events, span_us, vt_integral,
+        |  CASE WHEN span_us = 0 THEN 0
+        |       ELSE 1000 * (vt_integral // span_us)
+        |            + ((vt_integral % span_us) * 1000) // span_us
+        |  END AS twap_millicents
+        |FROM g""".stripMargin) { (s, dir) =>
+      val byT = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), epochUs(col("ts")).as("t"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+        .withColumn("dt", coalesce(lead(col("t"), 1).over(byT), col("t")) - col("t"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          (max(col("t")) - min(col("t"))).as("span_us"),
+          sum(col("cents") * col("dt")).cast("long").as("vt_integral"))
+        .select(col("user_id"), col("n_events"), col("span_us"), col("vt_integral"),
+          expr("""CASE WHEN span_us = 0 THEN 0
+                 |     ELSE 1000 * (vt_integral DIV span_us)
+                 |          + ((vt_integral % span_us) * 1000) DIV span_us
+                 |END""".stripMargin).as("twap_millicents"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q167_first_touch_attribution",
+      """FIRST-TOUCH revenue attribution — q164's sessionization (same
+        |>2h-gap rule, same single user-keyed shuffle) answering the
+        |marketing question the bounce report doesn't: which session
+        |ENTRY event type leads to purchases?  Per session the entry is
+        |min(struct(t, event_id, type)) — the q95/q164 first-occurrence
+        |discipline, no extra window — and the session's purchase
+        |revenue is a conditional cents sum riding the SAME aggregate.
+        |The rollup to entry types then reports sessions, converted
+        |sessions (≥1 purchase), attributed revenue, conversion
+        |permille and mean attributed cents — every rate a floor
+        |division of nonnegative integers, identical cross-engine.
+        |Scale shape: events collapse to session rows inside the
+        |user-keyed aggregate (bounded state per session, no
+        |re-shuffle), and the final shuffle carries |entry types|
+        |groups.""".stripMargin,
+      """WITH marked AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id) > 7200000000
+        |         OR lag(epoch_us(ts))
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |    THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |sess AS (
+        |  SELECT user_id, ts, event_id, event_type, cents,
+        |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM marked),
+        |f AS (
+        |  SELECT user_id, session_id, event_type,
+        |    row_number() OVER (PARTITION BY user_id, session_id
+        |                       ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM sess),
+        |g AS (
+        |  SELECT user_id, session_id,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN cents ELSE 0 END) AS BIGINT) AS purchase_cents
+        |  FROM sess GROUP BY 1, 2)
+        |SELECT f.event_type AS entry_type, count(*)::BIGINT AS n_sessions,
+        |  CAST(sum(CASE WHEN g.purchase_cents > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+        |  CAST(sum(g.purchase_cents) AS BIGINT) AS attributed_cents,
+        |  (1000 * CAST(sum(CASE WHEN g.purchase_cents > 0 THEN 1 ELSE 0 END) AS BIGINT))
+        |    // count(*) AS conversion_permille,
+        |  CAST(sum(g.purchase_cents) AS BIGINT) // count(*) AS mean_cents_per_session
+        |FROM f JOIN g USING (user_id, session_id)
+        |WHERE f.rn = 1
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val byTs = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val cum = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val gap = epochUs(col("ts")) - lag(epochUs(col("ts")), 1).over(byTs)
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+        .withColumn("brk", when(gap > 7200000000L || gap.isNull, 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("brk")).over(cum).cast("long"))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(min(struct(epochUs(col("ts")).as("t"), col("event_id").as("e"),
+            col("event_type").as("y"))).as("first"),
+          sum(when(col("event_type") === "purchase", col("cents"))
+            .otherwise(0L)).cast("long").as("purchase_cents"))
+        .groupBy(col("first.y").as("entry_type"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(when(col("purchase_cents") > 0, 1L).otherwise(0L)).cast("long").as("n_converted"),
+          sum(col("purchase_cents")).cast("long").as("attributed_cents"))
+        .select(col("entry_type"), col("n_sessions"), col("n_converted"),
+          col("attributed_cents"),
+          expr("(1000 * n_converted) DIV n_sessions").as("conversion_permille"),
+          expr("attributed_cents DIV n_sessions").as("mean_cents_per_session"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q170_winsorized_value",
+      """Winsorized (p05/p95-clamped) mean value per event type — the
+        |robust statistic a feature pipeline substitutes for the raw
+        |mean once outliers exist, computed EXACTLY by q154's
+        |histogram-inversion discipline: the cents domain is bounded
+        |(≤ ~50 000 distinct values), so the per-type value histogram
+        |is aggregate-sized, the cumulative count runs in a window
+        |over that HISTOGRAM (never over the event rows — the window
+        |partition is domain-bounded at any data scale), and the
+        |order statistics fall out as the first histogram bin whose
+        |cumulative count reaches ⌈0.05n⌉ / ⌈0.95n⌉ (1-based,
+        |ceil as (5n+99) DIV 100 — pure integer).  The clamped sum is
+        |then a second pass over the SAME histogram (cnt·clamp), so
+        |event rows are scanned once and shuffled once, on the
+        |(type, cents) histogram key with map-side combine.  Both
+        |means are floor-divided millicents — all integer, identical
+        |cross-engine.""".stripMargin,
+      """WITH c AS (
+        |  SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |hist AS (SELECT event_type, cents, count(*)::BIGINT AS cnt
+        |         FROM c GROUP BY 1, 2),
+        |h2 AS (
+        |  SELECT event_type, cents, cnt,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY cents
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM hist),
+        |b AS (
+        |  SELECT event_type, max(n) AS n_events,
+        |    min(CASE WHEN cum >= (5 * n + 99) // 100 THEN cents END) AS p05_cents,
+        |    min(CASE WHEN cum >= (95 * n + 99) // 100 THEN cents END) AS p95_cents
+        |  FROM h2 GROUP BY 1)
+        |SELECT b.event_type, b.n_events, b.p05_cents, b.p95_cents,
+        |  (1000 * CAST(sum(hist.cnt * hist.cents) AS BIGINT)) // b.n_events
+        |    AS raw_mean_millicents,
+        |  (1000 * CAST(sum(hist.cnt *
+        |     greatest(b.p05_cents, least(b.p95_cents, hist.cents))) AS BIGINT))
+        |    // b.n_events AS winsorized_mean_millicents
+        |FROM hist JOIN b ON b.event_type = hist.event_type
+        |GROUP BY 1, 2, 3, 4""".stripMargin) { (s, dir) =>
+      val hist = Tables.events(s, dir)
+        .select(col("event_type"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+        .groupBy(col("event_type"), col("cents")).agg(count(lit(1)).as("cnt"))
+      val cum = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val whole = Window.partitionBy(col("event_type"))
+      val bounds = hist
+        .withColumn("cum", sum(col("cnt")).over(cum).cast("long"))
+        .withColumn("n", sum(col("cnt")).over(whole).cast("long"))
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n_events"),
+          min(when(expr("cum >= (5 * n + 99) DIV 100"), col("cents"))).as("p05_cents"),
+          min(when(expr("cum >= (95 * n + 99) DIV 100"), col("cents"))).as("p95_cents"))
+      hist.join(bounds, "event_type")
+        .groupBy(col("event_type"), col("n_events"),
+          col("p05_cents"), col("p95_cents"))
+        .agg(sum(col("cnt") * col("cents")).cast("long").as("raw_sum"),
+          sum(col("cnt") *
+            greatest(col("p05_cents"), least(col("p95_cents"), col("cents"))))
+            .cast("long").as("win_sum"))
+        .select(col("event_type"), col("n_events"), col("p05_cents"),
+          col("p95_cents"),
+          expr("(1000 * raw_sum) DIV n_events").as("raw_mean_millicents"),
+          expr("(1000 * win_sum) DIV n_events").as("winsorized_mean_millicents"))
     })
 
   /** q149's kernel, shared with the streaming twin's stream ≡ batch

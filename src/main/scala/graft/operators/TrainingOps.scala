@@ -978,6 +978,59 @@ object TrainingOps {
               expr("1000000 DIV (60 + rank_vec)")).otherwise(0L))
             .cast("long").as("rrf"))
         .orderBy(col("rrf").desc, col("doc_id")).limit(20)
+    },
+
+    // ----------------------------------------------------------------
+    q("q169_lang_mix_divergence",
+      """Per-source LANGUAGE-MIX drift — the data-mixing health check
+        |behind q137's rebalance: a chi-square statistic comparing each
+        |source's language distribution against the corpus-wide one,
+        |computed over the FULL contingency grid (absent (source, lang)
+        |cells contribute their expected count — omitting them is the
+        |classic chi-square bug) and carried exactly in parts per
+        |million: each cell's (o·T − r·c)² / (r·c·T) runs through
+        |DECIMAL(38)/HUGEINT products and one integer floor division —
+        |no floats, no log, both engines bit-identical (the q156
+        |discipline).  Scale shape: three small aggregates (cell,
+        |row-total, column-total) each one hash shuffle with map-side
+        |combine; the grid is |sources|×|langs| — built by crossing the
+        |two broadcast-sized total tables, never by expanding data
+        |rows; the verdict collapses right back to |sources|.""".stripMargin,
+      """WITH obs AS (SELECT source, lang, count(*)::BIGINT AS o
+        |             FROM documents GROUP BY 1, 2),
+        |r AS (SELECT source, count(*)::BIGINT AS r FROM documents GROUP BY 1),
+        |c AS (SELECT lang, count(*)::BIGINT AS c FROM documents GROUP BY 1),
+        |t AS (SELECT count(*)::BIGINT AS t FROM documents),
+        |g AS (
+        |  SELECT r.source, c.lang, r.r, c.c, t.t,
+        |    CAST(coalesce(obs.o, 0) AS BIGINT) AS o
+        |  FROM r CROSS JOIN c CROSS JOIN t
+        |  LEFT JOIN obs ON obs.source = r.source AND obs.lang = c.lang),
+        |terms AS (
+        |  SELECT source, r,
+        |    CAST((1000000 * CAST(o*t - r*c AS HUGEINT) * CAST(o*t - r*c AS HUGEINT))
+        |         // (CAST(r AS HUGEINT) * c * t) AS BIGINT) AS term
+        |  FROM g)
+        |SELECT source, r AS n_docs,
+        |  CAST(sum(term) AS BIGINT) AS chi2_ppm,
+        |  max(term) AS max_cell_ppm
+        |FROM terms GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val d = Tables.documents(s, dir)
+      val obs = d.groupBy(col("source"), col("lang")).agg(count(lit(1)).as("o"))
+      val r = d.groupBy(col("source")).agg(count(lit(1)).as("r"))
+      val c = d.groupBy(col("lang")).agg(count(lit(1)).as("c"))
+      val t = d.agg(count(lit(1)).as("t"))
+      r.crossJoin(broadcast(c)).crossJoin(broadcast(t))
+        .join(obs, Seq("source", "lang"), "left")
+        .withColumn("o", coalesce(col("o"), lit(0L)))
+        .select(col("source"), col("r"),
+          expr("""CAST((1000000 * CAST(o*t - r*c AS DECIMAL(38,0)) * CAST(o*t - r*c AS DECIMAL(38,0)))
+                 |     DIV (CAST(r AS DECIMAL(38,0)) * c * t) AS BIGINT)""".stripMargin)
+            .as("term"))
+        .groupBy(col("source"), col("r").as("n_docs"))
+        .agg(sum(col("term")).cast("long").as("chi2_ppm"),
+          max(col("term")).as("max_cell_ppm"))
+        .select(col("source"), col("n_docs"), col("chi2_ppm"), col("max_cell_ppm"))
     }
   )
 

@@ -159,11 +159,77 @@ class EventsAnalyticsSpec extends SparkSpec {
       "fixture should produce both rising and falling trends")
   }
 
+  test("q166 TWAP equals a brute-force step-function integral per user") {
+    val evs = Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("t"), col("event_id"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expected = evs.groupBy(_._1).map { case (u, es) =>
+      val sorted = es.sortBy(e => (e._2, e._3)).toVector
+      val span = sorted.last._2 - sorted.head._2
+      val integral = sorted.indices.dropRight(1)
+        .map(i => sorted(i)._4 * (sorted(i + 1)._2 - sorted(i)._2)).sum
+      val twap =
+        if (span == 0) 0L
+        else 1000L * (integral / span) + (integral % span) * 1000L / span
+      u -> ((sorted.size.toLong, span, integral, twap))
+    }
+    val got = byName("q166_time_weighted_value").run(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == expected, "TWAP diverges from brute-force integral")
+    assert(got.values.exists(_._4 > 0), "fixture should have nonzero TWAPs")
+  }
+
+  test("q167 attribution conserves sessions and purchase revenue") {
+    val rows = byName("q167_first_touch_attribution").run(spark, sfDir).collect()
+    val entryStats = byName("q164_session_entry_stats").run(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // every session has exactly one entry type: the two session reports
+    // must agree on per-entry-type session counts
+    assert(rows.map(r => r.getString(0) -> r.getLong(1)).toMap == entryStats,
+      "q167/q164 disagree on session counts per entry type")
+    // total attributed revenue == total purchase revenue in the data
+    val totalPurchase = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .agg(sum((col("value").cast("decimal(18,2)") * 100).cast("long")))
+      .collect()(0).getLong(0)
+    assert(rows.map(_.getLong(3)).sum == totalPurchase,
+      "attribution drops or double-counts purchase revenue")
+    // conversion_permille is the floor-divided ratio of its own columns
+    rows.foreach { r =>
+      assert(r.getLong(4) == 1000L * r.getLong(2) / r.getLong(1))
+    }
+  }
+
+  test("q170 winsorized stats equal a sorted-order-statistics recompute") {
+    val byType = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toVector).toMap
+    val expected = byType.map { case (ty, cs) =>
+      val n = cs.size.toLong
+      val lo = cs(((5 * n + 99) / 100 - 1).toInt)   // 1-based rank → index
+      val hi = cs(((95 * n + 99) / 100 - 1).toInt)
+      val win = cs.map(c => math.max(lo, math.min(hi, c))).sum
+      ty -> ((n, lo, hi, 1000L * cs.sum / n, 1000L * win / n))
+    }
+    val got = byName("q170_winsorized_value").run(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got == expected, "winsorized stats diverge from sorted recompute")
+    // clamping actually moves the mean somewhere, or the fixture is degenerate
+    assert(got.values.exists(v => v._4 != v._5),
+      "fixture should have outliers the clamp removes")
+  }
+
   test("events analytics queries are registered with oracles") {
     Seq("q148_active_streaks", "q149_rolling_anomaly",
       "q150_markov_transitions", "q157_gini_concentration",
       "q159_path_trigrams", "q162_spend_trend",
-      "q164_session_entry_stats").foreach { n =>
+      "q164_session_entry_stats", "q166_time_weighted_value",
+      "q167_first_touch_attribution", "q170_winsorized_value").foreach { n =>
       assert(SparkEntry.queries.contains(n), n)
       assert(SparkEntry.oracleSql.contains(n), n)
     }

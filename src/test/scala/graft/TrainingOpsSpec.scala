@@ -245,4 +245,31 @@ class TrainingOpsSpec extends SparkSpec {
         s"$lang kept $kept, target $minTotal (total $total)")
     }
   }
+
+  test("q169 chi-square equals a BigInt full-grid recompute") {
+    val cells = Tables.documents(spark, sfDir)
+      .groupBy(org.apache.spark.sql.functions.col("source"),
+        org.apache.spark.sql.functions.col("lang"))
+      .count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val sources = cells.keys.map(_._1).toSeq.distinct
+    val langs = cells.keys.map(_._2).toSeq.distinct
+    val rowT = sources.map(s =>
+      s -> cells.collect { case ((`s`, _), n) => n }.sum).toMap
+    val colT = langs.map(l =>
+      l -> cells.collect { case ((_, `l`), n) => n }.sum).toMap
+    val t = cells.values.sum
+    val expected = sources.map { s =>
+      val terms = langs.map { l =>
+        val o = BigInt(cells.getOrElse((s, l), 0L))
+        val d = o * t - BigInt(rowT(s)) * colT(l)
+        ((BigInt(1000000) * d * d) / (BigInt(rowT(s)) * colT(l) * t)).toLong
+      }
+      s -> ((rowT(s), terms.sum, terms.max))
+    }.toMap
+    val got = byName("q169_lang_mix_divergence").run(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expected, "chi-square diverges from BigInt recompute")
+    assert(got.values.exists(_._2 > 0), "fixture should show some drift")
+  }
 }

@@ -140,9 +140,34 @@ class WinnowSpec extends SparkSpec {
     assert(got.nonEmpty, "fixture has no cross-source span overlap")
   }
 
+  test("q168 novelty equals a brute-force first-occurrence recompute") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+
+    val docShingles = docs.map { case (id, t) =>
+      val w = t.split("\\s+").filter(_.nonEmpty)
+      id -> w.sliding(8).filter(_.length == 8).map(_.mkString(" ")).toSet
+    }.filter(_._2.nonEmpty)
+    val firstHost = docShingles
+      .flatMap { case (id, ss) => ss.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val expected = docShingles.map { case (id, ss) =>
+      val novel = ss.count(sh => firstHost(sh) == id).toLong
+      id -> ((ss.size.toLong, novel, 1000L * novel / ss.size))
+    }.toMap
+
+    val got = byName("q168_shingle_novelty").run(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expected, "novelty diverges from brute force")
+    // the signal discriminates: both novel and seen-before content exist
+    assert(got.values.exists(_._3 < 1000) && got.values.exists(_._3 > 0),
+      "fixture should contain both novel and duplicated shingles")
+  }
+
   test("winnow/span/collocation queries are registered with oracles") {
     Seq("q151_dup_spans", "q152_winnowing", "q156_pmi_collocations",
-      "q158_source_overlap").foreach { n =>
+      "q158_source_overlap", "q168_shingle_novelty").foreach { n =>
       assert(SparkEntry.queries.contains(n), n)
       assert(SparkEntry.oracleSql.contains(n), n)
     }
