@@ -592,6 +592,82 @@ object Dedup {
             .cast("long").as("n_novel"))
         .select(col("doc_id"), col("n_shingles"), col("n_novel"),
           expr("(1000 * n_novel) DIV n_shingles").as("novel_permille"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q171_minhash_calibration",
+      """MinHash CALIBRATION report — the sketch-quality audit a dedup
+        |pipeline runs before trusting q28's thresholds: for every LSH
+        |candidate pair, the sketch's Jaccard estimate (matching seeds
+        |out of 8, the standard MinHash estimator) side by side with
+        |the EXACT shingle Jaccard, plus the absolute error — all in
+        |integer permille, floor-divided, so both engines agree
+        |bit-for-bit.  This quantifies the estimator's variance at
+        |signature length 8 on real data (the k=8 standard error is
+        |~0.5/√8 ≈ 17%; pairs outside that band are the ones a longer
+        |signature would fix).  Scale shape: everything is bounded by
+        |the CANDIDATE set (the LSH point): the wide signature joins
+        |to the pair list twice by doc id, and the exact intersection
+        |reuses q29's semi-filtered shingle join — corpus-sized tables
+        |are touched only by the already-computed signature/shingle
+        |stages.""".stripMargin,
+      s"""WITH cand AS ($candidatesSql),
+        |  sig AS ($signatureSql),
+        |  m AS (
+        |    SELECT cand.doc_a, cand.doc_b,
+        |      CAST(sum(CASE WHEN sa.mh = sb.mh THEN 1 ELSE 0 END) AS BIGINT) AS n_match
+        |    FROM cand
+        |    JOIN sig sa ON sa.doc_id = cand.doc_a
+        |    JOIN sig sb ON sb.doc_id = cand.doc_b AND sb.seed = sa.seed
+        |    GROUP BY 1, 2),
+        |  sh AS ($shinglesSql),
+        |  sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM sh GROUP BY 1),
+        |  inter AS (
+        |    SELECT c.doc_a, c.doc_b, count(*)::BIGINT AS n_common
+        |    FROM cand c
+        |    JOIN sh sa ON sa.doc_id = c.doc_a
+        |    JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+        |    GROUP BY 1, 2)
+        |SELECT m.doc_a, m.doc_b, m.n_match,
+        |  (1000 * m.n_match) // ${NumSeeds} AS est_permille,
+        |  (1000 * coalesce(inter.n_common, 0))
+        |    // (za.n + zb.n - coalesce(inter.n_common, 0)) AS exact_permille,
+        |  abs((1000 * m.n_match) // ${NumSeeds}
+        |    - (1000 * coalesce(inter.n_common, 0))
+        |      // (za.n + zb.n - coalesce(inter.n_common, 0))) AS err_permille
+        |FROM m
+        |LEFT JOIN inter ON inter.doc_a = m.doc_a AND inter.doc_b = m.doc_b
+        |JOIN sizes za ON za.doc_id = m.doc_a
+        |JOIN sizes zb ON zb.doc_id = m.doc_b""".stripMargin) { (s, dir) =>
+      val cand = candidates(s, dir)
+      val sigA = signatureWide(s, dir)
+      val matchExpr = (0 until NumSeeds)
+        .map(i => when(col(s"a.mh$i") === col(s"b.mh$i"), 1L).otherwise(0L))
+        .reduce(_ + _)
+      val m = broadcast(cand.select(col("doc_a"), col("doc_b")))
+        .join(sigA.as("a"), col("a.doc_id") === col("doc_a"))
+        .join(sigA.as("b"), col("b.doc_id") === col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), matchExpr.as("n_match"))
+      val candDocs = cand.select(col("doc_a").as("doc_id"))
+        .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+      val sh = shingles(s, dir)
+        .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = broadcast(cand.select(col("doc_a"), col("doc_b")))
+        .join(sh.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("n_common"))
+      m.join(inter, Seq("doc_a", "doc_b"), "left")
+        .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"), col("n_match"),
+          expr(s"(1000 * n_match) DIV $NumSeeds").as("est_permille"),
+          expr("(1000 * n_common) DIV (na + nb - n_common)").as("exact_permille"),
+          expr(s"""abs((1000 * n_match) DIV $NumSeeds
+                  |  - (1000 * n_common) DIV (na + nb - n_common))""".stripMargin)
+            .as("err_permille"))
     })
 
   /** 16-bit SimHash signature per doc (doc_id, simhash16), cached per

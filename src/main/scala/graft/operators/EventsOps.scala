@@ -1030,6 +1030,100 @@ object EventsOps {
           col("p95_cents"),
           expr("(1000 * raw_sum) DIV n_events").as("raw_mean_millicents"),
           expr("(1000 * win_sum) DIV n_events").as("winsorized_mean_millicents"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q172_hourly_cadence",
+      """Per-user HOUR-OF-DAY concentration — the cadence fingerprint
+        |behind the reference's suspicious-actor tier (SURVEY.md A1):
+        |a human's activity spreads over waking hours; a cron-driven
+        |bot hammers one or two UTC hours.  Per user: events, distinct
+        |active hours (of 24), the peak hour and its permille share of
+        |the user's traffic.  The peak is picked deterministically as
+        |max(struct(cnt, -hour)) — largest count, ties to the EARLIEST
+        |hour — the same argmax-without-a-window discipline as
+        |q95/q164; the oracle uses an explicit row_number for an
+        |independent formulation of the same total order.  Scale
+        |shape: one shuffle to the (user, hour) histogram (≤ 24 rows
+        |per user) with map-side combine, then a user-keyed roll-up of
+        |that histogram — never a window over raw events.""".stripMargin,
+      """WITH h AS (
+        |  SELECT user_id, CAST((epoch_us(ts) % 86400000000) // 3600000000 AS BIGINT) AS hour,
+        |    count(*)::BIGINT AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT user_id, hour, cnt,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY cnt DESC, hour) AS rn
+        |  FROM h),
+        |g AS (
+        |  SELECT user_id, CAST(sum(cnt) AS BIGINT) AS n_events,
+        |    count(*)::BIGINT AS n_active_hours
+        |  FROM h GROUP BY 1)
+        |SELECT g.user_id, g.n_events, g.n_active_hours,
+        |  r.hour AS peak_hour,
+        |  (1000 * r.cnt) // g.n_events AS peak_share_permille
+        |FROM g JOIN r ON r.user_id = g.user_id AND r.rn = 1""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"),
+          expr("(unix_micros(ts) % 86400000000) DIV 3600000000").as("hour"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("cnt")).cast("long").as("n_events"),
+          count(lit(1)).as("n_active_hours"),
+          max(struct(col("cnt").as("c"), (-col("hour")).as("nh"))).as("pk"))
+        .select(col("user_id"), col("n_events"), col("n_active_hours"),
+          (-col("pk.nh")).as("peak_hour"),
+          expr("(1000 * pk.c) DIV n_events").as("peak_share_permille"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q173_conversion_lag",
+      """Signup→purchase CONVERSION-LAG distribution — the
+        |time-to-convert histogram that prices an acquisition funnel
+        |(and the funnel tier's q112 complement: not whether the
+        |sequence completes, but how LONG it takes): per user, the
+        |first signup and the first purchase AT OR AFTER it; the lag
+        |in whole days rolls up to a day-histogram with never-converted
+        |users reported in the lag_days = -1 bucket.  Both engines
+        |pick firsts by min() over a total order (ts, then event_id is
+        |irrelevant here — min(ts) suffices since lag only needs the
+        |timestamp), and the day floor-divides epoch micros.  Scale
+        |shape: one user-keyed aggregate finds signup firsts; the
+        |purchase scan joins it user-keyed (same partitioning), the
+        |conditional min collapses per user, and the histogram shuffle
+        |carries |distinct lags| groups.""".stripMargin,
+      """WITH su AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS t_signup
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |pu AS (
+        |  SELECT e.user_id, min(epoch_us(e.ts)) AS t_purchase
+        |  FROM events e JOIN su ON su.user_id = e.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= su.t_signup
+        |  GROUP BY 1),
+        |lags AS (
+        |  SELECT su.user_id,
+        |    CASE WHEN pu.t_purchase IS NULL THEN -1
+        |         ELSE (pu.t_purchase - su.t_signup) // 86400000000 END AS lag_days
+        |  FROM su LEFT JOIN pu ON pu.user_id = su.user_id)
+        |SELECT lag_days, count(*)::BIGINT AS n_users
+        |FROM lags GROUP BY 1""".stripMargin) { (s, dir) =>
+      val su = Tables.events(s, dir)
+        .filter(col("event_type") === "signup")
+        .groupBy(col("user_id"))
+        .agg(min(epochUs(col("ts"))).as("t_signup"))
+      val pu = Tables.events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .join(su, "user_id")
+        .filter(epochUs(col("ts")) >= col("t_signup"))
+        .groupBy(col("user_id"))
+        .agg(min(epochUs(col("ts"))).as("t_purchase"))
+      su.join(pu, Seq("user_id"), "left")
+        .select(when(col("t_purchase").isNull, lit(-1L))
+          .otherwise(expr("(t_purchase - t_signup) DIV 86400000000"))
+          .as("lag_days"))
+        .groupBy(col("lag_days"))
+        .agg(count(lit(1)).as("n_users"))
     })
 
   /** q149's kernel, shared with the streaming twin's stream ≡ batch

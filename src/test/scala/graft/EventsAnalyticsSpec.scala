@@ -224,12 +224,45 @@ class EventsAnalyticsSpec extends SparkSpec {
       "fixture should have outliers the clamp removes")
   }
 
+  test("q172 cadence equals a brute-force hour histogram per user") {
+    val evs = Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("t"))
+      .collect().map(r => (r.getLong(0), r.getLong(1) % 86400000000L / 3600000000L))
+    val expected = evs.groupBy(_._1).map { case (u, es) =>
+      val hist = es.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val n = es.size.toLong
+      val (peakHour, peakCnt) = hist.toSeq.sortBy { case (h, c) => (-c, h) }.head
+      u -> ((n, hist.size.toLong, peakHour, 1000L * peakCnt / n))
+    }
+    val got = byName("q172_hourly_cadence").run(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == expected, "cadence diverges from brute force")
+  }
+
+  test("q173 lag histogram conserves signup users and matches brute force") {
+    val evs = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("t"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expected = evs.filter(_._2 == "signup").groupBy(_._1).map { case (u, ss) =>
+      val tS = ss.map(_._3).min
+      val ps = evs.filter(e => e._1 == u && e._2 == "purchase" && e._3 >= tS)
+      if (ps.isEmpty) -1L else (ps.map(_._3).min - tS) / 86400000000L
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = byName("q173_conversion_lag").run(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected, "lag histogram diverges from brute force")
+    // conservation: every user with a signup lands in exactly one bucket
+    assert(got.values.sum == evs.filter(_._2 == "signup").map(_._1).distinct.size)
+  }
+
   test("events analytics queries are registered with oracles") {
     Seq("q148_active_streaks", "q149_rolling_anomaly",
       "q150_markov_transitions", "q157_gini_concentration",
       "q159_path_trigrams", "q162_spend_trend",
       "q164_session_entry_stats", "q166_time_weighted_value",
-      "q167_first_touch_attribution", "q170_winsorized_value").foreach { n =>
+      "q167_first_touch_attribution", "q170_winsorized_value",
+      "q172_hourly_cadence", "q173_conversion_lag").foreach { n =>
       assert(SparkEntry.queries.contains(n), n)
       assert(SparkEntry.oracleSql.contains(n), n)
     }

@@ -165,9 +165,40 @@ class WinnowSpec extends SparkSpec {
       "fixture should contain both novel and duplicated shingles")
   }
 
+  test("q171 calibration equals a brute-force minhash + Jaccard recompute") {
+    def md5hex(x: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    // 3-gram shingles exactly as Dedup builds them: split on single
+    // space, every offset, distinct
+    val shing = docs.map { case (id, t) =>
+      val w = t.split(" ", -1)
+      id -> w.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    }.toMap
+    val sig = shing.collect { case (id, ss) if ss.nonEmpty =>
+      id -> (0 until 8).map(i => ss.map(sh => md5hex(sh + ":" + i)).min)
+    }
+    val got = byName("q171_minhash_calibration").run(spark, sfDir).collect()
+    assert(got.nonEmpty, "no LSH candidates in fixture")
+    got.foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      val nm = (0 until 8).count(i => sig(a)(i) == sig(b)(i)).toLong
+      val inter = (shing(a) & shing(b)).size.toLong
+      val uni = (shing(a) | shing(b)).size.toLong
+      assert(r.getLong(2) == nm, s"($a,$b) n_match")
+      assert(r.getLong(3) == 1000L * nm / 8, s"($a,$b) est")
+      assert(r.getLong(4) == 1000L * inter / uni, s"($a,$b) exact")
+      assert(r.getLong(5) == math.abs(1000L * nm / 8 - 1000L * inter / uni),
+        s"($a,$b) err")
+    }
+  }
+
   test("winnow/span/collocation queries are registered with oracles") {
     Seq("q151_dup_spans", "q152_winnowing", "q156_pmi_collocations",
-      "q158_source_overlap", "q168_shingle_novelty").foreach { n =>
+      "q158_source_overlap", "q168_shingle_novelty",
+      "q171_minhash_calibration").foreach { n =>
       assert(SparkEntry.queries.contains(n), n)
       assert(SparkEntry.oracleSql.contains(n), n)
     }
