@@ -157,6 +157,40 @@ object Streams {
         col("user_ip"), col("n_events"))
   }
 
+  /** q167's streaming twin: FIRST-TOUCH session attribution over native
+    * session windows — per closed session, the entry event type (the
+    * q164/q167 min(struct) pick, which streaming session-window merge
+    * preserves: min is order-insensitive, so out-of-order arrivals
+    * inside the watermark land on the same answer) and the session's
+    * purchase revenue in cents.  Append mode emits each session exactly
+    * once, after the watermark passes its close; state per in-flight
+    * session is one (first, cents, count) triple — bounded.  Gap-tie
+    * semantics: session_window splits when the inter-event gap is >=
+    * `gap` (window spans [t, t+gap)), while the batch q167 splits
+    * strictly > — fixtures avoid exact-gap ties; at 100 TB the
+    * difference is measure-zero and documented here rather than papered
+    * over. The entry-type rollup (conversion rates per entry type)
+    * stays in the consumer, batch-side over the emitted sessions, as
+    * q86 keeps exact verification batch-side. */
+  def sessionAttribution(events: DataFrame, gap: String = "2 hours",
+      watermark: String = "30 minutes"): DataFrame = {
+    val alreadyWatermarked = events.queryExecution.analyzed.find(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.EventTimeWatermark]).isDefined
+    val src = if (alreadyWatermarked) events else events.withWatermark("ts", watermark)
+    src
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(min(struct(unix_micros(col("ts")).as("t"), col("event_id").as("e"),
+          col("event_type").as("y"))).as("first"),
+        sum(when(col("event_type") === "purchase",
+          (col("value").cast("decimal(18,2)") * 100).cast("long"))
+          .otherwise(0L)).as("purchase_cents"),
+        count(lit(1)).as("n_events"))
+      .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
+        col("user_id"), col("first.y").as("entry_type"),
+        col("purchase_cents").cast("long").as("purchase_cents"),
+        col("n_events"))
+  }
+
   /** F1 streaming twin: IP filter with a per-micro-batch snapshot
     * re-read. Spark caches a static join side for the life of the query;
     * re-reading inside foreachBatch is what keeps the deny-set fresh
