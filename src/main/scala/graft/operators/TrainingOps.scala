@@ -1015,11 +1015,14 @@ object TrainingOps {
         |  CAST(sum(term) AS BIGINT) AS chi2_ppm,
         |  max(term) AS max_cell_ppm
         |FROM terms GROUP BY 1, 2""".stripMargin) { (s, dir) =>
-      val d = Tables.documents(s, dir)
-      val obs = d.groupBy(col("source"), col("lang")).agg(count(lit(1)).as("o"))
-      val r = d.groupBy(col("source")).agg(count(lit(1)).as("r"))
-      val c = d.groupBy(col("lang")).agg(count(lit(1)).as("c"))
-      val t = d.agg(count(lit(1)).as("t"))
+      // one corpus scan: the cell counts are sufficient statistics —
+      // row/column/grand totals are aggregates OF the (tiny) cell table,
+      // not separate passes over documents
+      val obs = Tables.documents(s, dir)
+        .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("o"))
+      val r = obs.groupBy(col("source")).agg(sum(col("o")).cast("long").as("r"))
+      val c = obs.groupBy(col("lang")).agg(sum(col("o")).cast("long").as("c"))
+      val t = obs.agg(sum(col("o")).cast("long").as("t"))
       r.crossJoin(broadcast(c)).crossJoin(broadcast(t))
         .join(obs, Seq("source", "lang"), "left")
         .withColumn("o", coalesce(col("o"), lit(0L)))
