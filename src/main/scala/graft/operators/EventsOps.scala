@@ -1124,6 +1124,53 @@ object EventsOps {
           .as("lag_days"))
         .groupBy(col("lag_days"))
         .agg(count(lit(1)).as("n_users"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q174_scd2_dimension",
+      """Slowly-changing-dimension TYPE 2 build — the warehouse
+        |materialization q84's CDC classes stop short of: per user, the
+        |full version history of a derived attribute (spend tier =
+        |cents DIV 5000) as validity intervals.  Change points are rows
+        |whose tier differs from the user's previous event (lag); each
+        |keeps valid_from = its own event time and valid_to = the NEXT
+        |change's time (lead over the change rows only), the open
+        |current version carrying NULL.  Version numbers come from
+        |row_number over the same change-row order — three window
+        |passes, all on the SAME user key, so one shuffle and one sort
+        |serve all of them.  Every boundary is epoch micros and the
+        |tie order is (ts, event_id) — a total order, so both engines
+        |cut identical versions.  Scale shape: user-keyed windows
+        |(per-user history is bounded), no global window, and the
+        |output is change-sized, not event-sized.""".stripMargin,
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS t,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 5000 AS tier
+        |  FROM events),
+        |d AS (
+        |  SELECT user_id, event_id, t, tier,
+        |    lag(tier) OVER (PARTITION BY user_id ORDER BY t, event_id) AS prev_tier
+        |  FROM e),
+        |ch AS (SELECT user_id, event_id, t, tier FROM d
+        |       WHERE prev_tier IS NULL OR tier <> prev_tier)
+        |SELECT user_id,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY t, event_id) AS version,
+        |  tier, t AS valid_from_us,
+        |  lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS valid_to_us,
+        |  (lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id) IS NULL)
+        |    AS is_current
+        |FROM ch""".stripMargin) { (s, dir) =>
+      val byT = Window.partitionBy(col("user_id")).orderBy(col("t"), col("event_id"))
+      val ch = Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), epochUs(col("ts")).as("t"),
+          expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) DIV 5000").as("tier"))
+        .withColumn("prev_tier", lag(col("tier"), 1).over(byT))
+        .filter(col("prev_tier").isNull || col("tier") =!= col("prev_tier"))
+      ch.select(col("user_id"),
+          row_number().over(byT).cast("long").as("version"),
+          col("tier"), col("t").as("valid_from_us"),
+          lead(col("t"), 1).over(byT).as("valid_to_us"))
+        .withColumn("is_current", col("valid_to_us").isNull)
     })
 
   /** q149's kernel, shared with the streaming twin's stream ≡ batch

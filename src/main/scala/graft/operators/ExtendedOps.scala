@@ -289,5 +289,97 @@ object ExtendedOps {
         split_part(col("p_type"), lit(" "), lit(1)).as("type_head"),
         concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
         lpad(col("p_size").cast("string"), 4, "0").as("size4"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q175_dq_audit",
+      """Data-quality AUDIT report — the expectations suite a pipeline
+        |runs before trusting a new data drop (and the operator the
+        |reference's crawler-driven "detect drift, don't break"
+        |posture implies): one tall (check, violations, checked) row
+        |per assertion, spanning referential integrity (orphaned
+        |lineitems, childless orders, orphaned custkeys — broadcast
+        |anti/semi joins), key uniqueness (count vs count-distinct, no
+        |self-join), domain rules (non-positive monetary values,
+        |regex-malformed JSON props), and physical consistency
+        |(declared n_chars vs actual length; ragged embedding
+        |dimensions vs the corpus-wide max).  A healthy drop yields
+        |all-zero violations WITH the checked denominators proving the
+        |checks ran — childless orders are legitimately nonzero here,
+        |pinning that violations actually count.  Scale shape: every
+        |check is one scan-side aggregate or one key-partitioned
+        |anti/semi join; the report union is |checks| rows.""".stripMargin,
+      """SELECT 'lineitem_orphan_orderkey' AS check_name,
+        |  (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |    (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))::BIGINT AS n_violations,
+        |  (SELECT count(*) FROM lineitem)::BIGINT AS n_checked
+        |UNION ALL SELECT 'orders_childless',
+        |  (SELECT count(*) FROM orders o WHERE NOT EXISTS
+        |    (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey))::BIGINT,
+        |  (SELECT count(*) FROM orders)::BIGINT
+        |UNION ALL SELECT 'orders_orphan_custkey',
+        |  (SELECT count(*) FROM orders o WHERE NOT EXISTS
+        |    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))::BIGINT,
+        |  (SELECT count(*) FROM orders)::BIGINT
+        |UNION ALL SELECT 'orders_pk_duplicate',
+        |  (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders)::BIGINT,
+        |  (SELECT count(*) FROM orders)::BIGINT
+        |UNION ALL SELECT 'events_value_nonpositive',
+        |  (SELECT count(*) FROM events
+        |   WHERE CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) <= 0)::BIGINT,
+        |  (SELECT count(*) FROM events)::BIGINT
+        |UNION ALL SELECT 'events_props_malformed',
+        |  (SELECT count(*) FROM events
+        |   WHERE NOT regexp_matches(props, '^\{"k": [0-9]+\}$'))::BIGINT,
+        |  (SELECT count(*) FROM events)::BIGINT
+        |UNION ALL SELECT 'documents_nchars_mismatch',
+        |  (SELECT count(*) FROM documents WHERE n_chars <> length(text))::BIGINT,
+        |  (SELECT count(*) FROM documents)::BIGINT
+        |UNION ALL SELECT 'embeddings_ragged_dim',
+        |  (SELECT count(*) FROM embeddings
+        |   WHERE len(embedding) <> (SELECT max(len(embedding)) FROM embeddings))::BIGINT,
+        |  (SELECT count(*) FROM embeddings)::BIGINT""".stripMargin) { (s, dir) =>
+      val li = Tables.lineitem(s, dir); val o = Tables.orders(s, dir)
+      val cu = Tables.customer(s, dir); val ev = Tables.events(s, dir)
+      val doc = Tables.documents(s, dir); val em = Tables.embeddings(s, dir)
+      // fully declarative: each check is ONE single-row aggregate plan
+      // (orphan checks via left join + null-marker conditional count, so
+      // violations and the checked denominator ride the same pass); the
+      // report is the union of eight one-row plans — no driver collects
+      def check(name: String, d: org.apache.spark.sql.DataFrame,
+          violation: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame =
+        d.agg(sum(when(violation, 1L).otherwise(0L)).cast("long").as("n_violations"),
+            count(lit(1)).as("n_checked"))
+          .select(lit(name).as("check_name"), col("n_violations"), col("n_checked"))
+      val liJoined = li.select(col("l_orderkey"))
+        .join(o.select(col("o_orderkey").as("l_orderkey"), lit(1).as("hit_o")),
+          Seq("l_orderkey"), "left")
+      val oChild = o.select(col("o_orderkey"))
+        .join(li.select(col("l_orderkey").as("o_orderkey")).distinct()
+          .withColumn("hit_l", lit(1)), Seq("o_orderkey"), "left")
+      val oCust = o.select(col("o_custkey"))
+        .join(broadcast(cu.select(col("c_custkey").as("o_custkey"), lit(1).as("hit_c"))),
+          Seq("o_custkey"), "left")
+      val pkDup = o.groupBy(col("o_orderkey")).agg(count(lit(1)).as("k"))
+        .agg(sum(col("k") - 1).cast("long").as("n_violations"),
+          sum(col("k")).cast("long").as("n_checked"))
+        .select(lit("orders_pk_duplicate").as("check_name"),
+          col("n_violations"), col("n_checked"))
+      val ragged = em.crossJoin(broadcast(
+        em.agg(max(size(col("embedding"))).as("maxd"))))
+      Seq(
+        check("lineitem_orphan_orderkey", liJoined, col("hit_o").isNull),
+        check("orders_childless", oChild, col("hit_l").isNull),
+        check("orders_orphan_custkey", oCust, col("hit_c").isNull),
+        pkDup,
+        check("events_value_nonpositive", ev,
+          expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) <= 0")),
+        check("events_props_malformed", ev,
+          !col("props").rlike("^\\{\"k\": [0-9]+\\}$")),
+        check("documents_nchars_mismatch", doc,
+          col("n_chars") =!= length(col("text"))),
+        check("embeddings_ragged_dim", ragged,
+          size(col("embedding")) =!= col("maxd")))
+        .reduce(_ unionAll _)
     })
 }

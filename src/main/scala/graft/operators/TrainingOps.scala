@@ -1034,6 +1034,97 @@ object TrainingOps {
         .agg(sum(col("term")).cast("long").as("chi2_ppm"),
           max(col("term")).as("max_cell_ppm"))
         .select(col("source"), col("n_docs"), col("chi2_ppm"), col("max_cell_ppm"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q176_mmr_selection",
+      """Maximal-marginal-relevance (MMR) DIVERSIFIED selection — the
+        |curation step after retrieval: from the 12 most query-relevant
+        |vectors, greedily pick 5 that balance relevance against
+        |redundancy, scoring each remaining candidate rel − max sim to
+        |the already-selected set (the λ=½ MMR objective, common scale
+        |factor cancelled).  The 5 greedy rounds unroll as plan
+        |branches — the q143/q161 fixed-round discipline, argmax per
+        |round via orderBy+limit(1) with a vec_id tie-break, NO driver
+        |collect.  All similarity is the q163 fixed-point inner product
+        |(round-to-4-decimals × 10000, exact int64 sums), so both
+        |engines pick identical sets.  Scale shape: one corpus pass
+        |computes query relevance (broadcast query vector, scan-side
+        |dot); everything after the top-12 TakeOrdered is
+        |candidate-bounded (12×12 pair sims, per-round joins on ≤ 12
+        |rows) — the greedy loop never touches the corpus again.""".stripMargin,
+      {
+        val dot = (a: String, b: String) =>
+          s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+             |  list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])),
+             |  (x, y) -> x + y)""".stripMargin
+        val rounds = (2 to 5).map { r =>
+          s"""r$r AS (
+             |  SELECT c.vec_id, CAST($r AS BIGINT) AS pick_order, c.rel,
+             |    c.rel - max(p.sim) AS mmr
+             |  FROM cand c
+             |  JOIN pairs p ON p.ca = c.vec_id
+             |    AND p.cb IN (SELECT vec_id FROM sel${r - 1})
+             |  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${r - 1})
+             |  GROUP BY c.vec_id, c.rel
+             |  ORDER BY mmr DESC, c.vec_id LIMIT 1),
+             |sel$r AS (SELECT * FROM sel${r - 1} UNION ALL SELECT * FROM r$r)""".stripMargin
+        }.mkString(",\n")
+        s"""WITH e AS (
+           |  SELECT vec_id, list_transform(embedding,
+           |    x -> CAST(CAST(round(CAST(x AS DOUBLE), 4) AS DECIMAL(9,4))
+           |              * 10000 AS BIGINT)) AS vm
+           |  FROM embeddings),
+           |qv AS (SELECT vm AS qm FROM e WHERE vec_id = 0),
+           |rel AS (
+           |  SELECT vec_id, vm, ${dot("vm", "qm")} AS rel
+           |  FROM e, qv WHERE vec_id <> 0),
+           |cand AS (SELECT * FROM rel ORDER BY rel DESC, vec_id LIMIT 12),
+           |pairs AS (
+           |  SELECT a.vec_id AS ca, b.vec_id AS cb, ${dot("a.vm", "b.vm")} AS sim
+           |  FROM cand a, cand b WHERE a.vec_id <> b.vec_id),
+           |sel1 AS (
+           |  SELECT vec_id, CAST(1 AS BIGINT) AS pick_order, rel, rel AS mmr
+           |  FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
+           |$rounds
+           |SELECT pick_order, vec_id, rel AS rel_score, mmr AS mmr_score
+           |FROM sel5""".stripMargin
+      }) { (s, dir) =>
+      val dotExpr = expr(
+        """aggregate(zip_with(va, vb, (a, b) -> a * b),
+          |          CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin)
+      val e = Tables.embeddings(s, dir).withColumn("vm", expr(
+        """transform(embedding,
+          |  x -> CAST(CAST(round(CAST(x AS DOUBLE), 4) AS DECIMAL(9,4))
+          |            * 10000 AS BIGINT))""".stripMargin))
+      val qv = e.filter(col("vec_id") === 0).select(col("vm").as("vb"))
+      val rel = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(qv))
+        .select(col("vec_id"), col("vm"), col("vm").as("va"), col("vb"))
+        .withColumn("rel", dotExpr)
+        .select(col("vec_id"), col("vm"), col("rel"))
+      val cand = rel.orderBy(col("rel").desc, col("vec_id")).limit(12)
+      val pairs = cand.select(col("vec_id").as("ca"), col("vm").as("va"))
+        .crossJoin(broadcast(cand.select(col("vec_id").as("cb"), col("vm").as("vb"))))
+        .filter(col("ca") =!= col("cb"))
+        .withColumn("sim", dotExpr)
+        .select(col("ca"), col("cb"), col("sim"))
+      var sel = cand.orderBy(col("rel").desc, col("vec_id")).limit(1)
+        .select(col("vec_id"), lit(1L).as("pick_order"), col("rel"),
+          col("rel").as("mmr"))
+      for (r <- 2 to 5) {
+        val selIds = sel.select(col("vec_id"))
+        val maxsim = pairs
+          .join(broadcast(sel.select(col("vec_id").as("cb"))), Seq("cb"))
+          .groupBy(col("ca").as("vec_id")).agg(max(col("sim")).as("maxsim"))
+        val pick = cand.join(selIds, Seq("vec_id"), "left_anti")
+          .join(maxsim, Seq("vec_id"))
+          .select(col("vec_id"), lit(r.toLong).as("pick_order"), col("rel"),
+            (col("rel") - col("maxsim")).as("mmr"))
+          .orderBy(col("mmr").desc, col("vec_id")).limit(1)
+        sel = sel.unionAll(pick)
+      }
+      sel.select(col("pick_order"), col("vec_id"),
+        col("rel").as("rel_score"), col("mmr").as("mmr_score"))
     }
   )
 

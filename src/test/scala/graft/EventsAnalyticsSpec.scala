@@ -256,13 +256,46 @@ class EventsAnalyticsSpec extends SparkSpec {
     assert(got.values.sum == evs.filter(_._2 == "signup").map(_._1).distinct.size)
   }
 
+  test("q174 SCD2 versions tile each user's history with one open version") {
+    val evs = Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("t"), col("event_id"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) DIV 5000").as("tier"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val expected = evs.groupBy(_._1).flatMap { case (u, es) =>
+      val sorted = es.sortBy(e => (e._2, e._3)).toVector
+      val changes = sorted.head +: sorted.sliding(2).collect {
+        case Vector(a, b) if a._4 != b._4 => b }.toVector
+      changes.zipWithIndex.map { case (c, i) =>
+        val to = if (i + 1 < changes.size) Some(changes(i + 1)._2) else None
+        (u, i + 1L, c._4, c._2, to)
+      }
+    }.toSet
+    val got = byName("q174_scd2_dimension").run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))).toSet
+    assert(got == expected, "SCD2 versions diverge from brute force")
+    // structural invariants: one open version per user; intervals chain
+    val byUser = got.groupBy(_._1)
+    byUser.foreach { case (u, vs) =>
+      assert(vs.count(_._5.isEmpty) == 1, s"user $u open versions")
+      val sorted = vs.toSeq.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(a._5.contains(b._4), s"user $u: version chain broken")
+          assert(a._3 != b._3, s"user $u: adjacent versions share a tier")
+        case _ => ()
+      }
+    }
+  }
+
   test("events analytics queries are registered with oracles") {
     Seq("q148_active_streaks", "q149_rolling_anomaly",
       "q150_markov_transitions", "q157_gini_concentration",
       "q159_path_trigrams", "q162_spend_trend",
       "q164_session_entry_stats", "q166_time_weighted_value",
       "q167_first_touch_attribution", "q170_winsorized_value",
-      "q172_hourly_cadence", "q173_conversion_lag").foreach { n =>
+      "q172_hourly_cadence", "q173_conversion_lag",
+      "q174_scd2_dimension").foreach { n =>
       assert(SparkEntry.queries.contains(n), n)
       assert(SparkEntry.oracleSql.contains(n), n)
     }

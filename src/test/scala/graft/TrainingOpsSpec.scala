@@ -246,6 +246,68 @@ class TrainingOpsSpec extends SparkSpec {
     }
   }
 
+  test("q175 DQ audit: denominators real, childless orders caught, clean checks zero") {
+    val rows = byName("q175_dq_audit").run(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows.size == 8, "expected eight checks")
+    val nOrders = Tables.orders(spark, sfDir).count()
+    val nLineitem = Tables.lineitem(spark, sfDir).count()
+    assert(rows("orders_childless")._2 == nOrders)
+    assert(rows("lineitem_orphan_orderkey")._2 == nLineitem)
+    // brute-force the one genuinely nonzero check
+    val childless = nOrders - Tables.lineitem(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("l_orderkey")).distinct()
+      .join(Tables.orders(spark, sfDir).select(
+        org.apache.spark.sql.functions.col("o_orderkey")
+          .as("l_orderkey")), "l_orderkey").count()
+    assert(rows("orders_childless")._1 == childless && childless > 0,
+      s"childless orders: ${rows("orders_childless")._1} vs $childless")
+    // the generator's data is referentially clean — those checks must say so
+    Seq("lineitem_orphan_orderkey", "orders_orphan_custkey",
+      "orders_pk_duplicate", "events_props_malformed",
+      "documents_nchars_mismatch", "embeddings_ragged_dim").foreach { c =>
+      assert(rows(c)._1 == 0, s"$c should be clean")
+    }
+  }
+
+  test("q176 MMR picks equal a brute-force greedy recompute and diversify") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), expr(
+        """transform(embedding,
+          |  x -> CAST(CAST(round(CAST(x AS DOUBLE), 4) AS DECIMAL(9,4))
+          |            * 10000 AS BIGINT))""".stripMargin).as("vm"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+    def dot(a: Vector[Long], b: Vector[Long]) = a.lazyZip(b).map(_ * _).sum
+    val qm = vecs(0L)
+    val cand = vecs.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, v, dot(v, qm)) }
+      .sortBy { case (id, _, r) => (-r, id) }.take(12)
+    var sel = Vector(cand.maxBy { case (id, _, r) => (r, -id) })
+    var mmrs = Map(sel.head._1 -> sel.head._3)
+    (2 to 5).foreach { _ =>
+      val selIds = sel.map(_._1).toSet
+      val pick = cand.filterNot(c => selIds(c._1)).map { case (id, v, r) =>
+        (id, v, r, r - sel.map(s => dot(v, s._2)).max)
+      }.sortBy { case (id, _, _, m) => (-m, id) }.head
+      sel :+= ((pick._1, pick._2, pick._3))
+      mmrs += pick._1 -> pick._4
+    }
+    val got = byName("q176_mmr_selection").run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(got.map(_._2).toVector == sel.map(_._1),
+      s"pick order diverges: ${got.map(_._2).toVector} vs ${sel.map(_._1)}")
+    got.foreach { case (_, id, r, m) =>
+      assert(r == cand.find(_._1 == id).get._3, s"rel of $id")
+      assert(m == mmrs(id), s"mmr of $id")
+    }
+    // diversification did something: the greedy order differs from
+    // pure-relevance order (otherwise the fixture is degenerate)
+    assert(got.map(_._2).toVector != cand.take(5).map(_._1).toVector,
+      "MMR should reorder vs pure relevance on this fixture")
+  }
+
   test("q169 chi-square equals a BigInt full-grid recompute") {
     val cells = Tables.documents(spark, sfDir)
       .groupBy(org.apache.spark.sql.functions.col("source"),
