@@ -353,6 +353,218 @@ object EventsOps {
     },
 
     // ----------------------------------------------------------------
+    q("q177_funnel_dropoff",
+      """The funnel DROP-OFF report — q112's per-user depths rolled up
+        |to the four numbers a product review actually reads: per depth
+        |0..3, how many users topped out exactly there, how many
+        |reached at least that far, and the step conversion permille
+        |(reached(d) / reached(d-1), depth 0 pinned at 1000).  The
+        |depth spine is generated explicitly so a depth nobody reached
+        |still reports its zero (the q57 gap-fill discipline).  The
+        |cumulative "reached" count and the lag for the conversion
+        |ratio run as windows over the FOUR-row depth histogram — the
+        |user-sized funnel output collapses before any window sees it.
+        |Scale shape: the expensive part is exactly q112's one-shuffle
+        |sorted-scan kernel; everything after is constant-sized.""".stripMargin,
+      """WITH seq AS (
+        |  SELECT user_id,
+        |    string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS s
+        |  FROM events GROUP BY user_id),
+        |d AS (
+        |  SELECT CASE WHEN regexp_matches(s, 'v.*c.*p') THEN 3
+        |              WHEN regexp_matches(s, 'v.*c') THEN 2
+        |              WHEN regexp_matches(s, 'v') THEN 1
+        |              ELSE 0 END AS depth
+        |  FROM seq),
+        |hist AS (
+        |  SELECT sp.depth, count(d.depth)::BIGINT AS n_at
+        |  FROM (SELECT unnest(range(0, 4)) AS depth) sp
+        |  LEFT JOIN d ON d.depth = sp.depth
+        |  GROUP BY 1),
+        |cum AS (
+        |  SELECT depth, n_at,
+        |    CAST(sum(n_at) OVER (ORDER BY depth DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_reached
+        |  FROM hist)
+        |SELECT depth, n_at, n_reached,
+        |  CASE WHEN depth = 0 THEN 1000
+        |       WHEN lag(n_reached) OVER (ORDER BY depth) = 0 THEN 0
+        |       ELSE (1000 * n_reached) // lag(n_reached) OVER (ORDER BY depth)
+        |  END AS step_conversion_permille
+        |FROM cum""".stripMargin) { (s, dir) =>
+      val d = Funnel.funnelDepth(Tables.events(s, dir), Seq("v", "c", "p"))
+        .select(col("funnel_depth").cast("long").as("depth"))
+      val spine = (s.range(0, 4)).select(col("id").as("depth"))
+      // count(hit) over the left join: NULL on the no-match side, so a
+      // depth nobody reached counts 0 instead of vanishing
+      val hist = spine
+        .join(d.withColumn("hit", lit(1)), Seq("depth"), "left")
+        .groupBy(col("depth"))
+        .agg(count(col("hit")).as("n_at"))
+      val byDepthDesc = Window.orderBy(col("depth").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val byDepth = Window.orderBy(col("depth"))
+      hist
+        .withColumn("n_reached", sum(col("n_at")).over(byDepthDesc).cast("long"))
+        .withColumn("prev", lag(col("n_reached"), 1).over(byDepth))
+        .select(col("depth"), col("n_at"), col("n_reached"),
+          when(col("depth") === 0, 1000L)
+            .when(col("prev") === 0, 0L)
+            .otherwise(expr("(1000 * n_reached) DIV prev"))
+            .as("step_conversion_permille"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q178_value_mad",
+      """Median absolute deviation — the robust dispersion statistic
+        |paired with q170's winsorized location: per event type, the
+        |exact median of cents (order statistic at rank ⌈n/2⌉) and the
+        |exact median of |cents − median|, both by the q154/q170
+        |histogram-inversion discipline.  Two passes over histograms,
+        |zero passes sorting raw events: pass 1 builds the (type,
+        |cents) histogram and inverts the cumulative count at ⌈n/2⌉;
+        |pass 2 folds the SAME histogram (joined to its type's median)
+        |into a deviation histogram — each bin's count transfers to
+        ||cents − med| wholesale, so no event row is touched again —
+        |and inverts that.  Window partitions stay domain-bounded
+        |(≤ distinct cents values) at any data scale.  Every quantity
+        |is an integer; both engines agree exactly.""".stripMargin,
+      """WITH c AS (
+        |  SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |hist AS (SELECT event_type, cents, count(*)::BIGINT AS cnt
+        |         FROM c GROUP BY 1, 2),
+        |h2 AS (
+        |  SELECT event_type, cents, cnt,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY cents
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM hist),
+        |med AS (
+        |  SELECT event_type, max(n) AS n_events,
+        |    min(CASE WHEN cum >= (n + 1) // 2 THEN cents END) AS median_cents
+        |  FROM h2 GROUP BY 1),
+        |dev AS (
+        |  SELECT hist.event_type, abs(hist.cents - med.median_cents) AS d,
+        |    CAST(sum(hist.cnt) AS BIGINT) AS cnt
+        |  FROM hist JOIN med ON med.event_type = hist.event_type
+        |  GROUP BY 1, 2),
+        |d2 AS (
+        |  SELECT event_type, d, cnt,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |    CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM dev)
+        |SELECT med.event_type, med.n_events, med.median_cents,
+        |  (SELECT min(CASE WHEN cum >= (n + 1) // 2 THEN d END)
+        |   FROM d2 WHERE d2.event_type = med.event_type) AS mad_cents
+        |FROM med""".stripMargin) { (s, dir) =>
+      val hist = Tables.events(s, dir)
+        .select(col("event_type"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+        .groupBy(col("event_type"), col("cents")).agg(count(lit(1)).as("cnt"))
+      val cum = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val whole = Window.partitionBy(col("event_type"))
+      val med = hist
+        .withColumn("cum", sum(col("cnt")).over(cum).cast("long"))
+        .withColumn("n", sum(col("cnt")).over(whole).cast("long"))
+        .groupBy(col("event_type"))
+        .agg(max(col("n")).as("n_events"),
+          min(when(expr("cum >= (n + 1) DIV 2"), col("cents"))).as("median_cents"))
+      val dev = hist.join(med.select(col("event_type"), col("median_cents")), "event_type")
+        .groupBy(col("event_type"),
+          abs(col("cents") - col("median_cents")).as("d"))
+        .agg(sum(col("cnt")).cast("long").as("cnt"))
+      val cumD = Window.partitionBy(col("event_type")).orderBy(col("d"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val mad = dev
+        .withColumn("cum", sum(col("cnt")).over(cumD).cast("long"))
+        .withColumn("n", sum(col("cnt")).over(whole).cast("long"))
+        .groupBy(col("event_type"))
+        .agg(min(when(expr("cum >= (n + 1) DIV 2"), col("d"))).as("mad_cents"))
+      med.join(mad, "event_type")
+        .select(col("event_type"), col("n_events"), col("median_cents"),
+          col("mad_cents"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q179_session_lift",
+      """Within-session event-type LIFT — the co-occurrence statistic
+        |q150's Markov matrix doesn't capture (order-free association,
+        |not adjacent transition): for every unordered type pair a < b,
+        |how many sessions contain both, and the lift
+        |P(ab) / (P(a)·P(b)) = n_ab·N / (n_a·n_b) carried exactly in
+        |parts per million through DECIMAL(38) products (the q156
+        |discipline — no floats, ranking-safe).  Sessions are q164's
+        |>2h-gap rule; type presence dedups to distinct (session, type)
+        |rows inside the session aggregate's partitioning, so the pair
+        |self-join input is at most 5 rows per session and the pair
+        |space collapses to |types|² totals with map-side combine.
+        |Scale shape: one user-keyed shuffle to sessionize, one
+        |session-keyed dedup riding it, a session-bounded self-join,
+        |and broadcast scalar totals.""".stripMargin,
+      """WITH marked AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id) > 7200000000
+        |         OR lag(epoch_us(ts))
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |    THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |sess AS (
+        |  SELECT user_id, event_type,
+        |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM marked),
+        |st AS (SELECT DISTINCT user_id, session_id, event_type FROM sess),
+        |tot AS (SELECT count(DISTINCT (user_id, session_id))::BIGINT AS n FROM st),
+        |ta AS (SELECT event_type, count(*)::BIGINT AS n_t FROM st GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    count(*)::BIGINT AS n_ab
+        |  FROM st a JOIN st b
+        |    ON a.user_id = b.user_id AND a.session_id = b.session_id
+        |   AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT p.type_a, p.type_b, p.n_ab, ta.n_t AS n_a, tb.n_t AS n_b,
+        |  CAST((CAST(p.n_ab AS HUGEINT) * tot.n * 1000000)
+        |       // (CAST(ta.n_t AS HUGEINT) * tb.n_t) AS BIGINT) AS lift_ppm
+        |FROM pairs p
+        |JOIN ta ON ta.event_type = p.type_a
+        |JOIN ta tb ON tb.event_type = p.type_b, tot""".stripMargin) { (s, dir) =>
+      val byTs = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val cumW = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val gap = epochUs(col("ts")) - lag(epochUs(col("ts")), 1).over(byTs)
+      val st = Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("brk", when(gap > 7200000000L || gap.isNull, 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("brk")).over(cumW).cast("long"))
+        .select(col("user_id"), col("session_id"), col("event_type"))
+        .distinct()
+      val tot = st.select(col("user_id"), col("session_id")).distinct()
+        .agg(count(lit(1)).as("n"))
+      val ta = st.groupBy(col("event_type")).agg(count(lit(1)).as("n_t"))
+      val pairs = st.as("a")
+        .join(st.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("a.session_id") === col("b.session_id") &&
+            col("a.event_type") < col("b.event_type"))
+        .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+        .agg(count(lit(1)).as("n_ab"))
+      pairs
+        .join(broadcast(ta.select(col("event_type").as("type_a"), col("n_t").as("n_a"))), "type_a")
+        .join(broadcast(ta.select(col("event_type").as("type_b"), col("n_t").as("n_b"))), "type_b")
+        .crossJoin(broadcast(tot))
+        .select(col("type_a"), col("type_b"), col("n_ab"), col("n_a"), col("n_b"),
+          expr("""CAST((CAST(n_ab AS DECIMAL(38,0)) * n * 1000000)
+                 |     DIV (CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)""".stripMargin)
+            .as("lift_ppm"))
+    },
+
+    // ----------------------------------------------------------------
     q("q113_rolling_window",
       """Time-based rolling aggregate (RANGE frame): per user, the
         |6-hour trailing sum of event value and event count at every

@@ -288,6 +288,72 @@ class EventsAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q177 drop-off conserves users and rolls up q112's depths exactly") {
+    val depths = byName("q112_funnel").run(spark, sfDir).collect()
+      .map(r => r.getInt(2).toLong)
+    val rows = byName("q177_funnel_dropoff").run(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rows.keySet == Set(0L, 1L, 2L, 3L))
+    assert(rows.values.map(_._1).sum == depths.length, "users not conserved")
+    (0L to 3L).foreach { d =>
+      assert(rows(d)._1 == depths.count(_ == d), s"n_at depth $d")
+      assert(rows(d)._2 == depths.count(_ >= d), s"n_reached depth $d")
+    }
+    // conversion permille recomputes from the reached counts
+    (1L to 3L).foreach { d =>
+      val prev = rows(d - 1)._2
+      val expect = if (prev == 0) 0L else 1000L * rows(d)._2 / prev
+      assert(rows(d)._3 == expect, s"conversion at depth $d")
+    }
+    assert(rows(0L)._3 == 1000L)
+  }
+
+  test("q178 median/MAD equal sorted-order-statistics per event type") {
+    val byType = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toVector).toMap
+    val expected = byType.map { case (ty, cs) =>
+      val n = cs.size.toLong
+      val med = cs(((n + 1) / 2 - 1).toInt)
+      val devs = cs.map(c => math.abs(c - med)).sorted
+      ty -> ((n, med, devs(((n + 1) / 2 - 1).toInt)))
+    }
+    val got = byName("q178_value_mad").run(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expected, "median/MAD diverge from sorted order statistics")
+    assert(got.values.forall(_._3 > 0), "MAD should be positive on this data")
+  }
+
+  test("q179 lift equals a brute-force session co-occurrence recompute") {
+    val evs = Tables.events(spark, sfDir)
+      .select(col("user_id"), unix_micros(col("ts")).as("t"), col("event_id"),
+        col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // sessionize per user with the >2h gap rule, collect type sets
+    val sessions = evs.groupBy(_._1).toSeq.flatMap { case (_, es) =>
+      val sorted = es.sortBy(e => (e._2, e._3)).toVector
+      sorted.tail.foldLeft(Vector(Vector(sorted.head))) { (acc, e) =>
+        if (e._2 - acc.last.last._2 > 7200000000L) acc :+ Vector(e)
+        else acc.init :+ (acc.last :+ e)
+      }.map(_.map(_._4).toSet)
+    }
+    val nS = BigInt(sessions.size)
+    val typeN = sessions.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expected = sessions.flatMap(s =>
+      s.toSeq.sorted.combinations(2).map { case Seq(a, b) => (a, b) })
+      .groupBy(identity).map { case ((a, b), xs) =>
+        val nab = xs.size.toLong
+        (a, b) -> ((nab, typeN(a), typeN(b),
+          (BigInt(nab) * nS * 1000000 / (BigInt(typeN(a)) * typeN(b))).toLong))
+      }
+    val got = byName("q179_session_lift").run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got == expected, "session lift diverges from brute force")
+  }
+
   test("events analytics queries are registered with oracles") {
     Seq("q148_active_streaks", "q149_rolling_anomaly",
       "q150_markov_transitions", "q157_gini_concentration",
@@ -295,7 +361,8 @@ class EventsAnalyticsSpec extends SparkSpec {
       "q164_session_entry_stats", "q166_time_weighted_value",
       "q167_first_touch_attribution", "q170_winsorized_value",
       "q172_hourly_cadence", "q173_conversion_lag",
-      "q174_scd2_dimension").foreach { n =>
+      "q174_scd2_dimension", "q177_funnel_dropoff", "q178_value_mad",
+      "q179_session_lift").foreach { n =>
       assert(SparkEntry.queries.contains(n), n)
       assert(SparkEntry.oracleSql.contains(n), n)
     }
