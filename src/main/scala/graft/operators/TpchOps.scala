@@ -463,5 +463,233 @@ object TpchOps {
         .groupBy(col("s_name"))
         .agg(count(lit(1)).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name")).limit(20)
+    },
+
+    // ----------------------------------------------------------------
+    q("q180_volume_shipping",
+      """TPC-H Q7 shape (volume shipping): cross-border revenue flow
+        |per directed (supplier nation, customer nation) pair by ship
+        |year — domestic trade excluded.  The two nation
+        |dimensions broadcast onto opposite ends of the fact (supplier
+        |side and customer side via orders); the OR over the two
+        |direction tuples is applied AFTER both joins as one residual
+        |predicate, so each dimension join stays a plain broadcast
+        |equi-join.  Revenue is exact fixed-point (x10^4 — the scale-4
+        |decimal of price x (1-discount) is integral there, so NEITHER
+        |engine ever rounds); the year is
+        |engine-neutral epoch extraction.  One hash shuffle for the
+        |final (supp_nation, cust_nation, year) aggregate.""".stripMargin,
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+        |  CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+        |       * (1 - CAST(l.l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT)) AS BIGINT)
+        |    AS revenue_c4
+        |FROM lineitem l
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+        |JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |JOIN customer c ON c.c_custkey = o.o_custkey
+        |JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+        |WHERE n1.n_name <> n2.n_name
+        |  AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1, 2, 3""".stripMargin) { (s, dir) =>
+      val n = Tables.nation(s, dir).select(col("n_nationkey"), col("n_name"))
+      val supp = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))
+        .join(broadcast(n), col("n_nationkey") === col("s_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val cust = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+        .join(broadcast(n), col("n_nationkey") === col("c_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+        .join(broadcast(supp), col("s_suppkey") === col("l_suppkey"))
+        .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(cust), col("c_custkey") === col("o_custkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(sum((discPrice(col("l_extendedprice"), col("l_discount")) * 10000)
+          .cast("long")).cast("long").as("revenue_c4"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q181_market_share",
+      """TPC-H Q8 shape (national market share): within one customer
+        |region and one part-type family, the share of yearly revenue
+        |supplied by one nation — numerator and denominator as exact
+        |cents riding ONE conditional aggregate (no second pass), the
+        |share itself an integer ppm floor division.  Join order keeps
+        |the fact outermost: part filter broadcast-semi-shrinks the
+        |fact first (most selective), then supplier-nation tags the
+        |numerator rows, then orders→customer→region gates the
+        |denominator membership.  All dimensions broadcast.""".stripMargin,
+      """SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(sum(CASE WHEN n1.n_name = 'NATION_3'
+        |    THEN CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+        |         * (1 - CAST(l.l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT)
+        |    ELSE 0 END) AS BIGINT) AS nation_c4,
+        |  CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+        |       * (1 - CAST(l.l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT)) AS BIGINT)
+        |    AS total_c4,
+        |  (1000000 * CAST(sum(CASE WHEN n1.n_name = 'NATION_3'
+        |    THEN CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+        |         * (1 - CAST(l.l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT)
+        |    ELSE 0 END) AS BIGINT))
+        |    // CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+        |       * (1 - CAST(l.l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT)) AS BIGINT)
+        |    AS share_ppm
+        |FROM lineitem l
+        |JOIN part p ON p.p_partkey = l.l_partkey
+        |JOIN supplier sp ON sp.s_suppkey = l.l_suppkey
+        |JOIN nation n1 ON n1.n_nationkey = sp.s_nationkey
+        |JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |JOIN customer c ON c.c_custkey = o.o_custkey
+        |JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+        |JOIN region r ON r.r_regionkey = n2.n_regionkey
+        |WHERE p.p_type LIKE 'ECONOMY%' AND r.r_name = 'ASIA'
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val n = Tables.nation(s, dir)
+      val pt = Tables.part(s, dir).filter(col("p_type").like("ECONOMY%"))
+        .select(col("p_partkey"))
+      val supp = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))
+        .join(broadcast(n.select(col("n_nationkey"), col("n_name"))),
+          col("n_nationkey") === col("s_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val asiaCust = Tables.customer(s, dir).select(col("c_custkey"), col("c_nationkey"))
+        .join(broadcast(n.select(col("n_nationkey"), col("n_regionkey"))),
+          col("n_nationkey") === col("c_nationkey"))
+        .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")
+          .select(col("r_regionkey"))),
+          col("r_regionkey") === col("n_regionkey"))
+        .select(col("c_custkey"))
+      val cents = (discPrice(col("l_extendedprice"), col("l_discount")) * 10000)
+        .cast("long")
+      Tables.lineitem(s, dir)
+        .join(broadcast(pt), col("p_partkey") === col("l_partkey"))
+        .join(broadcast(supp), col("s_suppkey") === col("l_suppkey"))
+        .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate")), col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(asiaCust), col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(sum(when(col("supp_nation") === "NATION_3", cents).otherwise(0L))
+            .cast("long").as("nation_c4"),
+          sum(cents).cast("long").as("total_c4"))
+        .select(col("o_year"), col("nation_c4"), col("total_c4"),
+          expr("(1000000 * nation_c4) DIV total_c4").as("share_ppm"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q182_order_count_distribution",
+      """TPC-H Q13 shape (customer distribution): the histogram of
+        |orders-per-customer INCLUDING the zero bucket — the left outer
+        |join whose unmatched side carries the answer (an inner join
+        |would silently drop exactly the customers Q13 exists to count).
+        |Adapted filter (the schema has no o_comment): non-URGENT
+        |orders.  Two aggregates: per-customer count over the left
+        |join (counting the order key, NULL on no-match, so zero
+        |lands), then the count-of-counts — both one hash shuffle, the
+        |second over |distinct counts| groups.""".stripMargin,
+      """WITH co AS (
+        |  SELECT c.c_custkey, count(o.o_orderkey)::BIGINT AS c_count
+        |  FROM customer c
+        |  LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        |    AND o.o_orderpriority <> '1-URGENT'
+        |  GROUP BY 1)
+        |SELECT c_count, count(*)::BIGINT AS custdist
+        |FROM co GROUP BY 1""".stripMargin) { (s, dir) =>
+      Tables.customer(s, dir).select(col("c_custkey"))
+        .join(Tables.orders(s, dir)
+            .filter(col("o_orderpriority") =!= "1-URGENT")
+            .select(col("o_custkey"), col("o_orderkey")),
+          col("o_custkey") === col("c_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q183_top_supplier",
+      """TPC-H Q15 shape (top supplier): supplier(s) whose revenue in a
+        |quarter EQUALS the global maximum — the
+        |aggregate-join-scalar-max shape (Q15's view unnested).  Revenue
+        |is exact integer cents, so the equality join against the max
+        |is bit-safe (the double-typed original is notorious for
+        |max-equality misses).  The per-supplier aggregate is one fact
+        |shuffle; the scalar max broadcasts back onto it; the supplier
+        |dimension broadcasts onto the (tiny) winner set.""".stripMargin,
+      """WITH r AS (
+        |  SELECT l_suppkey,
+        |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+        |         * (1 - CAST(l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT)) AS BIGINT)
+        |      AS total_c4
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+        |  GROUP BY 1),
+        |m AS (SELECT max(total_c4) AS mx FROM r)
+        |SELECT s.s_suppkey, s.s_name, r.total_c4
+        |FROM r JOIN supplier s ON s.s_suppkey = r.l_suppkey, m
+        |WHERE r.total_c4 = m.mx""".stripMargin) { (s, dir) =>
+      val r = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-04-01 00:00:00").cast("timestamp"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum((discPrice(col("l_extendedprice"), col("l_discount")) * 10000)
+          .cast("long")).cast("long").as("total_c4"))
+      val m = r.agg(max(col("total_c4")).as("mx"))
+      r.crossJoin(broadcast(m))
+        .filter(col("total_c4") === col("mx"))
+        .join(broadcast(Tables.supplier(s, dir)
+          .select(col("s_suppkey"), col("s_name"))),
+          col("s_suppkey") === col("l_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_c4"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q184_small_quantity_revenue",
+      """TPC-H Q17 shape (small-quantity orders): revenue from lineitems
+        |whose quantity is below a fifth of their part's average — the
+        |correlated-average decorrelated into a per-part aggregate
+        |joined back onto the fact (Spark would otherwise re-aggregate
+        |per probe row).  The below-a-fifth test cross-multiplies
+        |integers (5·qty·n < Σqty, quantities carried ×100) — no
+        |division, no rounding choice for engines to disagree on.  The
+        |brand filter broadcast-shrinks both the aggregate and the
+        |probe to one brand's lineitems before the (small) self-join
+        |on partkey.""".stripMargin,
+      """WITH b AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#1'),
+        |l AS (
+        |  SELECT l_partkey,
+        |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS q100,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM lineitem JOIN b ON p_partkey = l_partkey),
+        |a AS (
+        |  SELECT l_partkey, count(*)::BIGINT AS n,
+        |    CAST(sum(q100) AS BIGINT) AS sum_q
+        |  FROM l GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_small,
+        |  CAST(sum(l.cents) AS BIGINT) AS revenue_cents,
+        |  CAST(sum(l.cents) AS BIGINT) // 7 AS avg_yearly_cents
+        |FROM l JOIN a ON a.l_partkey = l.l_partkey
+        |WHERE 5 * l.q100 * a.n < a.sum_q""".stripMargin) { (s, dir) =>
+      val b = Tables.part(s, dir).filter(col("p_brand") === "Brand#1")
+        .select(col("p_partkey"))
+      val l = Tables.lineitem(s, dir)
+        .join(broadcast(b), col("p_partkey") === col("l_partkey"))
+        .select(col("l_partkey"),
+          (col("l_quantity").cast("decimal(18,2)") * 100).cast("long").as("q100"),
+          (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      val a = l.groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n"), sum(col("q100")).cast("long").as("sum_q"))
+      l.join(a.select(col("l_partkey"), col("n"), col("sum_q")), "l_partkey")
+        .filter(lit(5L) * col("q100") * col("n") < col("sum_q"))
+        .agg(count(lit(1)).as("n_small"),
+          sum(col("cents")).cast("long").as("revenue_cents"))
+        .select(col("n_small"), col("revenue_cents"),
+          expr("revenue_cents DIV 7").as("avg_yearly_cents"))
     })
 }

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Structural invariants for the round-10 TPC-H classics (q180-q184).
+  * Value-level correctness is pinned by the DuckDB oracles; these tests
+  * pin the properties that make each shape the RIGHT answer — the
+  * conservation laws an implementation bug would break first.
+  */
+class TpchClassicsSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private def byName(n: String) = SparkEntry.all.find(_.name == n).get
+
+  test("q180: no domestic flows; totals conserve the filtered cross-border revenue") {
+    val rows = byName("q180_volume_shipping").run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getString(0) != r.getString(1), "domestic pair leaked"))
+    val years = rows.map(_.getLong(2)).distinct.sorted
+    assert(years.forall(y => y == 1996L || y == 1997L), s"years $years")
+  }
+
+  test("q181: numerator bounded by denominator; share recomputes") {
+    val rows = byName("q181_market_share").run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) <= r.getLong(2), "nation share exceeds total")
+      assert(r.getLong(3) == 1000000L * r.getLong(1) / r.getLong(2), "share_ppm")
+    }
+  }
+
+  test("q182: histogram conserves the customer population incl. zero bucket") {
+    val rows = byName("q182_order_count_distribution").run(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val nCust = Tables.customer(spark, sfDir).count()
+    assert(rows.values.sum == nCust, "customers not conserved")
+    // orders-per-customer recompute: total orders (non-urgent) must match
+    val nOrders = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") =!= "1-URGENT").count()
+    assert(rows.map { case (c, d) => c * d }.sum == nOrders,
+      "weighted histogram must equal the filtered order count")
+  }
+
+  test("q183: winners carry exactly the max quarterly revenue") {
+    val rows = byName("q183_top_supplier").run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val revs = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-04-01 00:00:00").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum((graft.functions.Fns.discPrice(col("l_extendedprice"),
+        col("l_discount")) * 10000).cast("long")).as("c4"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val mx = revs.values.max
+    assert(rows.map(_.getLong(2)).toSet == Set(mx))
+    assert(rows.map(_.getLong(0)).toSet == revs.filter(_._2 == mx).keySet)
+  }
+
+  test("q184: small-quantity set equals a brute-force per-part recompute") {
+    val li = Tables.lineitem(spark, sfDir)
+      .join(broadcast(Tables.part(spark, sfDir)
+        .filter(col("p_brand") === "Brand#1").select(col("p_partkey"))),
+        col("p_partkey") === col("l_partkey"))
+      .select(col("l_partkey"),
+        (col("l_quantity").cast("decimal(18,2)") * 100).cast("long"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val byPart = li.groupBy(_._1).view
+      .mapValues(xs => (xs.size.toLong, xs.map(_._2).sum)).toMap
+    val small = li.filter { case (p, q, _) =>
+      val (n, sq) = byPart(p); 5 * q * n < sq
+    }
+    val r = byName("q184_small_quantity_revenue").run(spark, sfDir).collect()(0)
+    assert(r.getLong(0) == small.size.toLong, "n_small")
+    assert(r.getLong(1) == small.map(_._3).sum, "revenue_cents")
+    assert(r.getLong(2) == small.map(_._3).sum / 7, "avg_yearly_cents")
+  }
+
+  test("TPC-H classics are registered with oracles") {
+    Seq("q180_volume_shipping", "q181_market_share",
+      "q182_order_count_distribution", "q183_top_supplier",
+      "q184_small_quantity_revenue").foreach { n =>
+      assert(SparkEntry.queries.contains(n), n)
+      assert(SparkEntry.oracleSql.contains(n), n)
+    }
+  }
+}
