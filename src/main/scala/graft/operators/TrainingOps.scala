@@ -1102,7 +1102,11 @@ object TrainingOps {
         .select(col("vec_id"), col("vm"), col("vm").as("va"), col("vb"))
         .withColumn("rel", dotExpr)
         .select(col("vec_id"), col("vm"), col("rel"))
-      val cand = rel.orderBy(col("rel").desc, col("vec_id")).limit(12)
+      // cached: the pool's lineage is a corpus scan + TakeOrdered, and it
+      // feeds the pair matrix plus every greedy round's anti-join/argmax —
+      // without the cache the corpus rescans once per plan branch
+      // (measured 7.6s for 12 rows; the Dedup candidates() discipline)
+      val cand = rel.orderBy(col("rel").desc, col("vec_id")).limit(12).cache()
       val pairs = cand.select(col("vec_id").as("ca"), col("vm").as("va"))
         .crossJoin(broadcast(cand.select(col("vec_id").as("cb"), col("vm").as("vb"))))
         .filter(col("ca") =!= col("cb"))
@@ -1112,6 +1116,11 @@ object TrainingOps {
         .select(col("vec_id"), lit(1L).as("pick_order"), col("rel"),
           col("rel").as("mmr"))
       for (r <- 2 to 5) {
+        // each round references the previous selection three times
+        // (anti-join, max-sim probe, union) — cached so the recursion
+        // stays linear instead of 3^k plan copies (measured 8.5s -> the
+        // uncached chain's stage count, not any data volume)
+        sel = sel.cache()
         val selIds = sel.select(col("vec_id"))
         val maxsim = pairs
           .join(broadcast(sel.select(col("vec_id").as("cb"))), Seq("cb"))
