@@ -565,6 +565,75 @@ object EventsOps {
     },
 
     // ----------------------------------------------------------------
+    q("q186_interpolate_gaps",
+      """LINEAR-interpolation gap fill — the imputation step q57's
+        |zero-fill spine deliberately doesn't do: silent hours in each
+        |event type's hourly count series get the straight line between
+        |their neighboring OBSERVED hours, in integer milli-counts
+        |(floor of 1000·(prev + (next−prev)·Δ/span)).  Formulated
+        |engine-neutrally with no IGNORE-NULLS windows: one lead() over
+        |the observed points pairs each segment's endpoints, and the
+        |missing hours explode from the segment's index range carrying
+        |both endpoints — so interpolation is pure row-local arithmetic.
+        |Observed hours pass through at exact 1000·count, flagged 0.
+        |Scale shape: the series is type-keyed (|types| partitions of
+        ||hours| points — aggregate-sized, the q170 histogram argument);
+        |the explode is bounded by gap width.  Sign note: next−prev may
+        |be negative; the term is floored via the sign-symmetric split
+        |the way q162 floors slopes, matching DuckDB's // exactly.""".stripMargin,
+      """WITH obs AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+        |    count(*)::BIGINT AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |seg AS (
+        |  SELECT event_type, h, cnt,
+        |    lead(h) OVER (PARTITION BY event_type ORDER BY h) AS h2,
+        |    lead(cnt) OVER (PARTITION BY event_type ORDER BY h) AS c2
+        |  FROM obs),
+        |gaps AS (
+        |  SELECT event_type, unnest(range(h + 1, h2)) AS h,
+        |    cnt, c2, h AS h1, h2
+        |  FROM seg WHERE h2 IS NOT NULL AND h2 > h + 1),
+        |interp AS (
+        |  SELECT event_type, h,
+        |    1000 * cnt + CASE WHEN c2 >= cnt
+        |      THEN (1000 * (c2 - cnt) * (h - h1)) // (h2 - h1)
+        |      ELSE -((1000 * (cnt - c2) * (h - h1)) // (h2 - h1))
+        |    END AS milli, 1 AS interpolated
+        |  FROM gaps)
+        |SELECT event_type, CAST(h AS BIGINT) AS hour_bucket,
+        |  CAST(milli AS BIGINT) AS count_milli,
+        |  CAST(interpolated AS BIGINT) AS interpolated
+        |FROM interp
+        |UNION ALL
+        |SELECT event_type, CAST(h AS BIGINT), 1000 * cnt, 0 FROM obs""".stripMargin) { (s, dir) =>
+      val byH = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      val obs = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) DIV 3600000000").as("h"))
+        .agg(count(lit(1)).as("cnt"))
+      val seg = obs
+        .withColumn("h2", lead(col("h"), 1).over(byH))
+        .withColumn("c2", lead(col("cnt"), 1).over(byH))
+      val interp = seg
+        .filter(col("h2").isNotNull && col("h2") > col("h") + 1)
+        .select(col("event_type"), col("cnt"), col("c2"),
+          col("h").as("h1"), col("h2"),
+          explode(expr("sequence(h + 1, h2 - 1)")).as("h"))
+        .select(col("event_type"), col("h").cast("long").as("hour_bucket"),
+          (lit(1000L) * col("cnt") + expr(
+            """CASE WHEN c2 >= cnt
+              |THEN (1000 * (c2 - cnt) * (h - h1)) DIV (h2 - h1)
+              |ELSE -((1000 * (cnt - c2) * (h - h1)) DIV (h2 - h1))
+              |END""".stripMargin)).as("count_milli"),
+          lit(1L).as("interpolated"))
+      interp.unionAll(
+        obs.select(col("event_type"), col("h").cast("long").as("hour_bucket"),
+          (lit(1000L) * col("cnt")).as("count_milli"),
+          lit(0L).as("interpolated")))
+    },
+
+    // ----------------------------------------------------------------
     q("q113_rolling_window",
       """Time-based rolling aggregate (RANGE frame): per user, the
         |6-hour trailing sum of event value and event count at every

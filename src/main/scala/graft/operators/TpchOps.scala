@@ -691,5 +691,114 @@ object TpchOps {
           sum(col("cents")).cast("long").as("revenue_cents"))
         .select(col("n_small"), col("revenue_cents"),
           expr("revenue_cents DIV 7").as("avg_yearly_cents"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q185_product_profit",
+      """TPC-H Q9 shape (product-type profit), adapted: the schema has
+        |no partsupp, so unit cost proxies as the part's retail price
+        |(documented adaptation, same join topology as the spec query).
+        |Profit per (supplier nation, order year) = Σ revenue − cost,
+        |BOTH as exact ×10⁴ fixed point (price×(1−disc) and
+        |retail×quantity are scale-4 decimals — integral at ×10⁴, so
+        |neither engine rounds anywhere).  Fact joins orders on its own
+        |key; part (filtered to one type family) and supplier→nation
+        |broadcast.  One final (nation, year) aggregate with map-side
+        |combine.""".stripMargin,
+      """SELECT n.n_name AS nation,
+        |  CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+        |       * (1 - CAST(l.l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT)) AS BIGINT)
+        |    AS revenue_c4,
+        |  CAST(sum(CAST(CAST(p.p_retailprice AS DECIMAL(18,2))
+        |       * CAST(l.l_quantity AS DECIMAL(18,2)) * 10000 AS BIGINT)) AS BIGINT)
+        |    AS cost_c4,
+        |  CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
+        |       * (1 - CAST(l.l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT)
+        |     - CAST(CAST(p.p_retailprice AS DECIMAL(18,2))
+        |       * CAST(l.l_quantity AS DECIMAL(18,2)) * 10000 AS BIGINT)) AS BIGINT)
+        |    AS profit_c4
+        |FROM lineitem l
+        |JOIN part p ON p.p_partkey = l.l_partkey
+        |JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        |JOIN nation n ON n.n_nationkey = s.s_nationkey
+        |JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |WHERE p.p_type LIKE 'STANDARD%'
+        |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val pt = Tables.part(s, dir).filter(col("p_type").like("STANDARD%"))
+        .select(col("p_partkey"), col("p_retailprice"))
+      val supp = Tables.supplier(s, dir).select(col("s_suppkey"), col("s_nationkey"))
+        .join(broadcast(Tables.nation(s, dir)
+          .select(col("n_nationkey"), col("n_name"))),
+          col("n_nationkey") === col("s_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("nation"))
+      val revC4 = (discPrice(col("l_extendedprice"), col("l_discount")) * 10000)
+        .cast("long")
+      val costC4 = (col("p_retailprice").cast("decimal(18,2)") *
+        col("l_quantity").cast("decimal(18,2)") * 10000).cast("long")
+      Tables.lineitem(s, dir)
+        .join(broadcast(pt), col("p_partkey") === col("l_partkey"))
+        .join(broadcast(supp), col("s_suppkey") === col("l_suppkey"))
+        .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate")),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("nation"), year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(sum(revC4).cast("long").as("revenue_c4"),
+          sum(costC4).cast("long").as("cost_c4"),
+          sum(revC4 - costC4).cast("long").as("profit_c4"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q187_supplier_promotion",
+      """TPC-H Q20 shape (potential part promotion), adapted: with no
+        |partsupp, "availability" is what the supplier actually shipped
+        |— suppliers who moved MORE THAN HALF of a brand's 1997 volume
+        |for at least one part.  Two-level aggregation ((part, supp)
+        |then part totals joined back on the SAME part key — the second
+        |join is co-partitioned with the first aggregate, no extra
+        |exchange), cross-multiplied 2·supp_qty > part_qty test (no
+        |division), then the survivor set rolls up per supplier and
+        |broadcast-joins the name dimension.""".stripMargin,
+      """WITH b AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#2'),
+        |l AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS q100
+        |  FROM lineitem JOIN b ON p_partkey = l_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'),
+        |ps AS (
+        |  SELECT l_partkey, l_suppkey, CAST(sum(q100) AS BIGINT) AS sq
+        |  FROM l GROUP BY 1, 2),
+        |pt AS (
+        |  SELECT l_partkey, CAST(sum(sq) AS BIGINT) AS tq
+        |  FROM ps GROUP BY 1)
+        |SELECT s.s_suppkey, s.s_name,
+        |  count(*)::BIGINT AS n_dominant_parts,
+        |  CAST(sum(ps.sq) AS BIGINT) AS dominated_q100
+        |FROM ps JOIN pt ON pt.l_partkey = ps.l_partkey
+        |JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+        |WHERE 2 * ps.sq > pt.tq
+        |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val b = Tables.part(s, dir).filter(col("p_brand") === "Brand#2")
+        .select(col("p_partkey"))
+      val l = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+        .join(broadcast(b), col("p_partkey") === col("l_partkey"))
+        .select(col("l_partkey"), col("l_suppkey"),
+          (col("l_quantity").cast("decimal(18,2)") * 100).cast("long").as("q100"))
+      val ps = l.groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("q100")).cast("long").as("sq"))
+      val pt = ps.groupBy(col("l_partkey"))
+        .agg(sum(col("sq")).cast("long").as("tq"))
+      ps.join(pt, "l_partkey")
+        .filter(lit(2L) * col("sq") > col("tq"))
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n_dominant_parts"),
+          sum(col("sq")).cast("long").as("dominated_q100"))
+        .join(broadcast(Tables.supplier(s, dir)
+          .select(col("s_suppkey"), col("s_name"))),
+          col("s_suppkey") === col("l_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_dominant_parts"),
+          col("dominated_q100"))
     })
 }

@@ -354,6 +354,32 @@ class EventsAnalyticsSpec extends SparkSpec {
     assert(got == expected, "session lift diverges from brute force")
   }
 
+  test("q186 interpolation equals a brute-force segment recompute") {
+    val obs = Tables.events(spark, sfDir)
+      .groupBy(col("event_type"), expr("unix_micros(ts) DIV 3600000000").as("h"))
+      .count().collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expected = obs.groupBy(_._1).flatMap { case (ty, pts) =>
+      val sorted = pts.map(p => (p._2, p._3)).sortBy(_._1).toVector
+      val observed = sorted.map { case (h, c) => (ty, h, 1000L * c, 0L) }
+      val interp = sorted.sliding(2).flatMap {
+        case Vector((h1, c1), (h2, c2)) if h2 > h1 + 1 =>
+          (h1 + 1 until h2).map { h =>
+            val num = 1000L * (c2 - c1) * (h - h1)
+            val base = 1000L * c1 + (if (num >= 0) num / (h2 - h1)
+              else -((-num) / (h2 - h1)))
+            (ty, h, base, 1L)
+          }
+        case _ => Seq.empty
+      }
+      observed ++ interp
+    }.toSet
+    val got = byName("q186_interpolate_gaps").run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == expected, "interpolation diverges from brute force")
+    assert(got.exists(_._4 == 1L), "fixture should contain gaps to fill")
+  }
+
   test("events analytics queries are registered with oracles") {
     Seq("q148_active_streaks", "q149_rolling_anomaly",
       "q150_markov_transitions", "q157_gini_concentration",
@@ -362,7 +388,7 @@ class EventsAnalyticsSpec extends SparkSpec {
       "q167_first_touch_attribution", "q170_winsorized_value",
       "q172_hourly_cadence", "q173_conversion_lag",
       "q174_scd2_dimension", "q177_funnel_dropoff", "q178_value_mad",
-      "q179_session_lift").foreach { n =>
+      "q179_session_lift", "q186_interpolate_gaps").foreach { n =>
       assert(SparkEntry.queries.contains(n), n)
       assert(SparkEntry.oracleSql.contains(n), n)
     }

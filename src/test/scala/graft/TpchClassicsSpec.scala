@@ -76,10 +76,42 @@ class TpchClassicsSpec extends SparkSpec {
     assert(r.getLong(2) == small.map(_._3).sum / 7, "avg_yearly_cents")
   }
 
+  test("q185: profit = revenue - cost on every row; both sides nonzero") {
+    val rows = byName("q185_product_profit").run(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) - r.getLong(3) == r.getLong(4), "profit identity")
+      assert(r.getLong(2) > 0 && r.getLong(3) > 0, "degenerate row")
+    }
+  }
+
+  test("q187: dominance equals a brute-force two-level recompute") {
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01 00:00:00").cast("timestamp"))
+      .join(broadcast(Tables.part(spark, sfDir)
+        .filter(col("p_brand") === "Brand#2").select(col("p_partkey"))),
+        col("p_partkey") === col("l_partkey"))
+      .select(col("l_partkey"), col("l_suppkey"),
+        (col("l_quantity").cast("decimal(18,2)") * 100).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val bySuppPart = li.groupBy(e => (e._1, e._2)).view.mapValues(_.map(_._3).sum).toMap
+    val byPart = li.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val expected = bySuppPart.toSeq
+      .filter { case ((p, _), sq) => 2 * sq > byPart(p) }
+      .groupBy(_._1._2).view
+      .mapValues(xs => (xs.size.toLong, xs.map(_._2).sum)).toMap
+    val got = byName("q187_supplier_promotion").run(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expected, "dominant-supplier set diverges from brute force")
+    assert(got.nonEmpty, "fixture should have dominant suppliers")
+  }
+
   test("TPC-H classics are registered with oracles") {
     Seq("q180_volume_shipping", "q181_market_share",
       "q182_order_count_distribution", "q183_top_supplier",
-      "q184_small_quantity_revenue").foreach { n =>
+      "q184_small_quantity_revenue", "q185_product_profit",
+      "q187_supplier_promotion").foreach { n =>
       assert(SparkEntry.queries.contains(n), n)
       assert(SparkEntry.oracleSql.contains(n), n)
     }
