@@ -634,6 +634,117 @@ object EventsOps {
     },
 
     // ----------------------------------------------------------------
+    q("q188_benford_audit",
+      """Benford first-digit audit — the fraud/synthetic-data screen a
+        |DQ tier (q175) runs on monetary columns: the observed first
+        |significant digit distribution of event values against
+        |Benford's law, with the expected permille carried as the
+        |PUBLIC closed-form constants (log10(1+1/d) to 3 digits:
+        |301..46 — fixed literals, so no engine computes a log) and
+        |the per-digit deviation as an exact ppm-scale integer
+        |(obs_permille − expected_permille)².  The first digit is pure
+        |integer arithmetic on cents (divide by 10 until < 10 —
+        |unrolled as 7 halvings since cents < 10^7), a scan-side
+        |projection; the digit histogram is a 9-group aggregate with
+        |map-side combine.  (This synthetic generator's values are
+        |uniform, NOT Benford — the audit must say so, which the spec
+        |pins.)""".stripMargin,
+      """WITH c AS (
+        |  SELECT CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+        |  FROM events),
+        |fd AS (
+        |  SELECT CASE
+        |    WHEN v >= 1000000 THEN v // 1000000
+        |    WHEN v >= 100000 THEN v // 100000
+        |    WHEN v >= 10000 THEN v // 10000
+        |    WHEN v >= 1000 THEN v // 1000
+        |    WHEN v >= 100 THEN v // 100
+        |    WHEN v >= 10 THEN v // 10
+        |    ELSE v END AS d
+        |  FROM c WHERE v > 0),
+        |hist AS (SELECT d, count(*)::BIGINT AS n FROM fd GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM hist),
+        |exp AS (
+        |  SELECT * FROM (VALUES (1, 301), (2, 176), (3, 125), (4, 97),
+        |    (5, 79), (6, 67), (7, 58), (8, 51), (9, 46)) AS e(d, expected_permille))
+        |SELECT exp.d AS digit, coalesce(hist.n, 0) AS n,
+        |  (1000 * coalesce(hist.n, 0)) // tot.t AS obs_permille,
+        |  CAST(exp.expected_permille AS BIGINT) AS expected_permille,
+        |  ((1000 * coalesce(hist.n, 0)) // tot.t - exp.expected_permille)
+        |    * ((1000 * coalesce(hist.n, 0)) // tot.t - exp.expected_permille)
+        |    AS dev2
+        |FROM exp LEFT JOIN hist ON hist.d = exp.d, tot""".stripMargin) { (s, dir) =>
+      val expected = Seq(1 -> 301L, 2 -> 176L, 3 -> 125L, 4 -> 97L,
+        5 -> 79L, 6 -> 67L, 7 -> 58L, 8 -> 51L, 9 -> 46L)
+      import s.implicits._
+      val exp = expected.toDF("digit", "expected_permille")
+        .select(col("digit").cast("long").as("digit"),
+          col("expected_permille"))
+      val hist = Tables.events(s, dir)
+        .select((col("value").cast("decimal(18,2)") * 100).cast("long").as("v"))
+        .filter(col("v") > 0)
+        .select(expr(
+          """CASE
+            |WHEN v >= 1000000 THEN v DIV 1000000
+            |WHEN v >= 100000 THEN v DIV 100000
+            |WHEN v >= 10000 THEN v DIV 10000
+            |WHEN v >= 1000 THEN v DIV 1000
+            |WHEN v >= 100 THEN v DIV 100
+            |WHEN v >= 10 THEN v DIV 10
+            |ELSE v END""".stripMargin).as("d"))
+        .groupBy(col("d")).agg(count(lit(1)).as("n"))
+      val tot = hist.agg(sum(col("n")).cast("long").as("t"))
+      broadcast(exp)
+        .join(hist, col("d") === col("digit"), "left")
+        .withColumn("n", coalesce(col("n"), lit(0L)))
+        .crossJoin(broadcast(tot))
+        .select(col("digit"), col("n"),
+          expr("(1000 * n) DIV t").as("obs_permille"),
+          col("expected_permille").cast("long").as("expected_permille"),
+          expr("""((1000 * n) DIV t - expected_permille)
+                 |* ((1000 * n) DIV t - expected_permille)""".stripMargin).as("dev2"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q189_behavior_diversity",
+      """Behavioral diversity per user — the Gini-Simpson index
+        |1 − Σpᵢ², the entropy-class metric with NO logarithm, so it
+        |stays exact: simpson_ppm = (10⁶·(n² − Σcᵢ²)) DIV n² on the
+        |per-user event-type histogram (0 = always the same action,
+        |→ 10⁶·(k−1)/k = perfectly uniform over k types).  Bot
+        |signature reading: the q172 cadence tier flags WHEN a user
+        |acts; this flags WHAT — scripted accounts collapse to a few
+        |actions.  One shuffle to the (user, type) histogram (≤ |types|
+        |rows per user), then a user-keyed roll-up; Σcᵢ² ≤ n² ≤ 10¹²
+        |on realistic per-user counts, and ×10⁶ runs through
+        |DECIMAL(38) so even a 10⁸-event bot cannot overflow the
+        |product.""".stripMargin,
+      """WITH h AS (
+        |  SELECT user_id, event_type, count(*)::BIGINT AS c
+        |  FROM events GROUP BY 1, 2),
+        |g AS (
+        |  SELECT user_id, CAST(sum(c) AS BIGINT) AS n,
+        |    count(*)::BIGINT AS n_types,
+        |    CAST(sum(c * c) AS BIGINT) AS sum_c2
+        |  FROM h GROUP BY 1)
+        |SELECT user_id, n, n_types,
+        |  CAST((1000000 * (CAST(n AS HUGEINT) * n - sum_c2))
+        |       // (CAST(n AS HUGEINT) * n) AS BIGINT) AS simpson_ppm
+        |FROM g""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("c")).cast("long").as("n"),
+          count(lit(1)).as("n_types"),
+          sum(col("c") * col("c")).cast("long").as("sum_c2"))
+        .select(col("user_id"), col("n"), col("n_types"),
+          expr("""CAST((1000000 * (CAST(n AS DECIMAL(38,0)) * n - sum_c2))
+                 |     DIV (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)""".stripMargin)
+            .as("simpson_ppm"))
+    },
+
+    // ----------------------------------------------------------------
     q("q113_rolling_window",
       """Time-based rolling aggregate (RANGE frame): per user, the
         |6-hour trailing sum of event value and event count at every

@@ -380,6 +380,49 @@ class EventsAnalyticsSpec extends SparkSpec {
     assert(got.exists(_._4 == 1L), "fixture should contain gaps to fill")
   }
 
+  test("q188 Benford audit: digits conserve values and flag the uniform fixture") {
+    val rows = byName("q188_benford_audit").run(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(rows.keySet == (1L to 9L).toSet)
+    val nPositive = Tables.events(spark, sfDir)
+      .filter((col("value").cast("decimal(18,2)") * 100).cast("long") > 0).count()
+    assert(rows.values.map(_._1).sum == nPositive, "values not conserved")
+    // brute-force the first digit
+    val digits = Tables.events(spark, sfDir)
+      .select((col("value").cast("decimal(18,2)") * 100).cast("long").as("v"))
+      .collect().map(_.getLong(0)).filter(_ > 0)
+      .map { v => var x = v; while (x >= 10) x /= 10; x }
+    (1L to 9L).foreach { d =>
+      assert(rows(d)._1 == digits.count(_ == d), s"digit $d count")
+      assert(rows(d)._2 == 1000L * rows(d)._1 / digits.length, s"digit $d permille")
+      val dev = rows(d)._2 - rows(d)._3
+      assert(rows(d)._4 == dev * dev, s"digit $d dev2")
+    }
+    // uniform cents are NOT Benford: the audit must show real deviation
+    assert(rows.values.map(_._4).max > 100, "uniform fixture should fail Benford")
+  }
+
+  test("q189 Simpson diversity equals a BigInt recompute with correct bounds") {
+    val evs = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = evs.groupBy(_._1).map { case (u, es) =>
+      val cs = es.groupBy(_._2).map(_._2.size.toLong)
+      val n = BigInt(cs.sum)
+      u -> ((cs.sum, cs.size.toLong,
+        ((BigInt(1000000) * (n * n - cs.map(c => BigInt(c) * c).sum)) / (n * n)).toLong))
+    }
+    val got = byName("q189_behavior_diversity").run(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expected, "Simpson index diverges from BigInt recompute")
+    // bounds: 0 <= simpson < 1e6, and a k-type user is capped at (k-1)/k
+    got.values.foreach { case (_, k, sp) =>
+      assert(sp >= 0 && sp < 1000000)
+      assert(sp <= 1000000L * (k - 1) / k + 1, "above the uniform cap")
+    }
+  }
+
   test("events analytics queries are registered with oracles") {
     Seq("q148_active_streaks", "q149_rolling_anomaly",
       "q150_markov_transitions", "q157_gini_concentration",
@@ -388,7 +431,8 @@ class EventsAnalyticsSpec extends SparkSpec {
       "q167_first_touch_attribution", "q170_winsorized_value",
       "q172_hourly_cadence", "q173_conversion_lag",
       "q174_scd2_dimension", "q177_funnel_dropoff", "q178_value_mad",
-      "q179_session_lift", "q186_interpolate_gaps").foreach { n =>
+      "q179_session_lift", "q186_interpolate_gaps", "q188_benford_audit",
+      "q189_behavior_diversity").foreach { n =>
       assert(SparkEntry.queries.contains(n), n)
       assert(SparkEntry.oracleSql.contains(n), n)
     }
