@@ -152,5 +152,52 @@ object TemporalJoins {
         .select(unix_micros(col("ts")).as("t_us"))
       rangeCountKernel(inc, clicks, busUs)
         .select(col("id").as("incident_id"), col("n_points").as("n_clicks"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q190_asof_forward",
+      """FORWARD as-of join with a match tolerance (the pandas
+        |merge_asof(direction='forward', tolerance=...) semantics
+        |q104's backward kernel doesn't cover): each purchase finds the
+        |same user's EARLIEST view at or after it, and the match only
+        |stands within 6 hours — post-purchase browse attribution.
+        |Implementation is the SAME one-shuffle kernel by time
+        |reflection: negate both sides' timestamps and run
+        |[[asofKernel]] unchanged (latest −t ≤ −t_p ⇔ earliest
+        |t ≥ t_p; the (t, side, id) tie order keeps the equal-time
+        |view matched, exactly DuckDB's inclusive ≤). Tolerance is a
+        |row-local CASE after the kernel — correct because the nearest
+        |forward match is unique: if IT is out of tolerance, nothing
+        |closer exists (left semantics survive: the row stays, columns
+        |null).  The oracle is DuckDB's native forward ASOF LEFT JOIN
+        |with the same post-filter.""".stripMargin,
+      """WITH p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+        |     v AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+        |     j AS (
+        |  SELECT p.event_id AS purchase_id, p.user_id AS user_id,
+        |    p.ts AS purchase_ts, v.event_id AS view_id,
+        |    epoch_us(v.ts) - epoch_us(p.ts) AS gap_us
+        |  FROM p ASOF LEFT JOIN v ON p.user_id = v.user_id AND p.ts <= v.ts)
+        |SELECT purchase_id, user_id, purchase_ts,
+        |  CASE WHEN gap_us <= 21600000000 THEN view_id END AS view_id,
+        |  CASE WHEN gap_us <= 21600000000 THEN gap_us END AS gap_us
+        |FROM j""".stripMargin) { (s, dir) =>
+      val e = Tables.events(s, dir)
+        .select(col("event_id").as("id"), col("user_id").as("k"),
+          unix_micros(col("ts")).as("t"), col("event_type"))
+      asofKernel(
+        build = e.filter(col("event_type") === "view")
+          .withColumn("t", -col("t")),
+        probe = e.filter(col("event_type") === "purchase")
+          .withColumn("t", -col("t")))
+        .select(
+          col("id").as("purchase_id"),
+          col("k").as("user_id"),
+          timestamp_micros(-col("t")).as("purchase_ts"),
+          col("b_id").as("view_id"),
+          (col("t") - col("b_t")).as("gap_us"))
+        .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
+          when(col("gap_us") <= 21600000000L, col("view_id")).as("view_id"),
+          when(col("gap_us") <= 21600000000L, col("gap_us")).as("gap_us"))
     })
 }

@@ -95,6 +95,42 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
   }
 
+  test("q190 forward as-of with tolerance matches a brute-force recompute") {
+    val ev = events()
+    val views = ev.filter(_._4 == "view")
+    val purchases = ev.filter(_._4 == "purchase")
+    val tol = 21600000000L
+    val expected = purchases.map { case (pid, uid, pts, _) =>
+      val first = views.filter(v => v._2 == uid && v._3 >= pts)
+        .sortBy(v => (v._3, v._1)).headOption
+        .filter(v => v._3 - pts <= tol)
+      (pid, first.map(_._1), first.map(v => v._3 - pts))
+    }.sortBy(_._1)
+
+    val got = SparkEntry.queries("q190_asof_forward")(spark, sfDir)
+      .select(col("purchase_id"), col("view_id"), col("gap_us"))
+      .collect()
+      .map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2))))
+      .sortBy(_._1).toSeq
+
+    assert(got == expected, "forward as-of diverges from brute force")
+    assert(got.exists(_._2.isEmpty) && got.exists(_._2.nonEmpty),
+      "fixture should exercise both matched and unmatched purchases")
+    got.foreach { case (_, _, gap) =>
+      gap.foreach(g => assert(g >= 0 && g <= tol, "tolerance violated"))
+    }
+  }
+
+  test("q190 plans one keyed window and no join (reflection reuses the kernel)") {
+    val qe = SparkEntry.queries("q190_asof_forward")(spark, sfDir).queryExecution
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, Window => LWindow}
+    assert(qe.optimizedPlan.collect { case j: Join => j }.isEmpty)
+    val wins = qe.optimizedPlan.collect { case w: LWindow => w }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty))
+  }
+
   test("q104 plans one keyed window and no join") {
     val qe = SparkEntry.queries("q104_asof_join")(spark, sfDir).queryExecution
     import org.apache.spark.sql.catalyst.plans.logical.{Join, Window => LWindow}
