@@ -706,6 +706,118 @@ object EventsOps {
     },
 
     // ----------------------------------------------------------------
+    q("q191_linear_regression",
+      """EXACT distributed multiple linear regression — cents modeled on
+        |(days-since-launch, hour-of-day) with intercept, solved by the
+        |normal equations + Cramer's rule entirely in integers: ONE
+        |aggregation pass produces the nine moment sums (all inside
+        |int64 at this schema's bounds), and the four 3×3 determinants
+        |expand as textual polynomials evaluated in DECIMAL(38)/HUGEINT
+        |— no matrix library, no floating solve, both engines
+        |bit-identical (the q162 discipline lifted from 1 to k
+        |features).  Coefficients emit as exact (numerator, shared
+        |denominator) determinant pairs plus sign-symmetric
+        |milli-fixed-point ratios.  Magnitude audit in-line: sums ≤
+        |1.2e13, pairwise determinant terms ≤ 3e24, numerators with the
+        |cents column ≤ ~1e29·10³ — inside 128-bit/DECIMAL(38) with
+        |nine orders of headroom; at 10⁹ rows rescale t to weeks or
+        |split the corpus, the ALGORITHM is unchanged.  Scale shape:
+        |one scan, one scalar aggregate with map-side combine; the
+        |solve is O(1) arithmetic on one row.""".stripMargin,
+      """WITH a AS (SELECT min(ts) AS t0 FROM events),
+        |c AS (
+        |  SELECT
+        |    (epoch_us(ts) - epoch_us(a.t0)) // 86400000000 AS t,
+        |    (epoch_us(ts) % 86400000000) // 3600000000 AS h,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+        |  FROM events, a),
+        |m AS (
+        |  SELECT count(*)::BIGINT AS n,
+        |    CAST(sum(t) AS BIGINT) AS st, CAST(sum(h) AS BIGINT) AS sh,
+        |    CAST(sum(t*t) AS BIGINT) AS stt, CAST(sum(t*h) AS BIGINT) AS sth,
+        |    CAST(sum(h*h) AS BIGINT) AS shh,
+        |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(t*y) AS BIGINT) AS sty,
+        |    CAST(sum(h*y) AS BIGINT) AS shy
+        |  FROM c),
+        |d AS (
+        |  SELECT n,
+        |    CAST(n AS HUGEINT) * (CAST(stt AS HUGEINT)*shh - CAST(sth AS HUGEINT)*sth)
+        |      - CAST(st AS HUGEINT) * (CAST(st AS HUGEINT)*shh - CAST(sth AS HUGEINT)*sh)
+        |      + CAST(sh AS HUGEINT) * (CAST(st AS HUGEINT)*sth - CAST(stt AS HUGEINT)*sh)
+        |      AS den,
+        |    CAST(sy AS HUGEINT) * (CAST(stt AS HUGEINT)*shh - CAST(sth AS HUGEINT)*sth)
+        |      - CAST(st AS HUGEINT) * (CAST(sty AS HUGEINT)*shh - CAST(sth AS HUGEINT)*shy)
+        |      + CAST(sh AS HUGEINT) * (CAST(sty AS HUGEINT)*sth - CAST(stt AS HUGEINT)*shy)
+        |      AS d0,
+        |    CAST(n AS HUGEINT) * (CAST(sty AS HUGEINT)*shh - CAST(shy AS HUGEINT)*sth)
+        |      - CAST(sy AS HUGEINT) * (CAST(st AS HUGEINT)*shh - CAST(sh AS HUGEINT)*sth)
+        |      + CAST(sh AS HUGEINT) * (CAST(st AS HUGEINT)*shy - CAST(sh AS HUGEINT)*sty)
+        |      AS d1,
+        |    CAST(n AS HUGEINT) * (CAST(stt AS HUGEINT)*shy - CAST(sth AS HUGEINT)*sty)
+        |      - CAST(st AS HUGEINT) * (CAST(st AS HUGEINT)*shy - CAST(sh AS HUGEINT)*sty)
+        |      + CAST(sy AS HUGEINT) * (CAST(st AS HUGEINT)*sth - CAST(sh AS HUGEINT)*stt)
+        |      AS d2
+        |  FROM m)
+        |SELECT n, CAST(den AS VARCHAR) AS den_str,
+        |  CAST(d0 AS VARCHAR) AS d0_str, CAST(d1 AS VARCHAR) AS d1_str,
+        |  CAST(d2 AS VARCHAR) AS d2_str,
+        |  CASE WHEN den = 0 THEN 0
+        |       WHEN d0 >= 0 THEN CAST((1000 * d0) // den AS BIGINT)
+        |       ELSE -CAST((1000 * -d0) // den AS BIGINT) END AS b0_millicents,
+        |  CASE WHEN den = 0 THEN 0
+        |       WHEN d1 >= 0 THEN CAST((1000 * d1) // den AS BIGINT)
+        |       ELSE -CAST((1000 * -d1) // den AS BIGINT) END AS b1_millicents,
+        |  CASE WHEN den = 0 THEN 0
+        |       WHEN d2 >= 0 THEN CAST((1000 * d2) // den AS BIGINT)
+        |       ELSE -CAST((1000 * -d2) // den AS BIGINT) END AS b2_millicents
+        |FROM d""".stripMargin) { (s, dir) =>
+      val anchor = Tables.events(s, dir).agg(min(col("ts")).as("t0"))
+      val m = Tables.events(s, dir)
+        .crossJoin(broadcast(anchor))
+        .select(
+          expr("(unix_micros(ts) - unix_micros(t0)) DIV 86400000000").as("t"),
+          expr("(unix_micros(ts) % 86400000000) DIV 3600000000").as("h"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long").as("y"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("t")).cast("long").as("st"), sum(col("h")).cast("long").as("sh"),
+          sum(col("t") * col("t")).cast("long").as("stt"),
+          sum(col("t") * col("h")).cast("long").as("sth"),
+          sum(col("h") * col("h")).cast("long").as("shh"),
+          sum(col("y")).cast("long").as("sy"),
+          sum(col("t") * col("y")).cast("long").as("sty"),
+          sum(col("h") * col("y")).cast("long").as("shy"))
+      val D = "DECIMAL(38,0)"
+      m.selectExpr("n",
+          s"""CAST(n AS $D) * (CAST(stt AS $D)*shh - CAST(sth AS $D)*sth)
+             |  - CAST(st AS $D) * (CAST(st AS $D)*shh - CAST(sth AS $D)*sh)
+             |  + CAST(sh AS $D) * (CAST(st AS $D)*sth - CAST(stt AS $D)*sh) AS den""".stripMargin,
+          s"""CAST(sy AS $D) * (CAST(stt AS $D)*shh - CAST(sth AS $D)*sth)
+             |  - CAST(st AS $D) * (CAST(sty AS $D)*shh - CAST(sth AS $D)*shy)
+             |  + CAST(sh AS $D) * (CAST(sty AS $D)*sth - CAST(stt AS $D)*shy) AS d0""".stripMargin,
+          s"""CAST(n AS $D) * (CAST(sty AS $D)*shh - CAST(shy AS $D)*sth)
+             |  - CAST(sy AS $D) * (CAST(st AS $D)*shh - CAST(sh AS $D)*sth)
+             |  + CAST(sh AS $D) * (CAST(st AS $D)*shy - CAST(sh AS $D)*sty) AS d1""".stripMargin,
+          s"""CAST(n AS $D) * (CAST(stt AS $D)*shy - CAST(sth AS $D)*sty)
+             |  - CAST(st AS $D) * (CAST(st AS $D)*shy - CAST(sh AS $D)*sty)
+             |  + CAST(sy AS $D) * (CAST(st AS $D)*sth - CAST(sh AS $D)*stt) AS d2""".stripMargin)
+        .selectExpr("n",
+          // decimal→string must not carry a scale suffix: DECIMAL(38,0)
+          // renders bare digits in both engines
+          "CAST(den AS STRING) AS den_str",
+          "CAST(d0 AS STRING) AS d0_str", "CAST(d1 AS STRING) AS d1_str",
+          "CAST(d2 AS STRING) AS d2_str",
+          """CASE WHEN den = 0 THEN 0
+            |     WHEN d0 >= 0 THEN CAST((1000 * d0) DIV den AS BIGINT)
+            |     ELSE -CAST((1000 * -d0) DIV den AS BIGINT) END AS b0_millicents""".stripMargin,
+          """CASE WHEN den = 0 THEN 0
+            |     WHEN d1 >= 0 THEN CAST((1000 * d1) DIV den AS BIGINT)
+            |     ELSE -CAST((1000 * -d1) DIV den AS BIGINT) END AS b1_millicents""".stripMargin,
+          """CASE WHEN den = 0 THEN 0
+            |     WHEN d2 >= 0 THEN CAST((1000 * d2) DIV den AS BIGINT)
+            |     ELSE -CAST((1000 * -d2) DIV den AS BIGINT) END AS b2_millicents""".stripMargin)
+    },
+
+    // ----------------------------------------------------------------
     q("q189_behavior_diversity",
       """Behavioral diversity per user — the Gini-Simpson index
         |1 − Σpᵢ², the entropy-class metric with NO logarithm, so it

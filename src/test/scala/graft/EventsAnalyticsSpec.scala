@@ -423,6 +423,45 @@ class EventsAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q191 regression determinants equal a BigInt Cramer recompute") {
+    val evs = Tables.events(spark, sfDir)
+      .select(unix_micros(col("ts")).as("t"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("y"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val t0 = evs.map(_._1).min
+    val pts = evs.map { case (us, y) =>
+      ((us - t0) / 86400000000L, us % 86400000000L / 3600000000L, y) }
+    def S(f: ((Long, Long, Long)) => BigInt) = pts.map(f).sum
+    val (n, st, sh) = (BigInt(pts.size), S(p => BigInt(p._1)), S(p => BigInt(p._2)))
+    val stt = S(p => BigInt(p._1) * p._1); val sth = S(p => BigInt(p._1) * p._2)
+    val shh = S(p => BigInt(p._2) * p._2); val sy = S(p => BigInt(p._3))
+    val sty = S(p => BigInt(p._1) * p._3); val shy = S(p => BigInt(p._2) * p._3)
+    val den = n * (stt * shh - sth * sth) - st * (st * shh - sth * sh) +
+      sh * (st * sth - stt * sh)
+    val d0 = sy * (stt * shh - sth * sth) - st * (sty * shh - sth * shy) +
+      sh * (sty * sth - stt * shy)
+    val d1 = n * (sty * shh - shy * sth) - sy * (st * shh - sh * sth) +
+      sh * (st * shy - sh * sty)
+    val d2 = n * (stt * shy - sth * sty) - st * (st * shy - sh * sty) +
+      sy * (st * sth - sh * stt)
+    def milli(d: BigInt) =
+      if (den == 0) 0L
+      else if (d >= 0) (BigInt(1000) * d / den).toLong
+      else -(BigInt(1000) * -d / den).toLong
+    val r = byName("q191_linear_regression").run(spark, sfDir).collect()(0)
+    assert(r.getLong(0) == n.toLong)
+    assert(r.getString(1) == den.toString && r.getString(2) == d0.toString)
+    assert(r.getString(3) == d1.toString && r.getString(4) == d2.toString)
+    assert(r.getLong(5) == milli(d0) && r.getLong(6) == milli(d1) &&
+      r.getLong(7) == milli(d2))
+    // residual optimality check: the normal equations actually hold for
+    // the exact rational solution — verify M * beta == v in exact
+    // arithmetic (beta_i = d_i / den, cleared by den)
+    assert(n * d0 + st * d1 + sh * d2 == sy * den, "normal eq 0")
+    assert(st * d0 + stt * d1 + sth * d2 == sty * den, "normal eq 1")
+    assert(sh * d0 + sth * d1 + shh * d2 == shy * den, "normal eq 2")
+  }
+
   test("events analytics queries are registered with oracles") {
     Seq("q148_active_streaks", "q149_rolling_anomaly",
       "q150_markov_transitions", "q157_gini_concentration",
@@ -432,7 +471,7 @@ class EventsAnalyticsSpec extends SparkSpec {
       "q172_hourly_cadence", "q173_conversion_lag",
       "q174_scd2_dimension", "q177_funnel_dropoff", "q178_value_mad",
       "q179_session_lift", "q186_interpolate_gaps", "q188_benford_audit",
-      "q189_behavior_diversity").foreach { n =>
+      "q189_behavior_diversity", "q191_linear_regression").foreach { n =>
       assert(SparkEntry.queries.contains(n), n)
       assert(SparkEntry.oracleSql.contains(n), n)
     }
