@@ -463,5 +463,76 @@ object TextOps {
         .select(col("doc_id"), col("m").as("n_alnum"), col("n_distinct_chars"),
           when(col("m") === 0, 0L)
             .otherwise(expr("((m * m - ss) * 1000000) DIV (m * m)")).as("gini_ppm"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q192_quality_dup_profile",
+      """Quality-decile × duplication CROSS-SIGNAL profile — the
+        |calibration curve a curation pipeline reads before composing
+        |its filters (if low-quality docs are also the duplicated ones,
+        |one filter is redundant): docs ranked into 10 exact deciles by
+        |stopword permille (q23's signal as an integer), each decile
+        |reporting its exact-duplicate rate (q26's fingerprint, shared
+        |content = md5 collision across docs).  The global rank is NOT
+        |a single-partition window: the score domain is bounded
+        |(0..1000), so ranks decompose as cum(histogram over scores) +
+        |row_number within the score's tie group — the q170/q154
+        |histogram-inversion discipline applied to RANKING, with window
+        |partitions bounded by the score domain and tie-group sizes.
+        |Both engines build the identical (score, doc_id) total order,
+        |so decile boundaries match exactly.""".stripMargin,
+      """WITH t AS (
+        |  SELECT doc_id, md5(text) AS f,
+        |    (1000 * CAST(len(list_filter(string_split(text, ' '),
+        |       x -> x IN ('the','a','of','and','to'))) AS BIGINT))
+        |      // CAST(len(string_split(text, ' ')) AS BIGINT) AS score
+        |  FROM documents),
+        |fp AS (SELECT f, count(*)::BIGINT AS n_copies FROM t GROUP BY 1),
+        |hist AS (SELECT score, count(*)::BIGINT AS cnt FROM t GROUP BY 1),
+        |cum AS (
+        |  SELECT score,
+        |    CAST(sum(cnt) OVER (ORDER BY score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - cnt AS BIGINT) AS below,
+        |    CAST(sum(cnt) OVER () AS BIGINT) AS n
+        |  FROM hist),
+        |r AS (
+        |  SELECT t.doc_id, t.score, fp.n_copies > 1 AS is_dup,
+        |    cum.below + row_number() OVER (PARTITION BY t.score ORDER BY t.doc_id) AS rank,
+        |    cum.n
+        |  FROM t JOIN fp ON fp.f = t.f JOIN cum ON cum.score = t.score)
+        |SELECT ((rank - 1) * 10) // n AS decile, count(*)::BIGINT AS n_docs,
+        |  CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+        |  (1000 * CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT))
+        |    // count(*) AS dup_permille,
+        |  min(score) AS min_score, max(score) AS max_score
+        |FROM r GROUP BY 1""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val stopList = Stopwords.map(w => s"'$w'").mkString(",")
+      val t = Tables.documents(s, dir)
+        .select(col("doc_id"), md5(col("text")).as("f"),
+          expr(s"""(1000 * CAST(size(filter(split(text, ' '),
+                  |  x -> x IN ($stopList))) AS BIGINT))
+                  |DIV CAST(size(split(text, ' ')) AS BIGINT)""".stripMargin)
+            .as("score"))
+      val fp = t.groupBy(col("f")).agg(count(lit(1)).as("n_copies"))
+      val hist = t.groupBy(col("score")).agg(count(lit(1)).as("cnt"))
+      val cumW = Window.orderBy(col("score"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist
+        .withColumn("below", (sum(col("cnt")).over(cumW) - col("cnt")).cast("long"))
+        .withColumn("n", sum(col("cnt")).over(
+          Window.partitionBy()).cast("long"))
+        .select(col("score"), col("below"), col("n"))
+      val tieW = Window.partitionBy(col("score")).orderBy(col("doc_id"))
+      t.join(fp, "f").join(cum, "score")
+        .withColumn("rank", col("below") + row_number().over(tieW))
+        .select(expr("((rank - 1) * 10) DIV n").as("decile"),
+          col("score"), (col("n_copies") > 1).as("is_dup"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("is_dup"), 1L).otherwise(0L)).cast("long").as("n_dups"),
+          expr("(1000 * CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)) DIV count(1)")
+            .as("dup_permille"),
+          min(col("score")).as("min_score"), max(col("score")).as("max_score"))
     })
 }

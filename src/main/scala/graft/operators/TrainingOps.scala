@@ -1134,6 +1134,39 @@ object TrainingOps {
       }
       sel.select(col("pick_order"), col("vec_id"),
         col("rel").as("rel_score"), col("mmr").as("mmr_score"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q193_token_rate_by_source",
+      """Tokenizer COST MODEL per source — what a data-pricing /
+        |compute-budget pass reads: tokens per 1000 non-space chars
+        |under the trained q129 tokenizer, per provenance.  Rides the
+        |frozen-tokenizer discipline end to end: merges come from the
+        |session-cached trainer (train once, encode everywhere), the
+        |encode is q136's 10 chained codegen replaces (scan-side, zero
+        |shuffle), and the roll-up is one |sources|-group aggregate of
+        |two integer counts with the rate as a floor division — a
+        |source whose text compresses poorly under the learned merges
+        |(different language, different domain) surfaces immediately
+        |as a higher rate.  The oracle re-learns the merges in SQL and
+        |re-encodes (the q136/q140 CTE scaffolding), so the ENTIRE
+        |train→encode→rate chain is cross-engine pinned.""".stripMargin,
+      bpeTokenRateOracleSql(10)) { (s, dir) =>
+      val merges = BpeTrainer.trainCached(s, dir, 10)
+      val enc = bpeEncodeCol(merges, col("text"))
+      def nMarks(c: org.apache.spark.sql.Column) =
+        (length(c) - length(call_function("replace", c, lit(S1), lit("")))).cast("long")
+      Tables.documents(s, dir)
+        .select(col("source"),
+          length(regexp_replace(col("text"), "\\s", "")).cast("long").as("n_chars"),
+          nMarks(enc).as("n_tokens"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("total_chars"),
+          sum(col("n_tokens")).cast("long").as("total_tokens"))
+        .select(col("source"), col("n_docs"), col("total_chars"),
+          col("total_tokens"),
+          expr("(1000 * total_tokens) DIV total_chars").as("tokens_per_kilochar"))
     }
   )
 
@@ -1222,6 +1255,29 @@ object TrainingOps {
        |  (length(e) - length(replace(e, chr(1), '')))::BIGINT AS n_tokens,
        |  (n_syms - (length(e) - length(replace(e, chr(1), ''))))::BIGINT AS n_merges_applied
        |FROM enc""".stripMargin
+  }
+
+  /** DuckDB oracle for q193: encode as in q136's oracle, then roll
+    * non-space char and token counts up per source with the floor-div
+    * rate. */
+  private[graft] def bpeTokenRateOracleSql(k: Int): String = {
+    val froms = (1 to k).map(n => s"b$n").mkString(", ")
+    s"""WITH ${bpeRoundsCtes(k)},
+       |enc AS (
+       |  SELECT source,
+       |    length(regexp_replace(text, '\\s', '', 'g'))::BIGINT AS n_chars,
+       |    ${bpeEncodeExpr(k)} AS e
+       |  FROM documents, $froms),
+       |t AS (
+       |  SELECT source, n_chars,
+       |    (length(e) - length(replace(e, chr(1), '')))::BIGINT AS n_tokens
+       |  FROM enc)
+       |SELECT source, count(*)::BIGINT AS n_docs,
+       |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |  (1000 * CAST(sum(n_tokens) AS BIGINT)) // CAST(sum(n_chars) AS BIGINT)
+       |    AS tokens_per_kilochar
+       |FROM t GROUP BY 1""".stripMargin
   }
 
   /** DuckDB oracle for q140: encode as in q136's oracle, then recover

@@ -308,6 +308,56 @@ class TrainingOpsSpec extends SparkSpec {
       "MMR should reorder vs pure relevance on this fixture")
   }
 
+  test("q192 deciles conserve the corpus and rank by the exact total order") {
+    import org.apache.spark.sql.functions._
+    val rows = byName("q192_quality_dup_profile").run(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val n = docs.length
+    assert(rows.values.map(_._1).sum == n, "docs not conserved")
+    // brute-force: score, dup flag, exact (score, doc_id) rank, decile
+    val stop = Set("the", "a", "of", "and", "to")
+    val scored = docs.map { case (id, t) =>
+      val w = t.split(" ", -1)
+      (id, 1000L * w.count(stop) / w.length, t)
+    }
+    val copies = scored.groupBy(_._3).view.mapValues(_.size).toMap
+    val ranked = scored.sortBy(d => (d._2, d._1)).zipWithIndex
+    val expected = ranked.groupBy { case (_, i) => i.toLong * 10 / n }.map {
+      case (dec, xs) =>
+        val dups = xs.count { case ((_, _, t), _) => copies(t) > 1 }.toLong
+        dec -> ((xs.size.toLong, dups, 1000L * dups / xs.size,
+          xs.map(_._1._2).min, xs.map(_._1._2).max))
+    }
+    assert(rows == expected, "decile profile diverges from brute force")
+    // deciles are depth-balanced within one row
+    val sizes = rows.values.map(_._1)
+    assert(sizes.max - sizes.min <= 1, s"unbalanced deciles: $rows")
+  }
+
+  test("q193 token rate conserves q136's totals per source") {
+    import org.apache.spark.sql.functions._
+    val rows = byName("q193_token_rate_by_source").run(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val srcOf = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val perDoc = byName("q136_bpe_encode").run(spark, sfDir).collect()
+      .map(r => (srcOf(r.getLong(0)), r.getLong(1), r.getLong(2)))
+    val expected = perDoc.groupBy(_._1).view.mapValues { xs =>
+      val chars = xs.map(_._2).sum; val toks = xs.map(_._3).sum
+      (xs.size.toLong, chars, toks, 1000L * toks / chars)
+    }.toMap
+    assert(rows == expected, "token rate diverges from the q136 roll-up")
+    rows.values.foreach { case (_, chars, toks, rate) =>
+      assert(toks <= chars && rate <= 1000, "tokens cannot exceed symbols")
+    }
+  }
+
   test("q169 chi-square equals a BigInt full-grid recompute") {
     val cells = Tables.documents(spark, sfDir)
       .groupBy(org.apache.spark.sql.functions.col("source"),
