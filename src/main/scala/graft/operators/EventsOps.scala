@@ -360,12 +360,15 @@ object EventsOps {
         |reached at least that far, and the step conversion permille
         |(reached(d) / reached(d-1), depth 0 pinned at 1000).  The
         |depth spine is generated explicitly so a depth nobody reached
-        |still reports its zero (the q57 gap-fill discipline).  The
-        |cumulative "reached" count and the lag for the conversion
-        |ratio run as windows over the FOUR-row depth histogram — the
-        |user-sized funnel output collapses before any window sees it.
+        |still reports its zero (the q57 gap-fill discipline).  All
+        |eight counts (exact-depth and reached-at-least per depth) ride
+        |ONE scalar aggregate over the per-user depths, conversions
+        |derive row-locally on that single row, and stack() unpivots it
+        |to the four report rows — no window anywhere, not even a
+        |constant-sized one (PlanGuard forbids partition-less windows
+        |categorically, and the aggregate is the honest shape anyway).
         |Scale shape: the expensive part is exactly q112's one-shuffle
-        |sorted-scan kernel; everything after is constant-sized.""".stripMargin,
+        |sorted-scan kernel; everything after is one row.""".stripMargin,
       """WITH seq AS (
         |  SELECT user_id,
         |    string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS s
@@ -394,24 +397,24 @@ object EventsOps {
         |FROM cum""".stripMargin) { (s, dir) =>
       val d = Funnel.funnelDepth(Tables.events(s, dir), Seq("v", "c", "p"))
         .select(col("funnel_depth").cast("long").as("depth"))
-      val spine = (s.range(0, 4)).select(col("id").as("depth"))
-      // count(hit) over the left join: NULL on the no-match side, so a
-      // depth nobody reached counts 0 instead of vanishing
-      val hist = spine
-        .join(d.withColumn("hit", lit(1)), Seq("depth"), "left")
-        .groupBy(col("depth"))
-        .agg(count(col("hit")).as("n_at"))
-      val byDepthDesc = Window.orderBy(col("depth").desc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val byDepth = Window.orderBy(col("depth"))
-      hist
-        .withColumn("n_reached", sum(col("n_at")).over(byDepthDesc).cast("long"))
-        .withColumn("prev", lag(col("n_reached"), 1).over(byDepth))
-        .select(col("depth"), col("n_at"), col("n_reached"),
-          when(col("depth") === 0, 1000L)
-            .when(col("prev") === 0, 0L)
-            .otherwise(expr("(1000 * n_reached) DIV prev"))
-            .as("step_conversion_permille"))
+      val aggs = (0 to 3).flatMap { k =>
+        Seq(sum(when(col("depth") === k, 1L).otherwise(0L)).cast("long").as(s"at_$k"),
+          sum(when(col("depth") >= k, 1L).otherwise(0L)).cast("long").as(s"reach_$k"))
+      }
+      d.agg(aggs.head, aggs.tail: _*)
+        .selectExpr(
+          (Seq("at_0", "at_1", "at_2", "at_3",
+            "reach_0", "reach_1", "reach_2", "reach_3") ++
+            (1 to 3).map(k =>
+              s"""CASE WHEN reach_${k - 1} = 0 THEN CAST(0 AS BIGINT)
+                 |ELSE (1000 * reach_$k) DIV reach_${k - 1} END AS conv_$k""".stripMargin)): _*)
+        .selectExpr(
+          """stack(4,
+            |  CAST(0 AS BIGINT), at_0, reach_0, CAST(1000 AS BIGINT),
+            |  CAST(1 AS BIGINT), at_1, reach_1, conv_1,
+            |  CAST(2 AS BIGINT), at_2, reach_2, conv_2,
+            |  CAST(3 AS BIGINT), at_3, reach_3, conv_3)
+            |AS (depth, n_at, n_reached, step_conversion_permille)""".stripMargin)
     },
 
     // ----------------------------------------------------------------

@@ -473,14 +473,12 @@ object TextOps {
         |one filter is redundant): docs ranked into 10 exact deciles by
         |stopword permille (q23's signal as an integer), each decile
         |reporting its exact-duplicate rate (q26's fingerprint, shared
-        |content = md5 collision across docs).  The global rank is NOT
-        |a single-partition window: the score domain is bounded
-        |(0..1000), so ranks decompose as cum(histogram over scores) +
-        |row_number within the score's tie group — the q170/q154
-        |histogram-inversion discipline applied to RANKING, with window
-        |partitions bounded by the score domain and tie-group sizes.
-        |Both engines build the identical (score, doc_id) total order,
-        |so decile boundaries match exactly.""".stripMargin,
+        |content = md5 collision across docs).  The global rank over
+        |the (score, doc_id) total order comes from DistributedRank
+        |(range repartition + local sort + triangular offset join —
+        |q85's scale shape, no partition-less window anywhere); the
+        |oracle builds the SAME total order with plain SQL windows,
+        |pinning the decile boundaries exactly.""".stripMargin,
       """WITH t AS (
         |  SELECT doc_id, md5(text) AS f,
         |    (1000 * CAST(len(list_filter(string_split(text, ' '),
@@ -506,7 +504,6 @@ object TextOps {
         |    // count(*) AS dup_permille,
         |  min(score) AS min_score, max(score) AS max_score
         |FROM r GROUP BY 1""".stripMargin) { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
       val stopList = Stopwords.map(w => s"'$w'").mkString(",")
       val t = Tables.documents(s, dir)
         .select(col("doc_id"), md5(col("text")).as("f"),
@@ -515,17 +512,8 @@ object TextOps {
                   |DIV CAST(size(split(text, ' ')) AS BIGINT)""".stripMargin)
             .as("score"))
       val fp = t.groupBy(col("f")).agg(count(lit(1)).as("n_copies"))
-      val hist = t.groupBy(col("score")).agg(count(lit(1)).as("cnt"))
-      val cumW = Window.orderBy(col("score"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val cum = hist
-        .withColumn("below", (sum(col("cnt")).over(cumW) - col("cnt")).cast("long"))
-        .withColumn("n", sum(col("cnt")).over(
-          Window.partitionBy()).cast("long"))
-        .select(col("score"), col("below"), col("n"))
-      val tieW = Window.partitionBy(col("score")).orderBy(col("doc_id"))
-      t.join(fp, "f").join(cum, "score")
-        .withColumn("rank", col("below") + row_number().over(tieW))
+      DistributedRank.withGlobalRank(t.join(fp, "f"),
+          Seq(col("score"), col("doc_id")), "rank", "n")
         .select(expr("((rank - 1) * 10) DIV n").as("decile"),
           col("score"), (col("n_copies") > 1).as("is_dup"))
         .groupBy(col("decile"))
