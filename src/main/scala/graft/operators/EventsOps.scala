@@ -821,6 +821,96 @@ object EventsOps {
     },
 
     // ----------------------------------------------------------------
+    q("q194_lorenz_curve",
+      """Lorenz-curve EXPORT — the distribution behind q157's scalar
+        |Gini as the ten points an inequality dashboard plots: users
+        |ranked by total spend into exact deciles (DistributedRank over
+        |the (cents, user_id) total order — q192's scale shape, no
+        |partition-less window), each decile reporting its user count,
+        |its spend, and the CUMULATIVE user/spend shares in permille.
+        |The cumulative step runs as a triangular self-join over the
+        |TEN decile rows (the DistributedRank offset trick — bounded
+        |pair space, no window even there), so the whole query is
+        |window-free.  All shares are floor divisions of exact cents
+        |sums; a perfectly equal population shows cum_spend ≈
+        |cum_users, concentration bows the curve below the
+        |diagonal.""".stripMargin,
+      """WITH u AS (
+        |  SELECT user_id,
+        |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1),
+        |r AS (
+        |  SELECT cents,
+        |    row_number() OVER (ORDER BY cents, user_id) AS rank,
+        |    count(*) OVER () AS n
+        |  FROM u),
+        |d AS (
+        |  SELECT ((rank - 1) * 10) // n AS decile,
+        |    count(*)::BIGINT AS n_users, CAST(sum(cents) AS BIGINT) AS decile_cents
+        |  FROM r GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_users) AS BIGINT) AS nu,
+        |             CAST(sum(decile_cents) AS BIGINT) AS tc FROM d)
+        |SELECT a.decile, a.n_users, a.decile_cents,
+        |  (1000 * CAST(sum(b.n_users) AS BIGINT)) // t.nu AS cum_users_permille,
+        |  (1000 * CAST(sum(b.decile_cents) AS BIGINT)) // t.tc AS cum_spend_permille
+        |FROM d a JOIN d b ON b.decile <= a.decile, t
+        |GROUP BY 1, 2, 3, t.nu, t.tc""".stripMargin) { (s, dir) =>
+      val u = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(sum((col("value").cast("decimal(18,2)") * 100).cast("long"))
+          .cast("long").as("cents"))
+      val d = DistributedRank.withGlobalRank(u,
+          Seq(col("cents"), col("user_id")), "rank", "n")
+        .select(expr("((rank - 1) * 10) DIV n").as("decile"), col("cents"))
+        .groupBy(col("decile"))
+        .agg(count(lit(1)).as("n_users"),
+          sum(col("cents")).cast("long").as("decile_cents"))
+      val t = d.agg(sum(col("n_users")).cast("long").as("nu"),
+        sum(col("decile_cents")).cast("long").as("tc"))
+      d.as("a")
+        .join(d.as("b"), col("b.decile") <= col("a.decile"))
+        .groupBy(col("a.decile").as("decile"),
+          col("a.n_users").as("n_users"),
+          col("a.decile_cents").as("decile_cents"))
+        .agg(sum(col("b.n_users")).cast("long").as("cu"),
+          sum(col("b.decile_cents")).cast("long").as("cc"))
+        .crossJoin(broadcast(t))
+        .select(col("decile"), col("n_users"), col("decile_cents"),
+          expr("(1000 * cu) DIV nu").as("cum_users_permille"),
+          expr("(1000 * cc) DIV tc").as("cum_spend_permille"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q195_user_profile_json",
+      """Typed per-user PROFILE export — the feature-store handoff
+        |shape: each user's event-type histogram serialized as a
+        |canonical JSON object (keys sorted, no whitespace) next to
+        |scalar features.  Exercises the nested-type construction
+        |surface end to end — collect to array, sort_array for
+        |DETERMINISTIC key order (a hash map's order would differ per
+        |run, let alone per engine), map_from_entries, to_json —
+        |against an oracle that builds the byte-identical string with
+        |ordered string_agg: the hash match pins Spark's JSON
+        |serialization format (no spaces, unquoted integers) exactly.
+        |Scale shape: one user-keyed aggregate; the array is bounded by
+        ||event types|.""".stripMargin,
+      """WITH h AS (
+        |  SELECT user_id, event_type, count(*)::BIGINT AS c
+        |  FROM events GROUP BY 1, 2)
+        |SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
+        |  '{' || string_agg('"' || event_type || '":' || c, ',' ORDER BY event_type)
+        |      || '}' AS profile_json
+        |FROM h GROUP BY 1""".stripMargin) { (s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("user_id"))
+        .agg(sum(col("c")).cast("long").as("n_events"),
+          to_json(map_from_entries(sort_array(collect_list(
+            struct(col("event_type"), col("c")))))).as("profile_json"))
+    },
+
+    // ----------------------------------------------------------------
     q("q189_behavior_diversity",
       """Behavioral diversity per user — the Gini-Simpson index
         |1 − Σpᵢ², the entropy-class metric with NO logarithm, so it

@@ -462,6 +462,50 @@ class EventsAnalyticsSpec extends SparkSpec {
     assert(sh * d0 + sth * d1 + shh * d2 == shy * den, "normal eq 2")
   }
 
+  test("q194 Lorenz curve is monotone, diagonal-bounded, and brute-force exact") {
+    val rows = byName("q194_lorenz_curve").run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (0L to 9L).toSeq)
+    // brute force from per-user totals
+    val cents = Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(sum((col("value").cast("decimal(18,2)") * 100).cast("long")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ranked = cents.sortBy { case (u, c) => (c, u) }.zipWithIndex
+    val n = ranked.length
+    val byDec = ranked.groupBy { case (_, i) => i.toLong * 10 / n }
+    val total = cents.map(_._2).sum
+    rows.foreach { case (d, nu, dc, cup, csp) =>
+      val mine = byDec(d)
+      assert(nu == mine.length.toLong && dc == mine.map(_._1._2).sum, s"decile $d")
+      val cumU = (0L to d).map(byDec(_).length.toLong).sum
+      val cumC = (0L to d).map(byDec(_).map(_._1._2).sum).sum
+      assert(cup == 1000L * cumU / n && csp == 1000L * cumC / total, s"cum $d")
+      assert(csp <= cup, "Lorenz curve must sit on or below the diagonal")
+    }
+    assert(rows.last._4 == 1000L && rows.last._5 == 1000L)
+    assert(rows.map(_._5).toSeq == rows.map(_._5).sorted.toSeq,
+      "cumulative share not monotone")
+  }
+
+  test("q195 JSON profiles parse back to the exact histograms") {
+    val got = byName("q195_user_profile_json").run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val evs = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val hists = evs.groupBy(_._1).view
+      .mapValues(_.groupBy(_._2).view.mapValues(_.size.toLong).toMap).toMap
+    assert(got.map(_._1).toSet == hists.keySet)
+    got.foreach { case (u, n, json) =>
+      assert(n == hists(u).values.sum, s"user $u count")
+      val expected = "{" + hists(u).toSeq.sorted
+        .map { case (k, v) => s""""$k":$v""" }.mkString(",") + "}"
+      assert(json == expected, s"user $u profile: $json vs $expected")
+    }
+  }
+
   test("events analytics queries are registered with oracles") {
     Seq("q148_active_streaks", "q149_rolling_anomaly",
       "q150_markov_transitions", "q157_gini_concentration",
@@ -471,7 +515,8 @@ class EventsAnalyticsSpec extends SparkSpec {
       "q172_hourly_cadence", "q173_conversion_lag",
       "q174_scd2_dimension", "q177_funnel_dropoff", "q178_value_mad",
       "q179_session_lift", "q186_interpolate_gaps", "q188_benford_audit",
-      "q189_behavior_diversity", "q191_linear_regression").foreach { n =>
+      "q189_behavior_diversity", "q191_linear_regression",
+      "q194_lorenz_curve", "q195_user_profile_json").foreach { n =>
       assert(SparkEntry.queries.contains(n), n)
       assert(SparkEntry.oracleSql.contains(n), n)
     }
