@@ -849,6 +849,100 @@ object ScaleOps {
                |     ELSE (CAST(709 AS BIGINT) * 4096 * 33554432) DIV (1000 * sumpow)
                |END""".stripMargin).as("hll_estimate"),
           col("n_exact").cast("long").as("n_exact"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q196_class_separability",
+      """CLASS-SEPARABILITY audit over the labeled embeddings — the
+        |pre-training sanity report for a classification dataset: per
+        |label, the exact within-class scatter (Σ|v−μ|² by the
+        |sufficient-statistics identity (n·Q − |S|²)/n — no centroid
+        |materialized, no second pass) and the squared distance of the
+        |class centroid to the GLOBAL centroid, both as floor-divided
+        |fixed-point integers with the heavy cross terms
+        |(|n_g·S_c − n_c·S_g|² reaches ~4e26) carried through
+        |DECIMAL(38)/HUGEINT.  Scale shape: one (label, dim) partial
+        |aggregate with map-side combine (640 rows at 64 dims) plus a
+        |per-row |v|² accumulator riding the same pass; the global
+        |sums derive from the per-label table, so the corpus scans
+        |once; everything downstream is |labels|-sized
+        |arithmetic.""".stripMargin,
+      """WITH e AS (
+        |  SELECT label, vec_id, list_transform(embedding,
+        |    x -> CAST(CAST(round(CAST(x AS DOUBLE), 4) AS DECIMAL(9,4))
+        |              * 10000 AS BIGINT)) AS vm
+        |  FROM embeddings),
+        |rowq AS (
+        |  SELECT label,
+        |    count(*)::BIGINT AS n,
+        |    CAST(sum(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(vm, x -> x * x)), (a, b) -> a + b)) AS BIGINT) AS q
+        |  FROM e GROUP BY 1),
+        |dims AS (
+        |  SELECT label, dim, CAST(sum(vm[dim]) AS BIGINT) AS sd
+        |  FROM e, unnest(range(1, 65)) AS t(dim)
+        |  GROUP BY 1, 2),
+        |lab AS (
+        |  SELECT rowq.label, rowq.n, rowq.q,
+        |    CAST(sum(d.sd * d.sd) AS BIGINT) AS s2
+        |  FROM rowq JOIN dims d ON d.label = rowq.label
+        |  GROUP BY 1, 2, 3),
+        |gtot AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS ng FROM lab),
+        |gdims AS (
+        |  SELECT dim, CAST(sum(sd) AS BIGINT) AS gd FROM dims GROUP BY 1),
+        |cross_d AS (
+        |  SELECT d.label,
+        |    CAST(sum((CAST(g.ng AS HUGEINT) * d.sd - CAST(lab.n AS HUGEINT) * gd.gd)
+        |           * (CAST(g.ng AS HUGEINT) * d.sd - CAST(lab.n AS HUGEINT) * gd.gd)) AS HUGEINT) AS bnum
+        |  FROM dims d
+        |  JOIN lab ON lab.label = d.label
+        |  JOIN gdims gd ON gd.dim = d.dim, gtot g
+        |  GROUP BY 1)
+        |SELECT lab.label, lab.n,
+        |  lab.n * lab.q - lab.s2 AS within_num,
+        |  CAST((CAST(lab.n AS HUGEINT) * lab.q - lab.s2)
+        |    // (CAST(lab.n AS HUGEINT) * lab.n) AS BIGINT) AS within_q8_mean,
+        |  CAST(cross_d.bnum // (CAST(lab.n AS HUGEINT) * lab.n * g.ng * g.ng) AS BIGINT)
+        |    AS dist2_global_q8
+        |FROM lab JOIN cross_d ON cross_d.label = lab.label, gtot g""".stripMargin) { (s, dir) =>
+      val e = Tables.embeddings(s, dir)
+        .select(col("label"), col("vec_id"), expr(
+          """transform(embedding,
+            |  x -> CAST(CAST(round(CAST(x AS DOUBLE), 4) AS DECIMAL(9,4))
+            |            * 10000 AS BIGINT))""".stripMargin).as("vm"))
+      val rowq = e.groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr(
+            """aggregate(transform(vm, x -> x * x),
+              |          CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin))
+            .cast("long").as("q"))
+      val dims = e
+        .select(col("label"), posexplode(col("vm")).as(Seq("dim0", "v")))
+        .groupBy(col("label"), (col("dim0") + 1).as("dim"))
+        .agg(sum(col("v")).cast("long").as("sd"))
+      val lab = rowq.join(
+        dims.groupBy(col("label"))
+          .agg(sum(col("sd") * col("sd")).cast("long").as("s2")), "label")
+      val glob = lab.agg(sum(col("n")).cast("long").as("ng"))
+      val gdims = dims.groupBy(col("dim")).agg(sum(col("sd")).cast("long").as("gd"))
+      val crossD = dims
+        .join(lab.select(col("label"), col("n")), "label")
+        .join(gdims, "dim")
+        .crossJoin(broadcast(glob))
+        .groupBy(col("label"))
+        .agg(sum(expr(
+          """(CAST(ng AS DECIMAL(38,0)) * sd - CAST(n AS DECIMAL(38,0)) * gd)
+            |* (CAST(ng AS DECIMAL(38,0)) * sd - CAST(n AS DECIMAL(38,0)) * gd)""".stripMargin))
+          .as("bnum"))
+      lab.join(crossD, "label").crossJoin(broadcast(glob))
+        .select(col("label"), col("n"),
+          (col("n") * col("q") - col("s2")).as("within_num"),
+          expr("""(CAST(n AS DECIMAL(38,0)) * q - s2)
+                 |DIV (CAST(n AS DECIMAL(38,0)) * n)""".stripMargin)
+            .as("within_q8_mean"),
+          expr("""CAST(bnum DIV (CAST(n AS DECIMAL(38,0)) * n * ng * ng) AS BIGINT)""")
+            .as("dist2_global_q8"))
     }
   )
 

@@ -254,4 +254,40 @@ class ScaleOpsSpec extends SparkSpec {
       assert(got(d.toLong) == ((n.toLong, median, p90)), s"dim $d")
     }
   }
+
+  test("q196 separability equals a BigInt sufficient-statistics recompute") {
+    import org.apache.spark.sql.functions._
+    val vecs = Tables.embeddings(spark, sfDir)
+      .select(col("label"), expr(
+        """transform(embedding,
+          |  x -> CAST(CAST(round(CAST(x AS DOUBLE), 4) AS DECIMAL(9,4))
+          |            * 10000 AS BIGINT))""".stripMargin))
+      .collect().map(r => (r.getInt(0), r.getSeq[Long](1).toVector))
+    val byLabel = vecs.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val dimN = vecs.head._2.length
+    val gS = Vector.tabulate(dimN)(d => vecs.map(v => BigInt(v._2(d))).sum)
+    val ng = BigInt(vecs.length)
+    val expected = byLabel.map { case (lbl, vs) =>
+      val n = BigInt(vs.length)
+      val q = vs.map(v => v.map(x => BigInt(x) * x).sum).sum
+      val sC = Vector.tabulate(dimN)(d => vs.map(v => BigInt(v(d))).sum)
+      val s2 = sC.map(x => x * x).sum
+      val bnum = (0 until dimN).map { d =>
+        val t = ng * sC(d) - n * gS(d); t * t
+      }.sum
+      lbl.toLong -> ((n.toLong, (n * q - s2).toLong,
+        ((n * q - s2) / (n * n)).toLong,
+        (bnum / (n * n * ng * ng)).toLong))
+    }
+    val got = byName("q196_class_separability").run(spark, sfDir).collect()
+      .map(r => r.getInt(0).toLong ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == expected, "separability diverges from BigInt recompute")
+    // the labels are random — classes overlap, so between-class distance
+    // must be far below within-class spread (and both positive)
+    got.values.foreach { case (_, w, wm, d2) =>
+      assert(w > 0 && wm > 0 && d2 >= 0)
+      assert(d2 < wm / 10, "random labels should not separate")
+    }
+  }
 }
