@@ -378,6 +378,104 @@ object TrainingSoak {
       (est > trueK * 70 / 100 && est < trueK * 130 / 100, est, sec)
     }
 
+    // ---- histogram-inversion robust stats (q170/q178 shape) at n rows.
+    // cents = id % 10000 per four types (id % 4). gcd(4, 10000) = 4, so
+    // type t sees exactly the 2500 residues ≡ t (mod 4), each with
+    // n/10000 rows — closed-form order statistics: median = 4996 + t
+    // (the 1250th of type t's sorted values), p05 = 496 + t,
+    // p95 = 9496 + t, and the deviation histogram (multiples of 4, two
+    // values per level except the extremes) gives MAD = 2500 for every
+    // type. The windows run over the per-type HISTOGRAM — 10^8 event
+    // rows collapse to 10^4 histogram rows before any window sees
+    // them, which is precisely the domain-bounded claim those queries
+    // make.
+    val (robustOk, robustSec) = {
+      require(n % 40000 == 0, s"robust soak needs n % 40000 == 0, got $n")
+      import org.apache.spark.sql.expressions.Window
+      val ((medGot, madGot), sec) = timed {
+        val hist = spark.range(n)
+          .select((col("id") % 4).cast("string").as("ty"), (col("id") % 10000L).as("cents"))
+          .groupBy(col("ty"), col("cents")).agg(count(lit(1)).as("cnt"))
+        val cum = Window.partitionBy(col("ty")).orderBy(col("cents"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val whole = Window.partitionBy(col("ty"))
+        val med = hist
+          .withColumn("cum", sum(col("cnt")).over(cum).cast("long"))
+          .withColumn("nn", sum(col("cnt")).over(whole).cast("long"))
+          .groupBy(col("ty"))
+          .agg(min(when(expr("cum >= (nn + 1) DIV 2"), col("cents"))).as("median"),
+            min(when(expr("cum >= (5 * nn + 99) DIV 100"), col("cents"))).as("p05"),
+            min(when(expr("cum >= (95 * nn + 99) DIV 100"), col("cents"))).as("p95"))
+        val dev = hist.join(med.select(col("ty"), col("median")), "ty")
+          .groupBy(col("ty"), abs(col("cents") - col("median")).as("d"))
+          .agg(sum(col("cnt")).cast("long").as("cnt"))
+        val cumD = Window.partitionBy(col("ty")).orderBy(col("d"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val mad = dev
+          .withColumn("cum", sum(col("cnt")).over(cumD).cast("long"))
+          .withColumn("nn", sum(col("cnt")).over(whole).cast("long"))
+          .groupBy(col("ty"))
+          .agg(min(when(expr("cum >= (nn + 1) DIV 2"), col("d"))).as("mad"))
+        (med.collect().map(r => r.getString(0) ->
+            ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap,
+          mad.collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
+      }
+      val ok = (0 to 3).forall { t =>
+        medGot.get(t.toString).contains((4996L + t, 496L + t, 9496L + t)) &&
+          madGot.get(t.toString).contains(2500L)
+      }
+      (ok, sec)
+    }
+
+    // ---- exact regression by Cramer (q191 shape) at ~n rows: t = id
+    // mod 128, h = id mod 24, y = 3t + 5h + 7 EXACTLY, with n truncated
+    // to the 384-cycle so the design matrix is non-degenerate. A
+    // perfectly linear target makes the least-squares solution the true
+    // coefficients as exact rationals, so the soak gates on the
+    // millicoefficients being literally (7000, 3000, 5000) out of the
+    // DECIMAL(38) determinant arithmetic — at 10^8 rows the
+    // determinants reach ~10^30, which is the headroom claim in q191's
+    // scaladoc exercised for real.
+    val (regOk, regSec) = {
+      val nr = n / 384 * 384
+      val (res, sec) = timed {
+        val m = spark.range(nr).select(
+            (col("id") % 128).as("t"), (col("id") % 24).as("h"),
+            (lit(3L) * (col("id") % 128) + lit(5L) * (col("id") % 24) + 7L).as("y"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("t")).cast("long").as("st"), sum(col("h")).cast("long").as("sh"),
+            sum(col("t") * col("t")).cast("long").as("stt"),
+            sum(col("t") * col("h")).cast("long").as("sth"),
+            sum(col("h") * col("h")).cast("long").as("shh"),
+            sum(col("y")).cast("long").as("sy"),
+            sum(col("t") * col("y")).cast("long").as("sty"),
+            sum(col("h") * col("y")).cast("long").as("shy"))
+        val D = "DECIMAL(38,0)"
+        m.selectExpr(
+            s"""CAST(n AS $D) * (CAST(stt AS $D)*shh - CAST(sth AS $D)*sth)
+               |  - CAST(st AS $D) * (CAST(st AS $D)*shh - CAST(sth AS $D)*sh)
+               |  + CAST(sh AS $D) * (CAST(st AS $D)*sth - CAST(stt AS $D)*sh) AS den""".stripMargin,
+            s"""CAST(sy AS $D) * (CAST(stt AS $D)*shh - CAST(sth AS $D)*sth)
+               |  - CAST(st AS $D) * (CAST(sty AS $D)*shh - CAST(sth AS $D)*shy)
+               |  + CAST(sh AS $D) * (CAST(sty AS $D)*sth - CAST(stt AS $D)*shy) AS d0""".stripMargin,
+            s"""CAST(n AS $D) * (CAST(sty AS $D)*shh - CAST(shy AS $D)*sth)
+               |  - CAST(sy AS $D) * (CAST(st AS $D)*shh - CAST(sh AS $D)*sth)
+               |  + CAST(sh AS $D) * (CAST(st AS $D)*shy - CAST(sh AS $D)*sty) AS d1""".stripMargin,
+            s"""CAST(n AS $D) * (CAST(stt AS $D)*shy - CAST(sth AS $D)*sty)
+               |  - CAST(st AS $D) * (CAST(st AS $D)*shy - CAST(sh AS $D)*sty)
+               |  + CAST(sy AS $D) * (CAST(st AS $D)*sth - CAST(sh AS $D)*stt) AS d2""".stripMargin)
+          .selectExpr(
+            "CAST((1000 * d0) DIV den AS BIGINT) AS b0",
+            "CAST((1000 * d1) DIV den AS BIGINT) AS b1",
+            "CAST((1000 * d2) DIV den AS BIGINT) AS b2",
+            "CAST(den = 0 AS BOOLEAN) AS degenerate")
+          .collect()(0)
+      }
+      val ok = !res.getBoolean(3) && res.getLong(0) == 7000L &&
+        res.getLong(1) == 3000L && res.getLong(2) == 5000L
+      (ok, sec)
+    }
+
     println(
       s"""{"metric":"training_soak","rows":$n,""" +
         s""""hll_sec":$hllSec,"hll_est":$hllEst,"hll_ok":$hllOk,""" +
@@ -391,10 +489,12 @@ object TrainingSoak {
         s""""funnel_wide_sec":$funnelWideSec,"funnel_wide_ok":$funnelWideOk,""" +
         s""""funnel_hot_sec":$funnelHotSec,"funnel_hot_ok":$funnelHotOk,""" +
         s""""funnel_win_wide_sec":$funnelWinWideSec,"funnel_win_wide_ok":$funnelWinWideOk,""" +
-        s""""funnel_win_hot_sec":$funnelWinHotSec,"funnel_win_hot_ok":$funnelWinHotOk}""")
+        s""""funnel_win_hot_sec":$funnelWinHotSec,"funnel_win_hot_ok":$funnelWinHotOk,""" +
+        s""""robust_sec":$robustSec,"robust_ok":$robustOk,""" +
+        s""""regression_sec":$regSec,"regression_ok":$regOk}""")
     spark.stop()
     if (!(mgOk && sampleOk && vocabOk && ivfOk && asofOk && rangeOk &&
         funnelWideOk && funnelHotOk && funnelWinWideOk && funnelWinHotOk &&
-        vecaggOk && hllOk)) sys.exit(1)
+        vecaggOk && hllOk && robustOk && regOk)) sys.exit(1)
   }
 }
