@@ -78,6 +78,38 @@ object Streams {
       .select(col("item_id"), col("user_ip"), col("review_ts"),
         col("review_stars"), col("last_view_ts"))
 
+  /** q190's streaming twin: FORWARD as-of with tolerance — each
+    * purchase matched to the same user's EARLIEST view AT OR AFTER it,
+    * within `tolerance`, unmatched purchases kept with NULL columns
+    * (left semantics). Same two-stateful-operator shape as
+    * [[reviewAsof]] with the interval flipped forward: a watermarked
+    * LEFT OUTER time-interval stream-stream join (the outer side emits
+    * its null row only once the watermark proves no match can arrive —
+    * bounded state, exactly-once), then a watermarked aggregation
+    * whose min(struct(view_ts, view_id)) picks the earliest match with
+    * a deterministic id tie-break. The null-match row is alone in its
+    * group by construction (the join emits it only when NO matched row
+    * exists for the purchase), so the struct-of-nulls can never
+    * compete with a real match inside min(). */
+  def forwardAsof(purchases: DataFrame, views: DataFrame,
+      tolerance: String = "6 hours", watermark: String = "30 minutes"): DataFrame = {
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts").as("purchase_ts"))
+    val v = views.withWatermark("ts", watermark)
+      .select(col("event_id").as("view_id"), col("user_id").as("v_user"),
+        col("ts").as("view_ts"))
+    p.join(v,
+        col("v_user") === col("user_id") &&
+          col("view_ts") >= col("purchase_ts") &&
+          col("view_ts") <= col("purchase_ts") + expr(s"INTERVAL $tolerance"),
+        "left_outer")
+      .groupBy(col("purchase_id"), col("user_id"), col("purchase_ts"))
+      .agg(min(struct(col("view_ts"), col("view_id"))).as("first"))
+      .select(col("purchase_id"), col("user_id"), col("purchase_ts"),
+        col("first.view_id").as("view_id"), col("first.view_ts").as("view_ts"))
+  }
+
   /** A2 streaming twin: windowed popularity counts with watermark
     * (append mode emits only finalized windows — the late-data policy
     * ST3). */
