@@ -868,7 +868,7 @@ object EventsOps {
       val t = d.agg(sum(col("n_users")).cast("long").as("nu"),
         sum(col("decile_cents")).cast("long").as("tc"))
       d.as("a")
-        .join(d.as("b"), col("b.decile") <= col("a.decile"))
+        .join(broadcast(d.as("b")), col("b.decile") <= col("a.decile"))
         .groupBy(col("a.decile").as("decile"),
           col("a.n_users").as("n_users"),
           col("a.decile_cents").as("decile_cents"))
