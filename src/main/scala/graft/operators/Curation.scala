@@ -370,6 +370,55 @@ object Curation {
       pageRank(coPurchaseEdges(s, dir), iters = 3)
         .orderBy(col("pr").desc, col("n")).limit(20)
         .select(col("n").as("node"), col("pr").as("pr_scaled"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q197_leakage_free_split",
+      """LEAKAGE-FREE train/val/test split — the dataset-splitting rule
+        |naive random splits get wrong: near-duplicates must land in
+        |the SAME split, or the eval set silently contains paraphrases
+        |of training documents.  The split gate hashes the near-dup
+        |CLUSTER label (q68's connected-component min-id; singleton
+        |docs are their own cluster), not the doc id — every member of
+        |a component shares its fate by construction, so zero verified
+        |near-dup pairs can straddle splits (the spec asserts exactly
+        |that).  80/10/10 via the q137 affine-hash gate family —
+        |deterministic across reruns, partitionings and cluster sizes.
+        |Per (split, lang): doc count and how many docs arrived via a
+        |multi-doc component (the leakage-exposure that was
+        |neutralized).  Scale shape: the cluster labels are the q68
+        |artifact (edge-sized iterations); the gate itself is a
+        |scan-side projection and one |splits×langs| aggregate.""".stripMargin,
+      s"""WITH RECURSIVE jp AS (${Dedup.neardupSql}),
+        |$clustersSqlCtes,
+        |assigned AS (
+        |  SELECT d.doc_id, d.lang,
+        |    coalesce(lab.cluster_id, d.doc_id) AS cid,
+        |    (lab.doc_id IS NOT NULL) AS clustered
+        |  FROM documents d LEFT JOIN lab ON lab.doc_id = d.doc_id),
+        |g AS (
+        |  SELECT doc_id, lang, clustered,
+        |    CASE WHEN ((37 * cid + 11) % 2147483647) % 10 < 8 THEN 'train'
+        |         WHEN ((37 * cid + 11) % 2147483647) % 10 = 8 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM assigned)
+        |SELECT split, lang, count(*)::BIGINT AS n_docs,
+        |  CAST(sum(CASE WHEN clustered THEN 1 ELSE 0 END) AS BIGINT) AS n_from_clusters
+        |FROM g GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val lab = dupClusters(s, dir).select(col("doc_id"), col("cluster_id"))
+      Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+        .join(lab, Seq("doc_id"), "left")
+        .select(col("lang"),
+          coalesce(col("cluster_id"), col("doc_id")).as("cid"),
+          col("cluster_id").isNotNull.as("clustered"))
+        .select(col("lang"), col("clustered"),
+          when(((lit(37L) * col("cid") + 11L) % 2147483647L) % 10 < 8, "train")
+            .when(((lit(37L) * col("cid") + 11L) % 2147483647L) % 10 === 8, "val")
+            .otherwise("test").as("split"))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("clustered"), 1L).otherwise(0L)).cast("long")
+            .as("n_from_clusters"))
     })
 
   /** Undirected co-purchase edge list {x < y}: parts that share an

@@ -42,4 +42,38 @@ class ClusterLabelsSpec extends SparkSpec {
     assert(Curation.graphPartsFor(100L << 20) == 100)
     assert(Curation.graphPartsFor(Long.MaxValue / 4) == 2048)
   }
+
+  test("q197: no verified near-dup pair straddles splits; corpus conserved") {
+    import org.apache.spark.sql.functions._
+    val sfDir = "/root/testdata/sf0.001"
+    def byName(n: String) = SparkEntry.all.find(_.name == n).get
+    val rows = byName("q197_leakage_free_split").run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(rows.map(_._3).sum == nDocs, "split must conserve the corpus")
+    assert(rows.map(_._1).toSet.subsetOf(Set("train", "val", "test")))
+    // the gate splits roughly 80/10/10 (hash noise, not exactness)
+    val bySplit = rows.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    assert(bySplit("train") > nDocs * 6 / 10, s"train too small: $bySplit")
+    // THE invariant, checked through the actual pair list: every verified
+    // near-dup pair (q29's output) must land whole in one split, where a
+    // doc's split derives from ITS cluster exactly as the query computes
+    val lab = Curation.dupClusters(spark, sfDir)
+      .select(col("doc_id"), col("cluster_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def splitOf(doc: Long) =
+      ((37L * lab.getOrElse(doc, doc) + 11L) % 2147483647L) % 10 match {
+        case g if g < 8 => "train"
+        case 8 => "val"
+        case _ => "test"
+      }
+    val pairs = byName("q29_neardup_jaccard").run(spark, sfDir)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty, "fixture has no verified near-dup pairs")
+    pairs.foreach { case (a, b) =>
+      assert(splitOf(a) == splitOf(b), s"pair ($a,$b) straddles splits")
+    }
+    assert(rows.map(_._4).sum == lab.size, "n_from_clusters must count graph docs")
+  }
 }
