@@ -668,6 +668,100 @@ object Dedup {
           expr(s"""abs((1000 * n_match) DIV $NumSeeds
                   |  - (1000 * n_common) DIV (na + nb - n_common))""".stripMargin)
             .as("err_permille"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q200_source_datasheet",
+      """The per-source DATASHEET — the one-page provenance summary a
+        |dataset release ships (datasheets-for-datasets, distilled to
+        |the signals this engine computes exactly): per source, volume
+        |(docs, chars), language breadth, mean quality (corpus stopword
+        |permille over total tokens — a ratio of sums, not a mean of
+        |ratios), exact-duplicate permille (md5 fingerprint shared with
+        |ANY doc corpus-wide, q26's key), and content novelty permille
+        |(distinct 8-token shingles first hosted by this source's docs,
+        |q168's signal rolled up to provenance).  Scale shape: quality
+        |and language ride ONE corpus scan into a source-keyed
+        |aggregate; the fingerprint pass is one content-keyed shuffle
+        |joined back source-keyed; the shingle pass reuses q168's
+        |span-hash shuffle with the roll-up collapsing to |sources|
+        |rows.  Every column is an exact integer or floor-divided
+        |permille — the whole datasheet is hash-provable.""".stripMargin,
+      """WITH base AS (
+        |  SELECT source, doc_id, md5(text) AS f,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      x -> x IN ('the','a','of','and','to'))) AS BIGINT) AS n_stop,
+        |    CAST(length(text) AS BIGINT) AS n_chars, lang
+        |  FROM documents),
+        |fp AS (SELECT f, count(*)::BIGINT AS copies FROM base GROUP BY 1),
+        |perdoc AS (
+        |  SELECT base.source, base.doc_id, base.n_tokens, base.n_stop,
+        |    base.n_chars, base.lang, (fp.copies > 1) AS is_dup
+        |  FROM base JOIN fp ON fp.f = base.f),
+        |w AS (
+        |  SELECT source, doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        |x AS (SELECT source, doc_id, w, greatest(len(w) - 7, 0) AS nw FROM w),
+        |e AS (SELECT source, doc_id, unnest(range(1, nw + 1)) AS i, w FROM x),
+        |sp AS (SELECT DISTINCT source, doc_id,
+        |         md5(array_to_string(w[i:(i+7)], ' ')) AS h FROM e),
+        |firsts AS (SELECT h, CAST(min(doc_id) AS BIGINT) AS first_doc
+        |           FROM sp GROUP BY 1),
+        |nov AS (
+        |  SELECT sp.source, count(*)::BIGINT AS n_shingles,
+        |    CAST(sum(CASE WHEN firsts.first_doc = sp.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_novel
+        |  FROM sp JOIN firsts USING (h)
+        |  GROUP BY 1)
+        |SELECT p.source, count(*)::BIGINT AS n_docs,
+        |  CAST(sum(p.n_chars) AS BIGINT) AS total_chars,
+        |  CAST(count(DISTINCT p.lang) AS BIGINT) AS n_langs,
+        |  (1000 * CAST(sum(p.n_stop) AS BIGINT)) // CAST(sum(p.n_tokens) AS BIGINT)
+        |    AS stop_permille,
+        |  (1000 * CAST(sum(CASE WHEN p.is_dup THEN 1 ELSE 0 END) AS BIGINT))
+        |    // count(*) AS dup_permille,
+        |  (1000 * max(nov.n_novel)) // max(nov.n_shingles) AS novel_permille
+        |FROM perdoc p JOIN nov ON nov.source = p.source
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val stopList = Seq("the", "a", "of", "and", "to").map(w => s"'$w'").mkString(",")
+      val base = Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"), md5(col("text")).as("f"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          size(expr(s"filter(split(text, ' '), x -> x IN ($stopList))"))
+            .cast("long").as("n_stop"),
+          length(col("text")).cast("long").as("n_chars"), col("lang"))
+      val fp = base.groupBy(col("f")).agg(count(lit(1)).as("copies"))
+      val perdoc = base.join(fp, "f")
+        .withColumn("is_dup", col("copies") > 1)
+      val sp = Tables.documents(s, dir)
+        .select(col("source"), col("doc_id"),
+          filter(split(col("text"), "\\s+"), x => x =!= "").as("w"))
+        .withColumn("nw", expr("greatest(size(w) - 7, 0)"))
+        .select(col("source"), col("doc_id"), col("w"),
+          explode(expr(
+            "CASE WHEN nw > 0 THEN sequence(CAST(1 AS BIGINT), nw) ELSE array() END")).as("i"))
+        .select(col("source"), col("doc_id"),
+          md5(concat_ws(" ",
+            slice(col("w"), col("i").cast("int"), lit(8)))).as("h"))
+        .distinct()
+      val firsts = sp.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
+      val nov = sp.join(firsts, "h")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .cast("long").as("n_novel"))
+      perdoc.join(broadcast(nov), "source")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).cast("long").as("total_chars"),
+          countDistinct(col("lang")).as("n_langs"),
+          expr("(1000 * CAST(sum(n_stop) AS BIGINT)) DIV CAST(sum(n_tokens) AS BIGINT)")
+            .as("stop_permille"),
+          expr("(1000 * CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)) DIV count(1)")
+            .as("dup_permille"),
+          expr("(1000 * max(n_novel)) DIV max(n_shingles)").as("novel_permille"))
     })
 
   /** 16-bit SimHash signature per doc (doc_id, simhash16), cached per

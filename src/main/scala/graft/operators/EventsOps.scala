@@ -911,6 +911,58 @@ object EventsOps {
     },
 
     // ----------------------------------------------------------------
+    q("q199_audience_churn",
+      """Hour-over-hour AUDIENCE CHURN — the engagement series behind
+        |retention alerts: for each consecutive pair of active hours,
+        |the exact Jaccard overlap of the two hours' distinct user
+        |sets, in integer permille, plus the retained/new/lost
+        |decomposition.  Shape: distinct (hour, user) pairs build in
+        |one aggregate (map-side dedup); the self-join probes hour h's
+        |users against hour h+1 ON THE USER KEY (equi-join,
+        |user-partitioned — the hour shift rides the join condition,
+        |never a cross of hour sets); retained counts collapse per
+        |hour pair, and set sizes join back from the per-hour totals.
+        |All counts exact, the Jaccard a floor division.""".stripMargin,
+      """WITH hu AS (
+        |  SELECT DISTINCT epoch_us(ts) // 3600000000 AS h, user_id
+        |  FROM events),
+        |sizes AS (SELECT h, count(*)::BIGINT AS n FROM hu GROUP BY 1),
+        |ret AS (
+        |  SELECT a.h AS h, count(*)::BIGINT AS retained
+        |  FROM hu a JOIN hu b ON b.user_id = a.user_id AND b.h = a.h + 1
+        |  GROUP BY 1)
+        |SELECT s1.h AS hour_bucket, s1.n AS n_users, s2.n AS n_users_next,
+        |  coalesce(ret.retained, 0) AS retained,
+        |  s2.n - coalesce(ret.retained, 0) AS new_users,
+        |  s1.n - coalesce(ret.retained, 0) AS lost_users,
+        |  (1000 * coalesce(ret.retained, 0))
+        |    // (s1.n + s2.n - coalesce(ret.retained, 0)) AS jaccard_permille
+        |FROM sizes s1
+        |JOIN sizes s2 ON s2.h = s1.h + 1
+        |LEFT JOIN ret ON ret.h = s1.h""".stripMargin) { (s, dir) =>
+      val hu = Tables.events(s, dir)
+        .select(expr("unix_micros(ts) DIV 3600000000").as("h"), col("user_id"))
+        .distinct()
+      val sizes = hu.groupBy(col("h")).agg(count(lit(1)).as("n"))
+      val ret = hu.as("a")
+        .join(hu.as("b"),
+          col("b.user_id") === col("a.user_id") && col("b.h") === col("a.h") + 1)
+        .groupBy(col("a.h").as("h")).agg(count(lit(1)).as("retained"))
+      sizes.as("s1")
+        .join(sizes.as("s2"), col("s2.h") === col("s1.h") + 1)
+        .join(ret.as("ret"), col("ret.h") === col("s1.h"), "left")
+        .select(col("s1.h").as("hour_bucket"),
+          col("s1.n").as("n_users"), col("s2.n").as("n_users_next"),
+          coalesce(col("retained"), lit(0L)).as("retained"))
+        .select(col("hour_bucket"), col("n_users"), col("n_users_next"),
+          col("retained"),
+          (col("n_users_next") - col("retained")).as("new_users"),
+          (col("n_users") - col("retained")).as("lost_users"),
+          expr("(1000 * retained) DIV (n_users + n_users_next - retained)")
+            .as("jaccard_permille"))
+    },
+
+    // ----------------------------------------------------------------
     q("q189_behavior_diversity",
       """Behavioral diversity per user — the Gini-Simpson index
         |1 − Σpᵢ², the entropy-class metric with NO logarithm, so it

@@ -800,5 +800,37 @@ object TpchOps {
           col("s_suppkey") === col("l_suppkey"))
         .select(col("s_suppkey"), col("s_name"), col("n_dominant_parts"),
           col("dominated_q100"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q198_late_shipment_matrix",
+      """TPC-H Q12 shape (shipping-mode priority matrix), adapted: the
+        |schema has no shipmode/commitdate, so the pivot dimension is
+        |ship LATENESS (shipped >90 days after order date vs on time)
+        |and the measures are the spec's high/low order-priority
+        |conditional counts.  The Q12 essence survives intact: ONE
+        |fact-fact equi-join whose both conditional sums ride a single
+        |aggregate pass — no second scan, no pivot operator, the
+        |CASE-sum matrix shape.  The date arithmetic is engine-neutral
+        |epoch micros (no INTERVAL-type semantics to disagree on).""".stripMargin,
+      """SELECT (epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate)
+        |          > CAST(90 AS BIGINT) * 86400000000) AS late,
+        |  CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        |GROUP BY 1""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_shipdate"))
+        .join(Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy((unix_micros(col("l_shipdate").cast("timestamp")) -
+          unix_micros(col("o_orderdate").cast("timestamp")) >
+          lit(90L) * 86400000000L).as("late"))
+        .agg(sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).cast("long").as("high_line_count"),
+          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).cast("long").as("low_line_count"))
     })
 }

@@ -506,6 +506,51 @@ class EventsAnalyticsSpec extends SparkSpec {
     }
   }
 
+  test("q199 churn equals a brute-force hour-set recompute") {
+    val hu = Tables.events(spark, sfDir)
+      .select(expr("unix_micros(ts) DIV 3600000000").as("h"), col("user_id"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byH = hu.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val expected = byH.keys.toSeq.sorted.flatMap { h =>
+      byH.get(h + 1).map { next =>
+        val cur = byH(h); val ret = (cur & next).size.toLong
+        (h, (cur.size.toLong, next.size.toLong, ret,
+          next.size - ret, cur.size - ret,
+          1000L * ret / (cur.size + next.size - ret)))
+      }
+    }.toMap
+    val got = byName("q199_audience_churn").run(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got == expected, "churn diverges from brute-force hour sets")
+    assert(got.nonEmpty)
+  }
+
+  test("q200 datasheet rolls up q168/q23/q26 signals consistently") {
+    val ds = byName("q200_source_datasheet").run(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(ds.values.map(_._1).sum == docs.length, "docs conserved")
+    // novelty column == q168's per-doc novelty aggregated per source
+    val srcOf = docs.map { case (s0, d) => d -> s0 }.toMap
+    val nov = byName("q168_shingle_novelty").run(spark, sfDir).collect()
+      .map(r => (srcOf(r.getLong(0)), r.getLong(1), r.getLong(2)))
+    val novBySrc = nov.groupBy(_._1).view
+      .mapValues(xs => 1000L * xs.map(_._3).sum / xs.map(_._2).sum).toMap
+    // sources whose every doc has >= 8 tokens appear in both with equal
+    // ratios (q168 drops short docs; this fixture has none short)
+    novBySrc.foreach { case (s0, np) =>
+      assert(ds(s0)._6 == np, s"novelty rollup mismatch for $s0")
+    }
+    ds.values.foreach { case (_, _, langs, stopPm, dupPm, novPm) =>
+      assert(langs >= 1 && stopPm >= 0 && stopPm <= 1000)
+      assert(dupPm >= 0 && dupPm <= 1000 && novPm >= 0 && novPm <= 1000)
+    }
+  }
+
   test("events analytics queries are registered with oracles") {
     Seq("q148_active_streaks", "q149_rolling_anomaly",
       "q150_markov_transitions", "q157_gini_concentration",
@@ -516,7 +561,8 @@ class EventsAnalyticsSpec extends SparkSpec {
       "q174_scd2_dimension", "q177_funnel_dropoff", "q178_value_mad",
       "q179_session_lift", "q186_interpolate_gaps", "q188_benford_audit",
       "q189_behavior_diversity", "q191_linear_regression",
-      "q194_lorenz_curve", "q195_user_profile_json").foreach { n =>
+      "q194_lorenz_curve", "q195_user_profile_json", "q199_audience_churn",
+      "q200_source_datasheet").foreach { n =>
       assert(SparkEntry.queries.contains(n), n)
       assert(SparkEntry.oracleSql.contains(n), n)
     }

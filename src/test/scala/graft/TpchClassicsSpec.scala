@@ -107,11 +107,25 @@ class TpchClassicsSpec extends SparkSpec {
     assert(got.nonEmpty, "fixture should have dominant suppliers")
   }
 
+  test("q198: lateness matrix conserves the joined fact") {
+    val rows = byName("q198_late_shipment_matrix").run(spark, sfDir).collect()
+      .map(r => r.getBoolean(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows.keySet == Set(true, false), "both lateness buckets present")
+    val nLines = Tables.lineitem(spark, sfDir).count()
+    assert(rows.values.map(v => v._1 + v._2).sum == nLines,
+      "matrix must conserve every lineitem exactly once")
+    val nHigh = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir)
+        .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .select(col("o_orderkey").as("l_orderkey")), "l_orderkey").count()
+    assert(rows.values.map(_._1).sum == nHigh, "high-priority total")
+  }
+
   test("TPC-H classics are registered with oracles") {
     Seq("q180_volume_shipping", "q181_market_share",
       "q182_order_count_distribution", "q183_top_supplier",
       "q184_small_quantity_revenue", "q185_product_profit",
-      "q187_supplier_promotion").foreach { n =>
+      "q187_supplier_promotion", "q198_late_shipment_matrix").foreach { n =>
       assert(SparkEntry.queries.contains(n), n)
       assert(SparkEntry.oracleSql.contains(n), n)
     }
