@@ -832,5 +832,51 @@ object TpchOps {
             .otherwise(0L)).cast("long").as("high_line_count"),
           sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
             .otherwise(0L)).cast("long").as("low_line_count"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q201_important_stock",
+      """TPC-H Q11 shape (important stock), adapted: with no partsupp,
+        |"stock value" is what actually moved — Σ quantity·price per
+        |part from lineitem — and a part is important when its value
+        |exceeds 1.5× the mean part share (the spec's fixed 1/10000
+        |fraction is degenerate on uniform synthetic data — all-in at
+        |small SF, empty at large; a mean-relative threshold is
+        |scale-free, and this generator's part values top out near
+        |1.9× mean).  The Q11 essence is intact: a
+        |fraction-of-global-total HAVING where the per-group aggregate
+        |joins a broadcast scalar and the threshold cross-multiplies
+        |exact integers (2·n_parts·value > 3·total) — no division, no
+        |float, no epsilon.  Value is ×10⁴ fixed point
+        |(quantity×price is a scale-4 decimal — integral there, the
+        |q180 discipline).  One fact shuffle on l_partkey; the scalar
+        |total derives from THAT aggregate, so the fact scans
+        |once.""".stripMargin,
+      """WITH pv AS (
+        |  SELECT l_partkey,
+        |    CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2))
+        |         * CAST(l_extendedprice AS DECIMAL(18,2)) * 10000 AS BIGINT)) AS BIGINT)
+        |      AS value_c4
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT CAST(sum(value_c4) AS BIGINT) AS total,
+        |             count(*)::BIGINT AS n_parts FROM pv)
+        |SELECT pv.l_partkey, pv.value_c4,
+        |  CAST((1000000 * CAST(pv.value_c4 AS HUGEINT)) // t.total AS BIGINT)
+        |    AS share_ppm
+        |FROM pv, t
+        |WHERE 2 * t.n_parts * CAST(pv.value_c4 AS HUGEINT) > 3 * CAST(t.total AS HUGEINT)""".stripMargin) { (s, dir) =>
+      val pv = Tables.lineitem(s, dir)
+        .groupBy(col("l_partkey"))
+        .agg(sum((col("l_quantity").cast("decimal(18,2)") *
+            col("l_extendedprice").cast("decimal(18,2)") * 10000).cast("long"))
+          .cast("long").as("value_c4"))
+      val t = pv.agg(sum(col("value_c4")).cast("long").as("total"),
+        count(lit(1)).as("n_parts"))
+      pv.crossJoin(broadcast(t))
+        .filter(expr(
+          "2 * n_parts * CAST(value_c4 AS DECIMAL(38,0)) > 3 * CAST(total AS DECIMAL(38,0))"))
+        .select(col("l_partkey"), col("value_c4"),
+          expr("CAST((1000000 * CAST(value_c4 AS DECIMAL(38,0))) DIV total AS BIGINT)")
+            .as("share_ppm"))
     })
 }

@@ -121,11 +121,32 @@ class TpchClassicsSpec extends SparkSpec {
     assert(rows.values.map(_._1).sum == nHigh, "high-priority total")
   }
 
+  test("q201: survivors are exactly the above-1.5x-mean parts") {
+    val pv = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_partkey"))
+      .agg(sum((col("l_quantity").cast("decimal(18,2)") *
+          col("l_extendedprice").cast("decimal(18,2)") * 10000).cast("long"))
+        .as("v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val total = BigInt(pv.values.sum); val n = BigInt(pv.size)
+    val expected = pv.filter { case (_, v) => 2 * n * v > 3 * total }
+    val got = byName("q201_important_stock").run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(g => g._1 -> g._2).toMap == expected,
+      "survivor set diverges from brute force")
+    assert(got.nonEmpty && got.length < pv.size,
+      "threshold must be discriminating on this fixture")
+    got.foreach { case (_, v, ppm) =>
+      assert(ppm == (BigInt(1000000) * v / total).toLong, "share_ppm")
+    }
+  }
+
   test("TPC-H classics are registered with oracles") {
     Seq("q180_volume_shipping", "q181_market_share",
       "q182_order_count_distribution", "q183_top_supplier",
       "q184_small_quantity_revenue", "q185_product_profit",
-      "q187_supplier_promotion", "q198_late_shipment_matrix").foreach { n =>
+      "q187_supplier_promotion", "q198_late_shipment_matrix",
+      "q201_important_stock").foreach { n =>
       assert(SparkEntry.queries.contains(n), n)
       assert(SparkEntry.oracleSql.contains(n), n)
     }
