@@ -878,5 +878,58 @@ object TpchOps {
         .select(col("l_partkey"), col("value_c4"),
           expr("CAST((1000000 * CAST(value_c4 AS DECIMAL(38,0))) DIV total AS BIGINT)")
             .as("share_ppm"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q202_fulfillment_latency",
+      """Order-to-ship LATENCY percentiles per order priority — the SLA
+        |report a fulfillment dashboard leads with, computed EXACTLY by
+        |the q170/q178 histogram-inversion discipline on the day-gap
+        |domain (bounded by the order horizon, so the cumulative
+        |windows run over per-priority histograms of at most a few
+        |thousand day values no matter how many lineitems feed them).
+        |One fact-fact equi-join, one (priority, gap_days) histogram
+        |shuffle with map-side combine, then p50/p90/p99 as rank
+        |inversions — every number an exact integer.""".stripMargin,
+      """WITH g AS (
+        |  SELECT o.o_orderpriority AS priority,
+        |    (epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate)) // 86400000000 AS gap_days
+        |  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey),
+        |hist AS (SELECT priority, gap_days, count(*)::BIGINT AS cnt
+        |         FROM g GROUP BY 1, 2),
+        |h2 AS (
+        |  SELECT priority, gap_days, cnt,
+        |    CAST(sum(cnt) OVER (PARTITION BY priority ORDER BY gap_days
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |    CAST(sum(cnt) OVER (PARTITION BY priority) AS BIGINT) AS n
+        |  FROM hist)
+        |SELECT priority, max(n) AS n_lines,
+        |  min(CASE WHEN cum >= (n + 1) // 2 THEN gap_days END) AS p50_days,
+        |  min(CASE WHEN cum >= (9 * n + 9) // 10 THEN gap_days END) AS p90_days,
+        |  min(CASE WHEN cum >= (99 * n + 99) // 100 THEN gap_days END) AS p99_days,
+        |  max(gap_days) AS max_days
+        |FROM h2 GROUP BY 1""".stripMargin) { (s, dir) =>
+      val hist = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_shipdate"))
+        .join(Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority").as("priority"),
+          expr("""(unix_micros(CAST(l_shipdate AS TIMESTAMP))
+                 | - unix_micros(CAST(o_orderdate AS TIMESTAMP))) DIV 86400000000""".stripMargin)
+            .as("gap_days"))
+        .agg(count(lit(1)).as("cnt"))
+      val cum = Window.partitionBy(col("priority")).orderBy(col("gap_days"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val whole = Window.partitionBy(col("priority"))
+      hist
+        .withColumn("cum", sum(col("cnt")).over(cum).cast("long"))
+        .withColumn("n", sum(col("cnt")).over(whole).cast("long"))
+        .groupBy(col("priority"))
+        .agg(max(col("n")).as("n_lines"),
+          min(when(expr("cum >= (n + 1) DIV 2"), col("gap_days"))).as("p50_days"),
+          min(when(expr("cum >= (9 * n + 9) DIV 10"), col("gap_days"))).as("p90_days"),
+          min(when(expr("cum >= (99 * n + 99) DIV 100"), col("gap_days"))).as("p99_days"),
+          max(col("gap_days")).as("max_days"))
     })
 }

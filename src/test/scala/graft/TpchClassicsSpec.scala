@@ -141,12 +141,37 @@ class TpchClassicsSpec extends SparkSpec {
     }
   }
 
+  test("q202 latency percentiles equal sorted order statistics per priority") {
+    val gaps = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_shipdate"))
+      .join(Tables.orders(spark, sfDir)
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderpriority"),
+        expr("""(unix_micros(CAST(l_shipdate AS TIMESTAMP))
+               | - unix_micros(CAST(o_orderdate AS TIMESTAMP))) DIV 86400000000""".stripMargin))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toVector).toMap
+    val expected = gaps.map { case (p0, gs) =>
+      val n = gs.size.toLong
+      def at(k: Long) = gs((k - 1).toInt)
+      p0 -> ((n, at((n + 1) / 2), at((9 * n + 9) / 10), at((99 * n + 99) / 100), gs.last))
+    }
+    val got = byName("q202_fulfillment_latency").run(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    assert(got == expected, "latency percentiles diverge from sorted order stats")
+    got.values.foreach { case (_, p50, p90, p99, mx) =>
+      assert(p50 <= p90 && p90 <= p99 && p99 <= mx, "percentiles must be monotone")
+    }
+  }
+
   test("TPC-H classics are registered with oracles") {
     Seq("q180_volume_shipping", "q181_market_share",
       "q182_order_count_distribution", "q183_top_supplier",
       "q184_small_quantity_revenue", "q185_product_profit",
       "q187_supplier_promotion", "q198_late_shipment_matrix",
-      "q201_important_stock").foreach { n =>
+      "q201_important_stock", "q202_fulfillment_latency").foreach { n =>
       assert(SparkEntry.queries.contains(n), n)
       assert(SparkEntry.oracleSql.contains(n), n)
     }
