@@ -723,7 +723,7 @@ object Dedup {
         |  (1000 * CAST(sum(CASE WHEN p.is_dup THEN 1 ELSE 0 END) AS BIGINT))
         |    // count(*) AS dup_permille,
         |  (1000 * max(nov.n_novel)) // max(nov.n_shingles) AS novel_permille
-        |FROM perdoc p JOIN nov ON nov.source = p.source
+        |FROM perdoc p LEFT JOIN nov ON nov.source = p.source
         |GROUP BY 1""".stripMargin) { (s, dir) =>
       val stopList = Seq("the", "a", "of", "and", "to").map(w => s"'$w'").mkString(",")
       val base = Tables.documents(s, dir)
@@ -752,7 +752,11 @@ object Dedup {
         .agg(count(lit(1)).as("n_shingles"),
           sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
             .cast("long").as("n_novel"))
-      perdoc.join(broadcast(nov), "source")
+      // LEFT join: a source whose documents are all shorter than 8 tokens
+      // has no shingles and no nov row — it must still appear in its own
+      // provenance summary (novel_permille NULL, identically in DuckDB:
+      // 1000 * NULL DIV NULL = NULL in both engines).
+      perdoc.join(broadcast(nov), Seq("source"), "left")
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("n_chars")).cast("long").as("total_chars"),

@@ -402,6 +402,13 @@ object EventsOps {
           sum(when(col("depth") >= k, 1L).otherwise(0L)).cast("long").as(s"reach_$k"))
       }
       d.agg(aggs.head, aggs.tail: _*)
+        // Empty input makes the global aggregate emit one all-NULL row;
+        // coalesce every sum to 0 so the stacked report matches the
+        // oracle's explicit zero-filled depth spine.
+        .selectExpr(
+          Seq("at_0", "at_1", "at_2", "at_3",
+            "reach_0", "reach_1", "reach_2", "reach_3")
+            .map(c => s"coalesce($c, CAST(0 AS BIGINT)) AS $c"): _*)
         .selectExpr(
           (Seq("at_0", "at_1", "at_2", "at_3",
             "reach_0", "reach_1", "reach_2", "reach_3") ++

@@ -534,13 +534,13 @@ object TpchOps {
         |  CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
         |       * (1 - CAST(l.l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT)) AS BIGINT)
         |    AS total_c4,
-        |  (1000000 * CAST(sum(CASE WHEN n1.n_name = 'NATION_3'
+        |  CAST((1000000 * CAST(sum(CASE WHEN n1.n_name = 'NATION_3'
         |    THEN CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
         |         * (1 - CAST(l.l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT)
-        |    ELSE 0 END) AS BIGINT))
+        |    ELSE 0 END) AS HUGEINT))
         |    // CAST(sum(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2))
-        |       * (1 - CAST(l.l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT)) AS BIGINT)
-        |    AS share_ppm
+        |       * (1 - CAST(l.l_discount AS DECIMAL(18,2))) * 10000 AS BIGINT)) AS HUGEINT)
+        |    AS BIGINT) AS share_ppm
         |FROM lineitem l
         |JOIN part p ON p.p_partkey = l.l_partkey
         |JOIN supplier sp ON sp.s_suppkey = l.l_suppkey
@@ -578,7 +578,11 @@ object TpchOps {
             .cast("long").as("nation_c4"),
           sum(cents).cast("long").as("total_c4"))
         .select(col("o_year"), col("nation_c4"), col("total_c4"),
-          expr("(1000000 * nation_c4) DIV total_c4").as("share_ppm"))
+          // nation_c4 is a x10^4 fixed-point revenue sum; x10^6 overflows
+          // int64 at large SF, so route the product through DECIMAL(38)
+          // (HUGEINT in the oracle) — the q156/q179/q189 discipline.
+          expr("CAST((1000000 * CAST(nation_c4 AS DECIMAL(38,0))) DIV total_c4 AS BIGINT)")
+            .as("share_ppm"))
     },
 
     // ----------------------------------------------------------------
