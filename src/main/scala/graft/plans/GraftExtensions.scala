@@ -75,6 +75,13 @@ object GraftFunctions {
           s"vec_sum expects exactly 1 argument, got ${children.size}")
         VecSum(children.head)
       }),
+    (FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"sorted_intersect_count expects exactly 2 arguments, got ${children.size}")
+        SortedIntersectCount(children.head, children(1))
+      }),
     (FunctionIdentifier("winnow_fingerprints"),
       new ExpressionInfo(classOf[Winnow].getName, "winnow_fingerprints"),
       (children: Seq[Expression]) => {
