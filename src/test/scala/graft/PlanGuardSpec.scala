@@ -119,6 +119,33 @@ class PlanGuardSpec extends SparkSpec {
       s"q138 should shuffle once on dim, found $hashShuffles")
   }
 
+  test("dimension joins that must broadcast at scale plan BroadcastHashJoin") {
+    // The next most likely silent plan regression after cartesians and
+    // global windows: a small-side join falling back to sort-merge —
+    // correct, but it shuffles the FACT side on a key it never needed
+    // to shuffle on. Pin the joins whose small side is dimension-sized
+    // by construction (items dim, deny-list, IVF cell assignments of
+    // the 8-query probe side, eval-benchmark shingles): their executed
+    // plans must contain a broadcast join and no SortMergeJoin.
+    val pinned = Seq(
+      "q4_broadcast_join_agg",   // items dimension enrichment (J1)
+      "q6_anti_join",            // deny-list broadcast left_anti (J2/F1)
+      "q32_knn_ivf_cell",        // query-side cell list broadcasts
+      "q90_knn_ivf_probe",       // multi-probe query cells broadcast
+      "q92_contamination")       // eval-benchmark side broadcasts
+    val offenders = pinned.flatMap { n =>
+      val plan = SparkEntry.all.find(_.name == n).get
+        .run(spark, sfDir).queryExecution.executedPlan.toString
+      val broadcasts = "BroadcastHashJoin|BroadcastNestedLoopJoin".r
+        .findAllIn(plan).size
+      if (broadcasts == 0 || plan.contains("SortMergeJoin"))
+        Some(s"$n (broadcasts=$broadcasts, smj=${plan.contains("SortMergeJoin")})")
+      else None
+    }
+    assert(offenders.isEmpty,
+      s"dimension joins lost their broadcast plan: $offenders")
+  }
+
   test("every oracle-paired query declares matching column names in its SQL") {
     // cheap drift guard: each Spark output column name must appear as a
     // token in the oracle SQL (aliased the same way) — the driver's
