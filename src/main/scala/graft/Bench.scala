@@ -67,6 +67,18 @@ object Bench {
                           spread: Double, err: Option[String], measured: Boolean)
     val results: Seq[QRes] =
       ordered.map { d =>
+        // storage isolation (SCALE.md §6): drop every session-scoped
+        // helper cache before the warm-ups, so the measured reps run
+        // with exactly THIS query's working set in the storage pool.
+        // Shared frames a query relies on (graph caches, exact top-k,
+        // neardupPairs) are rebuilt inside the unmeasured warm-up rep;
+        // without this, 202 queries × 4 reps accumulate every cache
+        // ever built until eviction churn inverts the caches' value
+        // (r11: q130 median 26.8 s in-suite vs 2.45 s isolated).
+        Graft.clearCaches(spark)
+        // let ContextCleaner reclaim localCheckpoint RDD blocks from
+        // prior queries (they free only after their RDD is GC'd)
+        System.gc()
         var err: Option[String] = None
         def once(): (Double, Boolean) = {
           val t0 = System.nanoTime()

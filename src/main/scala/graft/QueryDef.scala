@@ -17,9 +17,4 @@ object QueryDef {
   def q(name: String, doc: String, oracle: String)(
       run: (SparkSession, String) => DataFrame): QueryDef =
     QueryDef(name, doc, run, Some(oracle))
-
-  /** Non-SQL-expressible op → driver records a weaker rows-only check. */
-  def rowsOnly(name: String, doc: String)(
-      run: (SparkSession, String) => DataFrame): QueryDef =
-    QueryDef(name, doc, run, None)
 }

@@ -22,6 +22,10 @@ object Verify {
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
       System.err.println(s"[verify] running $name")
+      // storage isolation between queries (SCALE.md §6): one 202-query
+      // pass would otherwise accumulate every session-scoped helper
+      // cache in a single storage pool
+      Graft.clearCaches(spark)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

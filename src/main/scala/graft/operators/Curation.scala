@@ -254,7 +254,7 @@ object Curation {
           countDistinct(col("sh")).as("n_shared_shingles"))
       docs.filter(col("doc_id") % 50 === 0)
         .select(col("doc_id").as("eval_id"))
-        .join(hits, Seq("eval_id"), "left")
+        .join(broadcast(hits), Seq("eval_id"), "left")
         .select(col("eval_id"),
           coalesce(col("n_train_docs"), lit(0L)).as("n_train_docs"),
           coalesce(col("n_shared_shingles"), lit(0L)).as("n_shared_shingles"))
@@ -434,7 +434,18 @@ object Curation {
     * the local-mode analog of the 100-TB answer (stage the derived edge
     * table to storage once, then fan out). Keyed weakly by session so
     * dead sessions evict; testdata dirs are immutable per run, so the
-    * dir-keyed memo can't serve stale data. */
+    * dir-keyed memo can't serve stale data.
+    *
+    * LIFECYCLE: like every session-keyed helper cache, this assumes ONE
+    * consumer cluster per storage window — nothing here unpersists.
+    * Over a 202-query × 4-rep bench run the accumulated population
+    * (edges + degrees + orientation + neardupPairs + …) overflowed the
+    * 8 GiB storage pool and evicted the very frames the caches exist to
+    * keep (q130's r11 suite median ran 10× its isolated time). The fix
+    * is `Graft.clearCaches(session)` — Bench/Verify call it between
+    * queries, so at any instant storage holds only the current query's
+    * working set. Detection signature + measurement protocol:
+    * SCALE.md §6. */
   private val edgeCache =
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
@@ -452,6 +463,17 @@ object Curation {
       undirectedEdges(Tables.lineitem(s, dir)
           .select(col("l_orderkey").as("gid"), col("l_partkey").as("member")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
+  /** Drop the co-purchase edge cache for `s` (deg/orient live in
+    * SessionCaches and are cleared via the registry). Part of
+    * Graft.clearCaches — see the edgeCache scaladoc for why. */
+  private[graft] def clearEdgeCache(s: org.apache.spark.sql.SparkSession): Unit = {
+    val per = edgeCache.synchronized(edgeCache.remove(s))
+    if (per != null) per.values.foreach { df =>
+      try df.unpersist(blocking = false)
+      catch { case _: Throwable => () }
+    }
   }
 
   /** Per-node degree table (n, deg) of the co-purchase graph, persisted

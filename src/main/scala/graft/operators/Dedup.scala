@@ -41,7 +41,8 @@ object Dedup {
     * when the session's SparkContext stops, dropping the entry (and with
     * it the cached plans and the session reference). A session whose
     * context is already stopped is never inserted. */
-  private[operators] final class SessionCache {
+  private[graft] final class SessionCache {
+    SessionCache.registry.add(this)
     private val m = new java.util.concurrent.ConcurrentHashMap[
       SparkSession, scala.collection.mutable.Map[String, DataFrame]]()
     def getOrElseUpdate(s: SparkSession, key: String)(mk: => DataFrame): DataFrame = {
@@ -56,6 +57,27 @@ object Dedup {
       })
       inner.synchronized(inner.getOrElseUpdate(key, mk))
     }
+    /** Unpersist and forget every frame this cache holds for `s`; the
+      * next getOrElseUpdate rebuilds (and re-persists) from scratch. */
+    def clear(s: SparkSession): Unit = {
+      val inner = m.remove(s)
+      if (inner != null) inner.synchronized {
+        inner.values.foreach { df =>
+          try df.unpersist(blocking = false)
+          catch { case _: Throwable => () } // session may be stopping
+        }
+      }
+    }
+  }
+
+  /** Every SessionCache instance in the engine, so Graft.clearCaches can
+    * drop them all without each operator file exporting its own hook.
+    * Instances are object-level vals (bounded, ~10), never per-query. */
+  private[graft] object SessionCache {
+    private val registry =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[SessionCache]()
+    private[graft] def clearAll(s: SparkSession): Unit =
+      registry.forEach(_.clear(s))
   }
 
   /** (doc_id, shingle): distinct word-3-gram shingles per doc.

@@ -188,12 +188,12 @@ object Similarity {
       val fast = fastTopK(s, dir)
       val exact = exactTopK(s, dir)
         .select(col("query_id"), col("neighbor_id"))
-      val agree = fast.join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+      val agree = fast.join(broadcast(exact), Seq("query_id", "neighbor_id"), "left_semi")
         .groupBy(col("query_id")).agg(count(lit(1)).as("n_agree"))
       fast.groupBy(col("query_id"))
         .agg(array_join(transform(sort_array(collect_list(col("neighbor_id"))),
           n => n.cast("string")), ",").as("top_ids"))
-        .join(agree, Seq("query_id"))
+        .join(broadcast(agree), Seq("query_id"))
         .select(col("query_id"), col("n_agree"), col("top_ids"))
     },
 
@@ -339,7 +339,7 @@ object Similarity {
           round(expr(dotExpr("qa", "qb")) / (sqrt(col("na")) * sqrt(col("nb"))), 4))
       val ivf5 = boundedTopK(scored)
       val agree = ivf5
-        .join(exactTopK(s, dir).select(col("query_id"), col("neighbor_id")),
+        .join(broadcast(exactTopK(s, dir).select(col("query_id"), col("neighbor_id"))),
           Seq("query_id", "neighbor_id"), "left_semi")
         .groupBy(col("query_id")).agg(count(lit(1)).as("n_in_exact"))
       ivf5.join(broadcast(agree), Seq("query_id"), "left")
@@ -490,7 +490,7 @@ private[operators] object PQ {
       val pq5 = boundedTopK(adcScored(s, dir))
         .select(col("query_id"), col("neighbor_id"), (-col("sim")).as("adc"), col("rk"))
       val agree = pq5
-        .join(exactTopK(s, dir).select(col("query_id"), col("neighbor_id")),
+        .join(broadcast(exactTopK(s, dir).select(col("query_id"), col("neighbor_id"))),
           Seq("query_id", "neighbor_id"), "left_semi")
         .groupBy(col("query_id")).agg(count(lit(1)).as("n_in_exact"))
       pq5.join(broadcast(agree), Seq("query_id"), "left")
@@ -560,7 +560,7 @@ private[operators] object PQ {
           round(expr(dotExpr("qa", "qb")) / (sqrt(col("na")) * sqrt(col("nb"))), 4))
       val rr5 = boundedTopK(rescored)
       val agree = rr5
-        .join(exactTopK(s, dir).select(col("query_id"), col("neighbor_id")),
+        .join(broadcast(exactTopK(s, dir).select(col("query_id"), col("neighbor_id"))),
           Seq("query_id", "neighbor_id"), "left_semi")
         .groupBy(col("query_id")).agg(count(lit(1)).as("n_in_exact"))
       rr5.join(broadcast(agree), Seq("query_id"), "left")

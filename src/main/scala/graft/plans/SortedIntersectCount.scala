@@ -20,8 +20,12 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * Winnow/RollingHash pattern — eval and codegen share the kernel so
   * the paths cannot diverge).
   *
-  * PRECONDITIONS (both held by q130's `sort_array(collect_set(...))`
-  * lineage): each input is sorted ascending and duplicate-free. On
+  * PRECONDITIONS: each input is sorted ascending and duplicate-free.
+  * q130 holds both via `sort_array(collect_list(...))` over the
+  * DISTINCT oriented edge set (coPurchaseEdges deduplicates (u,v)
+  * pairs before orientation, so each neighbor appears once per node —
+  * the duplicate-freedom comes from the edge build, not a collect_set).
+  * On
   * unsorted input the count is an undercount, not an error — this is a
   * deliberate non-check; validating order would re-read the arrays and
   * erase the point of the kernel.

@@ -12,10 +12,10 @@ class PlanGuardSpec extends SparkSpec {
 
   private val sfDir = "/root/testdata/sf0.001"
 
-  // rowsOnly queries (q129 BPE training) EXECUTE inside run() and
-  // return a driver-local relation — there is no distributed plan to
-  // guard, and walking them would pay full training cost per test.
-  private def guarded = SparkEntry.all.filter(_.oracle.isDefined)
+  // Every registered query carries a DuckDB oracle (QueryDef.rowsOnly
+  // was deleted once its last user, q129 BPE training, gained a
+  // deterministic oracle in round 10) — so the guard walks them all.
+  private def guarded = SparkEntry.all
 
   test("no registered query plans a CartesianProduct") {
     val offenders = guarded.flatMap { d =>
@@ -127,19 +127,34 @@ class PlanGuardSpec extends SparkSpec {
     // by construction (items dim, deny-list, IVF cell assignments of
     // the 8-query probe side, eval-benchmark shingles): their executed
     // plans must contain a broadcast join and no SortMergeJoin.
+    // Only BroadcastHashJoin counts as "broadcast" here: these are all
+    // equi-joins, so a BroadcastNestedLoopJoin in their place would mean
+    // the planner lost the join keys and degraded to an O(n*m) probe —
+    // the cartesian guard above doesn't catch that (BNLJ with a bounded
+    // broadcast side is legitimate elsewhere, e.g. q79/q90's 8-centroid
+    // cross joins). SortMergeJoin is banned outright: each pinned plan's
+    // joins are all dimension-sided, so any SMJ is a fact-side shuffle
+    // on a key it never needed.
     val pinned = Seq(
-      "q4_broadcast_join_agg",   // items dimension enrichment (J1)
-      "q6_anti_join",            // deny-list broadcast left_anti (J2/F1)
-      "q32_knn_ivf_cell",        // query-side cell list broadcasts
-      "q90_knn_ivf_probe",       // multi-probe query cells broadcast
-      "q92_contamination")       // eval-benchmark side broadcasts
+      "q4_broadcast_join_agg",      // items dimension enrichment (J1)
+      "q6_anti_join",               // deny-list broadcast left_anti (J2/F1)
+      "q32_knn_ivf_cell",           // query-side cell list broadcasts
+      "q34_knn_codegen",            // exact-reference + agreement joins
+      "q90_knn_ivf_probe",          // multi-probe query cells broadcast
+      "q92_contamination",          // eval-benchmark side broadcasts
+      "q109_knn_pq",                // PQ recall accounting vs exact ref
+      "q110_knn_pq_rerank",         // shortlist + query-side broadcasts
+      "q5_multiway_join",           // orders ⋈ broadcast dim chain (J4)
+      "q60_local_supplier_volume",  // TPC-H Q5 star: dims broadcast
+      "q180_volume_shipping",       // TPC-H Q7 star: dims broadcast
+      "q181_market_share",          // TPC-H Q8 star: dims broadcast
+      "q185_product_profit")        // TPC-H Q9 star: dims broadcast
     val offenders = pinned.flatMap { n =>
       val plan = SparkEntry.all.find(_.name == n).get
         .run(spark, sfDir).queryExecution.executedPlan.toString
-      val broadcasts = "BroadcastHashJoin|BroadcastNestedLoopJoin".r
-        .findAllIn(plan).size
-      if (broadcasts == 0 || plan.contains("SortMergeJoin"))
-        Some(s"$n (broadcasts=$broadcasts, smj=${plan.contains("SortMergeJoin")})")
+      val bhj = "BroadcastHashJoin".r.findAllIn(plan).size
+      if (bhj == 0 || plan.contains("SortMergeJoin"))
+        Some(s"$n (bhj=$bhj, smj=${plan.contains("SortMergeJoin")})")
       else None
     }
     assert(offenders.isEmpty,
