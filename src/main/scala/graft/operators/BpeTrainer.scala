@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Distributed BPE tokenizer TRAINING — the iterative loop q100's
@@ -26,9 +26,16 @@ import org.apache.spark.sql.functions._
   *     SINGLE-ROW collect of the winning pair — the driver holds O(k)
   *     merge decisions, never data (the q68 convergence-probe
   *     discipline).
-  *   - The merge application is a vocabulary-sized map; each round
-  *     caches its result, materializes it, and unpersists the
-  *     previous round, so lineage stays one map deep per round.
+  *   - The vocabulary rides in the BRACKETED-STRING representation the
+  *     encode path (q136) and the DuckDB oracle already use:
+  *     chr(1)sym chr(2) per symbol, so merge application is ONE codegen
+  *     `replace` (left-to-right, non-overlapping, resumes after each
+  *     replacement — exactly BPE semantics, see q136's scaladoc for the
+  *     argument). Round r applies the r merges learned so far as
+  *     chained scan-side replaces over the ONE cached histogram — no
+  *     per-round cache/materialize/unpersist cycle, no object
+  *     serialization (the previous Dataset[(Seq[String], Long)] shape
+  *     paid Java ser/de on every row of every round).
   *
   * Determinism: the winning pair maximizes (count, then lexicographic
   * (left, right) ascending) — bit-identical across partitionings, and
@@ -76,45 +83,60 @@ object BpeTrainer {
     merges.toSeq
   }
 
+  /** Symbol brackets (shared with TrainingOps' encode kernel and the
+    * DuckDB oracle): every symbol travels as S1+sym+S2, so a merge is a
+    * plain string replace and symbol extraction is one regex. The
+    * corpus is pure ASCII (verified), so the control chars are free. */
+  private[operators] val S1 = "\u0001"
+  private[operators] val S2 = "\u0002"
+
   /** Learn `k` merges over `docs(textCol)` (whitespace word split,
     * character-level start symbols). Returns the ordered merge list;
     * shorter than k if the vocabulary runs out of pairs. */
+
   def train(docs: DataFrame, textCol: String, k: Int): Seq[Merge] = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    var words: Dataset[(Seq[String], Long)] = docs
+    // bracketed word-frequency histogram: the ONE corpus scan,
+    // vocabulary-sized, cached for all k rounds
+    val vocab = docs
       .select(explode(split(col(textCol), "\\s+")).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("w")).agg(count(lit(1)).as("freq"))
-      .as[(String, Long)]
-      .map { case (w, f) => (w.map(_.toString): Seq[String], f) }
+      .select(regexp_replace(col("w"), "(\\S)", S1 + "$1" + S2).as("bw"),
+        col("freq"))
       .cache()
-    words.count() // materialize: the corpus is never scanned again
+    vocab.count() // materialize: the corpus is never scanned again
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var r = 0
     var done = false
     while (r < k && !done) {
-      val best = words
-        .flatMap { case (s, f) => s.iterator.zip(s.iterator.drop(1)).map(p => (p._1, p._2, f)) }
-        .toDF("a", "b", "f")
-        .groupBy(col("a"), col("b")).agg(sum(col("f")).as("cnt"))
+      // the r merges learned so far, applied scan-side as chained
+      // codegen replaces over the cached histogram (cheaper than
+      // caching a fresh vocabulary frame per round: the chain is at
+      // most k string ops deep over a bounded table)
+      val cur = merges.foldLeft(col("bw")) { (c, m) =>
+        call_function("replace", c,
+          lit(S1 + m.left + S2 + S1 + m.right + S2),
+          lit(S1 + m.left + m.right + S2))
+      }
+      val best = vocab
+        .select(regexp_extract_all(cur,
+          lit(S1 + "([^" + S2 + "]*)" + S2), lit(1)).as("s"), col("freq"))
+        .select(explode(expr(
+          "zip_with(slice(s, 1, size(s) - 1), slice(s, 2, size(s) - 1)," +
+            " (x, y) -> struct(x AS a, y AS b))")).as("p"), col("freq"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("cnt"))
         .orderBy(col("cnt").desc, col("a"), col("b"))
         .limit(1)
         .collect() // exactly ONE row crosses to the driver per round
       if (best.isEmpty) done = true
       else {
-        val a = best(0).getString(0); val b = best(0).getString(1)
-        merges += Merge(a, b, best(0).getLong(2))
-        val prev = words
-        words = prev
-          .map { case (s, f) => (applyMerge(s.toIndexedSeq, a, b): Seq[String], f) }
-          .cache()
-        words.count() // materialize before dropping the previous round
-        prev.unpersist()
+        merges += Merge(best(0).getString(0), best(0).getString(1),
+          best(0).getLong(2))
         r += 1
       }
     }
-    words.unpersist()
+    vocab.unpersist()
     merges.toSeq
   }
 
