@@ -1043,16 +1043,19 @@ object TrainingOps {
         |vectors, greedily pick 5 that balance relevance against
         |redundancy, scoring each remaining candidate rel − max sim to
         |the already-selected set (the λ=½ MMR objective, common scale
-        |factor cancelled).  The 5 greedy rounds unroll as plan
-        |branches — the q143/q161 fixed-round discipline, argmax per
-        |round via orderBy+limit(1) with a vec_id tie-break, NO driver
-        |collect.  All similarity is the q163 fixed-point inner product
+        |factor cancelled).  The 5 greedy rounds unroll as an array
+        |PROGRAM over the pool collapsed to one row: each round is a
+        |transform/array_sort/filter step ((mmr desc, vec_id) argmax
+        |via a comparator lambda), executor-side, NO driver collect.
+        |All similarity is the q163 fixed-point inner product
         |(round-to-4-decimals × 10000, exact int64 sums), so both
         |engines pick identical sets.  Scale shape: one corpus pass
         |computes query relevance (broadcast query vector, scan-side
         |dot); everything after the top-12 TakeOrdered is
-        |candidate-bounded (12×12 pair sims, per-round joins on ≤ 12
-        |rows) — the greedy loop never touches the corpus again.""".stripMargin,
+        |candidate-bounded (≤ 12-element arrays in a single row) — the
+        |greedy recursion never touches the corpus again, and costs
+        |one stage instead of the previous shape's ~15 tiny per-round
+        |join stages.""".stripMargin,
       {
         val dot = (a: String, b: String) =>
           s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -1102,38 +1105,53 @@ object TrainingOps {
         .select(col("vec_id"), col("vm"), col("vm").as("va"), col("vb"))
         .withColumn("rel", dotExpr)
         .select(col("vec_id"), col("vm"), col("rel"))
-      // cached: the pool's lineage is a corpus scan + TakeOrdered, and it
-      // feeds the pair matrix plus every greedy round's anti-join/argmax —
-      // without the cache the corpus rescans once per plan branch
-      // (measured 7.6s for 12 rows; the Dedup candidates() discipline)
-      val cand = rel.orderBy(col("rel").desc, col("vec_id")).limit(12).cache()
-      val pairs = cand.select(col("vec_id").as("ca"), col("vm").as("va"))
-        .crossJoin(broadcast(cand.select(col("vec_id").as("cb"), col("vm").as("vb"))))
-        .filter(col("ca") =!= col("cb"))
-        .withColumn("sim", dotExpr)
-        .select(col("ca"), col("cb"), col("sim"))
-      var sel = cand.orderBy(col("rel").desc, col("vec_id")).limit(1)
-        .select(col("vec_id"), lit(1L).as("pick_order"), col("rel"),
-          col("rel").as("mmr"))
-      for (r <- 2 to 5) {
-        // each round references the previous selection three times
-        // (anti-join, max-sim probe, union) — cached so the recursion
-        // stays linear instead of 3^k plan copies (measured 8.5s -> the
-        // uncached chain's stage count, not any data volume)
-        sel = sel.cache()
-        val selIds = sel.select(col("vec_id"))
-        val maxsim = pairs
-          .join(broadcast(sel.select(col("vec_id").as("cb"))), Seq("cb"))
-          .groupBy(col("ca").as("vec_id")).agg(max(col("sim")).as("maxsim"))
-        val pick = cand.join(selIds, Seq("vec_id"), "left_anti")
-          .join(maxsim, Seq("vec_id"))
-          .select(col("vec_id"), lit(r.toLong).as("pick_order"), col("rel"),
-            (col("rel") - col("maxsim")).as("mmr"))
-          .orderBy(col("mmr").desc, col("vec_id")).limit(1)
-        sel = sel.unionAll(pick)
-      }
-      sel.select(col("pick_order"), col("vec_id"),
-        col("rel").as("rel_score"), col("mmr").as("mmr_score"))
+      // The 12-candidate pool collapses to ONE array row, and the whole
+      // greedy recursion runs as a single `aggregate` FOLD over
+      // sequence(2, 5) with state (sel, selv, rem) — executor-side
+      // array programs, not per-round joins. The previous shape (cached
+      // pool + per-round anti-join/argmax/union plan branches) was
+      // correct but latency-bound: ~15 tiny stages for 12 rows. A naive
+      // withColumn unroll is no better: CollapseProject inlines every
+      // reference to a round's pick, exploding the expression tree
+      // ~4x per round (measured: a 426 KB plan that EVALUATED the
+      // duplicated subtrees — 6 s vs the loop's 2.4 s). The fold binds
+      // each round's pick exactly once — lambda variables evaluate
+      // once per binding, so the single-element transform() is a let
+      // expression. `get()` not `[..]` so a short pool (< 5 candidates,
+      // empty tables) yields null picks that the final isNotNull filter
+      // drops — same rows as the old loop's empty-round unions.
+      val byRel = "(l, r) -> CASE WHEN l.rel > r.rel THEN -1" +
+        " WHEN l.rel < r.rel THEN 1 WHEN l.vec_id < r.vec_id THEN -1" +
+        " WHEN l.vec_id > r.vec_id THEN 1 ELSE 0 END"
+      val byMmr = "(l, r) -> CASE WHEN l.mmr > r.mmr THEN -1" +
+        " WHEN l.mmr < r.mmr THEN 1 WHEN l.vec_id < r.vec_id THEN -1" +
+        " WHEN l.vec_id > r.vec_id THEN 1 ELSE 0 END"
+      val dot = "aggregate(zip_with(c.vm, s2.vm, (x, y) -> x * y)," +
+        " CAST(0 AS BIGINT), (a, v) -> a + v)"
+      val scored = "transform(st.rem, c -> named_struct('vec_id', c.vec_id," +
+        s" 'rel', c.rel, 'vm', c.vm, 'mmr', c.rel - array_max(transform(st.selv, s2 -> $dot))))"
+      val step = s"get(transform(array(get(array_sort($scored, $byMmr), 0))," +
+        " p -> named_struct(" +
+        "'sel', concat(st.sel, array(named_struct('pick_order', CAST(r AS BIGINT)," +
+        " 'vec_id', p.vec_id, 'rel', p.rel, 'mmr', p.mmr)))," +
+        "'selv', concat(st.selv, array(named_struct('vec_id', p.vec_id," +
+        " 'rel', p.rel, 'vm', p.vm)))," +
+        "'rem', filter(st.rem, c2 -> c2.vec_id != p.vec_id))), 0)"
+      rel.orderBy(col("rel").desc, col("vec_id")).limit(12)
+        .agg(collect_list(struct(col("vec_id"), col("rel"), col("vm"))).as("pool0"))
+        .withColumn("pool", expr(s"array_sort(pool0, $byRel)"))
+        .withColumn("state0", expr(
+          "named_struct(" +
+            "'sel', array(named_struct('pick_order', CAST(1 AS BIGINT)," +
+            " 'vec_id', get(pool, 0).vec_id, 'rel', get(pool, 0).rel," +
+            " 'mmr', get(pool, 0).rel))," +
+            "'selv', array(get(pool, 0))," +
+            "'rem', slice(pool, 2, greatest(size(pool) - 1, 0)))"))
+        .withColumn("fin", expr(s"aggregate(sequence(2, 5), state0, (st, r) -> $step)"))
+        .select(explode(col("fin.sel")).as("p"))
+        .where(col("p.vec_id").isNotNull)
+        .select(col("p.pick_order").as("pick_order"), col("p.vec_id").as("vec_id"),
+          col("p.rel").as("rel_score"), col("p.mmr").as("mmr_score"))
     },
 
     // ----------------------------------------------------------------
