@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import graft.QueryDef.q
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Training-data pipeline operators beyond cleaning/dedup: the steps
@@ -1120,38 +1121,7 @@ object TrainingOps {
       // expression. `get()` not `[..]` so a short pool (< 5 candidates,
       // empty tables) yields null picks that the final isNotNull filter
       // drops — same rows as the old loop's empty-round unions.
-      val byRel = "(l, r) -> CASE WHEN l.rel > r.rel THEN -1" +
-        " WHEN l.rel < r.rel THEN 1 WHEN l.vec_id < r.vec_id THEN -1" +
-        " WHEN l.vec_id > r.vec_id THEN 1 ELSE 0 END"
-      val byMmr = "(l, r) -> CASE WHEN l.mmr > r.mmr THEN -1" +
-        " WHEN l.mmr < r.mmr THEN 1 WHEN l.vec_id < r.vec_id THEN -1" +
-        " WHEN l.vec_id > r.vec_id THEN 1 ELSE 0 END"
-      val dot = "aggregate(zip_with(c.vm, s2.vm, (x, y) -> x * y)," +
-        " CAST(0 AS BIGINT), (a, v) -> a + v)"
-      val scored = "transform(st.rem, c -> named_struct('vec_id', c.vec_id," +
-        s" 'rel', c.rel, 'vm', c.vm, 'mmr', c.rel - array_max(transform(st.selv, s2 -> $dot))))"
-      val step = s"get(transform(array(get(array_sort($scored, $byMmr), 0))," +
-        " p -> named_struct(" +
-        "'sel', concat(st.sel, array(named_struct('pick_order', CAST(r AS BIGINT)," +
-        " 'vec_id', p.vec_id, 'rel', p.rel, 'mmr', p.mmr)))," +
-        "'selv', concat(st.selv, array(named_struct('vec_id', p.vec_id," +
-        " 'rel', p.rel, 'vm', p.vm)))," +
-        "'rem', filter(st.rem, c2 -> c2.vec_id != p.vec_id))), 0)"
-      rel.orderBy(col("rel").desc, col("vec_id")).limit(12)
-        .agg(collect_list(struct(col("vec_id"), col("rel"), col("vm"))).as("pool0"))
-        .withColumn("pool", expr(s"array_sort(pool0, $byRel)"))
-        .withColumn("state0", expr(
-          "named_struct(" +
-            "'sel', array(named_struct('pick_order', CAST(1 AS BIGINT)," +
-            " 'vec_id', get(pool, 0).vec_id, 'rel', get(pool, 0).rel," +
-            " 'mmr', get(pool, 0).rel))," +
-            "'selv', array(get(pool, 0))," +
-            "'rem', slice(pool, 2, greatest(size(pool) - 1, 0)))"))
-        .withColumn("fin", expr(s"aggregate(sequence(2, 5), state0, (st, r) -> $step)"))
-        .select(explode(col("fin.sel")).as("p"))
-        .where(col("p.vec_id").isNotNull)
-        .select(col("p.pick_order").as("pick_order"), col("p.vec_id").as("vec_id"),
-          col("p.rel").as("rel_score"), col("p.mmr").as("mmr_score"))
+      mmrSelect(rel, poolSize = 12, picks = 5)
     },
 
     // ----------------------------------------------------------------
@@ -1202,6 +1172,58 @@ object TrainingOps {
   // q136 doc for why that is exactly non-overlapping left-to-right BPE.
   private[graft] val S1 = "\u0001"
   private[graft] val S2 = "\u0002"
+  /** q176's greedy MMR kernel over a (vec_id, rel, vm) relevance frame:
+    * TakeOrdered the `poolSize` most relevant rows, collapse them to ONE
+    * array row, and run the `picks`-round greedy recursion as a single
+    * `aggregate` fold with (sel, selv, rem) state — executor-side, no
+    * driver collect, one stage. Each round's argmax ((mmr desc, vec_id)
+    * comparator) is let-bound exactly once via a single-element
+    * transform: lambda variables evaluate once per binding, which is
+    * what keeps the expression tree linear (a withColumn unroll
+    * triggers CollapseProject inlining — measured 426 KB of duplicated
+    * subtrees that ran slower than per-round joins). int64 fixed-point
+    * dots throughout, so the picks are bit-identical to the DuckDB
+    * oracle's recursive CTE and to the in-memory reference
+    * (TrainingOpsSpec property test). `get()` not `[..]`: a pool
+    * shorter than `picks` (or empty input) yields null picks that the
+    * final isNotNull filter drops. */
+  private[graft] def mmrSelect(rel: DataFrame, poolSize: Int, picks: Int): DataFrame = {
+    require(picks >= 2, "sequence(2, picks) needs picks >= 2")
+    val byRel = "(l, r) -> CASE WHEN l.rel > r.rel THEN -1" +
+      " WHEN l.rel < r.rel THEN 1 WHEN l.vec_id < r.vec_id THEN -1" +
+      " WHEN l.vec_id > r.vec_id THEN 1 ELSE 0 END"
+    val byMmr = "(l, r) -> CASE WHEN l.mmr > r.mmr THEN -1" +
+      " WHEN l.mmr < r.mmr THEN 1 WHEN l.vec_id < r.vec_id THEN -1" +
+      " WHEN l.vec_id > r.vec_id THEN 1 ELSE 0 END"
+    val dot = "aggregate(zip_with(c.vm, s2.vm, (x, y) -> x * y)," +
+      " CAST(0 AS BIGINT), (a, v) -> a + v)"
+    val scored = "transform(st.rem, c -> named_struct('vec_id', c.vec_id," +
+      s" 'rel', c.rel, 'vm', c.vm, 'mmr', c.rel - array_max(transform(st.selv, s2 -> $dot))))"
+    val step = s"get(transform(array(get(array_sort($scored, $byMmr), 0))," +
+      " p -> named_struct(" +
+      "'sel', concat(st.sel, array(named_struct('pick_order', CAST(r AS BIGINT)," +
+      " 'vec_id', p.vec_id, 'rel', p.rel, 'mmr', p.mmr)))," +
+      "'selv', concat(st.selv, array(named_struct('vec_id', p.vec_id," +
+      " 'rel', p.rel, 'vm', p.vm)))," +
+      "'rem', filter(st.rem, c2 -> c2.vec_id != p.vec_id))), 0)"
+    rel.orderBy(col("rel").desc, col("vec_id")).limit(poolSize)
+      .agg(collect_list(struct(col("vec_id"), col("rel"), col("vm"))).as("pool0"))
+      .withColumn("pool", expr(s"array_sort(pool0, $byRel)"))
+      .withColumn("state0", expr(
+        "named_struct(" +
+          "'sel', array(named_struct('pick_order', CAST(1 AS BIGINT)," +
+          " 'vec_id', get(pool, 0).vec_id, 'rel', get(pool, 0).rel," +
+          " 'mmr', get(pool, 0).rel))," +
+          "'selv', array(get(pool, 0))," +
+          "'rem', slice(pool, 2, greatest(size(pool) - 1, 0)))"))
+      .withColumn("fin", expr(
+        s"aggregate(sequence(2, $picks), state0, (st, r) -> $step)"))
+      .select(explode(col("fin.sel")).as("p"))
+      .where(col("p.vec_id").isNotNull)
+      .select(col("p.pick_order").as("pick_order"), col("p.vec_id").as("vec_id"),
+        col("p.rel").as("rel_score"), col("p.mmr").as("mmr_score"))
+  }
+
   private[graft] def bpeBracketCol(textCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     regexp_replace(textCol, "(\\S)", S1 + "$1" + S2)
   private[graft] def bpeEncodeCol(

@@ -308,6 +308,52 @@ class TrainingOpsSpec extends SparkSpec {
       "MMR should reorder vs pure relevance on this fixture")
   }
 
+  test("mmrSelect == in-memory greedy reference on random pools (ties, short pools)") {
+    // the fold rewrite's edge cases: tied rel/mmr values (the vec_id
+    // tie-break must decide identically), pools shorter than the pick
+    // count (null picks must vanish), and the empty pool
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("vec_id", LongType), StructField("rel", LongType),
+      StructField("vm", ArrayType(LongType))))
+    def reference(pool: Seq[(Long, Long, Vector[Long])], poolSize: Int,
+        picks: Int): Seq[(Long, Long, Long, Long)] = {
+      val cand = pool.sortBy { case (id, r, _) => (-r, id) }.take(poolSize)
+      if (cand.isEmpty) return Seq.empty
+      var sel = Vector((1L, cand.head._1, cand.head._2, cand.head._2))
+      var selv = Vector(cand.head)
+      var rem = cand.tail
+      for (r <- 2 to picks if rem.nonEmpty) {
+        val p = rem.map { case (id, rel, vm) =>
+          val maxsim = selv.map(s => vm.lazyZip(s._3).map(_ * _).sum).max
+          (id, rel, vm, rel - maxsim)
+        }.minBy { case (id, _, _, m) => (-m, id) }
+        sel :+= ((r.toLong, p._1, p._2, p._4))
+        selv :+= ((p._1, p._2, p._3))
+        rem = rem.filterNot(_._1 == p._1)
+      }
+      sel
+    }
+    val rnd = new scala.util.Random(1762)
+    for (n <- Seq(0, 1, 3, 4, 12, 20)) {
+      // small value range on purpose: rel ties and sim ties are common
+      val pool = (0 until n).map { i =>
+        (i.toLong, rnd.nextInt(4).toLong,
+          Vector.fill(6)(rnd.nextInt(3).toLong - 1))
+      }
+      val rel = spark.createDataFrame(
+        java.util.Arrays.asList(pool.map { case (id, r, v) =>
+          Row(id, r, v) }: _*), schema)
+      val got = operators.TrainingOps.mmrSelect(rel, poolSize = 12, picks = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .sortBy(_._1).toSeq
+      // the reference scores rel as given; mmrSelect consumes the same
+      val want = reference(pool, poolSize = 12, picks = 5)
+      assert(got == want, s"n=$n: $got vs $want")
+    }
+  }
+
   test("q192 deciles conserve the corpus and rank by the exact total order") {
     import org.apache.spark.sql.functions._
     val rows = byName("q192_quality_dup_profile").run(spark, sfDir).collect()
