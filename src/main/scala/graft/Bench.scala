@@ -133,8 +133,17 @@ object Bench {
     // comma-decimal locale (de_DE) would make the stdout line non-JSON.
     def fmt(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { r => jstr(keys(r.name)) + ":" + fmt(r.sec) }
+    // Even with short keys, 202 queries x ~12 chars ≈ 2.6 KB — past the
+    // ~2000-char window — so BENCH_r10/r11 both landed "parsed": null
+    // again. The stdout map now carries only the TOP-20 slowest medians
+    // (what a trend reader actually wants from the headline line) plus
+    // an explicit omission count; every query's numbers remain in
+    // bench_detail.json.
+    val topN = results.sortBy(-_.sec).take(20).map(_.name).toSet
+    val qs = results.filter(r => topN(r.name))
+      .map { r => jstr(keys(r.name)) + ":" + fmt(r.sec) }
       .mkString("{", ",", "}")
+    val nOmitted = results.size - topN.size
     val errs = results.collect { case r if r.err.isDefined =>
       jstr(keys(r.name)) + ":" + jstr(r.err.get.take(80))
     }.mkString("{", ",", "}")
@@ -153,7 +162,7 @@ object Bench {
     val totalMin = results.filter(_.measured).map(_.secMin).sum
     val nExcluded = results.count(!_.measured)
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"value_min":${fmt(totalMin)},"unit":"sec","excluded":$nExcluded,"queries":$qs,"err":$errs,"spread_gt2":$noisy,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"value_min":${fmt(totalMin)},"unit":"sec","excluded":$nExcluded,"n_queries":${results.size},"queries":$qs,"queries_omitted":$nOmitted,"detail":"bench_detail.json","err":$errs,"spread_gt2":$noisy,"sf":"$sfDir"}"""
     val detail = results.map { r =>
       // each rep carries its own ok flag so an auditor can tell exactly
       // which recorded wall time was the failing one
