@@ -680,7 +680,7 @@ object Dedup {
         .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
         .groupBy(col("doc_a"), col("doc_b"))
         .agg(count(lit(1)).as("n_common"))
-      m.join(inter, Seq("doc_a", "doc_b"), "left")
+      m.join(broadcast(inter), Seq("doc_a", "doc_b"), "left")
         .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
         .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
         .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")

@@ -969,6 +969,9 @@ object TrainingOps {
             |          CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin).as("score"))
       val ipRank = ranks(
         ip.orderBy(col("score").desc, col("id")).limit(50), "rank_vec")
+      // full outer has no BroadcastHashJoin form (hint verified ignored),
+      // but both rank lists are limit(50)-bounded, so the SMJ here sorts
+      // ≤ 100 rows — scale-safe as is
       bmRank.join(ipRank, Seq("id"), "full_outer")
         .select(col("id").as("doc_id"),
           coalesce(col("rank_text"), lit(0L)).as("rank_text"),
