@@ -392,8 +392,14 @@ object Dedup {
       val cand = candidates(s, dir)
       val candDocs = cand.select(col("doc_a").as("doc_id"))
         .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+      // candidate-doc shingles: tiny (candidate-bounded), but three plan
+      // branches read it (both intersection sides + sizes) and each
+      // branch would re-scan the corpus-sized cached shingle table.
+      // Eager localCheckpoint materializes the filtered slice once per
+      // execution (the DistributedRank single-execution discipline).
       val sh = shingles(s, dir)
         .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+        .localCheckpoint(true)
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val inter = broadcast(cand)
         .join(sh.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
@@ -672,8 +678,14 @@ object Dedup {
         .select(col("doc_a"), col("doc_b"), matchExpr.as("n_match"))
       val candDocs = cand.select(col("doc_a").as("doc_id"))
         .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+      // candidate-doc shingles: tiny (candidate-bounded), but three plan
+      // branches read it (both intersection sides + sizes) and each
+      // branch would re-scan the corpus-sized cached shingle table.
+      // Eager localCheckpoint materializes the filtered slice once per
+      // execution (the DistributedRank single-execution discipline).
       val sh = shingles(s, dir)
         .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+        .localCheckpoint(true)
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val inter = broadcast(cand.select(col("doc_a"), col("doc_b")))
         .join(sh.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
