@@ -612,8 +612,10 @@ object Dedup {
           md5(concat_ws(" ",
             slice(col("w"), col("i").cast("int"), lit(8)))).as("h"))
         .distinct()
-      val firsts = sp.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
-      sp.join(firsts, "h")
+      // first-occurrence via an h-partitioned window min (the q200
+      // rewrite): groupBy(h) + join(h) walked the explode+md5+distinct
+      // pipeline once per branch
+      sp.withColumn("first_doc", expr("min(doc_id) OVER (PARTITION BY h)"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_shingles"),
           sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
@@ -766,9 +768,11 @@ object Dedup {
           size(expr(s"filter(split(text, ' '), x -> x IN ($stopList))"))
             .cast("long").as("n_stop"),
           length(col("text")).cast("long").as("n_chars"), col("lang"))
-      val fp = base.groupBy(col("f")).agg(count(lit(1)).as("copies"))
-      val perdoc = base.join(fp, "f")
-        .withColumn("is_dup", col("copies") > 1)
+      // dup flag via a fingerprint-partitioned window: one shuffle of
+      // base by f, instead of groupBy(f) + join(f) walking the string-
+      // heavy documents projection twice
+      val perdoc = base
+        .withColumn("is_dup", expr("count(1) OVER (PARTITION BY f) > 1"))
       val sp = Tables.documents(s, dir)
         .select(col("source"), col("doc_id"),
           filter(split(col("text"), "\\s+"), x => x =!= "").as("w"))
@@ -780,8 +784,11 @@ object Dedup {
           md5(concat_ws(" ",
             slice(col("w"), col("i").cast("int"), lit(8)))).as("h"))
         .distinct()
-      val firsts = sp.groupBy(col("h")).agg(min(col("doc_id")).as("first_doc"))
-      val nov = sp.join(firsts, "h")
+      // first-occurrence via an h-partitioned window min — the
+      // groupBy(h) + join(h) form evaluated the whole explode+md5+
+      // distinct shingle pipeline once per branch
+      val nov = sp
+        .withColumn("first_doc", expr("min(doc_id) OVER (PARTITION BY h)"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_shingles"),
           sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
