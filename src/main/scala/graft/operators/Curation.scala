@@ -533,8 +533,18 @@ object Curation {
   private[graft] def pageRank(und: DataFrame, iters: Int,
       degOpt: Option[DataFrame] = None): DataFrame = {
     val S = 1000000000000L
+    // the directed edge list is read once per iteration; staged
+    // dst-partitioned so that when the node-sized rank table broadcasts
+    // (AQE does this whenever ranks fit the broadcast budget), the
+    // per-iteration contribution aggregate is already co-located with
+    // its grouping key and ships nothing. When ranks are too big to
+    // broadcast, the join re-shuffles on src exactly as before — the
+    // staging is never worse, and the persist amortizes the union across
+    // the unrolled iterations.
     val e = und.select(col("x").as("src"), col("y").as("dst"))
       .unionAll(und.select(col("y").as("src"), col("x").as("dst")))
+      .repartition(col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // (n, deg) may arrive pre-built (the shared co-purchase degree
     // cache); otherwise derive it with one edge-sized aggregation.
     val deg = degOpt.map(_.select(col("n").as("src"), col("deg")))
