@@ -161,6 +161,28 @@ class PlanGuardSpec extends SparkSpec {
       s"dimension joins lost their broadcast plan: $offenders")
   }
 
+  test("declared scan-filter queries push their predicates into the parquet scan") {
+    // A filter that stays above the scan (e.g. because a cast or
+    // projection got wrapped around the filtered column) silently turns
+    // a pruned read into a full-table read — invisible at test SF,
+    // dominant at 100 TB. Pin the queries whose doc declares predicate
+    // pushdown: at least one parquet scan in each plan must carry a
+    // non-empty DataFilters list. String form (like the other physical
+    // guards) because AQE's adaptive root does not expose the physical
+    // tree to collect(); the "DataFilters: [" prefix survives the scan
+    // metadata truncation that eats the later PushedFilters field.
+    val pinned = Seq("q2_scan_filter_agg", "q42_like_regexp",
+      "q59_shipping_priority", "q61_returned_items", "q69_promo_revenue",
+      "q101_large_orders", "q102_dormant_balances")
+    val nonEmptyDataFilters = "DataFilters: \\[[^\\]]".r
+    val offenders = pinned.flatMap { n =>
+      val plan = SparkEntry.all.find(_.name == n).get
+        .run(spark, sfDir).queryExecution.executedPlan.toString
+      if (nonEmptyDataFilters.findFirstIn(plan).isEmpty) Some(n) else None
+    }
+    assert(offenders.isEmpty, s"no data filters reached any scan in: $offenders")
+  }
+
   test("every oracle-paired query declares matching column names in its SQL") {
     // cheap drift guard: each Spark output column name must appear as a
     // token in the oracle SQL (aliased the same way) — the driver's
