@@ -704,8 +704,8 @@ object EventsOps {
             |ELSE v END""".stripMargin).as("d"))
         .groupBy(col("d")).agg(count(lit(1)).as("n"))
       val tot = hist.agg(sum(col("n")).cast("long").as("t"))
-      broadcast(exp)
-        .join(hist, col("d") === col("digit"), "left")
+      exp
+        .join(broadcast(hist), col("d") === col("digit"), "left")
         .withColumn("n", coalesce(col("n"), lit(0L)))
         .crossJoin(broadcast(tot))
         .select(col("digit"), col("n"),

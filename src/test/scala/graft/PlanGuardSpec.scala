@@ -183,6 +183,50 @@ class PlanGuardSpec extends SparkSpec {
     assert(offenders.isEmpty, s"no data filters reached any scan in: $offenders")
   }
 
+  test("no registered query drops a join hint unapplied (HintErrorLogger stays silent)") {
+    // A broadcast hint on a side the join type cannot build (q188 once
+    // hinted the LEFT side of a LEFT OUTER join) is silently discarded
+    // by JoinSelection: the query stays correct, the intended plan is
+    // gone, and the only trace is a HintErrorLogger warning in the log
+    // tail. Attach a capture appender to that exact logger and force
+    // physical planning (where checkHintBuildSide fires) for every
+    // registered query: any captured warning is a plan the author asked
+    // for and did not get.
+    import org.apache.logging.log4j.{Level, LogManager}
+    import org.apache.logging.log4j.core.LoggerContext
+    import org.apache.logging.log4j.core.appender.AbstractAppender
+    import org.apache.logging.log4j.core.config.{LoggerConfig, Property}
+    val hintLogger = "org.apache.spark.sql.catalyst.analysis.HintErrorLogger"
+    val captured = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val appender = new AbstractAppender(
+      "hint-guard", null, null, true, Property.EMPTY_ARRAY) {
+      override def append(e: org.apache.logging.log4j.core.LogEvent): Unit =
+        captured.add(e.getMessage.getFormattedMessage)
+    }
+    appender.start()
+    val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+    val config = ctx.getConfiguration
+    val ownConfig = new LoggerConfig(hintLogger, Level.WARN, true)
+    config.addLogger(hintLogger, ownConfig)
+    ownConfig.addAppender(appender, Level.WARN, null)
+    ctx.updateLoggers()
+    try {
+      val offenders = guarded.flatMap { d =>
+        captured.clear()
+        d.run(spark, sfDir).queryExecution.executedPlan
+        if (!captured.isEmpty)
+          Some(s"${d.name}: ${captured.peek()}")
+        else None
+      }
+      assert(offenders.isEmpty, s"queries with dropped hints: $offenders")
+    } finally {
+      ownConfig.removeAppender("hint-guard")
+      config.removeLogger(hintLogger)
+      ctx.updateLoggers()
+      appender.stop()
+    }
+  }
+
   test("every oracle-paired query declares matching column names in its SQL") {
     // cheap drift guard: each Spark output column name must appear as a
     // token in the oracle SQL (aliased the same way) — the driver's
