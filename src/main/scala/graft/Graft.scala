@@ -30,7 +30,57 @@ object Graft {
     * query's measured reps see exactly its own working set and nothing
     * else's. Do NOT call mid-query-family when reuse is intended
     * (q130→q131 rebuild their shared edge caches in the next warm-up
-    * rep instead — unmeasured, by design). */
+    * rep instead — unmeasured, by design).
+    *
+    * Scope caveat: the final `catalog.clearCache()` sweep clears the
+    * SharedState-level CacheManager, which is CONTEXT-wide — it drops
+    * cached relations of every session sharing the SparkContext, not
+    * just `s`. Harmless for the single-session Bench/Verify drivers;
+    * a future multi-session caller who wants per-session scoping must
+    * sweep only the relations planned by `s` instead. */
+  /** Cache FAMILIES: registered queries that co-consume one session-
+    * scoped helper artifact (SCALE.md branch-reuse rule: clear between
+    * families, never between co-consuming queries). Bench and Verify
+    * order family members adjacently and call [[clearCaches]] only at
+    * family boundaries, so the artifact is staged once (in the first
+    * member's unmeasured warm-up) and every member reuses it — exactly
+    * how a production session amortizes a staged derived table. A query
+    * outside every family is its own singleton boundary. r12 measured
+    * the alternative: per-query clears made q197 rebuild q68's cluster
+    * labels (0.15→0.80 s) and q31 rebuild the exact top-k its siblings
+    * share (0.09→0.55 s).
+    *
+    * Membership list = consumers of each SessionCache:
+    *  - knn: Similarity.exactCache/fastCache (exact + codegen top-k)
+    *  - lsh: Dedup shingle/sig/cand/pair caches + Curation clusterCache
+    *  - simhash: Dedup.simhashCache
+    *  - graph: Curation edge/deg/orient/dstEdge caches
+    * (BPE queries share a driver-side merge memo that clearCaches does
+    * not drop, so they need no family.) */
+  val cacheFamilies: Map[String, Seq[String]] = Map(
+    "knn" -> Seq("q109_knn_pq", "q110_knn_pq_rerank", "q31_knn_bruteforce",
+      "q34_knn_codegen", "q90_knn_ivf_probe"),
+    "lsh" -> Seq("q145_containment", "q171_minhash_calibration",
+      "q197_leakage_free_split", "q28_lsh_candidates", "q29_neardup_jaccard",
+      "q63_curation_pipeline", "q68_dup_clusters"),
+    "simhash" -> Seq("q200_source_datasheet", "q30_simhash",
+      "q77_simhash_hamming"),
+    "graph" -> Seq("q130_triangle_count", "q131_pagerank"))
+
+  /** Family id of a query — its own name when it belongs to none. */
+  private val familyOf: Map[String, String] =
+    cacheFamilies.flatMap { case (f, qs) => qs.map(_ -> f) }
+  def family(name: String): String = familyOf.getOrElse(name, name)
+
+  /** Global ordering that keeps family members contiguous: every member
+    * sorts at the position of its family's alphabetically-first member,
+    * then by name within the family. */
+  def benchSortKey(name: String): (String, String) = {
+    val anchor = familyOf.get(name)
+      .map(f => cacheFamilies(f).min).getOrElse(name)
+    (anchor, name)
+  }
+
   def clearCaches(s: SparkSession): Unit = {
     operators.Dedup.SessionCache.clearAll(s)
     operators.Curation.clearEdgeCache(s)

@@ -18,14 +18,19 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.toSeq.sortBy(_._1)
+    var prevFamily: String = null
+    SparkEntry.queries.toSeq.sortBy(p => Graft.benchSortKey(p._1))
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
       System.err.println(s"[verify] running $name")
-      // storage isolation between queries (SCALE.md §6): one 202-query
-      // pass would otherwise accumulate every session-scoped helper
-      // cache in a single storage pool
-      Graft.clearCaches(spark)
+      // storage isolation between cache FAMILIES (SCALE.md §6, and the
+      // Graft.cacheFamilies scaladoc): one 202-query pass would
+      // otherwise accumulate every session-scoped helper cache in a
+      // single storage pool, while clearing per query would rebuild
+      // each family's shared artifact once per member
+      val fam = Graft.family(name)
+      if (fam != prevFamily) Graft.clearCaches(spark)
+      prevFamily = fam
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -367,7 +367,8 @@ object Curation {
         |SELECT n AS node, CAST(pr AS BIGINT) AS pr_scaled
         |FROM p3 ORDER BY pr DESC, n LIMIT 20""".stripMargin) { (s, dir) =>
       pageRank(coPurchaseEdges(s, dir), iters = 3,
-          degOpt = Some(coPurchaseDegrees(s, dir)))
+          degOpt = Some(coPurchaseDegrees(s, dir)),
+          stagedOpt = Some(dstStagedCoPurchase(s, dir)))
         .orderBy(col("pr").desc, col("n")).limit(20)
         .select(col("n").as("node"), col("pr").as("pr_scaled"))
     },
@@ -522,6 +523,27 @@ object Curation {
       .select(col("e.x").as("x"), col("e.y").as("y"))
       .distinct()
 
+  /** dst-repartitioned directed expansion of the co-purchase edge list,
+    * persisted once per (session, dir): the PageRank contribution
+    * aggregate groups by dst every iteration, so staging the edges
+    * pre-co-located with that key means the per-iteration join ships
+    * nothing whenever AQE broadcasts the node-sized rank table. Lives
+    * in a registry-managed SessionCache (not a per-execution persist —
+    * the old shape staged a FRESH persisted copy on every pageRank call
+    * and never unpersisted it, stacking one copy per bench rep until
+    * the next clearCaches boundary): reps reuse one copy, and
+    * Graft.clearCaches owns the lifecycle like every other helper
+    * frame. */
+  private val dstEdgeCache = new Dedup.SessionCache
+  private[graft] def dstStagedCoPurchase(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    dstEdgeCache.getOrElseUpdate(s, dir) {
+      val und = coPurchaseEdges(s, dir)
+      und.select(col("x").as("src"), col("y").as("dst"))
+        .unionAll(und.select(col("y").as("src"), col("x").as("dst")))
+        .repartition(col("dst"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
   /** Fixed-point PageRank (damping 0.85, scale S = 1e12, floor divides
     * throughout so results are bit-identical across engines) over an
     * undirected edge list (x, y); returns (n, deg, nn, pr). Each of the
@@ -529,22 +551,20 @@ object Curation {
     * map-side-combined dst aggregation; pr stays node-sized and the node
     * count rides along as a broadcast single row. The unrolled DAG is
     * linear — each pr_k feeds exactly one contrib join — so nothing
-    * re-evaluates and nothing needs caching. */
+    * re-evaluates and nothing needs caching. Pass `stagedOpt` (a
+    * persisted dst-partitioned directed edge list, e.g.
+    * [[dstStagedCoPurchase]]) to amortize the union across iterations
+    * AND executions; without it the directed list is derived inline,
+    * unpersisted — correct, and the right shape for one-shot callers
+    * like the spec's closed-form graphs. */
   private[graft] def pageRank(und: DataFrame, iters: Int,
-      degOpt: Option[DataFrame] = None): DataFrame = {
+      degOpt: Option[DataFrame] = None,
+      stagedOpt: Option[DataFrame] = None): DataFrame = {
     val S = 1000000000000L
-    // the directed edge list is read once per iteration; staged
-    // dst-partitioned so that when the node-sized rank table broadcasts
-    // (AQE does this whenever ranks fit the broadcast budget), the
-    // per-iteration contribution aggregate is already co-located with
-    // its grouping key and ships nothing. When ranks are too big to
-    // broadcast, the join re-shuffles on src exactly as before — the
-    // staging is never worse, and the persist amortizes the union across
-    // the unrolled iterations.
-    val e = und.select(col("x").as("src"), col("y").as("dst"))
-      .unionAll(und.select(col("y").as("src"), col("x").as("dst")))
-      .repartition(col("dst"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val e = stagedOpt.getOrElse(
+      und.select(col("x").as("src"), col("y").as("dst"))
+        .unionAll(und.select(col("y").as("src"), col("x").as("dst")))
+        .repartition(col("dst")))
     // (n, deg) may arrive pre-built (the shared co-purchase degree
     // cache); otherwise derive it with one edge-sized aggregation.
     val deg = degOpt.map(_.select(col("n").as("src"), col("deg")))

@@ -125,10 +125,13 @@ object Similarity {
   /** Session-cached exact brute-force top-k, computed ONCE per (session,
     * sfDir) and shared as the agreement REFERENCE by q34 and q90 —
     * previously each of them re-ran the whole decimal brute-force.
-    * q31 itself does NOT return this frame: its registered query is the
-    * uncached plan, so a benchmark rep of q31 measures the brute-force
-    * compute, not a ~50-row cache read (the cache would break
-    * round-over-round attribution of the exact-search baseline). */
+    * q31 itself does NOT read this frame explicitly: its registered
+    * query is the plain brute-force plan. Inside the knn cache family
+    * (Graft.cacheFamilies) the CacheManager substitutes the identical
+    * cached subtree, so an in-suite bench rep of q31 reads the shared
+    * artifact like every other family member; the isolated brute-force
+    * cost is measured with SPARK_GRAFT_BENCH_ONLY=q31_knn_bruteforce
+    * (which stages nothing else). */
   private val exactCache = new Dedup.SessionCache
   private[operators] def exactTopK(s: SparkSession, dir: String): DataFrame =
     exactCache.getOrElseUpdate(s, dir) {
@@ -160,8 +163,10 @@ object Similarity {
         |corpus: broadcast the queries, score array-natively (zip_with +
         |aggregate, exact decimal accumulation), window top-k per query.
         |The exact-search baseline every ANN variant is judged against.
-        |Returned UNCACHED so benchmark reps time the real brute-force
-        |scan; q34/q90 read the same result through a session cache.""".stripMargin,
+        |Returns the plain brute-force plan; q34/q90 read the same
+        |result through a session cache, and in-suite bench reps reuse
+        |it too via CacheManager subtree substitution (knn cache
+        |family — see the exactCache scaladoc).""".stripMargin,
       oracleTopK("")) { (s, dir) => sparkTopK(s, dir, sameCell = false) },
 
     q("q34_knn_codegen",

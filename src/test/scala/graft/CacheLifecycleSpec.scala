@@ -36,8 +36,10 @@ class CacheLifecycleSpec extends SparkSpec {
   }
 
   test("clearCaches sweeps abandoned per-run cached frames") {
-    // models q176's greedy-selection chain: a query caches a frame and
-    // returns without unpersisting; the CacheManager sweep reclaims it
+    // models the generic abandoned-.cache() pattern: a query caches a
+    // frame and returns without unpersisting (no registered query does
+    // this today — q176's greedy chain, the last example, was rewritten
+    // cache-free); the CacheManager sweep reclaims any future offender
     import spark.implicits._
     val leaked = Seq(1, 2, 3).toDF("x").cache()
     leaked.count()
