@@ -215,7 +215,10 @@ object ExtendedOps {
       val a = daily("purchase", "n")
       val b = daily("error", "m").withColumnRenamed("d", "d2")
       a.join(b, col("d") === col("d2"), "full_outer")
-        .select(coalesce(col("d"), col("d2")).as("day"),
+        // .cast("date"): DuckDB's date_trunc('day') yields DATE while
+        // Spark's yields TIMESTAMP — repr-identical through pandas
+        // (midnight), but OracleSchemaSpec pins real type agreement
+        .select(coalesce(col("d"), col("d2")).cast("date").as("day"),
           coalesce(col("n"), lit(0L)).as("hi_purchases"),
           coalesce(col("m"), lit(0L)).as("hi_errors"))
     },
