@@ -18,14 +18,10 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // the canonical engine config (GraftSession) + bench-local override
+    // of the shuffle partition count to the measured core count
+    val spark = GraftSession.builder(s"local[$cpus]", "graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      .config("spark.sql.adaptive.skewJoin.enabled", "true")
-      .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -33,6 +29,23 @@ object Bench {
     // projections, so projection-only queries would time only the scan
     def exec(d: QueryDef): Unit =
       d.run(spark, sfDir).write.format("noop").mode("overwrite").save()
+
+    // spill accounting (SCALE.md §8): sum of memory+disk bytes spilled
+    // across task ends, snapshotted around each query's measured reps.
+    // Listener delivery is async, so attribution is best-effort (a task
+    // finishing after the snapshot lands on the next query) — at bench
+    // scale the drift is a rounding error, and a query that flips from
+    // in-memory to spill paths at a bigger SF shows up unmistakably.
+    val spillBytes = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = e.taskMetrics
+          if (m != null)
+            spillBytes.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+        }
+      })
 
     // SPARK_GRAFT_BENCH_ONLY=q130_triangle_count,q131_pagerank — restrict
     // to a comma-separated subset for targeted perf iteration; the full
@@ -67,7 +80,8 @@ object Bench {
     // another JVM ran recently, the min almost never does.
     final case class QRes(name: String, sec: Double, secMin: Double,
                           reps: Seq[(Double, Boolean)],
-                          spread: Double, err: Option[String], measured: Boolean)
+                          spread: Double, err: Option[String], measured: Boolean,
+                          spill: Long)
     var prevFamily: String = null
     val results: Seq[QRes] =
       ordered.map { d =>
@@ -103,6 +117,7 @@ object Bench {
         }
         (1 to warmups).foreach(_ => once())
         err = None // warm-up failures don't gate measurement; measured reps decide
+        val spill0 = spillBytes.get()
         val all = scala.collection.mutable.ArrayBuffer.empty[(Double, Boolean)]
         var r = 0
         var failed = false
@@ -121,7 +136,8 @@ object Bench {
         val secMin = if (good.nonEmpty) good.min else all.last._1
         val spread =
           if (good.size >= 2 && good.min > 0) good.max / good.min else 1.0
-        QRes(d.name, sec, secMin, all.toSeq, spread, err, measured = good.nonEmpty)
+        QRes(d.name, sec, secMin, all.toSeq, spread, err,
+          measured = good.nonEmpty, spill = spillBytes.get() - spill0)
       }
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
@@ -165,6 +181,12 @@ object Bench {
     val noisy = results.filter(_.spread > 2.0).map { r =>
       jstr(keys(r.name)) + ":" + fmt(r.spread)
     }.mkString("{", ",", "}")
+    // queries that spilled during measured reps (MB, rounded up) — at
+    // sf0.1 this should be empty; a bigger-SF A/B run reads it to see
+    // which plans flipped from in-memory to spill paths
+    val spilled = results.filter(_.spill > 0).map { r =>
+      jstr(keys(r.name)) + ":" + ((r.spill + (1 << 20) - 1) >> 20)
+    }.mkString("{", ",", "}")
     // the headline total is built ONLY from queries with at least one
     // successful measured rep; all-failed queries are counted out loud
     // so the total can never silently shrink via a fast-throwing query
@@ -174,7 +196,7 @@ object Bench {
     val totalMin = results.filter(_.measured).map(_.secMin).sum
     val nExcluded = results.count(!_.measured)
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"value_min":${fmt(totalMin)},"unit":"sec","excluded":$nExcluded,"n_queries":${results.size},"queries":$qs,"queries_omitted":$nOmitted,"detail":"bench_detail.json","err":$errs,"spread_gt2":$noisy,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"value_min":${fmt(totalMin)},"unit":"sec","excluded":$nExcluded,"n_queries":${results.size},"queries":$qs,"queries_omitted":$nOmitted,"detail":"bench_detail.json","err":$errs,"spread_gt2":$noisy,"spill_mb":$spilled,"sf":"$sfDir"}"""
     val detail = results.map { r =>
       // each rep carries its own ok flag so an auditor can tell exactly
       // which recorded wall time was the failing one
@@ -185,6 +207,7 @@ object Bench {
           "{\"sec\":" + fmt(t) + ",\"ok\":" + ok + "}"
         }.mkString("[", ",", "]") +
         ",\"spread\":" + fmt(r.spread) +
+        ",\"spill_bytes\":" + r.spill +
         ",\"err\":" + r.err.map(jstr).getOrElse("null") + "}"
     }.mkString("{", ",", "}")
     try {

@@ -28,6 +28,18 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
       .config("spark.ui.enabled", "false")
+      // ObjectHashAggregate (collect_list/collect_set paths) falls back
+      // to SORT-based aggregation after this many distinct keys per
+      // task — and the stock default (128) makes essentially every
+      // grouped collect sort its whole input. The SCALE.md §8 sf1 A/B
+      // measured the cost: q130's adjacency build spilled ~16 GB
+      // through that fallback sort alone. 128Ki entries × a bounded
+      // per-group payload (this engine's collects are O(√m) adjacency
+      // arrays or per-order part lists) ≈ tens of MB per task — well
+      // inside the executor budget, and the fallback still engages,
+      // gracefully, if a pathological partition exceeds it.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        (128 * 1024).toString)
 
   def create(master: String = "local[*]", appName: String = "graft"): SparkSession = {
     val spark = builder(master, appName).getOrCreate()

@@ -296,11 +296,30 @@ object Curation {
         |        JOIN e0 e2 ON e1.y = e2.x
         |        JOIN e0 e3 ON e3.x = e1.x AND e3.y = e2.y) AS BIGINT) AS n_triangles""".stripMargin) { (s, dir) =>
       val edges = coPurchaseEdges(s, dir)
-      val oriented = orientedCoPurchase(s, dir)
+      // the §8 sf1 A/B reshaped this execution twice:
+      //  - SHUFFLE_HASH, not sort-merge: SMJ would SORT the edge rows
+      //    WITH their picked-up O(√m) adjacency arrays attached —
+      //    multi-KB sort records that spilled ~16 GB (half of it again
+      //    in collect_list's 128-key sort fallback, retired session-
+      //    wide by GraftSession's objectHashAggregate threshold).
+      //  - explicit-N repartitions (REPARTITION_BY_NUM is exempt from
+      //    AQE coalescing) pin the whole pipeline at cluster
+      //    parallelism: these exchanges carry FEW bytes (16-byte edge
+      //    rows) but ALL of the collect + per-edge merge-intersect CPU,
+      //    so AQE's byte-proportional coalescing collapsed them to a
+      //    handful of tasks (8→19 s medians, spread 2.9, run-to-run
+      //    planner roulette). defaultParallelism is the right N on any
+      //    cluster size.
+      // One pinned u-exchange feeds BOTH the adjacency aggregate and
+      // the first probe side; the aggregate preserves the partitioning,
+      // the alias to v preserves it for the second build side, so the
+      // two hash joins add exactly one more exchange (probe re-keyed v).
+      val nPart = s.sparkContext.defaultParallelism
+      val oriPart = orientedCoPurchase(s, dir).repartition(nPart, col("u"))
       // per-node out-neighbor arrays, bounded O(√m) by the orientation;
       // sorted at build so the per-edge intersection runs over ordered
       // arrays (and the plan is deterministic regardless of shuffle order)
-      val adj = oriented.groupBy(col("u"))
+      val adj = oriPart.groupBy(col("u"))
         .agg(sort_array(collect_list(col("v"))).as("nbr"))
       // each oriented edge (u,v) counts its triangles locally as
       // |N+(u) ∩ N+(v)|: the closing node w satisfies u→w and v→w, and
@@ -309,9 +328,10 @@ object Curation {
       // has no out-neighbors contribute 0 and may drop from the inner
       // join; coalesce keeps the empty-graph result a bigint 0.
       graft.plans.GraftFunctions.register(s)
-      val tri = oriented
-        .join(adj.select(col("u"), col("nbr").as("nu")), Seq("u"))
-        .join(adj.select(col("u").as("v"), col("nbr").as("nv")), Seq("v"))
+      val tri = oriPart
+        .join(adj.select(col("u"), col("nbr").as("nu")).hint("shuffle_hash"), Seq("u"))
+        .repartition(nPart, col("v"))
+        .join(adj.select(col("u").as("v"), col("nbr").as("nv")).hint("shuffle_hash"), Seq("v"))
         // allocation-free two-pointer merge over the sorted adjacency
         // arrays (plans/SortedIntersectCount) — size(array_intersect)
         // would hash+materialize the intersection per edge
@@ -540,7 +560,12 @@ object Curation {
       val und = coPurchaseEdges(s, dir)
       und.select(col("x").as("src"), col("y").as("dst"))
         .unionAll(und.select(col("y").as("src"), col("x").as("dst")))
-        .repartition(col("dst"))
+        // explicit N: the staged partitioning is what every unrolled
+        // iteration inherits, and AQE's byte-proportional coalescing
+        // would otherwise stage few-task partitions for a frame whose
+        // per-row cost is join+agg CPU, not bytes (same §8 lesson as
+        // q130's intersect exchanges)
+        .repartition(s.sparkContext.defaultParallelism, col("dst"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 

@@ -10,7 +10,11 @@ package graft
   */
 class PlanGuardSpec extends SparkSpec {
 
-  private val sfDir = "/root/testdata/sf0.001"
+  // Overridable so the same guards can audit plan shape at a bigger
+  // scale (SCALE.md §8 runs them against the /tmp/sf1 replica):
+  //   sbt -Dgraft.planguard.sf=/tmp/sf1 "testOnly graft.PlanGuardSpec"
+  private val sfDir =
+    sys.props.getOrElse("graft.planguard.sf", "/root/testdata/sf0.001")
 
   // Every registered query carries a DuckDB oracle (QueryDef.rowsOnly
   // was deleted once its last user, q129 BPE training, gained a
