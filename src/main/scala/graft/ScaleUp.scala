@@ -30,20 +30,21 @@ import org.apache.spark.sql.functions._
   * Usage: runMain graft.ScaleUp <srcDir> <dstDir> <factor>
   */
 object ScaleUp {
+  val KO = 10000000L // order/event id space per replica
+  val KK = 1000000L  // cust/supp/part/user/doc/vec id space per replica
+
   def main(args: Array[String]): Unit = {
     val Array(src, dst, fStr) = args.take(3)
-    val factor = fStr.toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    val spark = GraftSession.builder(s"local[$cpus]", "graft-scaleup")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    run(spark, src, dst, fStr.toInt)
+    spark.stop()
+  }
 
-    val KO = 10000000L // order/event id space per replica
-    val KK = 1000000L  // cust/supp/part/user/doc/vec id space per replica
+  def run(spark: SparkSession, src: String, dst: String, factor: Int): Unit = {
 
     def reps = broadcast(
       spark.range(factor).select(col("id").cast("long").as("rep")))
@@ -100,7 +101,5 @@ object ScaleUp {
         x => x + col("rep").cast("float") * lit(0.001f)).as("embedding"),
       col("label")),
       "embeddings")
-
-    spark.stop()
   }
 }
