@@ -320,37 +320,55 @@ object Dedup {
 
     // ----------------------------------------------------------------
     q("q77_simhash_hamming",
-      """SimHash near-dup pairs within Hamming distance 3, found WITHOUT
-        |an all-pairs scan: the 16-bit signature splits into 4 bands of
-        |4 bits; by pigeonhole any pair with <=3 differing bits agrees
-        |EXACTLY on at least one band, so the band-bucket self-join is
-        |provably complete (not approximate — the LSH recall knob is
-        |closed-form here). Candidates then verify with one
-        |bit_count(xor) each. Same shape at 100 TB: pair space exists
-        |only inside 4-bit-band buckets, never O(n^2).""".stripMargin,
-      s"""WITH $simhashSqlCtes,
-        |bands AS (
-        |  SELECT doc_id, simhash16, b,
-        |         (simhash16 >> (4 * b)) & 15 AS bv
-        |  FROM sig, unnest(range(0, 4)) AS t(b)),
+      """SimHash near-dup pairs within Hamming distance 3 of the 60-bit
+        |signature, found WITHOUT an all-pairs scan via the block
+        |scheme of Manku/Jain/Das Sarma ("Detecting Near-Duplicates for
+        |Web Crawling", WWW 2007, §3): the 60 bits split into 5 blocks
+        |of 12; any pair differing in <=3 bits leaves >=2 blocks
+        |untouched (pigeonhole), so it agrees EXACTLY on at least one
+        |of the C(5,2)=10 block-PAIR keys — the bucket join over 24-bit
+        |keys is provably complete, not approximate. Candidates verify
+        |with one bit_count(xor) each. The 24-bit key space (16.7M
+        |values) is what survives scale: a 16-bit signature's 4-bit
+        |bands have 16 bucket values, so band buckets saturate into an
+        |O(n^2/16) join — the pre-round-13 version planned 362M
+        |candidates and spilled 50 GB at sf1 (SCALE.md §8); block-pair
+        |keys keep buckets near-singleton until billions of docs, and
+        |widening blocks/signature is the published knob beyond that.
+        |Measured candidate:output ratio is ~4.4 at sf0.1 (780k
+        |candidates for 178k true pairs).""".stripMargin,
+      s"""WITH $simhashSql60Ctes,
+        |keys AS (
+        |  SELECT doc_id, simhash60, c,
+        |    ((simhash60 // (CAST(1 AS BIGINT) << (12 *
+        |        (CASE WHEN c <= 3 THEN 0 WHEN c <= 6 THEN 1 WHEN c <= 8 THEN 2 ELSE 3 END)))) % 4096) * 4096
+        |      + ((simhash60 // (CAST(1 AS BIGINT) << (12 *
+        |        (CASE c WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 3 WHEN 3 THEN 4 WHEN 4 THEN 2
+        |                WHEN 5 THEN 3 WHEN 6 THEN 4 WHEN 7 THEN 3 ELSE 4 END)))) % 4096) AS kv
+        |  FROM sig60, unnest(range(0, 10)) AS t(c)),
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
-        |         a.simhash16 AS sig_a, b2.simhash16 AS sig_b
-        |  FROM bands a JOIN bands b2
-        |    ON a.b = b2.b AND a.bv = b2.bv AND a.doc_id < b2.doc_id)
+        |         a.simhash60 AS sig_a, b2.simhash60 AS sig_b
+        |  FROM keys a JOIN keys b2
+        |    ON a.c = b2.c AND a.kv = b2.kv AND a.doc_id < b2.doc_id)
         |SELECT doc_a, doc_b,
         |       CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
         |FROM cand
         |WHERE bit_count(xor(sig_a, sig_b)) <= 3""".stripMargin) { (s, dir) =>
-      val sig = simhashSig(s, dir)
-      val bands = sig
-        .withColumn("b", explode(sequence(lit(0), lit(3))))
-        .withColumn("bv", expr("(simhash16 div shiftleft(1, 4 * b)) % 16"))
-      val a = bands.select(col("b"), col("bv"),
-        col("doc_id").as("doc_a"), col("simhash16").as("sig_a"))
-      val bb = bands.select(col("b"), col("bv"),
-        col("doc_id").as("doc_b"), col("simhash16").as("sig_b"))
-      a.join(bb, Seq("b", "bv"))
+      val sig = simhashSig60(s, dir)
+      val keys = sig
+        .withColumn("c", explode(sequence(lit(0), lit(9))))
+        .withColumn("kv", expr(
+          """((simhash60 div shiftleft(CAST(1 AS BIGINT), 12 *
+            |    (CASE WHEN c <= 3 THEN 0 WHEN c <= 6 THEN 1 WHEN c <= 8 THEN 2 ELSE 3 END))) % 4096) * 4096
+            |  + ((simhash60 div shiftleft(CAST(1 AS BIGINT), 12 *
+            |    (CASE c WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 3 WHEN 3 THEN 4 WHEN 4 THEN 2
+            |            WHEN 5 THEN 3 WHEN 6 THEN 4 WHEN 7 THEN 3 ELSE 4 END))) % 4096)""".stripMargin))
+      val a = keys.select(col("c"), col("kv"),
+        col("doc_id").as("doc_a"), col("simhash60").as("sig_a"))
+      val bb = keys.select(col("c"), col("kv"),
+        col("doc_id").as("doc_b"), col("simhash60").as("sig_b"))
+      a.join(bb, Seq("c", "kv"))
         .filter(col("doc_a") < col("doc_b"))
         .select(col("doc_a"), col("doc_b"), col("sig_a"), col("sig_b"))
         .distinct()
@@ -810,9 +828,10 @@ object Dedup {
     })
 
   /** 16-bit SimHash signature per doc (doc_id, simhash16), cached per
-    * (session, dir): q30's bucketing and q77's Hamming-band join share
-    * one computation. Single shuffle on doc_id for the bit aggregate;
-    * the 16x bit-position explode is linear. */
+    * (session, dir) — q30's bucket profile (a sketch DEMO, never a
+    * join key at scale; q77 joins on [[simhashSig60]]). Single shuffle
+    * on doc_id for the bit aggregate; the 16x bit-position explode is
+    * linear. */
   private val simhashCache = new SessionCache
   private[operators] def simhashSig(s: SparkSession, dir: String): DataFrame =
     simhashCache.getOrElseUpdate(s, dir) {
@@ -838,6 +857,58 @@ object Dedup {
         .agg(sum(when(col("bsum") >= 0, col("weight")).otherwise(0)).cast("bigint").as("simhash16"))
         .cache()
     }
+
+  /** 60-bit SimHash signature per doc (doc_id, simhash60), cached per
+    * (session, dir) — the join-grade signature q77's Hamming search
+    * buckets on. Same construction as [[simhashSig]] but over the first
+    * 15 md5 hex nibbles (60 bit positions). Width is what makes the
+    * signature JOINABLE at scale: a 16-bit space (65,536 values)
+    * saturates at corpus size, so 16-bit bucket joins degenerate to
+    * O(n^2 / buckets) — the pre-round-13 q77 planned 362M candidate
+    * rows and spilled 50 GB at sf1 (SCALE.md §8). At 60 bits,
+    * signature agreement tracks real token overlap instead of sketch
+    * saturation. One md5 per distinct token; the 60x bit-position
+    * explode and the two aggregates are linear in token count. */
+  private val simhash60Cache = new SessionCache
+  private[operators] def simhashSig60(s: SparkSession, dir: String): DataFrame =
+    simhash60Cache.getOrElseUpdate(s, dir) {
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .distinct()
+      val bits = toks
+        .withColumn("h", substring(md5(col("w")), 1, 15))
+        .withColumn("p", explode(sequence(lit(0), lit(59))))
+        .withColumn("nibv",
+          expr("instr('0123456789abcdef', substring(h, p div 4 + 1, 1)) - 1"))
+        .withColumn("mask", expr("CASE p % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END"))
+        .withColumn("bit", expr("(nibv div mask) % 2"))
+        .groupBy(col("doc_id"), col("p"))
+        .agg(sum(when(col("bit") === 1, 1).otherwise(-1)).as("bsum"))
+      bits
+        .withColumn("weight", expr("shiftleft(CAST(1 AS BIGINT), 59 - p)"))
+        .groupBy(col("doc_id"))
+        .agg(sum(when(col("bsum") >= 0, col("weight")).otherwise(0)).cast("bigint").as("simhash60"))
+        .cache()
+    }
+
+  /** DuckDB twin of [[simhashSig60]] as a CTE chain ending in
+    * `sig60(doc_id, simhash60)`. */
+  private[operators] def simhashSql60Ctes: String =
+    """toks60 AS (
+      |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+      |  FROM documents),
+      |bits60 AS (
+      |  SELECT doc_id, p,
+      |    sum(CASE WHEN ((strpos('0123456789abcdef', substr(md5(w), p // 4 + 1, 1)) - 1)
+      |          // (CASE p % 4 WHEN 0 THEN 8 WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END)) % 2 = 1
+      |        THEN 1 ELSE -1 END) AS bsum
+      |  FROM toks60, unnest(range(0, 60)) AS t(p)
+      |  GROUP BY doc_id, p),
+      |sig60 AS (
+      |  SELECT doc_id,
+      |    CAST(sum(CASE WHEN bsum >= 0 THEN (CAST(1 AS BIGINT) << (59 - p)) ELSE 0 END)
+      |      AS BIGINT) AS simhash60
+      |  FROM bits60 GROUP BY doc_id)""".stripMargin
 
   /** DuckDB twin of [[simhashSig]] as a CTE chain ending in
     * `sig(doc_id, simhash16)`. (A def, not a val: it is interpolated

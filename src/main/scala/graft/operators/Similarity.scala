@@ -204,10 +204,24 @@ object Similarity {
 
     q("q36_neardup_embedding",
       """Embedding-cosine near-dup pairs (the semantic-dedup variant):
-        |all same-cell pairs (a<b) with quantized cosine >= 0.4. The cell
-        |(label) equi-join bounds the pair space exactly like LSH bands
-        |bound the MinHash pair space — at 100 TB you never score the
-        |full n^2.""".stripMargin,
+        |all same-cell pairs (a<b) with quantized cosine >= 0.4 — EXACT
+        |pair semantics within cells. The pair ENUMERATION is
+        |irreducibly quadratic per cell at this threshold: cos >= 0.4
+        |is a 66-degree cone, and in 64 dims random pairs concentrate
+        |near 90 degrees, so no sound metric prune (pivot/centroid
+        |triangle bounds, block-norm Cauchy-Schwarz) separates them,
+        |and sign-LSH at 66 degrees needs bands so short they saturate.
+        |That makes the CONSTANT the whole game: the candidate join
+        |carries only (id, cell, float vector); the codegen'd cosine
+        |prescreen (margin 0.05 >> quantization+float error ~1e-3)
+        |runs inside the join pipeline; only the tiny survivor set
+        |joins back to the corpus for the exact-decimal rescore. The
+        |pre-round-13 plan dragged both sides' decimal arrays + norms
+        |(~2 KB/pair) through every candidate row — 29.7x for 10x data
+        |at sf1 (SCALE.md §8). At 100 TB the scale knob is cell
+        |granularity: subdivide cells with q90's IVF assignment and
+        |accept its measured recall trade — this exact-within-cell
+        |contract is the baseline that measures that trade.""".stripMargin,
       s"""WITH $oracleBase,
          |lbl AS (SELECT vec_id, label FROM embeddings),
          |dots AS (
@@ -222,19 +236,35 @@ object Similarity {
          |JOIN nrm nb ON nb.vec_id = d.vec_b
          |WHERE round(d.dot / (sqrt(na.nrm) * sqrt(nb.nrm)), 4) >= 0.4""".stripMargin) { (s, dir) =>
       // Two-phase: a codegen'd float prescreen (cosine_sim, one fused
-      // loop) drops the vast majority of pairs; the exact-decimal score
-      // runs only on survivors. The 0.05 margin dwarfs the max
-      // quantization+float error (~1e-3), so the final exact filter
-      // returns exactly the oracle's pairs — this is the generic
-      // sketch-then-verify shape every 100 TB near-dup pass uses.
+      // loop) over COMPACT rows — (id, cell, float vector) only, never
+      // the decimal arrays — drops the vast majority of pairs inside
+      // the join's output pipeline; survivors (bounded by the true
+      // near-dup count) join back to the corpus for the exact-decimal
+      // rescore. The 0.05 margin dwarfs the max quantization+float
+      // error (~1e-3), so the final exact filter returns exactly the
+      // oracle's pairs — generic sketch-then-verify, with the sketch
+      // row kept as small as the arithmetic allows.
       graft.plans.GraftFunctions.register(s)
-      val c = corpus(s, dir)
-      val a = c.select(col("vec_id").as("vec_a"), col("label").as("la"),
-        col("embedding").as("ea"), col("qv").as("qa"), col("nrm").as("na"))
-      val b = c.select(col("vec_id").as("vec_b"), col("label").as("lb"),
-        col("embedding").as("eb"), col("qv").as("qb"), col("nrm").as("nb"))
-      a.join(b, col("vec_a") < col("vec_b") && col("la") === col("lb"))
+      val slim = graft.Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"), col("embedding"))
+      val a = slim.select(col("vec_id").as("vec_a"), col("label").as("la"),
+        col("embedding").as("ea"))
+      val b = slim.select(col("vec_id").as("vec_b"), col("label").as("lb"),
+        col("embedding").as("eb"))
+      // The prescreen exchange is CPU-dense and byte-cheap (a 5 MB
+      // corpus file scans as ONE task, which would then run the whole
+      // quadratic loop serially) — SCALE.md §4's pinning rule:
+      // explicit-N repartition (AQE-coalescing-exempt) spreads the
+      // streamed side at cluster parallelism; the build side is one
+      // broadcast of the compact corpus.
+      val surv = a.repartition(s.sparkContext.defaultParallelism)
+        .join(broadcast(b), col("vec_a") < col("vec_b") && col("la") === col("lb"))
         .filter(call_function("cosine_sim", col("ea"), col("eb")) >= 0.4 - 0.05)
+        .select(col("vec_a"), col("vec_b"))
+      val c = corpus(s, dir)
+      val ca = c.select(col("vec_id").as("vec_a"), col("qv").as("qa"), col("nrm").as("na"))
+      val cb = c.select(col("vec_id").as("vec_b"), col("qv").as("qb"), col("nrm").as("nb"))
+      surv.join(ca, Seq("vec_a")).join(cb, Seq("vec_b"))
         .withColumn("sim", round(expr(dotExpr("qa", "qb")) / (sqrt(col("na")) * sqrt(col("nb"))), 4))
         .filter(col("sim") >= 0.4)
         .select(col("vec_a"), col("vec_b"), col("sim"))
