@@ -22,7 +22,8 @@ object Graft {
   /** Unpersist and forget every session-scoped helper cache for `s`,
     * then sweep any remaining cached relations out of the session's
     * CacheManager (catches per-run `.cache()` frames a query built and
-    * abandoned, e.g. q176's greedy-selection chain). Idempotent and
+    * abandoned — no registered query does this today; the sweep is the
+    * backstop for any future offender). Idempotent and
     * cheap when nothing is cached; the next consumer rebuilds lazily.
     *
     * Call between independent units of work that should not share
