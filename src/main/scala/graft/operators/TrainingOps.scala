@@ -1158,8 +1158,166 @@ object TrainingOps {
         .select(col("source"), col("n_docs"), col("total_chars"),
           col("total_tokens"),
           expr("(1000 * total_tokens) DIV total_chars").as("tokens_per_kilochar"))
-    }
-  )
+    },
+
+    // ----------------------------------------------------------------
+    q("q203_importance_resampling",
+      """DSIR-style data selection (Xie et al., NeurIPS 2023 "Data
+        |Selection for Language Models via Importance Resampling"):
+        |score every document by how much its bigram distribution looks
+        |like a TARGET domain (here sources src1/src2, the curated-
+        |subset stand-in) relative to the raw corpus, and keep the 50
+        |highest-scoring docs. Per-bigram importance = add-one-smoothed
+        |target/raw frequency ratio; the paper's log-likelihood SUM is
+        |deliberately replaced by the count-weighted MEAN ratio (the
+        |q135 move: arithmetic mean instead of geometric ranks the same
+        |direction without transcendentals), so every score is integer
+        |fixed-point (ratio permillion, corpus-prior norm permille)
+        |that both engines compute bit-identically. target SUBSET-OF
+        |raw bounds the ratio at 1e6, which caps every width: k*rho <=
+        |1e10 per doc at sf1 and (total+V)*1000 stays under 2^63 out to
+        |~1e16 corpus bigrams. Scale shape: per-doc bigram counts are
+        |built scan-side (zip_with, no join) and staged ONCE
+        |(localCheckpoint — they feed the model build AND the scoring
+        |join, the q135 discipline); raw and target counts come out of
+        |ONE vocab-sized hash agg (a conditional sum, not a second
+        |corpus pass); the corpus-level totals are a 1-row broadcast;
+        |selection is TakeOrdered(50). No window, no driver data.""".stripMargin,
+      """WITH w AS (SELECT doc_id, source, string_split(lower(text), ' ') AS w FROM documents),
+        |i AS (SELECT doc_id, (source IN ('src1', 'src2')) AS tgt,
+        |        unnest(w[1:len(w)-1]) AS a, unnest(w[2:len(w)]) AS b FROM w),
+        |db AS (SELECT doc_id, tgt, a, b, count(*)::BIGINT AS k FROM i GROUP BY 1, 2, 3, 4),
+        |pair AS (SELECT a, b, CAST(sum(k) AS BIGINT) AS cab,
+        |           CAST(sum(CASE WHEN tgt THEN k ELSE 0 END) AS BIGINT) AS cat
+        |         FROM db GROUP BY 1, 2),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS v,
+        |         CAST(sum(cab) AS BIGINT) AS total_r,
+        |         CAST(sum(cat) AS BIGINT) AS total_t FROM pair),
+        |sc AS (SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+        |         CAST(sum(k * (((cat + 1) * 1000000) // (cab + 1))) AS BIGINT) AS sp
+        |       FROM db JOIN pair USING (a, b) GROUP BY 1)
+        |SELECT doc_id, n_bigrams,
+        |  CAST(((sp // n_bigrams) * (((total_r + v) * 1000) // greatest(total_t + v, 1))) // 1000
+        |    AS BIGINT) AS dsir_score
+        |FROM sc, st
+        |ORDER BY dsir_score DESC, doc_id
+        |LIMIT 50""".stripMargin) { (s, dir) =>
+      val db = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source").isin("src1", "src2").as("tgt"),
+          split(lower(col("text")), " ").as("w"))
+        .select(col("doc_id"), col("tgt"), explode(expr(
+          """zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1),
+            |  (x, y) -> struct(x AS a, y AS b))""".stripMargin)).as("bg"))
+        .select(col("doc_id"), col("tgt"), col("bg.a").as("a"), col("bg.b").as("b"))
+        .groupBy(col("doc_id"), col("tgt"), col("a"), col("b"))
+        .agg(count(lit(1)).as("k"))
+        .localCheckpoint()
+      val pair = db.groupBy(col("a"), col("b"))
+        .agg(sum(col("k")).cast("long").as("cab"),
+          sum(when(col("tgt"), col("k")).otherwise(0L)).cast("long").as("cat"))
+      val st = pair.agg(count(lit(1)).as("v"),
+        sum(col("cab")).cast("long").as("total_r"),
+        sum(col("cat")).cast("long").as("total_t"))
+      db.join(pair, Seq("a", "b"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("k")).cast("long").as("n_bigrams"),
+          sum(col("k") * expr("((cat + 1) * 1000000) DIV (cab + 1)"))
+            .cast("long").as("sp"))
+        .crossJoin(broadcast(st))
+        // greatest(...,1): only reachable on an empty corpus, where the
+        // per-doc agg yields zero groups anyway — but DIV must stay
+        // total under ANSI for EmptyInputSpec
+        .select(col("doc_id"), col("n_bigrams"), expr(
+          """((sp DIV n_bigrams)
+            | * (((total_r + v) * 1000) DIV greatest(total_t + v, 1))) DIV 1000""".stripMargin)
+          .cast("long").as("dsir_score"))
+        .orderBy(col("dsir_score").desc, col("doc_id")).limit(50)
+    },
+
+    // ----------------------------------------------------------------
+    q("q204_perplexity_buckets",
+      """CCNet-style quality bucketing (Wenzek et al., LREC 2020): the
+        |head/middle/tail split that follows model-based scoring in the
+        |published pipeline. Every doc gets q135's corpus-bigram LM
+        |score (same integer fixed-point formula), then each LANGUAGE
+        |is cut at its score terciles — head = best-scoring third.
+        |Boundaries are VALUE-based (the score of the ceil(n/3)-th doc;
+        |ties at a boundary all land in the better bucket), so the
+        |assignment is deterministic with no per-doc ranking. Scale
+        |shape: the tercile boundaries come from HISTOGRAM INVERSION
+        |(the q202 percentile trick) — a lang x score count agg whose
+        |size is bounded by |langs| x 1e6 distinct fixed-point scores,
+        |then a lang-partitioned running sum over those DISTINCT-score
+        |rows (window state bounded by the score space, NOT by |docs|;
+        |ranking all docs per lang would instead sort the whole corpus
+        |through |langs| partitions). The |langs|-row threshold table
+        |broadcasts back and bucketing is scan-side CASE arithmetic.
+        |Output: per (lang, bucket) doc counts and score ranges.""".stripMargin,
+      """WITH w AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS w FROM documents),
+        |i AS (SELECT doc_id, lang, unnest(w[1:len(w)-1]) AS a, unnest(w[2:len(w)]) AS b FROM w),
+        |db AS (SELECT doc_id, lang, a, b, count(*)::BIGINT AS k FROM i GROUP BY 1, 2, 3, 4),
+        |pair AS (SELECT a, b, CAST(sum(k) AS BIGINT) AS cab FROM db GROUP BY 1, 2),
+        |lft AS (SELECT a, CAST(sum(cab) AS BIGINT) AS ca FROM pair GROUP BY 1),
+        |sc AS (SELECT doc_id, lang,
+        |         CAST(CAST(sum(k * ((cab * 1000000) // ca)) AS BIGINT)
+        |              // CAST(sum(k) AS BIGINT) AS BIGINT) AS lm_score
+        |       FROM db JOIN pair USING (a, b) JOIN lft USING (a) GROUP BY 1, 2),
+        |n AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM sc GROUP BY 1),
+        |dist AS (SELECT lang, lm_score, CAST(count(*) AS BIGINT) AS c FROM sc GROUP BY 1, 2),
+        |cum AS (SELECT lang, lm_score,
+        |          CAST(sum(c) OVER (PARTITION BY lang ORDER BY lm_score DESC) AS BIGINT) AS cum
+        |        FROM dist),
+        |thr AS (SELECT c.lang,
+        |          max(CASE WHEN c.cum >= (n.n + 2) // 3 THEN c.lm_score END) AS b1,
+        |          max(CASE WHEN c.cum >= (2 * n.n + 2) // 3 THEN c.lm_score END) AS b2
+        |        FROM cum c JOIN n ON c.lang = n.lang GROUP BY 1)
+        |SELECT s.lang,
+        |  CASE WHEN s.lm_score >= t.b1 THEN 'head'
+        |       WHEN s.lm_score >= t.b2 THEN 'middle' ELSE 'tail' END AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  min(s.lm_score) AS min_score, max(s.lm_score) AS max_score
+        |FROM sc s JOIN thr t ON s.lang = t.lang
+        |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val db = Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), split(lower(col("text")), " ").as("w"))
+        .select(col("doc_id"), col("lang"), explode(expr(
+          """zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1),
+            |  (x, y) -> struct(x AS a, y AS b))""".stripMargin)).as("bg"))
+        .select(col("doc_id"), col("lang"), col("bg.a").as("a"), col("bg.b").as("b"))
+        .groupBy(col("doc_id"), col("lang"), col("a"), col("b"))
+        .agg(count(lit(1)).as("k"))
+        .localCheckpoint()
+      val pair = db.groupBy(col("a"), col("b")).agg(sum(col("k")).as("cab"))
+      val lft = pair.groupBy(col("a")).agg(sum(col("cab")).as("ca"))
+      val sc = db.join(pair, Seq("a", "b")).join(lft, Seq("a"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(sum(col("k")).cast("bigint").as("nb"),
+          sum(col("k") * expr("(cab * 1000000) DIV ca")).as("sp"))
+        .select(col("doc_id"), col("lang"),
+          expr("sp DIV nb").cast("bigint").as("lm_score"))
+      val n = sc.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+      val dist = sc.groupBy(col("lang"), col("lm_score"))
+        .agg(count(lit(1)).as("c"))
+      // running sum over DISTINCT-score rows: no order-key peers, so the
+      // default RANGE..CURRENT ROW frame equals ROWS in both engines
+      val cum = dist.withColumn("cum", sum(col("c")).over(
+        Window.partitionBy(col("lang")).orderBy(col("lm_score").desc)))
+      val thr = cum.join(broadcast(n), Seq("lang"))
+        .groupBy(col("lang"))
+        .agg(max(when(col("cum") >= expr("(n + 2) DIV 3"), col("lm_score"))).as("b1"),
+          max(when(col("cum") >= expr("(2 * n + 2) DIV 3"), col("lm_score"))).as("b2"))
+      sc.join(broadcast(thr), Seq("lang"))
+        .select(col("lang"),
+          when(col("lm_score") >= col("b1"), "head")
+            .when(col("lm_score") >= col("b2"), "middle")
+            .otherwise("tail").as("bucket"),
+          col("lm_score"))
+        .groupBy(col("lang"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("lm_score")).as("min_score"),
+          max(col("lm_score")).as("max_score"))
+    })
 
   /** DuckDB oracle for q129: `k` BPE merge rounds unrolled as CTEs.
     * Round n: extract the bracketed symbol list, count adjacent pairs

@@ -430,4 +430,59 @@ class TrainingOpsSpec extends SparkSpec {
     assert(got == expected, "chi-square diverges from BigInt recompute")
     assert(got.values.exists(_._2 > 0), "fixture should show some drift")
   }
+
+  test("q203 DSIR selection is partitioning-invariant and target-tilted") {
+    // sf0.01: 500 docs, select 50 — at sf0.001 the LIMIT covers the
+    // whole corpus and the tilt assertion would be vacuous
+    val sf01 = "/root/testdata/sf0.01"
+    val d = byName("q203_importance_resampling")
+    def run(parts: String) = withSQLConf("spark.sql.shuffle.partitions" -> parts) {
+      d.run(spark, sf01).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    }
+    val a = run("1")
+    assert(a == run("7") && a.size == 50,
+      "selection must be a pure function of the data")
+    assert(a.map(_._3).sliding(2).forall(p => p.head >= p.last),
+      "rows must come out in descending score order")
+    // the whole point of DSIR: docs from the target sources are
+    // overrepresented in the selection relative to their corpus share
+    val tgt = Set("src1", "src2")
+    val src = Tables.documents(spark, sf01)
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val selShare = a.count { case (id, _, _) => tgt(src(id)) }.toDouble / a.size
+    val corpusShare = src.values.count(tgt).toDouble / src.size
+    assert(selShare > corpusShare,
+      s"target share in selection ($selShare) should beat corpus share ($corpusShare)")
+  }
+
+  test("q204 buckets cut each language at its score terciles") {
+    val sf01 = "/root/testdata/sf0.01"
+    val d = byName("q204_perplexity_buckets")
+    def run(parts: String) = withSQLConf("spark.sql.shuffle.partitions" -> parts) {
+      d.run(spark, sf01).collect().map(r =>
+        (r.getString(0), r.getString(1)) ->
+          ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    }
+    val m = run("5")
+    assert(m == run("3"), "buckets must be partitioning-invariant")
+    val langs = m.keySet.map(_._1)
+    assert(langs.size > 1, "fixture should cover several languages")
+    for (l <- langs) {
+      val n = Seq("head", "middle", "tail").flatMap(b => m.get((l, b)).map(_._1)).sum
+      val head = m((l, "head")) // b1 always defined when the lang is present
+      // value-based cut: ties at a boundary land in the better bucket,
+      // so head >= ceil(n/3) and head+middle >= ceil(2n/3)
+      assert(head._1 >= (n + 2) / 3, s"$l head smaller than a tercile")
+      assert(head._1 + m.get((l, "middle")).map(_._1).getOrElse(0L) >= (2 * n + 2) / 3,
+        s"$l head+middle smaller than two terciles")
+      // score ranges must be disjoint and ordered: head > middle > tail
+      m.get((l, "middle")).foreach { mid =>
+        assert(head._2 > mid._3, s"$l head min must exceed middle max")
+        m.get((l, "tail")).foreach(t => assert(mid._2 > t._3,
+          s"$l middle min must exceed tail max"))
+      }
+    }
+  }
 }
