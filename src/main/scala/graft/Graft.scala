@@ -19,26 +19,6 @@ import org.apache.spark.sql.SparkSession
   */
 object Graft {
 
-  /** Unpersist and forget every session-scoped helper cache for `s`,
-    * then sweep any remaining cached relations out of the session's
-    * CacheManager (catches per-run `.cache()` frames a query built and
-    * abandoned — no registered query does this today; the sweep is the
-    * backstop for any future offender). Idempotent and
-    * cheap when nothing is cached; the next consumer rebuilds lazily.
-    *
-    * Call between independent units of work that should not share
-    * storage budget — Bench and Verify call it before each query, so a
-    * query's measured reps see exactly its own working set and nothing
-    * else's. Do NOT call mid-query-family when reuse is intended
-    * (q130→q131 rebuild their shared edge caches in the next warm-up
-    * rep instead — unmeasured, by design).
-    *
-    * Scope caveat: the final `catalog.clearCache()` sweep clears the
-    * SharedState-level CacheManager, which is CONTEXT-wide — it drops
-    * cached relations of every session sharing the SparkContext, not
-    * just `s`. Harmless for the single-session Bench/Verify drivers;
-    * a future multi-session caller who wants per-session scoping must
-    * sweep only the relations planned by `s` instead. */
   /** Cache FAMILIES: registered queries that co-consume one session-
     * scoped helper artifact (SCALE.md branch-reuse rule: clear between
     * families, never between co-consuming queries). Bench and Verify
@@ -82,6 +62,25 @@ object Graft {
     (anchor, name)
   }
 
+  /** Unpersist and forget every session-scoped helper cache for `s`,
+    * then sweep any remaining cached relations out of the session's
+    * CacheManager (catches per-run `.cache()` frames a query built and
+    * abandoned — no registered query does this today; the sweep is the
+    * backstop for any future offender). Idempotent and
+    * cheap when nothing is cached; the next consumer rebuilds lazily.
+    *
+    * Call between independent units of work that should not share
+    * storage budget — Bench and Verify call it at [[cacheFamilies]]
+    * boundaries, so a family's measured reps see exactly its own
+    * working set and nothing else's. Do NOT call mid-family when reuse
+    * is intended (q130→q131 would rebuild their shared edge caches).
+    *
+    * Scope caveat: the final `catalog.clearCache()` sweep clears the
+    * SharedState-level CacheManager, which is CONTEXT-wide — it drops
+    * cached relations of every session sharing the SparkContext, not
+    * just `s`. Harmless for the single-session Bench/Verify drivers;
+    * a future multi-session caller who wants per-session scoping must
+    * sweep only the relations planned by `s` instead. */
   def clearCaches(s: SparkSession): Unit = {
     operators.Dedup.SessionCache.clearAll(s)
     operators.Curation.clearEdgeCache(s)
