@@ -30,6 +30,10 @@ object Similarity {
   private[operators] val TopK = 5
   private[operators] val Cells = 8  // IVF codebook size — q79's k-means centroids
   private val NProbe = 2 // cells probed per query in q90
+  // q205's near-dup cosine threshold — q36's 0.4: on this isotropic
+  // corpus higher cones are empty, and the 0.05 prescreen margin
+  // still dwarfs the ~1e-3 quantization+float error
+  private val SemDedupTau = 0.4
 
   /** Quantized embedding column: array<decimal(9,4)>. */
   private def quant(c: String): String =
@@ -380,6 +384,120 @@ object Similarity {
       ivf5.join(broadcast(agree), Seq("query_id"), "left")
         .select(col("query_id"), col("neighbor_id"), col("sim"), col("rk"),
           coalesce(col("n_in_exact"), lit(0L)).as("n_in_exact"))
+    },
+
+    q("q205_semdedup",
+      """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 "SemDeDup:
+        |Data-efficient learning at web-scale through semantic
+        |deduplication"): the published embedding-level dedup step —
+        |cluster the corpus with k-means, find within-cluster pairs
+        |above a cosine threshold, and from each such pair KEEP the
+        |example FARTHEST from its centroid (the paper keeps the item
+        |with the lowest similarity to the centroid to preserve
+        |outliers/diversity; here that rank is the same exact-decimal
+        |squared distance the assignment already computed, ties to the
+        |lower vec_id). Distinct from q36, which ENUMERATES near-dup
+        |pairs inside given cells — this is the SELECTION operator:
+        |computed k-means cells (q79's 8-centroid codebook, scan-side
+        |broadcast argmin, ties to lower cid), a removal DECISION per
+        |document, and a per-cluster keep/remove census (8 rows out).
+        |Scale shape: the cluster count is the knob — the paper runs
+        |k~11k on LAION so cluster size, and with it the per-cluster
+        |pair space, stays bounded as the corpus grows (k = O(sqrt n)
+        |keeps total pair work linear-ish); assignment never shuffles
+        |(codebook rides as ONE broadcast array row), the pair stage is
+        |q36's discipline exactly — compact (id, cell, cd, float vec)
+        |rows through a codegen'd float prescreen (margin 0.05 >>
+        |~1e-3 max quantization+float error) with the corpus side
+        |broadcast and the streamed side pinned at cluster parallelism
+        |(SCALE.md §4), exact-decimal rescore on survivors only — and
+        |the removal set (bounded by true near-dup count) broadcasts
+        |back onto the |corpus|-row assignment for the final 8-row
+        |census. The compact assignment frame is staged once
+        |(localCheckpoint): it feeds both prescreen sides and the
+        |census.""".stripMargin,
+      s"""WITH $oracleBase,
+         |cent AS (SELECT vec_id AS cid, i, v AS cv FROM e WHERE vec_id < $Cells),
+         |cdist AS (
+         |  SELECT a.vec_id, c.cid,
+         |    CAST(sum(CAST((a.v - c.cv) * (a.v - c.cv) AS DECIMAL(38,8)))
+         |         AS DECIMAL(38,8)) AS d
+         |  FROM e a JOIN cent c ON a.i = c.i
+         |  GROUP BY 1, 2),
+         |assign AS (SELECT vec_id, cid, d FROM (
+         |    SELECT vec_id, cid, d,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+         |    FROM cdist) WHERE rn = 1),
+         |dots AS (
+         |  SELECT a.vec_id AS va, b.vec_id AS vb,
+         |    CAST(sum(a.v * b.v) AS DOUBLE) AS dot
+         |  FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
+         |  JOIN assign sa ON sa.vec_id = a.vec_id
+         |  JOIN assign sb ON sb.vec_id = b.vec_id AND sa.cid = sb.cid
+         |  GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT d.va, d.vb,
+         |    round(d.dot / (sqrt(na.nrm) * sqrt(nb.nrm)), 4) AS sim
+         |  FROM dots d
+         |  JOIN nrm na ON na.vec_id = d.va
+         |  JOIN nrm nb ON nb.vec_id = d.vb
+         |  WHERE round(d.dot / (sqrt(na.nrm) * sqrt(nb.nrm)), 4) >= $SemDedupTau),
+         |rm AS (
+         |  SELECT DISTINCT CASE WHEN sa.d > sb.d THEN p.vb
+         |                       WHEN sa.d < sb.d THEN p.va
+         |                       ELSE greatest(p.va, p.vb) END AS vec_id
+         |  FROM pairs p
+         |  JOIN assign sa ON sa.vec_id = p.va
+         |  JOIN assign sb ON sb.vec_id = p.vb)
+         |SELECT a.cid AS centroid_id, CAST(count(*) AS BIGINT) AS n_assigned,
+         |  CAST(count(r.vec_id) AS BIGINT) AS n_removed,
+         |  CAST(count(*) - count(r.vec_id) AS BIGINT) AS n_kept
+         |FROM assign a LEFT JOIN rm r ON r.vec_id = a.vec_id
+         |GROUP BY 1""".stripMargin) { (s, dir) =>
+      graft.plans.GraftFunctions.register(s)
+      val c = corpus(s, dir)
+      // q90's codebook/assignment shape verbatim: 8 centroids as one
+      // broadcast array row, exact-decimal argmin computed scan-side;
+      // array_min over (d, cid) structs also hands back d — the
+      // distance to the ASSIGNED centroid, which is the keep-rank
+      val centsArr = c.filter(col("vec_id") < Cells)
+        .select(struct(col("vec_id").as("cid"), col("qv").as("cv")).as("ct"))
+        .agg(sort_array(collect_list(col("ct"))).as("cents"))
+      val cdsExpr = "array_min(transform(cents, ct -> named_struct(" +
+        "'d', aggregate(zip_with(qv, ct.cv, (x, y) -> (x - y) * (x - y)), " +
+        "CAST(0 AS DECIMAL(30,8)), (acc, v) -> CAST(acc + v AS DECIMAL(30,8))), " +
+        "'cid', ct.cid)))"
+      val slim = c.crossJoin(broadcast(centsArr))
+        .withColumn("m", expr(cdsExpr))
+        .select(col("vec_id"), col("embedding"), col("m.cid").as("cid"),
+          col("m.d").as("cd"))
+        .localCheckpoint()
+      val a = slim.select(col("vec_id").as("vec_a"), col("cid").as("ca"),
+        col("cd").as("cda"), col("embedding").as("ea"))
+      val b = slim.select(col("vec_id").as("vec_b"), col("cid").as("cb"),
+        col("cd").as("cdb"), col("embedding").as("eb"))
+      val surv = a.repartition(s.sparkContext.defaultParallelism)
+        .join(broadcast(b), col("vec_a") < col("vec_b") && col("ca") === col("cb"))
+        .filter(call_function("cosine_sim", col("ea"), col("eb")) >= SemDedupTau - 0.05)
+        .select(col("vec_a"), col("vec_b"), col("cda"), col("cdb"))
+      val ca2 = c.select(col("vec_id").as("vec_a"), col("qv").as("qa"), col("nrm").as("na"))
+      val cb2 = c.select(col("vec_id").as("vec_b"), col("qv").as("qb"), col("nrm").as("nb"))
+      val removed = surv.join(ca2, Seq("vec_a")).join(cb2, Seq("vec_b"))
+        .withColumn("sim",
+          round(expr(dotExpr("qa", "qb")) / (sqrt(col("na")) * sqrt(col("nb"))), 4))
+        .filter(col("sim") >= SemDedupTau)
+        .select(when(col("cda") > col("cdb"), col("vec_b"))
+          .when(col("cda") < col("cdb"), col("vec_a"))
+          .otherwise(greatest(col("vec_a"), col("vec_b"))).as("vec_id"))
+        .distinct()
+        .withColumn("rm", lit(1L))
+      slim.select(col("vec_id"), col("cid"))
+        .join(broadcast(removed), Seq("vec_id"), "left")
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("n_assigned"),
+          sum(coalesce(col("rm"), lit(0L))).cast("long").as("n_removed"))
+        .select(col("cid").as("centroid_id"), col("n_assigned"), col("n_removed"),
+          (col("n_assigned") - col("n_removed")).as("n_kept"))
     },
 
     PQ.q109,

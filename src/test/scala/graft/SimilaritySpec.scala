@@ -34,4 +34,57 @@ class SimilaritySpec extends SparkSpec {
     assert(agg.size == win.size)
     assert(agg == win)
   }
+
+  test("q205 semdedup census equals a BigDecimal in-memory replay") {
+    val dir01 = "/root/testdata/sf0.01" // 500 vectors — sf0.001 is the same file
+    val d = SparkEntry.all.find(_.name == "q205_semdedup").get
+    def run(parts: String) = withSQLConf("spark.sql.shuffle.partitions" -> parts) {
+      d.run(spark, dir01).collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    }
+    val got = run("4")
+    assert(got == run("9"), "census must be partitioning-invariant")
+
+    // Independent replay of the whole decision chain in exact BigDecimal
+    // (same contract as the engines: quantize HALF_UP to 4dp, exact
+    // squared distances and dots, double division only at the final
+    // 4dp-rounded cosine).
+    val emb: Map[Long, Array[BigDecimal]] = spark.read
+      .parquet(s"$dir01/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(x =>
+        BigDecimal(x.toDouble).setScale(4, BigDecimal.RoundingMode.HALF_UP)).toArray)
+      .toMap
+    def sqdist(a: Array[BigDecimal], b: Array[BigDecimal]): BigDecimal =
+      a.lazyZip(b).map((x, y) => (x - y) * (x - y)).sum
+    def dot(a: Array[BigDecimal], b: Array[BigDecimal]): BigDecimal =
+      a.lazyZip(b).map(_ * _).sum
+    val cents = (0L until 8L).map(cid => cid -> emb(cid))
+    val assign: Map[Long, (Long, BigDecimal)] = emb.map { case (id, v) =>
+      id -> cents.map { case (cid, cv) => (sqdist(v, cv), cid) }
+        .minBy(identity)(Ordering.Tuple2(Ordering[BigDecimal], Ordering[Long]))
+        .swap
+    }
+    val nrm: Map[Long, Double] = emb.map { case (id, v) => id -> dot(v, v).toDouble }
+    def sim(a: Long, b: Long): Double =
+      BigDecimal(dot(emb(a), emb(b)).toDouble / (math.sqrt(nrm(a)) * math.sqrt(nrm(b))))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val byCell = assign.keys.toSeq.groupBy(id => assign(id)._1)
+    val removed = scala.collection.mutable.Set.empty[Long]
+    for ((_, ids) <- byCell; s = ids.sorted;
+         i <- s.indices; j <- (i + 1) until s.size
+         if sim(s(i), s(j)) >= 0.4) {
+      val (a, b) = (s(i), s(j))
+      val (cda, cdb) = (assign(a)._2, assign(b)._2)
+      removed += (if (cda > cdb) b else if (cda < cdb) a else math.max(a, b))
+    }
+    val expected = byCell.map { case (cid, ids) =>
+      val rm = ids.count(removed)
+      cid -> ((ids.size.toLong, rm.toLong, (ids.size - rm).toLong))
+    }
+    assert(got == expected, "census diverges from the BigDecimal replay")
+    assert(removed.nonEmpty, "fixture should remove at least one near-dup")
+    assert(got.values.map(_._1).sum == emb.size.toLong,
+      "every vector is assigned exactly once")
+  }
 }
