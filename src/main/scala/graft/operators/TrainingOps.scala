@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import graft.QueryDef.q
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Training-data pipeline operators beyond cleaning/dedup: the steps
@@ -1278,46 +1278,72 @@ object TrainingOps {
         |  min(s.lm_score) AS min_score, max(s.lm_score) AS max_score
         |FROM sc s JOIN thr t ON s.lang = t.lang
         |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val db = Tables.documents(s, dir)
-        .select(col("doc_id"), col("lang"), split(lower(col("text")), " ").as("w"))
-        .select(col("doc_id"), col("lang"), explode(expr(
-          """zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1),
-            |  (x, y) -> struct(x AS a, y AS b))""".stripMargin)).as("bg"))
-        .select(col("doc_id"), col("lang"), col("bg.a").as("a"), col("bg.b").as("b"))
-        .groupBy(col("doc_id"), col("lang"), col("a"), col("b"))
-        .agg(count(lit(1)).as("k"))
-        .localCheckpoint()
-      val pair = db.groupBy(col("a"), col("b")).agg(sum(col("k")).as("cab"))
-      val lft = pair.groupBy(col("a")).agg(sum(col("cab")).as("ca"))
-      val sc = db.join(pair, Seq("a", "b")).join(lft, Seq("a"))
-        .groupBy(col("doc_id"), col("lang"))
-        .agg(sum(col("k")).cast("bigint").as("nb"),
-          sum(col("k") * expr("(cab * 1000000) DIV ca")).as("sp"))
-        .select(col("doc_id"), col("lang"),
-          expr("sp DIV nb").cast("bigint").as("lm_score"))
-      val n = sc.groupBy(col("lang")).agg(count(lit(1)).as("n"))
-      val dist = sc.groupBy(col("lang"), col("lm_score"))
-        .agg(count(lit(1)).as("c"))
-      // running sum over DISTINCT-score rows: no order-key peers, so the
-      // default RANGE..CURRENT ROW frame equals ROWS in both engines
-      val cum = dist.withColumn("cum", sum(col("c")).over(
-        Window.partitionBy(col("lang")).orderBy(col("lm_score").desc)))
-      val thr = cum.join(broadcast(n), Seq("lang"))
-        .groupBy(col("lang"))
-        .agg(max(when(col("cum") >= expr("(n + 2) DIV 3"), col("lm_score"))).as("b1"),
-          max(when(col("cum") >= expr("(2 * n + 2) DIV 3"), col("lm_score"))).as("b2"))
+      val sc = lmScores(s, dir)
+      val thr = tercileThresholds(sc)
       sc.join(broadcast(thr), Seq("lang"))
-        .select(col("lang"),
-          when(col("lm_score") >= col("b1"), "head")
-            .when(col("lm_score") >= col("b2"), "middle")
-            .otherwise("tail").as("bucket"),
-          col("lm_score"))
+        .select(col("lang"), bucketExpr.as("bucket"), col("lm_score"))
         .groupBy(col("lang"), col("bucket"))
         .agg(count(lit(1)).as("n_docs"),
           min(col("lm_score")).as("min_score"),
           max(col("lm_score")).as("max_score"))
     })
+
+  /** q204's per-doc corpus-bigram LM score (doc_id, lang, lm_score) —
+    * q135's integer fixed-point formula, carried with the language key
+    * for the tercile cut. Per-doc bigram counts are staged once
+    * (localCheckpoint): they feed the model build AND the scoring
+    * join. */
+  private[graft] def lmScores(s: SparkSession, dir: String): DataFrame = {
+    val db = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), split(lower(col("text")), " ").as("w"))
+      .select(col("doc_id"), col("lang"), explode(expr(
+        """zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1),
+          |  (x, y) -> struct(x AS a, y AS b))""".stripMargin)).as("bg"))
+      .select(col("doc_id"), col("lang"), col("bg.a").as("a"), col("bg.b").as("b"))
+      .groupBy(col("doc_id"), col("lang"), col("a"), col("b"))
+      .agg(count(lit(1)).as("k"))
+      .localCheckpoint()
+    val pair = db.groupBy(col("a"), col("b")).agg(sum(col("k")).as("cab"))
+    val lft = pair.groupBy(col("a")).agg(sum(col("cab")).as("ca"))
+    db.join(pair, Seq("a", "b")).join(lft, Seq("a"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("k")).cast("bigint").as("nb"),
+        sum(col("k") * expr("(cab * 1000000) DIV ca")).as("sp"))
+      .select(col("doc_id"), col("lang"),
+        expr("sp DIV nb").cast("bigint").as("lm_score"))
+  }
+
+  /** q204's per-language tercile boundaries (lang, b1, b2) by
+    * histogram inversion: a lang x distinct-score count agg, a
+    * lang-partitioned running sum over those DISTINCT-score rows
+    * (window state bounded by the fixed-point score DOMAIN, not by
+    * |docs|), and a |langs|-row threshold extraction. This is the
+    * OFFLINE model-building half of the CCNet split; the streaming
+    * census (streaming/StreamBuckets) consumes its output as a
+    * static broadcast. */
+  private[graft] def tercileThresholds(sc: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val n = sc.groupBy(col("lang")).agg(count(lit(1)).as("n"))
+    val dist = sc.groupBy(col("lang"), col("lm_score"))
+      .agg(count(lit(1)).as("c"))
+    // running sum over DISTINCT-score rows: no order-key peers, so the
+    // default RANGE..CURRENT ROW frame equals ROWS in both engines
+    val cum = dist.withColumn("cum", sum(col("c")).over(
+      Window.partitionBy(col("lang")).orderBy(col("lm_score").desc)))
+    cum.join(broadcast(n), Seq("lang"))
+      .groupBy(col("lang"))
+      .agg(max(when(col("cum") >= expr("(n + 2) DIV 3"), col("lm_score"))).as("b1"),
+        max(when(col("cum") >= expr("(2 * n + 2) DIV 3"), col("lm_score"))).as("b2"))
+  }
+
+  /** The value-based bucket assignment shared verbatim by batch q204
+    * and its streaming twin — requires lm_score, b1, b2 in scope
+    * (i.e. after the threshold join). Ties at a boundary land in the
+    * better bucket. */
+  private[graft] def bucketExpr: Column =
+    when(col("lm_score") >= col("b1"), "head")
+      .when(col("lm_score") >= col("b2"), "middle")
+      .otherwise("tail")
 
   /** DuckDB oracle for q129: `k` BPE merge rounds unrolled as CTEs.
     * Round n: extract the bracketed symbol list, count adjacent pairs
