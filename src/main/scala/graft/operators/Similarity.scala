@@ -482,7 +482,11 @@ object Similarity {
         .select(col("vec_a"), col("vec_b"), col("cda"), col("cdb"))
       val ca2 = c.select(col("vec_id").as("vec_a"), col("qv").as("qa"), col("nrm").as("na"))
       val cb2 = c.select(col("vec_id").as("vec_b"), col("qv").as("qb"), col("nrm").as("nb"))
-      val removed = surv.join(ca2, Seq("vec_a")).join(cb2, Seq("vec_b"))
+      // survivors (bounded by the true near-dup count) broadcast onto
+      // the corpus scans for the rescore — the corpus itself never
+      // shuffles anywhere in this plan (PlanGuard pins the shape)
+      val removed = cb2
+        .join(broadcast(ca2.join(broadcast(surv), Seq("vec_a"))), Seq("vec_b"))
         .withColumn("sim",
           round(expr(dotExpr("qa", "qb")) / (sqrt(col("na")) * sqrt(col("nb"))), 4))
         .filter(col("sim") >= SemDedupTau)
