@@ -398,50 +398,68 @@ object Similarity {
         |squared distance the assignment already computed, ties to the
         |lower vec_id). Distinct from q36, which ENUMERATES near-dup
         |pairs inside given cells — this is the SELECTION operator:
-        |computed k-means cells (q79's 8-centroid codebook, scan-side
-        |broadcast argmin, ties to lower cid), a removal DECISION per
-        |document, and a per-cluster keep/remove census (8 rows out).
-        |Scale shape: the cluster count is the knob — the paper runs
-        |k~11k on LAION so cluster size, and with it the per-cluster
-        |pair space, stays bounded as the corpus grows (k = O(sqrt n)
-        |keeps total pair work linear-ish); assignment never shuffles
-        |(codebook rides as ONE broadcast array row), the pair stage is
-        |q36's discipline exactly — compact (id, cell, cd, float vec)
-        |rows through a codegen'd float prescreen (margin 0.05 >>
-        |~1e-3 max quantization+float error) with the corpus side
-        |broadcast and the streamed side pinned at cluster parallelism
-        |(SCALE.md §4), exact-decimal rescore on survivors only — and
-        |the removal set (bounded by true near-dup count) broadcasts
-        |back onto the |corpus|-row assignment for the final 8-row
-        |census. The compact assignment frame is staged once
-        |(localCheckpoint): it feeds both prescreen sides and the
-        |census.""".stripMargin,
+        |computed k-means cells (scan-side broadcast argmin, ties to
+        |lower cid), a removal DECISION per document, and a per-cluster
+        |keep/remove census (k rows out). The cluster count is the
+        |paper's own scale knob (k~11k on LAION) and here it is LIVE,
+        |not cited: k = max(8, floor(sqrt(n))) centroids (vec_id < k,
+        |deterministic seeding; IEEE sqrt is correctly rounded so both
+        |engines derive the same k from the same count). Fixed k is
+        |exactly the §4 sketch-saturation class — pair space n²/2k goes
+        |quadratic at fixed k (measured: 41x wall-clock for 30x data at
+        |k=8, SCALE.md §8) — while k=Θ(sqrt n) bounds total pair work
+        |at Θ(n^1.5) and was measured back under the scan envelope.
+        |Assignment never shuffles (codebook rides as ONE broadcast
+        |array row; the Θ(n·k) distance work is the native integer
+        |sq_dist_long kernel over ten-thousandths, not a decimal HOF
+        |fold). The pair stage CO-LOCATES BY CELL — compact (id, cell,
+        |cd, float vec) rows hash-partitioned on cid at explicit N
+        |(cells are ~sqrt n rows, balanced by construction; a
+        |whole-corpus broadcast, q36's shape, cannot ship at 100 TB)
+        |into a SHUFFLE_HASH self-join, with the codegen'd float
+        |cosine prescreen (margin 0.05 >> ~1e-3 max quantization+float
+        |error) inside the join pipeline. The exact-decimal rescore
+        |runs on SURVIVOR-sized rows only: survivors broadcast onto
+        |plain float scans and the quantize/norm/dot decimal math
+        |happens after the joins, never corpus-wide. The removal set
+        |(bounded by true near-dup count) broadcasts back onto the
+        ||corpus|-row assignment for the final k-row census. The
+        |compact assignment frame is staged once (localCheckpoint): it
+        |feeds both prescreen sides and the census.""".stripMargin,
       s"""WITH $oracleBase,
-         |cent AS (SELECT vec_id AS cid, i, v AS cv FROM e WHERE vec_id < $Cells),
+         |kk AS (SELECT greatest(8, CAST(floor(sqrt(CAST(count(*) AS DOUBLE)))
+         |         AS BIGINT)) AS k FROM embeddings),
+         |iv AS (SELECT vec_id, i, CAST(v * 10000 AS BIGINT) AS x FROM e),
+         |cent AS (SELECT c.vec_id AS cid, c.i, c.x AS cx
+         |         FROM iv c, kk WHERE c.vec_id < kk.k),
          |cdist AS (
          |  SELECT a.vec_id, c.cid,
-         |    CAST(sum(CAST((a.v - c.cv) * (a.v - c.cv) AS DECIMAL(38,8)))
-         |         AS DECIMAL(38,8)) AS d
-         |  FROM e a JOIN cent c ON a.i = c.i
+         |    CAST(sum((a.x - c.cx) * (a.x - c.cx)) AS BIGINT) AS d
+         |  FROM iv a JOIN cent c ON a.i = c.i
          |  GROUP BY 1, 2),
          |assign AS (SELECT vec_id, cid, d FROM (
          |    SELECT vec_id, cid, d,
          |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
          |    FROM cdist) WHERE rn = 1),
+         |nl AS (SELECT vec_id, CAST(sum(x * x) AS BIGINT) AS nl FROM iv GROUP BY 1),
          |dots AS (
          |  SELECT a.vec_id AS va, b.vec_id AS vb,
-         |    CAST(sum(a.v * b.v) AS DOUBLE) AS dot
-         |  FROM e a JOIN e b ON a.i = b.i AND a.vec_id < b.vec_id
+         |    CAST(sum(a.x * b.x) AS BIGINT) AS dl
+         |  FROM iv a JOIN iv b ON a.i = b.i AND a.vec_id < b.vec_id
          |  JOIN assign sa ON sa.vec_id = a.vec_id
          |  JOIN assign sb ON sb.vec_id = b.vec_id AND sa.cid = sb.cid
          |  GROUP BY 1, 2),
          |pairs AS (
          |  SELECT d.va, d.vb,
-         |    round(d.dot / (sqrt(na.nrm) * sqrt(nb.nrm)), 4) AS sim
+         |    round((CAST(d.dl AS DOUBLE) / 1e8) /
+         |      (sqrt(CAST(na.nl AS DOUBLE) / 1e8)
+         |        * sqrt(CAST(nb.nl AS DOUBLE) / 1e8)), 4) AS sim
          |  FROM dots d
-         |  JOIN nrm na ON na.vec_id = d.va
-         |  JOIN nrm nb ON nb.vec_id = d.vb
-         |  WHERE round(d.dot / (sqrt(na.nrm) * sqrt(nb.nrm)), 4) >= $SemDedupTau),
+         |  JOIN nl na ON na.vec_id = d.va
+         |  JOIN nl nb ON nb.vec_id = d.vb
+         |  WHERE round((CAST(d.dl AS DOUBLE) / 1e8) /
+         |      (sqrt(CAST(na.nl AS DOUBLE) / 1e8)
+         |        * sqrt(CAST(nb.nl AS DOUBLE) / 1e8)), 4) >= $SemDedupTau),
          |rm AS (
          |  SELECT DISTINCT CASE WHEN sa.d > sb.d THEN p.vb
          |                       WHEN sa.d < sb.d THEN p.va
@@ -455,40 +473,83 @@ object Similarity {
          |FROM assign a LEFT JOIN rm r ON r.vec_id = a.vec_id
          |GROUP BY 1""".stripMargin) { (s, dir) =>
       graft.plans.GraftFunctions.register(s)
-      val c = corpus(s, dir)
-      // q90's codebook/assignment shape verbatim: 8 centroids as one
-      // broadcast array row, exact-decimal argmin computed scan-side;
+      val N = s.sparkContext.defaultParallelism
+      // q90's codebook/assignment shape, with the codebook size scaled
+      // to the corpus: k = max(8, floor(sqrt(n))) centroids as one
+      // broadcast array row. Distances run in exact integer
+      // ten-thousandths (the 4-decimal quantization grid scaled by
+      // 10^4) through the native sq_dist_long kernel — same values
+      // the DECIMAL path would compare, at long-arithmetic cost, which
+      // is what makes the Θ(n·k) assignment affordable at k=Θ(sqrt n).
       // array_min over (d, cid) structs also hands back d — the
-      // distance to the ASSIGNED centroid, which is the keep-rank
-      val centsArr = c.filter(col("vec_id") < Cells)
-        .select(struct(col("vec_id").as("cid"), col("qv").as("cv")).as("ct"))
+      // distance to the ASSIGNED centroid, which is the keep-rank.
+      val kk = Tables.embeddings(s, dir).agg(
+        greatest(lit(8L), floor(sqrt(count(lit(1)).cast("double"))).cast("long"))
+          .as("k"))
+      val cI = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"),
+          expr(s"transform(${quant("embedding")}, x -> CAST(x * 10000 AS BIGINT))")
+            .as("iv"))
+      val centsArr = cI.crossJoin(broadcast(kk))
+        .filter(col("vec_id") < col("k"))
+        .select(struct(col("vec_id").as("cid"), col("iv").as("icv")).as("ct"))
         .agg(sort_array(collect_list(col("ct"))).as("cents"))
       val cdsExpr = "array_min(transform(cents, ct -> named_struct(" +
-        "'d', aggregate(zip_with(qv, ct.cv, (x, y) -> (x - y) * (x - y)), " +
-        "CAST(0 AS DECIMAL(30,8)), (acc, v) -> CAST(acc + v AS DECIMAL(30,8))), " +
-        "'cid', ct.cid)))"
-      val slim = c.crossJoin(broadcast(centsArr))
+        "'d', sq_dist_long(iv, ct.icv), 'cid', ct.cid)))"
+      // explicit-N repartition: the corpus parquet can scan as a few
+      // tasks, which would serialize the CPU-dense assignment + the
+      // prescreen that reads the same frame (SCALE.md §4 pinning rule)
+      val slim = cI.repartition(N)
+        .crossJoin(broadcast(centsArr))
         .withColumn("m", expr(cdsExpr))
-        .select(col("vec_id"), col("embedding"), col("m.cid").as("cid"),
-          col("m.d").as("cd"))
+        .select(col("vec_id"), col("embedding"), col("iv"),
+          call_function("dot_long", col("iv"), col("iv")).as("nl"),
+          col("m.cid").as("cid"), col("m.d").as("cd"))
         .localCheckpoint()
+      // pair stage: CO-LOCATE BY CELL, don't broadcast the corpus —
+      // a whole-corpus broadcast (q36's shape) is fine for fixed tiny
+      // cells but is exactly what cannot ship at 100 TB; with
+      // k=Θ(sqrt n) cells of ~sqrt n rows each, a hash-partition on
+      // cid is balanced by construction and each partition holds whole
+      // cells. Explicit-N repartition on the join key both pins the
+      // CPU-dense exchange at cluster parallelism (§4 rule — the
+      // bytes are tiny, the per-pair cosine work is not) and already
+      // satisfies the join's required distribution, so the
+      // SHUFFLE_HASH join adds no further exchange. The prescreen
+      // rows stay compact: float vec for the codegen cosine, nothing
+      // else rides along.
       val a = slim.select(col("vec_id").as("vec_a"), col("cid").as("ca"),
-        col("cd").as("cda"), col("embedding").as("ea"))
+        col("embedding").as("ea"))
+        .repartition(N, col("ca"))
       val b = slim.select(col("vec_id").as("vec_b"), col("cid").as("cb"),
-        col("cd").as("cdb"), col("embedding").as("eb"))
-      val surv = a.repartition(s.sparkContext.defaultParallelism)
-        .join(broadcast(b), col("vec_a") < col("vec_b") && col("ca") === col("cb"))
+        col("embedding").as("eb"))
+        .repartition(N, col("cb"))
+      val surv = a
+        .join(b.hint("SHUFFLE_HASH"),
+          col("ca") === col("cb") && col("vec_a") < col("vec_b"))
         .filter(call_function("cosine_sim", col("ea"), col("eb")) >= SemDedupTau - 0.05)
-        .select(col("vec_a"), col("vec_b"), col("cda"), col("cdb"))
-      val ca2 = c.select(col("vec_id").as("vec_a"), col("qv").as("qa"), col("nrm").as("na"))
-      val cb2 = c.select(col("vec_id").as("vec_b"), col("qv").as("qb"), col("nrm").as("nb"))
-      // survivors (bounded by the true near-dup count) broadcast onto
-      // the corpus scans for the rescore — the corpus itself never
-      // shuffles anywhere in this plan (PlanGuard pins the shape)
-      val removed = cb2
-        .join(broadcast(ca2.join(broadcast(surv), Seq("vec_a"))), Seq("vec_b"))
-        .withColumn("sim",
-          round(expr(dotExpr("qa", "qb")) / (sqrt(col("na")) * sqrt(col("nb"))), 4))
+        .select(col("vec_a"), col("vec_b"))
+      // exact rescore: survivors are output-sized (the TRUE near-dup
+      // pair count — on a replica-heavy corpus that is legitimately
+      // large, so neither side may assume broadcastability) and join
+      // back to the staged assignment by id through SHUFFLE_HASH
+      // equi-joins (SMJ would sort the 64-long vectors with the rows —
+      // the q130 lesson). The cosine divides exact-integer-sourced
+      // doubles: long dot/norms are exact below 2^53, each /1e8 and
+      // the final division round once — both engines reproduce every
+      // sim bit-for-bit with no decimal->double cast hazard, and the
+      // per-pair cost is one native dot_long call.
+      val ivA = slim.select(col("vec_id").as("vec_a"), col("iv").as("iva"),
+        col("nl").as("nla"), col("cd").as("cda"))
+      val ivB = slim.select(col("vec_id").as("vec_b"), col("iv").as("ivb"),
+        col("nl").as("nlb"), col("cd").as("cdb"))
+      val removed = surv
+        .join(ivA.hint("SHUFFLE_HASH"), Seq("vec_a"))
+        .join(ivB.hint("SHUFFLE_HASH"), Seq("vec_b"))
+        .withColumn("sim", round(
+          (call_function("dot_long", col("iva"), col("ivb")).cast("double") / lit(1e8)) /
+            (sqrt(col("nla").cast("double") / lit(1e8)) *
+              sqrt(col("nlb").cast("double") / lit(1e8))), 4))
         .filter(col("sim") >= SemDedupTau)
         .select(when(col("cda") > col("cdb"), col("vec_b"))
           .when(col("cda") < col("cdb"), col("vec_a"))

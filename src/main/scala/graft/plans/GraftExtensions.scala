@@ -33,6 +33,20 @@ object GraftFunctions {
           s"cosine_sim expects exactly 2 arguments, got ${children.size}")
         CosineSimilarity(children.head, children(1))
       }),
+    (FunctionIdentifier("sq_dist_long"),
+      new ExpressionInfo(classOf[SqDistLong].getName, "sq_dist_long"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"sq_dist_long expects exactly 2 arguments, got ${children.size}")
+        SqDistLong(children.head, children(1))
+      }),
+    (FunctionIdentifier("dot_long"),
+      new ExpressionInfo(classOf[DotLong].getName, "dot_long"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2,
+          s"dot_long expects exactly 2 arguments, got ${children.size}")
+        DotLong(children.head, children(1))
+      }),
     (FunctionIdentifier("rolling_hash"),
       new ExpressionInfo(classOf[RollingHash].getName, "rolling_hash"),
       (children: Seq[Expression]) => {

@@ -148,7 +148,8 @@ class PlanGuardSpec extends SparkSpec {
       "q92_contamination",          // eval-benchmark side broadcasts
       "q109_knn_pq",                // PQ recall accounting vs exact ref
       "q110_knn_pq_rerank",         // shortlist + query-side broadcasts
-      "q205_semdedup",              // prescreen/rescore/census all broadcast-sided
+      "q205_semdedup",              // rescore/census broadcast; cell-partitioned
+                                    // prescreen must stay SHUFFLE_HASH, not SMJ
 
       "q5_multiway_join",           // orders ⋈ broadcast dim chain (J4)
       "q60_local_supplier_volume",  // TPC-H Q5 star: dims broadcast

@@ -55,19 +55,25 @@ class SimilaritySpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getSeq[Float](1).map(x =>
         BigDecimal(x.toDouble).setScale(4, BigDecimal.RoundingMode.HALF_UP)).toArray)
       .toMap
-    def sqdist(a: Array[BigDecimal], b: Array[BigDecimal]): BigDecimal =
-      a.lazyZip(b).map((x, y) => (x - y) * (x - y)).sum
-    def dot(a: Array[BigDecimal], b: Array[BigDecimal]): BigDecimal =
-      a.lazyZip(b).map(_ * _).sum
-    val cents = (0L until 8L).map(cid => cid -> emb(cid))
-    val assign: Map[Long, (Long, BigDecimal)] = emb.map { case (id, v) =>
-      id -> cents.map { case (cid, cv) => (sqdist(v, cv), cid) }
-        .minBy(identity)(Ordering.Tuple2(Ordering[BigDecimal], Ordering[Long]))
-        .swap
+    // all arithmetic in exact integer ten-thousandths (the
+    // sq_dist_long/dot_long contract: quantized grid scaled by 10^4)
+    val embI: Map[Long, Array[Long]] = emb.map { case (id, v) =>
+      id -> v.map(x => (x * 10000).toLongExact)
     }
-    val nrm: Map[Long, Double] = emb.map { case (id, v) => id -> dot(v, v).toDouble }
+    def sqdist(a: Array[Long], b: Array[Long]): Long =
+      a.lazyZip(b).map((x, y) => (x - y) * (x - y)).sum
+    def dotL(a: Array[Long], b: Array[Long]): Long =
+      a.lazyZip(b).map(_ * _).sum
+    val k = math.max(8L, math.floor(math.sqrt(emb.size.toDouble)).toLong)
+    val cents = (0L until k).map(cid => cid -> embI(cid))
+    val assign: Map[Long, (Long, Long)] = embI.map { case (id, v) =>
+      id -> cents.map { case (cid, cv) => (sqdist(v, cv), cid) }
+        .min.swap
+    }
+    val nl: Map[Long, Long] = embI.map { case (id, v) => id -> dotL(v, v) }
     def sim(a: Long, b: Long): Double =
-      BigDecimal(dot(emb(a), emb(b)).toDouble / (math.sqrt(nrm(a)) * math.sqrt(nrm(b))))
+      BigDecimal((dotL(embI(a), embI(b)).toDouble / 1e8) /
+          (math.sqrt(nl(a).toDouble / 1e8) * math.sqrt(nl(b).toDouble / 1e8)))
         .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     val byCell = assign.keys.toSeq.groupBy(id => assign(id)._1)
     val removed = scala.collection.mutable.Set.empty[Long]
