@@ -825,6 +825,62 @@ object Dedup {
           expr("(1000 * CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)) DIV count(1)")
             .as("dup_permille"),
           expr("(1000 * max(n_novel)) DIV max(n_shingles)").as("novel_permille"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q208_boilerplate_chunks",
+      """Boilerplate-chunk REMOVAL — the C4 line filter (Raffel et al.
+        |2020) as RefinedWeb re-states it (Penedo et al. 2023): a
+        |chunk whose content appears in >= 3 DISTINCT documents is
+        |boilerplate (nav bars, licence footers) and EVERY occurrence
+        |is dropped — complementing q95, which keeps the FIRST copy of
+        |every chunk (dedup), where this keeps NONE of the repeated
+        |ones (template removal). Same fixed 8-token chunking as q95
+        |(the corpus has no newlines to cut at). Per doc: chunk
+        |counts, removed counts, and the md5 of the reassembled
+        |cleaned text. Scale shape: chunks shuffle ONCE on their
+        |content hash for the distinct-doc census; the census joins
+        |back on that same key (co-partitioned); reassembly is a
+        |doc-bounded sorted collect. The census relation is bounded
+        |by |distinct chunks|, never materializing pairs — the same
+        |discipline as q95/q168.""".stripMargin,
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |ch AS (
+        |  SELECT doc_id, i AS idx,
+        |    array_to_string(w[8*i+1 : 8*i+8], ' ') AS chunk
+        |  FROM w, unnest(range(0, (len(w) + 7) // 8)) AS t(i)),
+        |census AS (
+        |  SELECT md5(chunk) AS ck, CAST(count(DISTINCT doc_id) AS BIGINT) AS nd
+        |  FROM ch GROUP BY 1),
+        |mk AS (
+        |  SELECT doc_id, idx, chunk, nd >= 3 AS boiler
+        |  FROM ch JOIN census ON census.ck = md5(chunk))
+        |SELECT doc_id, count(*)::BIGINT AS n_chunks,
+        |  CAST(sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+        |  (1000 * CAST(sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT))
+        |    // count(*) AS boiler_permille,
+        |  md5(coalesce(string_agg(CASE WHEN NOT boiler THEN chunk END, ' ' ORDER BY idx), ''))
+        |    AS clean_fp
+        |FROM mk GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      val chunks = Tables.documents(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .withColumn("idx", explode(expr("sequence(0, (size(w) + 7) div 8 - 1)")))
+        .select(col("doc_id"), col("idx"),
+          concat_ws(" ", slice(col("w"), col("idx") * 8 + 1, lit(8))).as("chunk"))
+        .withColumn("ck", md5(col("chunk")))
+      val census = chunks.groupBy(col("ck"))
+        .agg(countDistinct(col("doc_id")).cast("bigint").as("nd"))
+      chunks.join(census, "ck")
+        .withColumn("boiler", col("nd") >= 3)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("boiler"), 1L).otherwise(0L)).cast("bigint").as("n_boiler"),
+          expr("(1000 * CAST(sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT)) DIV count(1)")
+            .as("boiler_permille"),
+          md5(concat_ws(" ", transform(
+            sort_array(collect_list(when(!col("boiler"),
+              struct(col("idx"), col("chunk"))))),
+            x => x.getField("chunk")))).as("clean_fp"))
     })
 
   /** 16-bit SimHash signature per doc (doc_id, simhash16), cached per

@@ -565,6 +565,100 @@ object Similarity {
           (col("n_assigned") - col("n_removed")).as("n_kept"))
     },
 
+    // ----------------------------------------------------------------
+    {
+      val K = 8
+      val rounds = (2 to K).map { r =>
+        s"""d$r AS MATERIALIZED (
+           |  SELECT a.vec_id, CAST(sum((a.x - b.x) * (a.x - b.x)) AS BIGINT) AS d
+           |  FROM iv a JOIN iv b ON a.i = b.i
+           |  WHERE b.vec_id IN (SELECT vec_id FROM sel${r - 1})
+           |    AND a.vec_id NOT IN (SELECT vec_id FROM sel${r - 1})
+           |  GROUP BY a.vec_id, b.vec_id),
+           |p$r AS MATERIALIZED (SELECT vec_id, min(d) AS md FROM d$r GROUP BY 1
+           |        ORDER BY md DESC, vec_id LIMIT 1),
+           |sel$r AS MATERIALIZED (SELECT * FROM sel${r - 1} UNION ALL
+           |          SELECT CAST($r AS BIGINT), vec_id, md FROM p$r)""".stripMargin
+      }.mkString(",\n")
+      q("q209_kcenter_coreset",
+        """Greedy k-center coreset selection (Gonzalez 1985 farthest-
+          |point traversal; Sener & Savarese, ICLR 2018 use it as the
+          |coreset picker for deep active learning): seed with the
+          |lowest vec_id, then 7 times pick the point FARTHEST from the
+          |selected set (max over candidates of min squared distance to
+          |any center, ties to the lower id) — pure COVERAGE selection,
+          |complementing q176's MMR (relevance-vs-redundancy) and q205
+          |(near-dup removal): the picked 8 are a 2-approximation of
+          |the best 8-center cover of the embedding space. All
+          |distances are exact BIGINT squared distances on the 4-decimal
+          |fixed-point grid (the q205 sq_dist_long kernel), so both
+          |engines walk the identical greedy path. Scale shape: the
+          |corpus stages ONCE as a compact (id, int-vector) frame at
+          |explicit N (the §4 CPU-dense pinning rule); each of the k
+          |rounds is one codegen map over that frame (centers ride as a
+          |k x dim literal broadcast) + a TakeOrdered(1) — the driver
+          |holds k ids and k distances, never data (the q129 single-
+          |row-per-round precedent). k corpus passes is the known price
+          |of the exact 2-approximation; the frame they re-read holds
+          |int vectors only.""".stripMargin,
+        // every selN/pN/dN CTE is MATERIALIZED: DuckDB inlines plain
+        // CTEs, and each round references the previous selection three
+        // times — inlined, the 8-round chain re-evaluates the distance
+        // aggregate O(3^k) times
+        s"""WITH $oracleBase,
+           |iv AS MATERIALIZED (SELECT vec_id, i, CAST(v * 10000 AS BIGINT) AS x FROM e),
+           |sel1 AS MATERIALIZED (SELECT CAST(1 AS BIGINT) AS pick_order, vec_id,
+           |                CAST(0 AS BIGINT) AS min_sq_dist
+           |         FROM (SELECT vec_id FROM iv GROUP BY 1 ORDER BY vec_id LIMIT 1)),
+           |$rounds
+           |SELECT pick_order, vec_id, min_sq_dist FROM sel$K""".stripMargin) { (s, dir) =>
+        graft.plans.GraftFunctions.register(s)
+        val N = s.sparkContext.defaultParallelism
+        val staged = Tables.embeddings(s, dir)
+          .select(col("vec_id"),
+            expr(s"transform(${quant("embedding")}, x -> CAST(x * 10000 AS BIGINT))")
+              .as("iv"))
+          .repartition(N)
+          .localCheckpoint()
+        val picks = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+        val centers = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+        staged.orderBy(col("vec_id")).limit(1).collect().foreach { r =>
+          picks += ((1L, r.getLong(0), 0L))
+          centers += r.getSeq[Long](1)
+        }
+        var round = 2
+        var exhausted = picks.isEmpty
+        while (round <= K && !exhausted) {
+          val chosen = picks.map(_._2).toSeq
+          val far = staged
+            .filter(!col("vec_id").isin(chosen: _*))
+            .withColumn("cents", typedLit(centers.toSeq))
+            .withColumn("d", expr("array_min(transform(cents, c -> sq_dist_long(iv, c)))"))
+            .orderBy(col("d").desc, col("vec_id"))
+            .limit(1)
+            .collect() // exactly ONE row crosses to the driver per round
+          if (far.isEmpty) exhausted = true
+          else {
+            val r = far.head
+            picks += ((round.toLong, r.getLong(0), r.getAs[Long]("d")))
+            centers += r.getSeq[Long](1)
+            round += 1
+          }
+        }
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("pick_order",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("vec_id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("min_sq_dist",
+            org.apache.spark.sql.types.LongType, nullable = false)))
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(
+          picks.map(p => org.apache.spark.sql.Row(p._1, p._2, p._3)).toList.asJava,
+          schema)
+      }
+    },
+
     PQ.q109,
     PQ.q110)
 }

@@ -522,5 +522,89 @@ object TextOps {
           expr("(1000 * CAST(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)) DIV count(1)")
             .as("dup_permille"),
           min(col("score")).as("min_score"), max(col("score")).as("max_score"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q206_gopher_rules",
+      """Rule-battery document filtering with per-rule rejection
+        |attribution — the Gopher quality heuristics (Rae et al. 2021,
+        |Table A1) adapted to this corpus (word-count bounds, mean-
+        |word-length bounds, short-word fraction, required-stopword
+        |presence, top-word repetition), reported per SOURCE so a
+        |curator sees WHICH rule rejects WHAT share of each feed —
+        |the attribution report q23's single pass/fail score cannot
+        |give. Every threshold comparison is integer cross-
+        |multiplication (ratio*1000 vs bound*denominator) — no
+        |division anywhere, so both engines agree bitwise. Scale
+        |shape: all five measures are row-local array HOFs (bounded
+        |by the ~100-word docs), the only shuffle is the |sources|-row
+        |partial agg — scan-bound at 100 TB exactly like q22-q25.""".stripMargin,
+      """WITH t AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS w,
+        |    CAST(length(text) AS BIGINT) AS nc
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(w) AS BIGINT) AS nw,
+        |    (nc - len(w) + 1) AS sumlen,
+        |    CAST(len(list_filter(w, x -> length(x) <= 2)) AS BIGINT) AS nshort,
+        |    CAST(len(list_distinct(list_filter(w,
+        |      x -> x IN ('the','a','of','and','to')))) AS BIGINT) AS nstopd,
+        |    CAST(list_max(list_transform(list_distinct(w),
+        |      u -> len(list_filter(w, x -> x = u)))) AS BIGINT) AS ntop
+        |  FROM t),
+        |f AS (
+        |  SELECT source,
+        |    CASE WHEN nw < 30 OR nw > 90 THEN 1 ELSE 0 END AS f_words,
+        |    CASE WHEN sumlen * 1000 < 3500 * nw
+        |           OR sumlen * 1000 > 4800 * nw THEN 1 ELSE 0 END AS f_wordlen,
+        |    CASE WHEN nshort * 1000 > 120 * nw THEN 1 ELSE 0 END AS f_short,
+        |    CASE WHEN nstopd < 2 THEN 1 ELSE 0 END AS f_stop,
+        |    CASE WHEN ntop * 1000 > 120 * nw THEN 1 ELSE 0 END AS f_rep
+        |  FROM m)
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        |  CAST(sum(f_words) AS BIGINT) AS n_fail_words,
+        |  CAST(sum(f_wordlen) AS BIGINT) AS n_fail_wordlen,
+        |  CAST(sum(f_short) AS BIGINT) AS n_fail_short,
+        |  CAST(sum(f_stop) AS BIGINT) AS n_fail_stop,
+        |  CAST(sum(f_rep) AS BIGINT) AS n_fail_rep,
+        |  CAST(sum(CASE WHEN f_words + f_wordlen + f_short + f_stop + f_rep = 0
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+        |  (1000 * CAST(sum(CASE WHEN f_words + f_wordlen + f_short + f_stop + f_rep = 0
+        |           THEN 1 ELSE 0 END) AS BIGINT)) // count(*) AS pass_permille
+        |FROM f GROUP BY 1""".stripMargin) { (s, dir) =>
+      val stopList = Stopwords.map(w => s"'$w'").mkString(",")
+      val m = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          split(col("text"), " ").as("w"),
+          length(col("text")).cast("bigint").as("nc"))
+        .select(col("source"),
+          size(col("w")).cast("bigint").as("nw"),
+          expr("nc - size(w) + 1").as("sumlen"),
+          expr("CAST(size(filter(w, x -> length(x) <= 2)) AS BIGINT)").as("nshort"),
+          expr(s"CAST(size(array_distinct(filter(w, x -> x IN ($stopList)))) AS BIGINT)")
+            .as("nstopd"),
+          expr("CAST(array_max(transform(array_distinct(w), u -> size(filter(w, x -> x = u)))) AS BIGINT)")
+            .as("ntop"))
+      val f = m.select(col("source"),
+        when(col("nw") < 30 || col("nw") > 90, 1).otherwise(0).as("f_words"),
+        when(col("sumlen") * 1000 < col("nw") * 3500 ||
+          col("sumlen") * 1000 > col("nw") * 4800, 1).otherwise(0).as("f_wordlen"),
+        when(col("nshort") * 1000 > col("nw") * 120, 1).otherwise(0).as("f_short"),
+        when(col("nstopd") < 2, 1).otherwise(0).as("f_stop"),
+        when(col("ntop") * 1000 > col("nw") * 120, 1).otherwise(0).as("f_rep"))
+      f.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("f_words")).cast("bigint").as("n_fail_words"),
+          sum(col("f_wordlen")).cast("bigint").as("n_fail_wordlen"),
+          sum(col("f_short")).cast("bigint").as("n_fail_short"),
+          sum(col("f_stop")).cast("bigint").as("n_fail_stop"),
+          sum(col("f_rep")).cast("bigint").as("n_fail_rep"),
+          sum(when(col("f_words") + col("f_wordlen") + col("f_short") +
+            col("f_stop") + col("f_rep") === 0, 1L).otherwise(0L))
+            .cast("bigint").as("n_pass"),
+          expr("""(1000 * CAST(sum(CASE WHEN f_words + f_wordlen + f_short + f_stop + f_rep = 0
+                 |         THEN 1 ELSE 0 END) AS BIGINT)) DIV count(1)""".stripMargin)
+            .as("pass_permille"))
     })
 }

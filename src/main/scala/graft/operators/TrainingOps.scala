@@ -1286,6 +1286,81 @@ object TrainingOps {
         .agg(count(lit(1)).as("n_docs"),
           min(col("lm_score")).as("min_score"),
           max(col("lm_score")).as("max_score"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q207_unimax_allocation",
+      """UniMax language-budget allocation (Chung et al., ICLR 2023):
+        |given a token budget and a per-language epoch cap, the
+        |published greedy — visit languages smallest-first, give each
+        |min(cap, remaining/remaining_langs) — which is exactly
+        |WATERFILLING, so it has a closed form: language l saturates
+        |iff cap_l*(n - rank_l) + prefix_cap <= budget (an all-integer
+        |cross-multiplied test, no division), and every unsaturated
+        |language gets the common waterline t = (budget - saturated
+        |capacity) / #unsaturated, emitted in exact milli-docs via
+        |BIGINT division. Budget = 2 epochs of the whole corpus,
+        |cap = 3 epochs per language, so the smallest languages
+        |saturate and the rest share the waterline (vs q137, which is
+        |the UNIFORM mixture — downsample-to-min). Scale shape: ONE
+        ||langs|-row count agg is the only corpus pass; ranks come
+        |from a broadcast self-join over that tiny table (window-free
+        |— |langs|^2 pairs is bounded by the language-code space, not
+        |the corpus), and the 1-row saturation totals broadcast back.""".stripMargin,
+      """WITH c AS (SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total,
+        |             CAST(count(*) AS BIGINT) AS n_langs FROM c),
+        |b AS (SELECT c.lang, c.n_docs, 3 * c.n_docs AS cap,
+        |             2 * t.total AS budget, t.n_langs FROM c, t),
+        |r AS (SELECT lang, n_docs, cap, budget, n_langs,
+        |        CAST(count(*) OVER (ORDER BY cap, lang
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT) AS n_smaller,
+        |        CAST(coalesce(sum(cap) OVER (ORDER BY cap, lang
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS p_smaller
+        |      FROM b),
+        |s AS (SELECT *, CASE WHEN cap * (n_langs - n_smaller) + p_smaller <= budget
+        |                     THEN 1 ELSE 0 END AS sat FROM r),
+        |a AS (SELECT CAST(sum(sat) AS BIGINT) AS n_sat,
+        |             CAST(coalesce(sum(CASE WHEN sat = 1 THEN cap END), 0) AS BIGINT) AS p_sat
+        |      FROM s)
+        |SELECT s.lang, s.n_docs, s.cap AS cap_docs, CAST(s.sat AS BIGINT) AS saturated,
+        |  CASE WHEN s.sat = 1 THEN 1000 * s.cap
+        |       ELSE (1000 * (s.budget - a.p_sat)) // (s.n_langs - a.n_sat)
+        |  END AS alloc_millidocs,
+        |  (CASE WHEN s.sat = 1 THEN 1000 * s.cap
+        |        ELSE (1000 * (s.budget - a.p_sat)) // (s.n_langs - a.n_sat)
+        |   END) // s.n_docs AS epochs_milli
+        |FROM s, a""".stripMargin) { (s, dir) =>
+      val c = Tables.documents(s, dir)
+        .groupBy(col("lang")).agg(count(lit(1)).cast("bigint").as("n_docs"))
+      val t = c.agg(sum(col("n_docs")).cast("bigint").as("total"),
+        count(lit(1)).cast("bigint").as("n_langs"))
+      val b = c.crossJoin(broadcast(t))
+        .select(col("lang"), col("n_docs"), (col("n_docs") * 3).as("cap"),
+          (col("total") * 2).as("budget"), col("n_langs"))
+      val lower = b.select(col("lang").as("l2"), col("cap").as("cap2"))
+      val r = b.join(broadcast(lower),
+          col("cap2") < col("cap") ||
+            (col("cap2") === col("cap") && col("l2") < col("lang")), "left")
+        .groupBy(col("lang"), col("n_docs"), col("cap"), col("budget"), col("n_langs"))
+        .agg(count(col("l2")).cast("bigint").as("n_smaller"),
+          coalesce(sum(col("cap2")), lit(0L)).cast("bigint").as("p_smaller"))
+      val sDf = r.withColumn("sat",
+        when(col("cap") * (col("n_langs") - col("n_smaller")) + col("p_smaller")
+          <= col("budget"), 1L).otherwise(0L))
+      val a = sDf.agg(sum(col("sat")).cast("bigint").as("n_sat"),
+        coalesce(sum(when(col("sat") === 1, col("cap"))), lit(0L))
+          .cast("bigint").as("p_sat"))
+      val alloc = when(col("sat") === 1, col("cap") * 1000)
+        .otherwise(expr("(1000 * (budget - p_sat)) DIV (n_langs - n_sat)"))
+      sDf.crossJoin(broadcast(a))
+        .select(col("lang"), col("n_docs"), col("cap").as("cap_docs"),
+          col("sat").cast("bigint").as("saturated"),
+          alloc.as("alloc_millidocs"),
+          (alloc cast "bigint").as("alloc_tmp"))
+        .select(col("lang"), col("n_docs"), col("cap_docs"), col("saturated"),
+          col("alloc_millidocs"),
+          expr("alloc_tmp DIV n_docs").as("epochs_milli"))
     })
 
   /** q204's per-doc corpus-bigram LM score (doc_id, lang, lm_score) —
