@@ -573,38 +573,50 @@ object TextOps {
         |  (1000 * CAST(sum(CASE WHEN f_words + f_wordlen + f_short + f_stop + f_rep = 0
         |           THEN 1 ELSE 0 END) AS BIGINT)) // count(*) AS pass_permille
         |FROM f GROUP BY 1""".stripMargin) { (s, dir) =>
-      val stopList = Stopwords.map(w => s"'$w'").mkString(",")
-      val m = Tables.documents(s, dir)
-        .select(col("doc_id"), col("source"),
-          split(col("text"), " ").as("w"),
-          length(col("text")).cast("bigint").as("nc"))
-        .select(col("source"),
-          size(col("w")).cast("bigint").as("nw"),
-          expr("nc - size(w) + 1").as("sumlen"),
-          expr("CAST(size(filter(w, x -> length(x) <= 2)) AS BIGINT)").as("nshort"),
-          expr(s"CAST(size(array_distinct(filter(w, x -> x IN ($stopList)))) AS BIGINT)")
-            .as("nstopd"),
-          expr("CAST(array_max(transform(array_distinct(w), u -> size(filter(w, x -> x = u)))) AS BIGINT)")
-            .as("ntop"))
-      val f = m.select(col("source"),
-        when(col("nw") < 30 || col("nw") > 90, 1).otherwise(0).as("f_words"),
-        when(col("sumlen") * 1000 < col("nw") * 3500 ||
-          col("sumlen") * 1000 > col("nw") * 4800, 1).otherwise(0).as("f_wordlen"),
-        when(col("nshort") * 1000 > col("nw") * 120, 1).otherwise(0).as("f_short"),
-        when(col("nstopd") < 2, 1).otherwise(0).as("f_stop"),
-        when(col("ntop") * 1000 > col("nw") * 120, 1).otherwise(0).as("f_rep"))
-      f.groupBy(col("source"))
-        .agg(count(lit(1)).as("n_docs"),
-          sum(col("f_words")).cast("bigint").as("n_fail_words"),
-          sum(col("f_wordlen")).cast("bigint").as("n_fail_wordlen"),
-          sum(col("f_short")).cast("bigint").as("n_fail_short"),
-          sum(col("f_stop")).cast("bigint").as("n_fail_stop"),
-          sum(col("f_rep")).cast("bigint").as("n_fail_rep"),
-          sum(when(col("f_words") + col("f_wordlen") + col("f_short") +
-            col("f_stop") + col("f_rep") === 0, 1L).otherwise(0L))
-            .cast("bigint").as("n_pass"),
-          expr("""(1000 * CAST(sum(CASE WHEN f_words + f_wordlen + f_short + f_stop + f_rep = 0
-                 |         THEN 1 ELSE 0 END) AS BIGINT)) DIV count(1)""".stripMargin)
-            .as("pass_permille"))
+      gopherFlags(Tables.documents(s, dir).select(col("source"), col("text")))
+        .groupBy(col("source"))
+        .agg(gopherCensusAggs.head, gopherCensusAggs.tail: _*)
     })
+
+  /** q206's rule battery as a frame transform: appends the five 0/1
+    * fail flags to whatever key columns ride along with `text` (and
+    * drops the intermediate measures). Shared VERBATIM by batch q206
+    * and the streaming census kernel ([[graft.streaming.StreamGopher]])
+    * — the stream ≡ batch proof covers this exact code path. Pure
+    * row-local array HOFs; integer cross-multiplied thresholds.
+    */
+  private[graft] def gopherFlags(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val stopList = Stopwords.map(w => s"'$w'").mkString(",")
+    df.withColumn("w", split(col("text"), " "))
+      .withColumn("nw", size(col("w")).cast("bigint"))
+      .withColumn("sumlen", length(col("text")).cast("bigint") - col("nw") + 1)
+      .withColumn("nshort", expr("CAST(size(filter(w, x -> length(x) <= 2)) AS BIGINT)"))
+      .withColumn("nstopd",
+        expr(s"CAST(size(array_distinct(filter(w, x -> x IN ($stopList)))) AS BIGINT)"))
+      .withColumn("ntop",
+        expr("CAST(array_max(transform(array_distinct(w), u -> size(filter(w, x -> x = u)))) AS BIGINT)"))
+      .withColumn("f_words", when(col("nw") < 30 || col("nw") > 90, 1).otherwise(0))
+      .withColumn("f_wordlen", when(col("sumlen") * 1000 < col("nw") * 3500 ||
+        col("sumlen") * 1000 > col("nw") * 4800, 1).otherwise(0))
+      .withColumn("f_short", when(col("nshort") * 1000 > col("nw") * 120, 1).otherwise(0))
+      .withColumn("f_stop", when(col("nstopd") < 2, 1).otherwise(0))
+      .withColumn("f_rep", when(col("ntop") * 1000 > col("nw") * 120, 1).otherwise(0))
+      .drop("text", "w", "nw", "sumlen", "nshort", "nstopd", "ntop")
+  }
+
+  /** The census aggregates over [[gopherFlags]] output — per-rule fail
+    * counts, all-rules pass count, pass permille. */
+  private[graft] def gopherCensusAggs: Seq[org.apache.spark.sql.Column] = Seq(
+    count(lit(1)).as("n_docs"),
+    sum(col("f_words")).cast("bigint").as("n_fail_words"),
+    sum(col("f_wordlen")).cast("bigint").as("n_fail_wordlen"),
+    sum(col("f_short")).cast("bigint").as("n_fail_short"),
+    sum(col("f_stop")).cast("bigint").as("n_fail_stop"),
+    sum(col("f_rep")).cast("bigint").as("n_fail_rep"),
+    sum(when(col("f_words") + col("f_wordlen") + col("f_short") +
+      col("f_stop") + col("f_rep") === 0, 1L).otherwise(0L))
+      .cast("bigint").as("n_pass"),
+    expr("""(1000 * CAST(sum(CASE WHEN f_words + f_wordlen + f_short + f_stop + f_rep = 0
+           |         THEN 1 ELSE 0 END) AS BIGINT)) DIV count(1)""".stripMargin)
+      .as("pass_permille"))
 }
