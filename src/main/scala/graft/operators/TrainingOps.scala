@@ -1361,6 +1361,83 @@ object TrainingOps {
         .select(col("lang"), col("n_docs"), col("cap_docs"), col("saturated"),
           col("alloc_millidocs"),
           expr("alloc_tmp DIV n_docs").as("epochs_milli"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q210_tokenizer_fertility",
+      """Tokenizer fertility by language — the published tokenizer-
+        |EQUITY audit (Petrov et al. 2023, "Language Model Tokenizers
+        |Introduce Unfairness Between Languages"; fertility = subword
+        |tokens per word is the metric SentencePiece/XLM-R evaluations
+        |report): encode the corpus with q129's learned BPE merges
+        |(the session-cached frozen tokenizer, same artifact q136/q193
+        |apply) and roll up per LANGUAGE — the dimension the q207/q137
+        |mixture tier allocates by, closing the loop: a language whose
+        |fertility is high pays more tokens per word of budget.
+        |Complements q193, which profiles tokens-per-kilochar by
+        |SOURCE (feed health); fertility is per-WORD by LANGUAGE
+        |(linguistic equity). Integer outputs only (milli-ratios by
+        |BIGINT floor division). Scale shape: identical to q136/q193 —
+        |the merge table is a cached training artifact, the encode is
+        |10 chained codegen string replaces scan-side, and the roll-up
+        |is a |langs|-row agg; zero corpus shuffle.""".stripMargin,
+      bpeFertilityOracleSql(10)) { (s, dir) =>
+      val merges = BpeTrainer.trainCached(s, dir, 10)
+      val enc = bpeEncodeCol(merges, col("text"))
+      def nMarks(c: org.apache.spark.sql.Column) =
+        (length(c) - length(call_function("replace", c, lit(S1), lit("")))).cast("long")
+      Tables.documents(s, dir)
+        .select(col("lang"),
+          size(filter(split(col("text"), "\\s+"), x => x =!= "")).cast("bigint")
+            .as("n_words"),
+          length(regexp_replace(col("text"), "\\s", "")).cast("long").as("n_chars"),
+          nMarks(enc).as("n_tokens"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).cast("long").as("total_words"),
+          sum(col("n_tokens")).cast("long").as("total_tokens"),
+          sum(col("n_chars")).cast("long").as("total_chars"))
+        .select(col("lang"), col("n_docs"), col("total_words"), col("total_tokens"),
+          expr("(1000 * total_tokens) DIV total_words").as("fertility_milli"),
+          expr("(1000 * total_chars) DIV total_tokens").as("chars_per_token_milli"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q211_temperature_mixture",
+      """Temperature-scaled language sampling (Lample & Conneau 2019,
+        |XLM; the alpha=0.5 multinomial every multilingual pretraining
+        |recipe since has reused): sample language l proportional to
+        |p_l^alpha — at alpha=1/2, w_l = sqrt(n_l)/sum sqrt(n_j),
+        |flattening the head without the hard caps of q207 or the
+        |full leveling of q137 (the three published mixture
+        |strategies, now side by side in the catalog). Exactness:
+        |sqrt is IEEE-correctly-rounded in BOTH engines, so
+        |floor(sqrt(n*10^6)) is a deterministic integer milli-sqrt
+        |and every downstream ratio is BIGINT floor division — no
+        |float ever crosses an aggregate. Scale shape: one
+        ||langs|-row count agg is the only corpus pass; the 1-row
+        |sqrt-sum total broadcasts back; scan-free arithmetic after
+        |that.""".stripMargin,
+      """WITH c AS (SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY 1),
+        |s AS (SELECT lang, n_docs,
+        |        CAST(floor(sqrt(CAST(n_docs * 1000000 AS DOUBLE))) AS BIGINT) AS sqrt_milli
+        |      FROM c),
+        |t AS (SELECT CAST(sum(sqrt_milli) AS BIGINT) AS ssum,
+        |             CAST(sum(n_docs) AS BIGINT) AS total FROM s)
+        |SELECT s.lang, s.n_docs, s.sqrt_milli,
+        |  (1000 * s.sqrt_milli) // t.ssum AS weight_permille,
+        |  (1000 * t.total * s.sqrt_milli) // t.ssum AS alloc_millidocs
+        |FROM s, t""".stripMargin) { (s, dir) =>
+      val c = Tables.documents(s, dir)
+        .groupBy(col("lang")).agg(count(lit(1)).cast("bigint").as("n_docs"))
+        .withColumn("sqrt_milli",
+          floor(sqrt((col("n_docs") * 1000000L).cast("double"))).cast("bigint"))
+      val t = c.agg(sum(col("sqrt_milli")).cast("bigint").as("ssum"),
+        sum(col("n_docs")).cast("bigint").as("total"))
+      c.crossJoin(broadcast(t))
+        .select(col("lang"), col("n_docs"), col("sqrt_milli"),
+          expr("(1000 * sqrt_milli) DIV ssum").as("weight_permille"),
+          expr("(1000 * total * sqrt_milli) DIV ssum").as("alloc_millidocs"))
     })
 
   /** q204's per-doc corpus-bigram LM score (doc_id, lang, lm_score) —
@@ -1579,6 +1656,33 @@ object TrainingOps {
        |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
        |  (1000 * CAST(sum(n_tokens) AS BIGINT)) // CAST(sum(n_chars) AS BIGINT)
        |    AS tokens_per_kilochar
+       |FROM t GROUP BY 1""".stripMargin
+  }
+
+  /** DuckDB oracle for q210: encode as in q136's oracle, then roll
+    * word/char/token counts up per LANGUAGE with the floor-div
+    * fertility and chars-per-token milli-ratios. */
+  private[graft] def bpeFertilityOracleSql(k: Int): String = {
+    val froms = (1 to k).map(n => s"b$n").mkString(", ")
+    s"""WITH ${bpeRoundsCtes(k)},
+       |enc AS (
+       |  SELECT lang,
+       |    CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS BIGINT)
+       |      AS n_words,
+       |    length(regexp_replace(text, '\\s', '', 'g'))::BIGINT AS n_chars,
+       |    ${bpeEncodeExpr(k)} AS e
+       |  FROM documents, $froms),
+       |t AS (
+       |  SELECT lang, n_words, n_chars,
+       |    (length(e) - length(replace(e, chr(1), '')))::BIGINT AS n_tokens
+       |  FROM enc)
+       |SELECT lang, count(*)::BIGINT AS n_docs,
+       |  CAST(sum(n_words) AS BIGINT) AS total_words,
+       |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |  (1000 * CAST(sum(n_tokens) AS BIGINT)) // CAST(sum(n_words) AS BIGINT)
+       |    AS fertility_milli,
+       |  (1000 * CAST(sum(n_chars) AS BIGINT)) // CAST(sum(n_tokens) AS BIGINT)
+       |    AS chars_per_token_milli
        |FROM t GROUP BY 1""".stripMargin
   }
 

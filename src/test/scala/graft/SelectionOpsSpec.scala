@@ -165,4 +165,27 @@ class SelectionOpsSpec extends SparkSpec {
       case _         =>
     }
   }
+
+  test("q211 temperature weights equal the alpha=1/2 formula and flatten the head") {
+    val rows = byName("q211_temperature_mixture").run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    val total = rows.map(_._2).sum
+    val ssum = rows.map(_._3).sum
+    rows.foreach { case (lang, n, s, w, a) =>
+      assert(s == math.floor(math.sqrt(n.toDouble * 1000000)).toLong,
+        s"$lang milli-sqrt mismatch")
+      assert(w == 1000L * s / ssum && a == 1000L * total * s / ssum)
+    }
+    // temperature flattens: the biggest language's weight share drops
+    // below its raw share, the smallest language's rises above it
+    val big = rows.maxBy(_._2); val small = rows.minBy(_._2)
+    assert(1000L * big._3 / ssum < 1000L * big._2 / total + 1,
+      "head language must be down-weighted")
+    assert(1000L * small._3 / ssum > 1000L * small._2 / total,
+      "tail language must be up-weighted")
+    // and a language never receives more than its own corpus-share
+    // boost bound: weights are a permutation-invariant function of n
+    assert(rows.sortBy(_._2).map(_._4).toSeq == rows.sortBy(_._2).map(_._4).sorted.toSeq,
+      "weights must be monotone in language size")
+  }
 }

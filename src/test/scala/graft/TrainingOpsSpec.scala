@@ -404,6 +404,33 @@ class TrainingOpsSpec extends SparkSpec {
     }
   }
 
+  test("q210 fertility conserves q136's token totals per language") {
+    import org.apache.spark.sql.functions._
+    val rows = byName("q210_tokenizer_fertility").run(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val meta = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getString(1), r.getString(2).split("\\s+").count(_.nonEmpty).toLong,
+          r.getString(2).replaceAll("\\s", "").length.toLong)))
+      .toMap
+    val perDoc = byName("q136_bpe_encode").run(spark, sfDir).collect()
+      .map(r => (meta(r.getLong(0))._1, meta(r.getLong(0))._2,
+        meta(r.getLong(0))._3, r.getLong(2)))
+    val expected = perDoc.groupBy(_._1).view.mapValues { xs =>
+      val words = xs.map(_._2).sum; val chars = xs.map(_._3).sum
+      val toks = xs.map(_._4).sum
+      (xs.size.toLong, words, toks, 1000L * toks / words, 1000L * chars / toks)
+    }.toMap
+    assert(rows == expected, "fertility diverges from the q136 roll-up")
+    rows.values.foreach { case (_, words, toks, fert, cpt) =>
+      assert(toks >= words || fert < 1000, "fertility must reflect tokens/words")
+      assert(fert >= 1000, "BPE on whitespace words cannot make fewer tokens than words here")
+      assert(cpt >= 1000, "a token is at least one char")
+    }
+  }
+
   test("q169 chi-square equals a BigInt full-grid recompute") {
     val cells = Tables.documents(spark, sfDir)
       .groupBy(org.apache.spark.sql.functions.col("source"),
