@@ -6,12 +6,16 @@ import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a training-data pipeline over the
   * `documents` table: token counting, quality scoring, language-ID
-  * heuristic, document fingerprinting.
+  * heuristic, document fingerprinting, and corpus-level lexical
+  * statistics (vocabulary growth, diversity, cross-source overlap).
   *
-  * All of these are embarrassingly parallel row-level transforms — no
-  * shuffle, full whole-stage codegen, and at 100 TB they scan-bound
-  * exactly like the reference's review-text stages (SURVEY.md §2.9 M2,
-  * reference generator.py:63,181-183 lowercase/split normalization).
+  * The per-document tier (q22-q25, q206) is embarrassingly parallel
+  * row-level transforms — no shuffle, full whole-stage codegen, and at
+  * 100 TB they scan-bound exactly like the reference's review-text
+  * stages (SURVEY.md §2.9 M2, reference generator.py:63,181-183
+  * lowercase/split normalization). The corpus-statistics tier
+  * (q212-q214) adds exactly one vocab-keyed shuffle each (map-side
+  * combine; state bounded by vocabulary size, never corpus size).
   *
   * Determinism notes: tokenization is whitespace split (the corpus is
   * pre-normalized), hashes are md5 hex (identical in Spark and DuckDB),
@@ -576,6 +580,168 @@ object TextOps {
       gopherFlags(Tables.documents(s, dir).select(col("source"), col("text")))
         .groupBy(col("source"))
         .agg(gopherCensusAggs.head, gopherCensusAggs.tail: _*)
+    },
+
+    // ----------------------------------------------------------------
+    q("q212_vocab_growth",
+      """Heaps'-law vocabulary-growth curve (Heaps 1978; the corpus-
+        |scale audit WIMBD runs, Elazar et al. 2023): how many NEW word
+        |types each additional tranche of corpus contributes — the
+        |curve that says whether a corpus is still adding vocabulary or
+        |re-treading it. Tranches are NESTED deterministic samples from
+        |q81's affine hash-gate family (level L = docs with
+        |((31·doc_id+7) mod p) mod 1000 < 100·L), so level 10 is the
+        |whole corpus and every level is reproducible on any cluster
+        |size — rand() cannot promise that, and corpus ORDER (the
+        |textbook formulation) would need a partition-less global sort.
+        |A type's first-appearance level is min(level) over docs
+        |containing it. All-integer outputs. Scale shape: two
+        |column-pruned scans (per-level doc/token tallies; explode +
+        |token-keyed min agg, vocab-sized state with map-side combine);
+        |the 10-row level table cumulates through a broadcast non-equi
+        |self-join — no WindowExec, no corpus re-shuffle.""".stripMargin,
+      """WITH d AS (
+        |  SELECT ((31 * doc_id + 7) % 2147483647) % 1000 AS g,
+        |         lower(text) AS lt
+        |  FROM documents),
+        |dl AS (
+        |  SELECT g // 100 + 1 AS lvl,
+        |    CAST(len(list_filter(string_split(lt, ' '), x -> x <> '')) AS BIGINT)
+        |      AS n_toks,
+        |    lt FROM d),
+        |lv AS (
+        |  SELECT lvl, count(*)::BIGINT AS n_docs,
+        |    CAST(sum(n_toks) AS BIGINT) AS n_tokens
+        |  FROM dl GROUP BY 1),
+        |tk AS (SELECT lvl, unnest(string_split(lt, ' ')) AS tok FROM dl),
+        |ft AS (SELECT tok, min(lvl) AS first_lvl FROM tk WHERE tok <> '' GROUP BY 1),
+        |nt AS (SELECT first_lvl AS lvl, count(*)::BIGINT AS new_types FROM ft GROUP BY 1),
+        |base AS (
+        |  SELECT lv.lvl, lv.n_docs, lv.n_tokens,
+        |    CAST(coalesce(nt.new_types, 0) AS BIGINT) AS new_types
+        |  FROM lv LEFT JOIN nt USING (lvl))
+        |SELECT a.lvl,
+        |  CAST(sum(b.n_docs) AS BIGINT) AS docs_cum,
+        |  CAST(sum(b.n_tokens) AS BIGINT) AS tokens_cum,
+        |  CAST(sum(b.new_types) AS BIGINT) AS vocab_cum,
+        |  max(a.new_types) AS new_types
+        |FROM base a JOIN base b ON b.lvl <= a.lvl
+        |GROUP BY a.lvl""".stripMargin) { (s, dir) =>
+      val d = Tables.documents(s, dir).select(
+        (((col("doc_id") * 31L + 7L) % 2147483647L) % 1000L).as("g"),
+        split(lower(col("text")), " ").as("w"))
+        .select(expr("g DIV 100 + 1").as("lvl"), col("w"))
+      val lv = d.select(col("lvl"),
+          expr("CAST(size(filter(w, x -> x <> '')) AS BIGINT)").as("n_toks"))
+        .groupBy(col("lvl"))
+        .agg(count(lit(1)).cast("bigint").as("n_docs"),
+          sum(col("n_toks")).cast("bigint").as("n_tokens"))
+      val nt = d.select(col("lvl"), explode(col("w")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy(col("tok")).agg(min(col("lvl")).as("first_lvl"))
+        .groupBy(col("first_lvl").as("lvl"))
+        .agg(count(lit(1)).cast("bigint").as("new_types"))
+      val base = lv.join(nt, Seq("lvl"), "left")
+        .select(col("lvl"), col("n_docs"), col("n_tokens"),
+          coalesce(col("new_types"), lit(0L)).cast("bigint").as("new_types"))
+      val b = base.select(col("lvl").as("l2"), col("n_docs").as("d2"),
+        col("n_tokens").as("t2"), col("new_types").as("v2"))
+      base.join(broadcast(b), col("l2") <= col("lvl"))
+        .groupBy(col("lvl"))
+        .agg(sum(col("d2")).cast("bigint").as("docs_cum"),
+          sum(col("t2")).cast("bigint").as("tokens_cum"),
+          sum(col("v2")).cast("bigint").as("vocab_cum"),
+          max(col("new_types")).as("new_types"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q213_lexical_diversity",
+      """Lexical-diversity profile per source — the word-frequency-
+        |distribution statistics of Baayen 2001 ("Word Frequency
+        |Distributions"): type count, token count, type-token ratio,
+        |and the hapax-legomena share (types occurring exactly once —
+        |the estimator core of vocabulary-richness measures and the
+        |tell for template-generated feeds, whose hapax share
+        |collapses). Ratios are BIGINT floor divisions of exact counts
+        |(micro/permille), so both engines agree bitwise. Scale shape:
+        |explode + (source, token)-keyed count with map-side combine —
+        |state is vocab-sized per source, never corpus-sized — then a
+        ||sources|-row roll-up; one shuffle end to end.""".stripMargin,
+      """WITH tc AS (
+        |  SELECT source, tok, count(*)::BIGINT AS cnt FROM (
+        |    SELECT source, unnest(string_split(lower(text), ' ')) AS tok
+        |    FROM documents)
+        |  WHERE tok <> '' GROUP BY 1, 2)
+        |SELECT source,
+        |  count(*)::BIGINT AS n_types,
+        |  CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+        |  (1000000 * count(*)::BIGINT) // CAST(sum(cnt) AS BIGINT) AS ttr_micro,
+        |  (1000 * CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT))
+        |    // count(*)::BIGINT AS hapax_permille
+        |FROM tc GROUP BY 1""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("source"), explode(split(lower(col("text")), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("bigint").as("n_types"),
+          sum(col("cnt")).cast("bigint").as("n_tokens"),
+          sum(when(col("cnt") === 1, 1L).otherwise(0L)).cast("bigint").as("n_hapax"))
+        .select(col("source"), col("n_types"), col("n_tokens"), col("n_hapax"),
+          expr("(1000000 * n_types) DIV n_tokens").as("ttr_micro"),
+          expr("(1000 * n_hapax) DIV n_types").as("hapax_permille"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q214_vocab_overlap",
+      """Cross-source vocabulary-overlap matrix — pairwise Jaccard and
+        |containment over each source's word-TYPE set (the WIMBD-style
+        |corpus-comparison audit, Elazar et al. 2023: how much of feed
+        |A's vocabulary feed B already covers — the signal for whether
+        |a new feed adds lexical diversity or duplicates an existing
+        |one). Exact integers: intersections are counted, unions are
+        ||A|+|B|−|A∩B|, ratios are BIGINT permille floor divisions.
+        |Scale shape: the type sets come from one (source, token)
+        |distinct agg (vocab-sized); the pair stage self-joins ON TOKEN
+        |(co-partitioned, output ≤ |sources|²/2 rows per token — never
+        |a doc-pair space); the |sources|-row size table broadcasts
+        |onto the ≤ |sources|²/2-row result.""".stripMargin,
+      """WITH st AS (
+        |  SELECT DISTINCT source, tok FROM (
+        |    SELECT source, unnest(string_split(lower(text), ' ')) AS tok
+        |    FROM documents)
+        |  WHERE tok <> ''),
+        |sz AS (SELECT source, count(*)::BIGINT AS n FROM st GROUP BY 1),
+        |pr AS (
+        |  SELECT a.source AS src_a, b.source AS src_b, count(*)::BIGINT AS n_common
+        |  FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT pr.src_a, pr.src_b,
+        |  sa.n AS n_types_a, sb.n AS n_types_b, pr.n_common,
+        |  (sa.n + sb.n - pr.n_common) AS n_union,
+        |  (1000 * pr.n_common) // (sa.n + sb.n - pr.n_common) AS jaccard_permille,
+        |  (1000 * pr.n_common) // least(sa.n, sb.n) AS containment_permille
+        |FROM pr
+        |JOIN sz sa ON pr.src_a = sa.source
+        |JOIN sz sb ON pr.src_b = sb.source""".stripMargin) { (s, dir) =>
+      val st = Tables.documents(s, dir)
+        .select(col("source"), explode(split(lower(col("text")), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .distinct()
+      val sz = st.groupBy(col("source")).agg(count(lit(1)).cast("bigint").as("n"))
+      val pr = st.select(col("source").as("src_a"), col("tok"))
+        .join(st.select(col("source").as("src_b"), col("tok")), Seq("tok"))
+        .filter(col("src_a") < col("src_b"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).cast("bigint").as("n_common"))
+      pr.join(broadcast(sz.select(col("source").as("src_a"), col("n").as("n_types_a"))), Seq("src_a"))
+        .join(broadcast(sz.select(col("source").as("src_b"), col("n").as("n_types_b"))), Seq("src_b"))
+        .select(col("src_a"), col("src_b"), col("n_types_a"), col("n_types_b"),
+          col("n_common"),
+          (col("n_types_a") + col("n_types_b") - col("n_common")).as("n_union"),
+          expr("(1000 * n_common) DIV (n_types_a + n_types_b - n_common)").as("jaccard_permille"),
+          expr("(1000 * n_common) DIV least(n_types_a, n_types_b)").as("containment_permille"))
     })
 
   /** q206's rule battery as a frame transform: appends the five 0/1

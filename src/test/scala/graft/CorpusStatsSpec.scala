@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Specs for the corpus-statistics tier q212-q214: each test recomputes
+  * the statistic from the raw `documents` table with plain Scala
+  * collections and compares exactly — independent of both the Spark
+  * plan and the DuckDB oracle, so a shared misreading of the published
+  * definition can't pass by agreement. Tokenization under test is the
+  * q82 family: lower, split on single space, drop empty.
+  */
+class CorpusStatsSpec extends SparkSpec {
+
+  private val sfDir = TestSession.sfDir
+  private def byName(n: String) = SparkEntry.all.find(_.name == n).get
+
+  /** (doc_id, source, tokens) for every document, q82 tokenization. */
+  private lazy val docs: Array[(Long, String, Array[String])] =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).toLowerCase.split(" ", -1).filter(_.nonEmpty)))
+
+  test("q212 vocab growth equals a Scala recompute and the samples nest") {
+    val rows = byName("q212_vocab_growth").run(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+
+    def lvl(docId: Long): Long = ((31L * docId + 7L) % 2147483647L) % 1000L / 100L + 1L
+    val byLvl = docs.groupBy { case (id, _, _) => lvl(id) }
+    val firstLvl = docs.flatMap { case (id, _, toks) => toks.map(_ -> lvl(id)) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val levels = byLvl.keySet
+    val expected = levels.map { l =>
+      val newTypes = firstLvl.count(_._2 == l).toLong
+      val docsCum = byLvl.filter(_._1 <= l).values.map(_.length.toLong).sum
+      val toksCum = byLvl.filter(_._1 <= l).values.flatten.map(_._3.length.toLong).sum
+      val vocabCum = firstLvl.count(_._2 <= l).toLong
+      l -> ((docsCum, toksCum, vocabCum, newTypes))
+    }.toMap
+    assert(rows == expected, "vocab growth diverges from the Scala recompute")
+    // nesting: every cumulative column is monotone non-decreasing in level,
+    // and the top level covers the whole corpus exactly
+    val ordered = rows.toSeq.sortBy(_._1).map(_._2)
+    assert(ordered == ordered.sorted, "cumulative columns must be monotone")
+    val top = rows(rows.keys.max)
+    assert(top._1 == docs.length.toLong, "top level must contain every doc")
+    assert(top._3 == firstLvl.size.toLong, "top level must contain the full vocabulary")
+  }
+
+  test("q213 lexical diversity equals a Scala recompute per source") {
+    val rows = byName("q213_lexical_diversity").run(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val expected = docs.groupBy(_._2).map { case (src, rs) =>
+      val counts = rs.flatMap(_._3).groupBy(identity).view.mapValues(_.length.toLong)
+      val types = counts.size.toLong
+      val tokens = counts.values.sum
+      val hapax = counts.count(_._2 == 1L).toLong
+      src -> ((types, tokens, hapax, 1000000L * types / tokens, 1000L * hapax / types))
+    }
+    assert(rows == expected, "lexical diversity diverges from the Scala recompute")
+    rows.values.foreach { case (types, tokens, hapax, _, _) =>
+      assert(hapax <= types && types <= tokens)
+    }
+  }
+
+  test("q214 vocab overlap equals a Scala set recompute for every source pair") {
+    val rows = byName("q214_vocab_overlap").run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7))))
+      .toMap
+    val vocab = docs.groupBy(_._2).view.mapValues(_.flatMap(_._3).toSet).toMap
+    val srcs = vocab.keys.toSeq.sorted
+    val expected = (for {
+      a <- srcs; b <- srcs if a < b
+      inter = (vocab(a) & vocab(b)).size.toLong if inter > 0
+    } yield {
+      val na = vocab(a).size.toLong; val nb = vocab(b).size.toLong
+      val union = na + nb - inter
+      (a, b) -> ((na, nb, inter, union, 1000L * inter / union, 1000L * inter / math.min(na, nb)))
+    }).toMap
+    assert(rows == expected, "vocab overlap diverges from the Scala set recompute")
+  }
+}
