@@ -1179,5 +1179,111 @@ object Multimodal {
         |  CAST(sum(least(greatest(raw, 0), 255) * (i + 1)) % 1000000007 AS BIGINT) AS wsum
         |FROM v GROUP BY doc_id""".stripMargin) { (s, dir) =>
       pixelChecksums(resizeImages(docPatternPngs(s, dir), 16, 16, kernel = "bicubic"))
+    },
+
+    q("q215_image_dhash",
+      """Perceptual near-duplicate IMAGE dedup by difference hash —
+        |the dHash of Krawetz 2013 ("Kind of Like That"), the
+        |perceptual-hash family LAION-scale curation dedups images
+        |with (Webster et al. 2023, "On the De-duplication of
+        |LAION-2B"): decode each PNG, nearest-resize to the canonical
+        |9x8 thumbnail, grayscale by integer channel mean, and pack
+        |the 64 horizontal-gradient sign bits (gray(x+1,y) > gray(x,y))
+        |into two 32-bit BIGINT halves (a single signed 64-bit would
+        |overflow at bit 63 in the oracle). The census then groups on
+        |the hash and reports every collision class — images that
+        |differ only by a uniform brightness shift (the fixture's
+        |7·doc_id term) legitimately collide, which is the POINT of a
+        |gradient hash. The oracle recomputes the full pipeline —
+        |resize indices x·w div 9, the channel-mean gray, every
+        |comparison — from doc_id arithmetic, so a bug in decode,
+        |resample indexing, or bit packing turns rows red. Scale
+        |shape: bytes die inside one batched mapPartitions pass
+        |(16 bytes out per image); the census is a 64-bit-keyed
+        |mergeable agg with map-side combine; output is bounded by
+        |the number of collision CLASSES, never corpus size.""".stripMargin,
+      dhashOracleSql) { (s, dir) =>
+      dhashStage(docPatternPngs(s, dir))
+        .filter(col("hash_hi").isNotNull)
+        .groupBy(col("hash_hi"), col("hash_lo"))
+        .agg(count(lit(1)).cast("bigint").as("n_images"),
+          min(col("media_id")).as("keep_doc"),
+          max(col("media_id")).as("max_doc"))
+        .filter(col("n_images") >= 2)
     })
+
+  /** dHash stage: strict-decode each PNG payload, nearest-resize to
+    * 9x8, grayscale by integer channel mean, pack the 64 horizontal
+    * gradient bits into two 32-bit halves (rows 0-3 -> hash_hi,
+    * rows 4-7 -> hash_lo). Unrecognized payloads hash to null. */
+  private def dhashStage(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("hash_hi", LongType, nullable = true),
+      StructField("hash_lo", LongType, nullable = true)))
+    val enc = Encoders.row(outSchema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val mIdx = media.schema.fieldIndex("media")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        ImagePixels.decodePng(r.getAs[Array[Byte]](mIdx)) match {
+          case Some(rast) =>
+            val small = ImagePixels.resizeNearest(rast, 9, 8)
+            val nc = small.channels
+            def gray(x: Int, y: Int): Int = {
+              val base = (y * 9 + x) * nc
+              var s = 0; var c = 0
+              while (c < nc) { s += small.pixels(base + c) & 0xff; c += 1 }
+              s / nc
+            }
+            var hi = 0L; var lo = 0L
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 8) {
+                if (gray(x + 1, y) > gray(x, y)) {
+                  if (y < 4) hi |= 1L << (y * 8 + x)
+                  else lo |= 1L << ((y - 4) * 8 + x)
+                }
+                x += 1
+              }
+              y += 1
+            }
+            Row(id, hi, lo)
+          case None => Row(id, null, null)
+        }
+      }
+    }(enc)
+  }
+
+  /** The fixture's gray value at resized cell (sx, sy) as a DuckDB
+    * expression: channel-mean of the three doc_id-derived planes,
+    * each reduced mod 256 BEFORE the mean (bytes wrap per channel). */
+  private def duckGray(sx: String, sy: String): String =
+    s"((7 * doc_id + 5 * ($sx) + 3 * ($sy)) % 256 " +
+      s"+ (7 * doc_id + 5 * ($sx) + 3 * ($sy) + 11) % 256 " +
+      s"+ (7 * doc_id + 5 * ($sx) + 3 * ($sy) + 22) % 256) // 3"
+
+  /** One 32-bit dHash half (rows yoff..yoff+3) from doc_id arithmetic:
+    * nearest-resize source indices x*w div 9 / y*h div 8, gradient
+    * sign bits packed little-endian within the half. */
+  private def dhashHalfSql(yoff: Int): String = {
+    val sy = s"((i // 8 + $yoff) * (doc_id % 24 + 1)) // 8"
+    val sxl = "((i % 8) * (doc_id % 32 + 1)) // 9"
+    val sxr = "((i % 8 + 1) * (doc_id % 32 + 1)) // 9"
+    s"""CAST(list_sum(list_transform(range(0, 32), i ->
+       |    CASE WHEN ${duckGray(sxr, sy)} > ${duckGray(sxl, sy)}
+       |         THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END)) AS BIGINT)""".stripMargin
+  }
+
+  private def dhashOracleSql: String =
+    s"""WITH h AS (
+       |  SELECT doc_id,
+       |    ${dhashHalfSql(0)} AS hash_hi,
+       |    ${dhashHalfSql(4)} AS hash_lo
+       |  FROM documents)
+       |SELECT hash_hi, hash_lo, count(*)::BIGINT AS n_images,
+       |  min(doc_id) AS keep_doc, max(doc_id) AS max_doc
+       |FROM h GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin
 }

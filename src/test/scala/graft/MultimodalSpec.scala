@@ -171,4 +171,37 @@ class MultimodalSpec extends SparkSpec {
     assert(blocks.nonEmpty)
     assert(blocks.forall(_.length <= 4))
   }
+
+  test("q215 dHash census equals a pure-arithmetic recompute (no decoder involved)") {
+    // recompute each doc's dHash straight from the fixture formula —
+    // independent of ImagePixels, so a decode/resize/packing bug on
+    // EITHER side of the real pipeline surfaces as a mismatch
+    def dhash(id: Long): (Long, Long) = {
+      val w = (id % 32 + 1).toInt; val h = (id % 24 + 1).toInt
+      def gray(sx: Int, sy: Int): Long = {
+        val b = 7 * id + 5 * sx + 3 * sy
+        (b % 256 + (b + 11) % 256 + (b + 22) % 256) / 3
+      }
+      var hi = 0L; var lo = 0L
+      for (y <- 0 until 8; x <- 0 until 8) {
+        val sy = y * h / 8
+        if (gray((x + 1) * w / 9, sy) > gray(x * w / 9, sy)) {
+          if (y < 4) hi |= 1L << (y * 8 + x) else lo |= 1L << ((y - 4) * 8 + x)
+        }
+      }
+      (hi, lo)
+    }
+    val ids = Tables.documents(spark, TestSession.sfDir)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    val expected = ids.groupBy(dhash).collect {
+      case ((hi, lo), members) if members.length >= 2 =>
+        (hi, lo) -> ((members.length.toLong, members.min, members.max))
+    }.toMap
+    val rows = SparkEntry.all.find(_.name == "q215_image_dhash").get
+      .run(spark, TestSession.sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(rows == expected, "dHash census diverges from the arithmetic recompute")
+    assert(rows.nonEmpty, "fixture must produce at least one collision class")
+  }
 }
