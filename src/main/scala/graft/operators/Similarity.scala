@@ -35,6 +35,20 @@ object Similarity {
   // still dwarfs the ~1e-3 quantization+float error
   private val SemDedupTau = 0.4
 
+  /** q216's projection geometry: 64 source dims -> 16, Achlioptas
+    * density ~1/3 (32/97). Declared BEFORE `defs`: the oracle string
+    * interpolates these at object construction. */
+  private[graft] val JlSrcDim = 64
+  private[graft] val JlDim = 16
+
+  /** q216's deterministic Achlioptas sign: +1 / -1 each with
+    * probability ~1/6 (16/97), 0 otherwise. i is 1-based (matches
+    * element_at / generate_subscripts), j 0-based. */
+  private[graft] def jlSign(i: Int, j: Int): Int = {
+    val r = (53 * i + 71 * j + 13 * i * j) % 97
+    if (r < 16) 1 else if (r < 32) -1 else 0
+  }
+
   /** Quantized embedding column: array<decimal(9,4)>. */
   private def quant(c: String): String =
     s"transform($c, x -> CAST(round(CAST(x AS DOUBLE), 4) AS DECIMAL(9,4)))"
@@ -657,6 +671,58 @@ object Similarity {
           picks.map(p => org.apache.spark.sql.Row(p._1, p._2, p._3)).toList.asJava,
           schema)
       }
+    },
+
+    // ----------------------------------------------------------------
+    q("q216_jl_projection",
+      """Johnson-Lindenstrauss dimensionality reduction by the sparse
+        |random projection of Achlioptas 2003 ("Database-friendly
+        |random projections"): matrix entries r(i,j) in {+1, 0, -1}
+        |with density ~1/3, drawn from a deterministic integer hash
+        |((53i + 71j + 13ij) mod 97 -> +1 below 16, -1 below 32, else
+        |0) so the SAME matrix materializes on any cluster size or
+        |retry — seeded rand() cannot promise that. Embeddings enter
+        |on the exact 1e-4 integer grid (the q93/q138 contract), so
+        |every projected component is an exact BIGINT signed sum — no
+        |float ever crosses the operator. Emitted long-form
+        |(vec_id, j, y). At 100 TB this is the memory lever ahead of
+        |ANN: 64 dims -> 16 cuts index residency 4x, with the JL
+        |distance-preservation guarantee measured (not assumed) in
+        |SimilaritySpec over every query pair. Scale shape: the 16
+        |components are CONSTANT-FOLDED codegen expressions over the
+        |embedding array — the hash runs at plan-build time and the
+        |plan carries plain +-element_at sums; zero shuffle, zero
+        |join; the stack() unpivot is row-local.""".stripMargin,
+      s"""WITH e AS (
+         |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         |    CAST(CAST(round(CAST(unnest(embedding) AS DOUBLE), 4) AS DECIMAL(9,4))
+         |         * 10000 AS BIGINT) AS xi
+         |  FROM embeddings),
+         |m AS (
+         |  SELECT i.i AS i, j.j AS j,
+         |    CASE WHEN (53 * i.i + 71 * j.j + 13 * i.i * j.j) % 97 < 16 THEN 1
+         |         WHEN (53 * i.i + 71 * j.j + 13 * i.i * j.j) % 97 < 32 THEN -1
+         |         ELSE 0 END AS sgn
+         |  FROM range(1, ${JlSrcDim + 1}) i(i), range(0, $JlDim) j(j))
+         |SELECT e.vec_id, m.j, CAST(sum(m.sgn * e.xi) AS BIGINT) AS y
+         |FROM e JOIN m ON m.i = e.i
+         |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val terms = (0 until JlDim).map { j =>
+        val parts = (1 to JlSrcDim).flatMap { i =>
+          jlSign(i, j) match {
+            case 1  => Some(s"element_at(xq, $i)")
+            case -1 => Some(s"(- element_at(xq, $i))")
+            case _  => None
+          }
+        }
+        if (parts.isEmpty) "CAST(0 AS BIGINT)" else parts.mkString(" + ")
+      }
+      val stackArgs = (0 until JlDim)
+        .map(j => s"CAST($j AS BIGINT), CAST(${terms(j)} AS BIGINT)").mkString(", ")
+      Tables.embeddings(s, dir)
+        .withColumn("xq", expr(
+          "transform(embedding, x -> CAST(CAST(round(CAST(x AS DOUBLE), 4) AS DECIMAL(9,4)) * 10000 AS BIGINT))"))
+        .selectExpr("vec_id", s"stack($JlDim, $stackArgs) AS (j, y)")
     },
 
     PQ.q109,

@@ -93,4 +93,47 @@ class SimilaritySpec extends SparkSpec {
     assert(got.values.map(_._1).sum == emb.size.toLong,
       "every vector is assigned exactly once")
   }
+
+  test("q216 JL projection is exact and preserves pair distances within JL bounds") {
+    val dir01 = "/root/testdata/sf0.01"
+    // exact integer recompute on the 1e-4 grid, decoder- and plan-free
+    val embI: Map[Long, Array[Long]] = spark.read
+      .parquet(s"$dir01/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(x =>
+        (BigDecimal(x.toDouble).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+          * 10000).toLongExact).toArray)
+      .toMap
+    def proj(v: Array[Long]): Array[Long] =
+      Array.tabulate(Similarity.JlDim) { j =>
+        var s = 0L; var i = 1
+        while (i <= Similarity.JlSrcDim) {
+          s += Similarity.jlSign(i, j) * v(i - 1); i += 1
+        }
+        s
+      }
+    val expected = embI.map { case (id, v) =>
+      proj(v).zipWithIndex.map { case (y, j) => (id, j.toLong, y) }
+    }.flatten.toSet
+    val got = SparkEntry.all.find(_.name == "q216_jl_projection").get
+      .run(spark, dir01).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expected, "projection diverges from the integer recompute")
+
+    // measured JL guarantee: for every pair among the first 30 vectors,
+    // the unbiased projected estimate ||Ra-Rb||^2 * 3/k of ||a-b||^2
+    // stays within loose-but-real distortion bounds for k = 16
+    val projd = embI.view.mapValues(proj).toMap
+    def sq(a: Array[Long], b: Array[Long]): Double =
+      a.lazyZip(b).map((x, y) => (x - y).toDouble * (x - y).toDouble).sum
+    val ids = embI.keys.toSeq.sorted.take(30)
+    val ratios = (for { ai <- ids.indices; bi <- (ai + 1) until ids.size } yield {
+      val (a, b) = (ids(ai), ids(bi))
+      (sq(projd(a), projd(b)) * 3.0 / Similarity.JlDim) / sq(embI(a), embI(b))
+    }).sorted
+    assert(ratios.head > 0.2 && ratios.last < 3.0,
+      s"distortion tails out of range: ${ratios.head} .. ${ratios.last}")
+    val median = ratios(ratios.size / 2)
+    assert(median > 0.75 && median < 1.3, s"median distortion $median off 1.0")
+  }
 }
