@@ -1438,7 +1438,82 @@ object TrainingOps {
         .select(col("lang"), col("n_docs"), col("sqrt_milli"),
           expr("(1000 * sqrt_milli) DIV ssum").as("weight_permille"),
           expr("(1000 * total * sqrt_milli) DIV ssum").as("alloc_millidocs"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q217_shard_manifest",
+      """Training-data export: deterministic shard assignment + per-
+        |shard manifest — the pipeline-final step every WebDataset/
+        |TFRecord-style exporter runs (Aizman et al. 2019; T5's sharded
+        |TFRecord exports, Raffel et al. 2020): each document lands in
+        |shard (affine-hash(doc_id) mod 16) with a hash-derived
+        |within-shard order key, and the manifest records per shard the
+        |doc/byte/token tallies, an ORDER-INVARIANT content checksum
+        |(sum of each doc's first-32-md5-bits — a re-export with the
+        |same inputs must reproduce it bit-for-bit), and the first/last
+        |docs in shard order (min_by/max_by on the order key — no sort,
+        |no window). The q81 affine gate family makes assignment
+        |reproducible on any cluster size or retry — hash partitioning
+        |by Spark's own hashpartitioning would pin the layout to
+        |Spark's Murmur3 internals, which a manifest consumed by
+        |non-JVM trainers cannot replay. Scale shape: assignment,
+        |tokenization and checksum are scan-side row-local projections;
+        |the manifest is one 16-row agg with map-side combine — the
+        |export itself would write DataFrameWriter.partitionBy(shard)
+        |with this exact column.""".stripMargin,
+      s"""WITH d AS (
+         |  SELECT doc_id, n_chars,
+         |    (31 * doc_id + 7) % $P AS ok,
+         |    ((31 * doc_id + 7) % $P) % 16 AS shard,
+         |    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT)
+         |      AS n_toks,
+         |    ${chk32Sql("text")} AS chk32
+         |  FROM documents)
+         |SELECT shard, count(*)::BIGINT AS n_docs,
+         |  CAST(sum(n_chars) AS BIGINT) AS n_bytes,
+         |  CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+         |  CAST(sum(chk32) AS BIGINT) AS content_checksum,
+         |  arg_min(doc_id, ok) AS first_doc,
+         |  arg_max(doc_id, ok) AS last_doc
+         |FROM d GROUP BY 1""".stripMargin) { (s, dir) =>
+      shardColumns(Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"), col("n_chars")))
+        .groupBy(col("shard"))
+        .agg(shardManifestAggs.head, shardManifestAggs.tail: _*)
     })
+
+  /** q217's scan-side shard projection, shared VERBATIM with the
+    * streaming ingest-manifest kernel ([[graft.streaming.StreamShard]]):
+    * appends (ok, shard, n_toks, chk32) to whatever columns ride along
+    * with (doc_id, text, n_chars) and drops text. The checksum is the
+    * first 32 bits of md5(text) as a BIGINT — the substr/instr/md5
+    * spelling is common to Spark SQL and DuckDB, so the oracle embeds
+    * the same expression via [[chk32Sql]]. */
+  private[graft] def shardColumns(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.withColumn("ok", (col("doc_id") * 31L + 7L) % P)
+      .withColumn("shard", col("ok") % 16)
+      .withColumn("n_toks",
+        expr("CAST(size(filter(split(text, ' '), x -> x <> '')) AS BIGINT)"))
+      .withColumn("chk32", expr(chk32Sql("text")))
+      .drop("text")
+
+  /** The per-shard manifest aggregates over [[shardColumns]] output. */
+  private[graft] def shardManifestAggs: Seq[org.apache.spark.sql.Column] = Seq(
+    count(lit(1)).cast("bigint").as("n_docs"),
+    sum(col("n_chars")).cast("bigint").as("n_bytes"),
+    sum(col("n_toks")).cast("bigint").as("n_tokens"),
+    sum(col("chk32")).cast("bigint").as("content_checksum"),
+    expr("min_by(doc_id, ok)").as("first_doc"),
+    expr("max_by(doc_id, ok)").as("last_doc"))
+
+  /** First 32 bits of md5($c) as a BIGINT, spelled in the md5/substr/
+    * instr subset both engines parse identically (each hex nibble
+    * looked up positionally, weighted by 16^(8-i)). */
+  private[graft] def chk32Sql(c: String): String =
+    (1 to 8).map { i =>
+      val w = 1L << (4 * (8 - i))
+      s"(instr('0123456789abcdef', substr(md5($c), $i, 1)) - 1) * CAST($w AS BIGINT)"
+    }.mkString("(", " + ", ")")
 
   /** q204's per-doc corpus-bigram LM score (doc_id, lang, lm_score) —
     * q135's integer fixed-point formula, carried with the language key

@@ -431,6 +431,33 @@ class TrainingOpsSpec extends SparkSpec {
     }
   }
 
+  test("q217 shard manifest equals a MessageDigest recompute of every field") {
+    import org.apache.spark.sql.functions._
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def chk32(text: String): Long = {
+      val hex = md.digest(text.getBytes("UTF-8"))
+        .map(b => f"$b%02x").mkString.take(8)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expected = docs.map { case (id, text, nc) =>
+      val ok = (31 * id + 7) % 2147483647L
+      (ok % 16, ok, id, nc,
+        text.split(" ", -1).count(_.nonEmpty).toLong, chk32(text))
+    }.groupBy(_._1).map { case (shard, xs) =>
+      shard -> ((xs.length.toLong, xs.map(_._4).sum, xs.map(_._5).sum,
+        xs.map(_._6).sum, xs.minBy(_._2)._3, xs.maxBy(_._2)._3))
+    }
+    val got = byName("q217_shard_manifest").run(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got == expected, "manifest diverges from the MessageDigest recompute")
+    assert(got.values.map(_._1).sum == docs.length.toLong,
+      "every doc lands in exactly one shard")
+  }
+
   test("q169 chi-square equals a BigInt full-grid recompute") {
     val cells = Tables.documents(spark, sfDir)
       .groupBy(org.apache.spark.sql.functions.col("source"),
