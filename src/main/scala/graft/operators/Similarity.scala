@@ -156,6 +156,46 @@ object Similarity {
       sparkTopK(s, dir, sameCell = false).cache()
     }
 
+  /** Session-cached per-vector assignment frame (vec_id, embedding, iv,
+    * nl, cid, cd) for the COMPUTED k = max(8, floor(sqrt n)) codebook —
+    * q205's staging, shared with q218 through the registry (both sit in
+    * the semdedup cache family, so one clearCaches boundary owns it).
+    * q90's codebook/assignment shape, with the codebook size scaled to
+    * the corpus: centroids ride as ONE broadcast array row; the Θ(n·k)
+    * distance work is the native integer sq_dist_long kernel over
+    * ten-thousandths (what makes k=Θ(sqrt n) assignment affordable).
+    * array_min over (d, cid) structs also hands back d — the distance
+    * to the ASSIGNED centroid, which is q205's keep-rank and q218's
+    * prune-rank. Explicit-N repartition: the corpus parquet can scan as
+    * a few tasks, which would serialize the CPU-dense assignment
+    * (SCALE.md §4 pinning rule). */
+  private val semAssignCache = new Dedup.SessionCache
+  private[operators] def semAssign(s: SparkSession, dir: String): DataFrame =
+    semAssignCache.getOrElseUpdate(s, dir) {
+      graft.plans.GraftFunctions.register(s)
+      val N = s.sparkContext.defaultParallelism
+      val kk = Tables.embeddings(s, dir).agg(
+        greatest(lit(8L), floor(sqrt(count(lit(1)).cast("double"))).cast("long"))
+          .as("k"))
+      val cI = Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("embedding"),
+          expr(s"transform(${quant("embedding")}, x -> CAST(x * 10000 AS BIGINT))")
+            .as("iv"))
+      val centsArr = cI.crossJoin(broadcast(kk))
+        .filter(col("vec_id") < col("k"))
+        .select(struct(col("vec_id").as("cid"), col("iv").as("icv")).as("ct"))
+        .agg(sort_array(collect_list(col("ct"))).as("cents"))
+      val cdsExpr = "array_min(transform(cents, ct -> named_struct(" +
+        "'d', sq_dist_long(iv, ct.icv), 'cid', ct.cid)))"
+      cI.repartition(N)
+        .crossJoin(broadcast(centsArr))
+        .withColumn("m", expr(cdsExpr))
+        .select(col("vec_id"), col("embedding"), col("iv"),
+          call_function("dot_long", col("iv"), col("iv")).as("nl"),
+          col("m.cid").as("cid"), col("m.d").as("cd"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
   /** Session-cached codegen-path top-k ids (q34's `fast` frame): feeds
     * both the agreement semi-join and the top_ids aggregate — uncached
     * it would run the codegen scan twice per execution (and re-calling
@@ -438,8 +478,10 @@ object Similarity {
         |happens after the joins, never corpus-wide. The removal set
         |(bounded by true near-dup count) broadcasts back onto the
         ||corpus|-row assignment for the final k-row census. The
-        |compact assignment frame is staged once (localCheckpoint): it
-        |feeds both prescreen sides and the census.""".stripMargin,
+        |compact assignment frame is staged once in a registry-managed
+        |SessionCache shared with q218 (both sit in one cache family):
+        |it feeds both prescreen sides, the census, and q218's
+        |quartile rank.""".stripMargin,
       s"""WITH $oracleBase,
          |kk AS (SELECT greatest(8, CAST(floor(sqrt(CAST(count(*) AS DOUBLE)))
          |         AS BIGINT)) AS k FROM embeddings),
@@ -486,40 +528,8 @@ object Similarity {
          |  CAST(count(*) - count(r.vec_id) AS BIGINT) AS n_kept
          |FROM assign a LEFT JOIN rm r ON r.vec_id = a.vec_id
          |GROUP BY 1""".stripMargin) { (s, dir) =>
-      graft.plans.GraftFunctions.register(s)
       val N = s.sparkContext.defaultParallelism
-      // q90's codebook/assignment shape, with the codebook size scaled
-      // to the corpus: k = max(8, floor(sqrt(n))) centroids as one
-      // broadcast array row. Distances run in exact integer
-      // ten-thousandths (the 4-decimal quantization grid scaled by
-      // 10^4) through the native sq_dist_long kernel — same values
-      // the DECIMAL path would compare, at long-arithmetic cost, which
-      // is what makes the Θ(n·k) assignment affordable at k=Θ(sqrt n).
-      // array_min over (d, cid) structs also hands back d — the
-      // distance to the ASSIGNED centroid, which is the keep-rank.
-      val kk = Tables.embeddings(s, dir).agg(
-        greatest(lit(8L), floor(sqrt(count(lit(1)).cast("double"))).cast("long"))
-          .as("k"))
-      val cI = Tables.embeddings(s, dir)
-        .select(col("vec_id"), col("embedding"),
-          expr(s"transform(${quant("embedding")}, x -> CAST(x * 10000 AS BIGINT))")
-            .as("iv"))
-      val centsArr = cI.crossJoin(broadcast(kk))
-        .filter(col("vec_id") < col("k"))
-        .select(struct(col("vec_id").as("cid"), col("iv").as("icv")).as("ct"))
-        .agg(sort_array(collect_list(col("ct"))).as("cents"))
-      val cdsExpr = "array_min(transform(cents, ct -> named_struct(" +
-        "'d', sq_dist_long(iv, ct.icv), 'cid', ct.cid)))"
-      // explicit-N repartition: the corpus parquet can scan as a few
-      // tasks, which would serialize the CPU-dense assignment + the
-      // prescreen that reads the same frame (SCALE.md §4 pinning rule)
-      val slim = cI.repartition(N)
-        .crossJoin(broadcast(centsArr))
-        .withColumn("m", expr(cdsExpr))
-        .select(col("vec_id"), col("embedding"), col("iv"),
-          call_function("dot_long", col("iv"), col("iv")).as("nl"),
-          col("m.cid").as("cid"), col("m.d").as("cd"))
-        .localCheckpoint()
+      val slim = semAssign(s, dir)
       // pair stage: CO-LOCATE BY CELL, don't broadcast the corpus —
       // a whole-corpus broadcast (q36's shape) is fine for fixed tiny
       // cells but is exactly what cannot ship at 100 TB; with
@@ -577,6 +587,68 @@ object Similarity {
           sum(coalesce(col("rm"), lit(0L))).cast("long").as("n_removed"))
         .select(col("cid").as("centroid_id"), col("n_assigned"), col("n_removed"),
           (col("n_assigned") - col("n_removed")).as("n_kept"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q218_prototype_pruning",
+      """SSL-prototype data pruning (Sorscher et al. 2022, NeurIPS
+        |"Beyond neural scaling laws: beating power-law scaling via
+        |data pruning"): rank every example by distance to its cluster
+        |prototype and DROP the closest quartile — the most
+        |prototypical, most redundant examples — keeping the hard ones
+        |(the paper's rule in the abundant-data regime; D4, Tirumala
+        |et al. 2023, chains exactly this pruning after SemDeDup). The
+        |complement of q205's keep-farthest rule, on the SAME staged
+        |assignment: both queries read one SessionCache inside one
+        |cache family (the SCALE.md branch-reuse rule). Ranks are the
+        |exact integer sq_dist_long ten-thousandths the assignment
+        |already computed, ties to the lower vec_id; the per-cell
+        |quartile is a row_number window PARTITIONED BY CELL — cells
+        |are ~sqrt n rows by construction, never a global window.
+        |Census out: per cell, assigned / pruned (= n DIV 4) / kept
+        |counts and the pruned band's ceiling distance (null when the
+        |cell is too small to prune).""".stripMargin,
+      s"""WITH $oracleBase,
+         |kk AS (SELECT greatest(8, CAST(floor(sqrt(CAST(count(*) AS DOUBLE)))
+         |         AS BIGINT)) AS k FROM embeddings),
+         |iv AS (SELECT vec_id, i, CAST(v * 10000 AS BIGINT) AS x FROM e),
+         |cent AS (SELECT c.vec_id AS cid, c.i, c.x AS cx
+         |         FROM iv c, kk WHERE c.vec_id < kk.k),
+         |cdist AS (
+         |  SELECT a.vec_id, c.cid,
+         |    CAST(sum((a.x - c.cx) * (a.x - c.cx)) AS BIGINT) AS d
+         |  FROM iv a JOIN cent c ON a.i = c.i
+         |  GROUP BY 1, 2),
+         |assign AS (SELECT vec_id, cid, d FROM (
+         |    SELECT vec_id, cid, d,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+         |    FROM cdist) WHERE rn = 1),
+         |rk AS (
+         |  SELECT vec_id, cid, d,
+         |    row_number() OVER (PARTITION BY cid ORDER BY d, vec_id) AS rn,
+         |    CAST(count(*) OVER (PARTITION BY cid) AS BIGINT) AS n
+         |  FROM assign)
+         |SELECT cid AS centroid_id,
+         |  CAST(max(n) AS BIGINT) AS n_assigned,
+         |  CAST(sum(CASE WHEN rn <= n // 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_pruned,
+         |  CAST(sum(CASE WHEN rn > n // 4 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  max(CASE WHEN rn <= n // 4 THEN d END) AS prune_ceiling_d
+         |FROM rk GROUP BY 1""".stripMargin) { (s, dir) =>
+      val slim = semAssign(s, dir).select(col("vec_id"), col("cid"), col("cd"))
+      val cellN = slim.groupBy(col("cid"))
+        .agg(count(lit(1)).cast("bigint").as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cid")).orderBy(col("cd"), col("vec_id"))
+      slim.withColumn("rn", row_number().over(w))
+        .join(broadcast(cellN), Seq("cid"))
+        .withColumn("pruned", col("rn") <= expr("n DIV 4"))
+        .groupBy(col("cid"))
+        .agg(max(col("n")).as("n_assigned"),
+          sum(when(col("pruned"), 1L).otherwise(0L)).cast("bigint").as("n_pruned"),
+          sum(when(col("pruned"), 0L).otherwise(1L)).cast("bigint").as("n_kept"),
+          max(when(col("pruned"), col("cd"))).as("prune_ceiling_d"))
+        .select(col("cid").as("centroid_id"), col("n_assigned"),
+          col("n_pruned"), col("n_kept"), col("prune_ceiling_d"))
     },
 
     // ----------------------------------------------------------------

@@ -94,6 +94,39 @@ class SimilaritySpec extends SparkSpec {
       "every vector is assigned exactly once")
   }
 
+  test("q218 prototype-pruning census equals an integer replay of the quartile rule") {
+    val dir01 = "/root/testdata/sf0.01"
+    val embI: Map[Long, Array[Long]] = spark.read
+      .parquet(s"$dir01/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(x =>
+        (BigDecimal(x.toDouble).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+          * 10000).toLongExact).toArray)
+      .toMap
+    def sqdist(a: Array[Long], b: Array[Long]): Long =
+      a.lazyZip(b).map((x, y) => (x - y) * (x - y)).sum
+    val k = math.max(8L, math.floor(math.sqrt(embI.size.toDouble)).toLong)
+    val cents = (0L until k).map(cid => cid -> embI(cid))
+    val assign: Map[Long, (Long, Long)] = embI.map { case (id, v) =>
+      id -> cents.map { case (cid, cv) => (sqdist(v, cv), cid) }.min.swap
+    }
+    val expected = assign.toSeq.groupBy(_._2._1).map { case (cid, xs) =>
+      val sorted = xs.map { case (id, (_, d)) => (d, id) }.sorted
+      val nPruned = sorted.size / 4
+      val pruned = sorted.take(nPruned)
+      cid -> ((sorted.size.toLong, nPruned.toLong, (sorted.size - nPruned).toLong,
+        pruned.lastOption.map(_._1)))
+    }
+    val got = SparkEntry.all.find(_.name == "q218_prototype_pruning").get
+      .run(spark, dir01).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4))))).toMap
+    assert(got == expected, "pruning census diverges from the integer replay")
+    assert(got.values.map(_._2).sum > 0, "fixture must prune at least one example")
+    assert(got.values.map(_._1).sum == embI.size.toLong,
+      "every vector is assigned exactly once")
+  }
+
   test("q216 JL projection is exact and preserves pair distances within JL bounds") {
     val dir01 = "/root/testdata/sf0.01"
     // exact integer recompute on the 1e-4 grid, decoder- and plan-free
