@@ -134,15 +134,7 @@ object AudioHeader {
       val bits = m.bitsPerSample.toInt
       val bytesPer = bits / 8
       val frames = m.nFrames.toInt
-      // locate the data chunk (structure already validated strictly)
-      var off = 12
-      var dataOff = -1
-      while (dataOff < 0) {
-        val id = fourCC(bytes, off)
-        val size = leInt(bytes, off + 4).toInt
-        if (id == "data") dataOff = off + 8
-        else off = off + 8 + size + (size & 1)
-      }
+      val dataOff = dataChunkOffset(bytes)
       var peak = 0L
       var sumSq = 0L
       var zc = 0L
@@ -151,14 +143,7 @@ object AudioHeader {
       while (f < frames) {
         var c = 0
         while (c < ch) {
-          val sOff = dataOff + (f * ch + c) * bytesPer
-          val v: Int =
-            if (bits == 8) ((bytes(sOff) & 0xff) - 128) * 256
-            else {
-              val hi = bytes(sOff + bytesPer - 1)
-              val lo = bytes(sOff + bytesPer - 2) & 0xff
-              (hi << 8) | lo // hi sign-extends: signed 16-bit value
-            }
+          val v = sampleV16(bytes, dataOff, ch, bits, f, c)
           val av = math.abs(v.toLong)
           if (av > peak) peak = av
           sumSq += v.toLong * v
@@ -170,6 +155,61 @@ object AudioHeader {
       }
       val n = frames.toLong * ch
       PcmFeatures(peak, sumSq / n, zc, n)
+    }
+
+  /** Offset of the data chunk's payload (structure already validated
+    * by [[decodeWav]]'s strict walk). */
+  private def dataChunkOffset(bytes: Array[Byte]): Int = {
+    var off = 12
+    var dataOff = -1
+    while (dataOff < 0) {
+      val id = fourCC(bytes, off)
+      val size = leInt(bytes, off + 4).toInt
+      if (id == "data") dataOff = off + 8
+      else off = off + 8 + size + (size & 1)
+    }
+    dataOff
+  }
+
+  /** Channel c's sample at frame f, normalized to a signed 16-bit
+    * value: 8-bit PCM is unsigned-biased, wider widths read their top
+    * two bytes (hi sign-extends). */
+  private def sampleV16(bytes: Array[Byte], dataOff: Int, ch: Int,
+      bits: Int, f: Int, c: Int): Int = {
+    val bytesPer = bits / 8
+    val sOff = dataOff + (f * ch + c) * bytesPer
+    if (bits == 8) ((bytes(sOff) & 0xff) - 128) * 256
+    else {
+      val hi = bytes(sOff + bytesPer - 1)
+      val lo = bytes(sOff + bytesPer - 2) & 0xff
+      (hi << 8) | lo // hi sign-extends: signed 16-bit value
+    }
+  }
+
+  /** 32-bit sign-of-delta fingerprint (Haitsma & Kalker 2002, "A
+    * Highly Robust Audio Fingerprinting System" — the sign of the
+    * inter-frame difference is the fingerprint bit): channel 0 is
+    * nearest-resampled onto a 33-point grid (exact integer source
+    * indices t*frames div 33 — the resizeNearest convention) and bit t
+    * is set iff the amplitude rises between grid points t and t+1.
+    * Amplitude stands in for the paper's per-band energy — the corpus
+    * is deterministic PCM, not spectral. None iff the strict header
+    * decode rejects or the clip is empty. */
+  def pcmFingerprint(bytes: Array[Byte], grid: Int = 33): Option[Long] =
+    decodeWav(bytes).filter(_.nFrames > 0).map { m =>
+      val ch = m.channels.toInt
+      val bits = m.bitsPerSample.toInt
+      val frames = m.nFrames
+      val dataOff = dataChunkOffset(bytes)
+      def at(t: Int): Int =
+        sampleV16(bytes, dataOff, ch, bits, (t.toLong * frames / grid).toInt, 0)
+      var fp = 0L
+      var t = 0
+      while (t < grid - 1) {
+        if (at(t + 1) > at(t)) fp |= 1L << t
+        t += 1
+      }
+      fp
     }
 
   /** Strict FLAC STREAMINFO decode; None on anything not a consistent

@@ -1181,6 +1181,57 @@ object Multimodal {
       pixelChecksums(resizeImages(docPatternPngs(s, dir), 16, 16, kernel = "bicubic"))
     },
 
+    q("q219_audio_fingerprint",
+      """Perceptual near-duplicate AUDIO dedup by sign-of-delta
+        |fingerprint — the Haitsma & Kalker 2002 scheme (the fingerprint
+        |bit is the SIGN of the energy difference between consecutive
+        |frames; amplitude stands in for per-band energy on this
+        |deterministic PCM corpus): strict-decode each WAV, nearest-
+        |resample channel 0 onto a 33-point grid (exact integer indices,
+        |the resizeNearest convention), pack the 32 rise/fall bits into
+        |one BIGINT, and census the collision classes — q215's dHash
+        |shape on the audio modality, completing the perceptual-dedup
+        |pair. Every 7th row's corrupted riff size must strict-reject
+        |and stay OUT of the census (the oracle excludes exactly those
+        |rows from first principles, so a lenient decoder that hashed
+        |garbage would shift a class and turn rows red). The oracle
+        |replays resample indices, the 8/16/24/32-bit amplitude mapping
+        |and every comparison from doc_id arithmetic. Scale shape: one
+        |batched mapPartitions pass, 8 bytes out per clip; 64-bit-keyed
+        |mergeable census; output bounded by collision classes.""".stripMargin,
+      """WITH p AS (
+        |  SELECT doc_id, 8 * (doc_id % 4 + 1) AS bits, doc_id % 200 + 1 AS fr
+        |  FROM documents WHERE doc_id % 7 <> 3),
+        |g AS (
+        |  SELECT doc_id, t.t AS t, bits,
+        |    (t.t * fr) // 33 AS fa, ((t.t + 1) * fr) // 33 AS fb
+        |  FROM p, range(0, 32) t(t)),
+        |v AS (
+        |  SELECT doc_id, t,
+        |    CASE WHEN bits = 8 THEN ((fa % 251) - 128) * 256
+        |         WHEN (fa % 251) >= 128 THEN (fa % 251) * 257 - 65536
+        |         ELSE (fa % 251) * 257 END AS va,
+        |    CASE WHEN bits = 8 THEN ((fb % 251) - 128) * 256
+        |         WHEN (fb % 251) >= 128 THEN (fb % 251) * 257 - 65536
+        |         ELSE (fb % 251) * 257 END AS vb
+        |  FROM g),
+        |f AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN vb > va THEN CAST(1 AS BIGINT) << t
+        |             ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS fp
+        |  FROM v GROUP BY 1)
+        |SELECT fp, count(*)::BIGINT AS n_clips,
+        |  min(doc_id) AS keep_doc, max(doc_id) AS max_doc
+        |FROM f GROUP BY 1 HAVING count(*) >= 2""".stripMargin) { (s, dir) =>
+      fingerprintStage(docWavMedia(s, dir))
+        .filter(col("fp").isNotNull)
+        .groupBy(col("fp"))
+        .agg(count(lit(1)).cast("bigint").as("n_clips"),
+          min(col("media_id")).as("keep_doc"),
+          max(col("media_id")).as("max_doc"))
+        .filter(col("n_clips") >= 2)
+    },
+
     q("q215_image_dhash",
       """Perceptual near-duplicate IMAGE dedup by difference hash —
         |the dHash of Krawetz 2013 ("Kind of Like That"), the
@@ -1252,6 +1303,28 @@ object Multimodal {
             }
             Row(id, hi, lo)
           case None => Row(id, null, null)
+        }
+      }
+    }(enc)
+  }
+
+  /** Fingerprint stage: strict-decode each WAV payload and reduce it
+    * to the 32-bit Haitsma-Kalker sign-of-delta fingerprint
+    * ([[AudioHeader.pcmFingerprint]]). Rejected payloads fingerprint
+    * to null. */
+  private def fingerprintStage(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("fp", LongType, nullable = true)))
+    val enc = Encoders.row(outSchema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val mIdx = media.schema.fieldIndex("media")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        AudioHeader.pcmFingerprint(r.getAs[Array[Byte]](mIdx)) match {
+          case Some(fp) => Row(id, fp)
+          case None     => Row(id, null)
         }
       }
     }(enc)

@@ -172,6 +172,36 @@ class MultimodalSpec extends SparkSpec {
     assert(blocks.forall(_.length <= 4))
   }
 
+  test("q219 audio fingerprint census equals a pure-arithmetic recompute, corrupt rows excluded") {
+    def v16(bits: Long, f: Long): Long = {
+      val r = f % 251
+      if (bits == 8) (r - 128) * 256
+      else if (r >= 128) r * 257 - 65536
+      else r * 257
+    }
+    def fp(id: Long): Long = {
+      val bits = 8 * (id % 4 + 1); val fr = id % 200 + 1
+      (0 until 32).foldLeft(0L) { (acc, t) =>
+        if (v16(bits, (t + 1) * fr / 33) > v16(bits, t * fr / 33))
+          acc | (1L << t)
+        else acc
+      }
+    }
+    val ids = Tables.documents(spark, TestSession.sfDir)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    val expected = ids.filter(_ % 7 != 3).groupBy(fp).collect {
+      case (h, members) if members.length >= 2 =>
+        h -> ((members.length.toLong, members.min, members.max))
+    }.toMap
+    val rows = SparkEntry.all.find(_.name == "q219_audio_fingerprint").get
+      .run(spark, TestSession.sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rows == expected, "fingerprint census diverges from the arithmetic recompute")
+    assert(rows.nonEmpty, "fixture must produce at least one collision class")
+    // corrupt clips must be absent: no class may account for an id%7==3 doc
+    assert(rows.values.map(_._1).sum <= ids.count(_ % 7 != 3).toLong)
+  }
+
   test("q215 dHash census equals a pure-arithmetic recompute (no decoder involved)") {
     // recompute each doc's dHash straight from the fixture formula —
     // independent of ImagePixels, so a decode/resize/packing bug on
