@@ -742,6 +742,97 @@ object TextOps {
           (col("n_types_a") + col("n_types_b") - col("n_common")).as("n_union"),
           expr("(1000 * n_common) DIV (n_types_a + n_types_b - n_common)").as("jaccard_permille"),
           expr("(1000 * n_common) DIV least(n_types_a, n_types_b)").as("containment_permille"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q220_dup_ngram_rate",
+      """Duplicate-n-gram rate per source — WIMBD's duplicated-n-gram
+        |audit (Elazar et al. 2023: the share of n-gram OCCURRENCES
+        |that repeat an already-seen n-gram, the corpus-level
+        |repetition signal that predicts memorization; Lee et al.
+        |2021's dedup paper motivates the same measure): word 3-gram
+        |shingles WITH multiplicity (the q27 shingle convention minus
+        |the distinct), counted per (source, shingle), rolled up to
+        |total / distinct / duplicate occurrences and an integer
+        |permille rate. Scale shape: one (source, shingle)-keyed count
+        |with map-side combine — state is distinct-shingle-sized,
+        |which replicas don't grow — then a |sources|-row roll-up.""".stripMargin,
+      """WITH sg AS (
+        |  SELECT source, array_to_string(w[i:i+2], ' ') AS sh
+        |  FROM (SELECT source, string_split(text, ' ') AS w FROM documents),
+        |       unnest(range(1, greatest(len(w) - 1, 1))) AS t(i)),
+        |tc AS (SELECT source, sh, count(*)::BIGINT AS cnt FROM sg GROUP BY 1, 2)
+        |SELECT source,
+        |  CAST(sum(cnt) AS BIGINT) AS n_ngrams,
+        |  count(*)::BIGINT AS n_distinct,
+        |  CAST(sum(cnt - 1) AS BIGINT) AS n_dup_occurrences,
+        |  (1000 * CAST(sum(cnt - 1) AS BIGINT)) // CAST(sum(cnt) AS BIGINT)
+        |    AS dup_permille
+        |FROM tc GROUP BY 1""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("source"), split(col("text"), " ").as("w"))
+        .withColumn("i", explode(when(size(col("w")) >= 3,
+          sequence(lit(1), size(col("w")) - 2)).otherwise(array())))
+        .select(col("source"),
+          concat_ws(" ", slice(col("w"), col("i"), lit(3))).as("sh"))
+        .groupBy(col("source"), col("sh")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("source"))
+        .agg(sum(col("cnt")).cast("bigint").as("n_ngrams"),
+          count(lit(1)).cast("bigint").as("n_distinct"),
+          sum(col("cnt") - 1).cast("bigint").as("n_dup_occurrences"))
+        .select(col("source"), col("n_ngrams"), col("n_distinct"),
+          col("n_dup_occurrences"),
+          expr("(1000 * n_dup_occurrences) DIV n_ngrams").as("dup_permille"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q221_top_ngrams",
+      """Most-common n-grams — the other half of WIMBD's n-gram audit
+        |(Elazar et al. 2023 report the corpus's top n-grams verbatim;
+        |a handful of boilerplate 3-grams dominating the head is the
+        |classic symptom q208's chunk filter then removes): global
+        |word-3-gram counts, top 20 by (count desc, shingle), with
+        |rank, running coverage and the corpus total — q82's
+        |zero-window shape (TakeOrdered into ONE sorted array row;
+        |rank is array position, the running sum an aggregate over a
+        |slice; the total is a scalar aggregate broadcast back) over
+        |shingles instead of unigrams. The shingle-count aggregate is
+        |materialized once (localCheckpoint) because it feeds both the
+        |total and the top-20 — without it the explode+groupBy corpus
+        |pass would run twice (the q82 r4 finding).""".stripMargin,
+      """WITH sg AS (
+        |  SELECT array_to_string(w[i:i+2], ' ') AS sh
+        |  FROM (SELECT string_split(text, ' ') AS w FROM documents),
+        |       unnest(range(1, greatest(len(w) - 1, 1))) AS t(i)),
+        |tc AS (SELECT sh, count(*) AS cnt FROM sg GROUP BY sh),
+        |ranked AS (
+        |  SELECT sh, cnt,
+        |    row_number() OVER (ORDER BY cnt DESC, sh) AS rk,
+        |    CAST(sum(cnt) OVER (ORDER BY cnt DESC, sh
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cnt,
+        |    CAST(sum(cnt) OVER () AS BIGINT) AS total_cnt
+        |  FROM tc)
+        |SELECT rk, sh, cnt, cum_cnt, total_cnt
+        |FROM ranked WHERE rk <= 20""".stripMargin) { (s, dir) =>
+      val tc = Tables.documents(s, dir)
+        .select(split(col("text"), " ").as("w"))
+        .withColumn("i", explode(when(size(col("w")) >= 3,
+          sequence(lit(1), size(col("w")) - 2)).otherwise(array())))
+        .select(concat_ws(" ", slice(col("w"), col("i"), lit(3))).as("sh"))
+        .groupBy(col("sh")).agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
+      val total = tc.agg(sum(col("cnt")).cast("bigint").as("total_cnt"))
+      val top = tc.orderBy(col("cnt").desc, col("sh")).limit(20)
+        .select(struct((-col("cnt")).as("nc"), col("sh").as("sh"),
+          col("cnt").as("cnt")).as("x"))
+        .agg(sort_array(collect_list(col("x"))).as("xs"))
+      top.select(col("xs"), posexplode(col("xs")))
+        .select(col("xs"), (col("pos") + 1).as("rk"),
+          col("col.sh").as("sh"), col("col.cnt").as("cnt"), col("pos"))
+        .withColumn("cum_cnt",
+          expr("CAST(aggregate(slice(xs, 1, pos + 1), CAST(0 AS BIGINT), (acc, v) -> acc + v.cnt) AS BIGINT)"))
+        .crossJoin(broadcast(total))
+        .select(col("rk"), col("sh"), col("cnt"), col("cum_cnt"), col("total_cnt"))
     })
 
   /** q206's rule battery as a frame transform: appends the five 0/1

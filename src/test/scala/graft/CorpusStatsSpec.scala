@@ -65,6 +65,46 @@ class CorpusStatsSpec extends SparkSpec {
     }
   }
 
+  test("q220 duplicate-ngram rate equals a Scala sliding-window recompute") {
+    // NOTE: q220/q221 shingle on the RAW text (the q27 dedup
+    // convention), not the lowercased q82 tokenization
+    val raw = Tables.documents(spark, sfDir)
+      .select(col("source"), col("text")).collect()
+      .map(r => (r.getString(0), r.getString(1).split(" ", -1)))
+    val expected = raw.groupBy(_._1).map { case (src, rs) =>
+      val grams = rs.flatMap(_._2.sliding(3).filter(_.length == 3).map(_.mkString(" ")))
+      val counts = grams.groupBy(identity).view.mapValues(_.length.toLong)
+      val total = counts.values.sum
+      val dup = total - counts.size
+      src -> ((total, counts.size.toLong, dup, 1000L * dup / total))
+    }
+    val got = byName("q220_dup_ngram_rate").run(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == expected, "dup-ngram rate diverges from the sliding recompute")
+    got.values.foreach { case (total, distinct, dup, _) =>
+      assert(dup == total - distinct && dup >= 0)
+    }
+  }
+
+  test("q221 top ngrams equal a Scala recompute with running coverage") {
+    val grams = Tables.documents(spark, sfDir)
+      .select(col("text")).collect()
+      .flatMap(_.getString(0).split(" ", -1).sliding(3)
+        .filter(_.length == 3).map(_.mkString(" ")))
+    val counts = grams.groupBy(identity).view.mapValues(_.length.toLong).toSeq
+    val total = counts.map(_._2).sum
+    val top = counts.sortBy { case (sh, c) => (-c, sh) }.take(20)
+    val expected = top.zipWithIndex.map { case ((sh, c), i) =>
+      (i + 1L, sh, c, top.take(i + 1).map(_._2).sum, total)
+    }
+    val got = byName("q221_top_ngrams").run(spark, sfDir).collect()
+      .map(r => (r.getInt(0).toLong, r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+      .sortBy(_._1).toSeq
+    assert(got == expected, "top ngrams diverge from the Scala recompute")
+  }
+
   test("q214 vocab overlap equals a Scala set recompute for every source pair") {
     val rows = byName("q214_vocab_overlap").run(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getString(1)) ->
