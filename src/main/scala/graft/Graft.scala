@@ -46,7 +46,8 @@ object Graft {
       "q63_curation_pipeline", "q68_dup_clusters"),
     "simhash" -> Seq("q200_source_datasheet", "q30_simhash",
       "q77_simhash_hamming"),
-    "graph" -> Seq("q130_triangle_count", "q131_pagerank"),
+    "graph" -> Seq("q130_triangle_count", "q131_pagerank",
+      "q223_link_prediction"),
     "semdedup" -> Seq("q205_semdedup", "q218_prototype_pruning"))
 
   /** Family id of a query — its own name when it belongs to none. */

@@ -833,6 +833,60 @@ object TextOps {
           expr("CAST(aggregate(slice(xs, 1, pos + 1), CAST(0 AS BIGINT), (acc, v) -> acc + v.cnt) AS BIGINT)"))
         .crossJoin(broadcast(total))
         .select(col("rk"), col("sh"), col("cnt"), col("cum_cnt"), col("total_cnt"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q222_unseen_mass",
+      """Good-Turing unseen-vocabulary mass + Chao1 richness per source
+        |— the "how much of this source's vocabulary have we NOT seen
+        |yet" estimate that closes the q212 Heaps-curve story: the
+        |growth curve says vocabulary is still arriving, this says how
+        |much probability mass the unseen tail holds. Good-Turing
+        |(Good 1953; Gale & Sampson 1995's simple-GT exposition) puts
+        |the unseen mass at N1/N — the share of tokens that are hapax
+        |legomena — and Chao1 (Chao 1984) lower-bounds total species
+        |richness at V + N1·(N1−1)/(2·(N2+1)) (the bias-corrected form,
+        |exact in integers — no floating estimator anywhere). Both need
+        |only the frequency-of-frequencies head (N1, N2), which is why
+        |they run at corpus scale: state is vocabulary-sized, the
+        |estimators are arithmetic over five per-source counters.
+        |Scale shape: ONE (source, token)-keyed count with map-side
+        |combine (the same shuffle q213's diversity profile pays —
+        |replicas of a doc don't grow distinct-key state), then a
+        ||sources|-row conditional roll-up; output is |sources| rows.""".stripMargin,
+      """WITH tc AS (
+        |  SELECT source, tok, count(*)::BIGINT AS cnt
+        |  FROM (SELECT source, unnest(string_split(lower(text), ' ')) AS tok
+        |        FROM documents)
+        |  WHERE tok <> '' GROUP BY 1, 2)
+        |SELECT source,
+        |  CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        |  count(*)::BIGINT AS v_types,
+        |  CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1_hapax,
+        |  CAST(sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2_dis,
+        |  (1000 * CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT))
+        |    // CAST(sum(cnt) AS BIGINT) AS unseen_mass_permille,
+        |  count(*)::BIGINT
+        |    + CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      * (CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) - 1)
+        |      // (2 * (CAST(sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS BIGINT) + 1))
+        |    AS chao1_richness
+        |FROM tc GROUP BY 1""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("source"),
+          explode(split(lower(col("text")), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("source"))
+        .agg(sum(col("cnt")).cast("bigint").as("n_tokens"),
+          count(lit(1)).cast("bigint").as("v_types"),
+          sum(when(col("cnt") === 1, 1L).otherwise(0L)).cast("bigint").as("n1_hapax"),
+          sum(when(col("cnt") === 2, 1L).otherwise(0L)).cast("bigint").as("n2_dis"))
+        .select(col("source"), col("n_tokens"), col("v_types"),
+          col("n1_hapax"), col("n2_dis"),
+          expr("(1000 * n1_hapax) DIV n_tokens").as("unseen_mass_permille"),
+          expr("v_types + (n1_hapax * (n1_hapax - 1)) DIV (2 * (n2_dis + 1))")
+            .as("chao1_richness"))
     })
 
   /** q206's rule battery as a frame transform: appends the five 0/1

@@ -122,4 +122,27 @@ class CorpusStatsSpec extends SparkSpec {
     }).toMap
     assert(rows == expected, "vocab overlap diverges from the Scala set recompute")
   }
+
+  test("q222 unseen mass / Chao1 equals a Scala recompute and bounds hold") {
+    val rows = byName("q222_unseen_mass").run(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6)))).toMap
+    val expected = docs.groupBy(_._2).map { case (src, rs) =>
+      val counts = rs.flatMap(_._3).groupBy(identity).view.mapValues(_.length.toLong)
+      val n = counts.values.sum
+      val v = counts.size.toLong
+      val n1 = counts.count(_._2 == 1L).toLong
+      val n2 = counts.count(_._2 == 2L).toLong
+      src -> ((n, v, n1, n2, 1000L * n1 / n, v + n1 * (n1 - 1) / (2 * (n2 + 1))))
+    }
+    assert(rows == expected, "unseen-mass estimators diverge from the Scala recompute")
+    // estimator sanity: Chao1 lower-bounds richness at >= observed types,
+    // and the unseen mass is a probability share (< 1000 permille)
+    rows.values.foreach { case (n, v, n1, _, mass, chao1) =>
+      assert(chao1 >= v, "Chao1 must never fall below observed richness")
+      assert(mass >= 0 && mass < 1000, "unseen mass must be a sub-unit share")
+      assert(n1 <= v && v <= n, "counter ordering n1 <= V <= N must hold")
+    }
+  }
 }
