@@ -1827,6 +1827,77 @@ object EventsOps {
           col("tier"), col("t").as("valid_from_us"),
           lead(col("t"), 1).over(byT).as("valid_to_us"))
         .withColumn("is_current", col("valid_to_us").isNull)
+    },
+
+    // ----------------------------------------------------------------
+    q("q225_ewma_control",
+      """EWMA CONTROL CHART over the hourly event series — the
+        |exponentially-weighted monitoring statistic of Roberts 1959
+        |(the other classical anomaly detector beside q149's rolling
+        |z-score: EWMA weights ALL history with geometric decay, where
+        |the z-score weights a fixed frame uniformly), with λ = 1/2 and
+        |the tail truncated at 16 lags so the whole statistic lives in
+        |exact integers: baseline_t = Σ_{k=1..16} 2^(16−k)·cnt_{t−k}
+        |(weight sum 2^16−1 = 65535; the lag-17+ tail a true EWMA
+        |carries weighs < 1/65535 — below the chart's own resolution).
+        |The hourly series is ZERO-FILLED onto each type's integer-hour
+        |spine first (gap hours are real zero observations; lag over
+        |the raw aggregate would silently compress quiet periods — the
+        |control-chart equivalent of dropping evidence), the baseline
+        |EXCLUDES the current hour (q149's self-exclusion discipline),
+        |and an hour flags when cnt·65535 > 2·baseline — observed
+        |traffic above twice its decayed history, division-free. Rows
+        |emit only once 16 lags exist. Scale shape: ONE shuffle to the
+        |(type, hour) histogram with map-side combine; the spine
+        |explode is bounded by types × wall-clock hours (never event
+        |count); the 16 lags unroll in ONE keyed window pass
+        |(partition by type — state is 16 counters per partition);
+        |everything downstream is scan-side integer arithmetic.""".stripMargin, {
+      val wSql = (1 to 16).map(k => s"${1L << (16 - k)} * l$k").mkString(" + ")
+      val lagsSql = (1 to 16).map(k =>
+        s"lag(cnt, $k) OVER (PARTITION BY event_type ORDER BY h) AS l$k")
+        .mkString(",\n        |    ")
+      s"""WITH c AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+        |    count(*)::BIGINT AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT event_type, min(h) AS h0, max(h) AS h1 FROM c GROUP BY 1),
+        |sp AS (SELECT event_type, unnest(generate_series(h0, h1)) AS h FROM b),
+        |z AS (
+        |  SELECT sp.event_type, sp.h, coalesce(c.cnt, 0)::BIGINT AS cnt
+        |  FROM sp LEFT JOIN c ON c.event_type = sp.event_type AND c.h = sp.h),
+        |l AS (
+        |  SELECT event_type, h, cnt,
+        |    $lagsSql
+        |  FROM z)
+        |SELECT event_type, h AS epoch_hour, cnt,
+        |  CAST($wSql AS BIGINT) AS baseline_num,
+        |  (1000 * ($wSql)) // 65535 AS baseline_milli,
+        |  CASE WHEN cnt * 65535 > 2 * ($wSql) THEN 1 ELSE 0 END AS spike_flag
+        |FROM l WHERE l16 IS NOT NULL""".stripMargin
+    }) { (s, dir) =>
+      val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      val c = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) DIV 3600000000").as("h"))
+        .agg(count(lit(1)).cast("bigint").as("cnt"))
+      val sp = c.groupBy(col("event_type"))
+        .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+        .select(col("event_type"),
+          explode(sequence(col("h0"), col("h1"))).as("h"))
+      val z = sp.join(c, Seq("event_type", "h"), "left")
+        .select(col("event_type"), col("h"),
+          coalesce(col("cnt"), lit(0L)).as("cnt"))
+      val lagged = (1 to 16).foldLeft(z) { (df, k) =>
+        df.withColumn(s"l$k", lag(col("cnt"), k).over(w))
+      }
+      val wExpr = (1 to 16).map(k => s"${1L << (16 - k)} * l$k").mkString(" + ")
+      lagged.filter(col("l16").isNotNull)
+        .select(col("event_type"), col("h").as("epoch_hour"), col("cnt"),
+          expr(s"CAST($wExpr AS BIGINT)").as("baseline_num"),
+          expr(s"(1000 * ($wExpr)) DIV 65535").as("baseline_milli"),
+          expr(s"CASE WHEN cnt * 65535 > 2 * ($wExpr) THEN 1 ELSE 0 END")
+            .as("spike_flag"))
     })
 
   /** q149's kernel, shared with the streaming twin's stream ≡ batch

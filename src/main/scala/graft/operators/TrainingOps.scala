@@ -1480,6 +1480,91 @@ object TrainingOps {
         .select(col("doc_id"), col("text"), col("n_chars")))
         .groupBy(col("shard"))
         .agg(shardManifestAggs.head, shardManifestAggs.tail: _*)
+    },
+
+    // ----------------------------------------------------------------
+    q("q224_phrase_search",
+      """EXACT PHRASE SEARCH through a positional inverted index — the
+        |retrieval capability q141's (term, doc, tf) postings cannot
+        |answer (tf loses adjacency; Manning, Raghavan & Schütze 2008
+        |§2.4's positional-index phrase algorithm): for the corpus's 5
+        |most frequent word 3-grams, resolve every occurrence by
+        |intersecting the THREE terms' positional postings on
+        |(doc, pos), (doc, pos+1), (doc, pos+2), and report per phrase
+        |the occurrence count, distinct-doc count and first containing
+        |doc. The oracle computes the same numbers by the DIRECT
+        |sliding-window scan, so the hash match proves the index route
+        |finds exactly the scan's occurrences — the same
+        |different-algorithm discipline as q130's orientation proof.
+        |Scale shape: the phrase head is the q221 census (one
+        |shingle-keyed agg + TakeOrdered(5), rides back as a broadcast);
+        |the postings frame is PRE-FILTERED to the ≤15 query terms by a
+        |broadcast semi-join BEFORE any shuffle — the local-mode analog
+        |of an index-organized store fetching only the query terms'
+        |posting lists, which is the entire point of an inverted index
+        |at 100 TB — then repartitioned ONCE by doc so both positional
+        |self-joins are co-partitioned; match state never exceeds the
+        |query terms' postings.""".stripMargin,
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |sg AS (
+        |  SELECT doc_id, array_to_string(w[i:i+2], ' ') AS sh
+        |  FROM w, unnest(range(1, greatest(len(w) - 1, 1))) AS t(i)),
+        |tc AS (SELECT sh, count(*)::BIGINT AS cnt FROM sg GROUP BY 1),
+        |top AS (
+        |  SELECT sh, cnt, row_number() OVER (ORDER BY cnt DESC, sh) AS rk
+        |  FROM tc ORDER BY cnt DESC, sh LIMIT 5)
+        |SELECT CAST(t.rk AS BIGINT) AS rk, t.sh AS phrase, t.cnt AS n_occ,
+        |  count(DISTINCT sg.doc_id)::BIGINT AS n_docs,
+        |  min(sg.doc_id) AS first_doc
+        |FROM top t JOIN sg ON sg.sh = t.sh
+        |GROUP BY 1, 2, 3""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+      // phrase head: q221's census shape — shingle counts, top 5
+      val top = docs
+        .withColumn("i", explode(when(size(col("w")) >= 3,
+          sequence(lit(1), size(col("w")) - 2)).otherwise(array())))
+        .select(concat_ws(" ", slice(col("w"), col("i"), lit(3))).as("sh"))
+        .groupBy(col("sh")).agg(count(lit(1)).cast("bigint").as("cnt"))
+        .orderBy(col("cnt").desc, col("sh")).limit(5)
+        .select(struct((-col("cnt")).as("nc"), col("sh")).as("x"))
+        .agg(sort_array(collect_list(col("x"))).as("xs"))
+        .select(posexplode(col("xs")))
+        .select((col("pos") + 1).cast("bigint").as("rk"),
+          col("col.sh").as("phrase"), (-col("col.nc")).as("cnt"),
+          split(col("col.sh"), " ").as("pw"))
+        .localCheckpoint()
+      // positional postings, PRE-FILTERED to the query terms (broadcast
+      // semi-join — the pruned posting-list fetch), then co-partitioned
+      // by doc for both adjacency joins
+      val vocab = top.select(explode(col("pw")).as("term")).distinct()
+      val posts = docs.select(col("doc_id"), posexplode(col("w")))
+        .select(col("doc_id"), col("pos"), col("col").as("term"))
+        .join(broadcast(vocab), Seq("term"), "left_semi")
+        .repartition(col("doc_id"))
+      val ph = top.select(col("rk"), col("phrase"),
+        col("pw")(0).as("w1"), col("pw")(1).as("w2"), col("pw")(2).as("w3"))
+      val m1 = posts.join(broadcast(ph), col("term") === col("w1"))
+        .select(col("rk"), col("phrase"), col("w2"), col("w3"),
+          col("doc_id"), col("pos"))
+      // n_occ is COUNTED from the index route (never copied from the
+      // census) — the oracle's n_occ is the census count, so the hash
+      // match is the index ≡ scan occurrence proof
+      val hits = m1
+        .join(posts.select(col("doc_id"), (col("pos") - 1).as("pos"),
+            col("term").as("t2")),
+          Seq("doc_id", "pos"))
+        .filter(col("t2") === col("w2"))
+        .join(posts.select(col("doc_id"), (col("pos") - 2).as("pos"),
+            col("term").as("t3")),
+          Seq("doc_id", "pos"))
+        .filter(col("t3") === col("w3"))
+      hits.groupBy(col("rk"), col("phrase"))
+        .agg(count(lit(1)).cast("bigint").as("n_occ"),
+          countDistinct(col("doc_id")).cast("bigint").as("n_docs"),
+          min(col("doc_id")).as("first_doc"))
+        .select(col("rk"), col("phrase"), col("n_occ"), col("n_docs"),
+          col("first_doc"))
     })
 
   /** q217's scan-side shard projection, shared VERBATIM with the

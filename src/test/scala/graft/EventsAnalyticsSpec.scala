@@ -567,4 +567,32 @@ class EventsAnalyticsSpec extends SparkSpec {
       assert(SparkEntry.oracleSql.contains(n), n)
     }
   }
+
+  test("q225 EWMA control chart equals a zero-filled Scala recompute") {
+    val counts = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        expr("unix_micros(ts) DIV 3600000000").as("h"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val expected = counts.keys.map(_._1).toSeq.distinct.flatMap { et =>
+      val hs = counts.collect { case ((t, h), _) if t == et => h }
+      val series = (hs.min to hs.max)
+        .map(h => h -> counts.getOrElse((et, h), 0L))
+      series.indices.drop(16).map { i =>
+        val (h, cnt) = series(i)
+        val base = (1 to 16).map(k => (1L << (16 - k)) * series(i - k)._2).sum
+        (et, h, cnt, base, 1000L * base / 65535L,
+          if (cnt * 65535L > 2L * base) 1 else 0)
+      }
+    }.toSet
+    val rows = byName("q225_ewma_control").run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getInt(5))).toSet
+    assert(rows == expected,
+      "EWMA baseline diverges from the zero-filled Scala recompute")
+    // decay sanity: a baseline is bounded by 65535 × the max lagged count
+    expected.foreach { case (_, _, _, base, _, _) =>
+      assert(base >= 0, "dyadic weights over non-negative counts")
+    }
+  }
 }

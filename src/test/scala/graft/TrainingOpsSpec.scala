@@ -539,4 +539,25 @@ class TrainingOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("q224 phrase search equals a direct sliding-window Scala recompute") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.split(" ", -1))
+    val occ = docs.flatMap { case (id, w) =>
+      (0 to w.length - 3).map(i => (s"${w(i)} ${w(i + 1)} ${w(i + 2)}", id))
+    }
+    val counts = occ.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val top = counts.toSeq.sortBy { case (sh, c) => (-c, sh) }.take(5)
+    val expected = top.zipWithIndex.map { case ((sh, c), i) =>
+      val ids = occ.filter(_._1 == sh).map(_._2)
+      (i + 1L, sh, c, ids.distinct.length.toLong, ids.min)
+    }.toSet
+    val rows = byName("q224_phrase_search").run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(rows == expected,
+      "positional-index phrase counts diverge from the direct scan")
+  }
 }
