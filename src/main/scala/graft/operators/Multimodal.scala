@@ -1232,6 +1232,56 @@ object Multimodal {
         .filter(col("n_clips") >= 2)
     },
 
+    q("q226_video_fingerprint",
+      """Perceptual near-duplicate VIDEO dedup by temporal fingerprint —
+        |q219's Haitsma-Kalker sign-of-delta scheme lifted to the video
+        |modality (per-frame ENERGY stands in for the per-band energy;
+        |the published video analogs — TIRI-DCT, Coskun et al. 2006 —
+        |all reduce to "hash a coarse temporal energy profile"): strict-
+        |decode each MP4's REAL sample tables (the q133 machinery),
+        |walk every 3rd frame's (byte_offset, n_bytes) span, sum the
+        |span's payload bytes into a frame energy IN THE SAME scan pass
+        |(index-then-fetch without a second read — at 100 TB the span
+        |walk is the ranged GET), and pack the 7 rise/fall bits of the
+        |8 sampled energies into one BIGINT. The fixture gives every
+        |video class-derived frame content plus a PER-VIDEO brightness
+        |shift (uniform, no byte wrap) — equal-size frames make the
+        |energy deltas shift-invariant, so same-class videos collide by
+        |construction, the q215 gradient-invariance story in time.
+        |Corrupt stco rows (every 7th doc) strict-reject and stay OUT
+        |of the census. The oracle replays frame sizes, the modular
+        |content formula, every energy and every comparison from doc_id
+        |arithmetic. Scale shape: one batched mapPartitions pass, 8
+        |bytes out per video; 64-bit-keyed mergeable census; output
+        |bounded by collision classes.""".stripMargin,
+      """WITH p AS (
+        |  SELECT doc_id, doc_id % 12 AS cls,
+        |    64 + ((doc_id % 12) % 5) * 16 AS sz, doc_id % 64 AS shift
+        |  FROM documents WHERE doc_id % 7 <> 3),
+        |e AS (
+        |  SELECT doc_id,  k.k AS k,
+        |    CAST(sum((cls * 17 + 45 * k.k * k.k + 3 * j.j) % 128)
+        |         + max(shift * sz) AS BIGINT) AS energy
+        |  FROM p, range(0, 8) k(k), range(0, 128) j(j)
+        |  WHERE j.j < sz GROUP BY 1, 2),
+        |f AS (
+        |  SELECT a.doc_id,
+        |    CAST(sum(CASE WHEN b.energy > a.energy THEN CAST(1 AS BIGINT) << a.k
+        |             ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS fp
+        |  FROM e a JOIN e b ON b.doc_id = a.doc_id AND b.k = a.k + 1
+        |  GROUP BY 1)
+        |SELECT fp, count(*)::BIGINT AS n_videos,
+        |  min(doc_id) AS keep_doc, max(doc_id) AS max_doc
+        |FROM f GROUP BY 1 HAVING count(*) >= 2""".stripMargin) { (s, dir) =>
+      videoFingerprintStage(docContentMp4s(s, dir), stride = 3)
+        .filter(col("fp").isNotNull)
+        .groupBy(col("fp"))
+        .agg(count(lit(1)).cast("bigint").as("n_videos"),
+          min(col("media_id")).as("keep_doc"),
+          max(col("media_id")).as("max_doc"))
+        .filter(col("n_videos") >= 2)
+    },
+
     q("q215_image_dhash",
       """Perceptual near-duplicate IMAGE dedup by difference hash —
         |the dHash of Krawetz 2013 ("Kind of Like That"), the
@@ -1262,6 +1312,100 @@ object Multimodal {
           max(col("media_id")).as("max_doc"))
         .filter(col("n_images") >= 2)
     })
+
+  /** q226's fixture: one doc_id-derived MP4 per document with REAL
+    * sample tables (q133's encodeMp4 stbl chain) and a CONTENT-FILLED
+    * mdat — 24 equal-size frames (sz = 64 + (cls%5)·16, cls = doc_id%12)
+    * whose byte j of frame i is ((cls·17 + 5·i² + 3·j) mod 128) plus a
+    * per-video brightness shift (doc_id mod 64; bytes stay ≤ 190, no
+    * wrap — the shift must cancel in energy DELTAS, and a modular wrap
+    * would break that invariance). Every 7th doc's stco offset is
+    * corrupted exactly like q133 so strict decode rejects it. */
+  private def docContentMp4s(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val payloads = Tables.documents(s, dir)
+      .select(col("doc_id").cast("long")).as[Long]
+      .map { id =>
+        val cls = (id % 12).toInt
+        val n = 24
+        val sz = 64 + (cls % 5) * 16
+        val shift = (id % 64).toInt
+        val mdat = n * sz
+        val bytes = VideoHeader.encodeMp4("isom", 90000L, n.toLong,
+          Seq((320, 240)), mdat,
+          Some((90000L, Seq((n.toLong, 3000L + cls * 100)),
+            Seq.fill(n)(sz.toLong))))
+        val base = bytes.length - mdat
+        var i = 0
+        while (i < n) {
+          var j = 0
+          while (j < sz) {
+            bytes(base + i * sz + j) =
+              (((cls * 17 + 5 * i * i + 3 * j) % 128) + shift).toByte
+            j += 1
+          }
+          i += 1
+        }
+        if (id % 7 == 3) {
+          val pos = bytes.length - mdat - 12
+          bytes(pos) = (bytes(pos) + 1).toByte
+        }
+        (id, bytes)
+      }
+      .toDF("doc_id", "payload")
+      .withColumn("src", lit("synthetic"))
+    asMediaFrame(payloads, "doc_id", "payload", "src")
+  }
+
+  /** Temporal fingerprint stage: strict-decode the MP4 sample tables,
+    * sum each stride-th frame's payload bytes (unsigned) into a frame
+    * energy during the SAME pass — the span walk never leaves the scan
+    * — and pack the rise/fall bits of consecutive sampled energies
+    * into one BIGINT (bit k−1 set iff energy_k > energy_{k−1}).
+    * Payloads that fail table validation fingerprint to null. */
+  private[graft] def videoFingerprintStage(media: DataFrame, stride: Int): DataFrame = {
+    require(stride >= 1, s"stride $stride")
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("fp", LongType, nullable = true)))
+    val enc = Encoders.row(outSchema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val mIdx = media.schema.fieldIndex("media")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        val payload = r.getAs[Array[Byte]](mIdx)
+        VideoHeader.decodeSampleTable(payload) match {
+          case Some(st) =>
+            val energies = scala.collection.mutable.ArrayBuffer.empty[Long]
+            var off = st.chunkOffset
+            var i = 0
+            while (i < st.sampleSizes.length) {
+              val szi = st.sampleSizes(i)
+              if (i % stride == 0) {
+                var sum = 0L
+                var j = 0L
+                while (j < szi) {
+                  sum += payload((off + j).toInt) & 0xff
+                  j += 1
+                }
+                energies += sum
+              }
+              off += szi
+              i += 1
+            }
+            var fp = 0L
+            var k = 1
+            while (k < energies.length) {
+              if (energies(k) > energies(k - 1)) fp |= 1L << (k - 1)
+              k += 1
+            }
+            Row(id, fp)
+          case None => Row(id, null)
+        }
+      }
+    }(enc)
+  }
 
   /** dHash stage: strict-decode each PNG payload, nearest-resize to
     * 9x8, grayscale by integer channel mean, pack the 64 horizontal

@@ -234,4 +234,38 @@ class MultimodalSpec extends SparkSpec {
     assert(rows == expected, "dHash census diverges from the arithmetic recompute")
     assert(rows.nonEmpty, "fixture must produce at least one collision class")
   }
+
+  test("q226 video fingerprint census equals a pure-arithmetic recompute; shift-invariant") {
+    // recompute straight from the fixture formula — independent of
+    // VideoHeader's table decode, so a span-walk or packing bug on
+    // either side surfaces as a mismatch. The brightness shift term
+    // (doc_id % 64) is DELIBERATELY left out of the energies: equal
+    // frame sizes make deltas shift-invariant, so the fingerprints
+    // must agree anyway — that IS the perceptual-invariance claim.
+    def fp(id: Long): Long = {
+      val cls = (id % 12).toInt
+      val sz = 64 + (cls % 5) * 16
+      val energies = (0 until 8).map { k =>
+        val i = 3 * k
+        (0 until sz).map(j => ((cls * 17 + 5 * i * i + 3 * j) % 128).toLong).sum
+      }
+      (1 until 8).foldLeft(0L) { (acc, k) =>
+        if (energies(k) > energies(k - 1)) acc | (1L << (k - 1)) else acc
+      }
+    }
+    val ids = Tables.documents(spark, TestSession.sfDir)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    val expected = ids.filter(_ % 7 != 3).groupBy(fp).collect {
+      case (h, members) if members.length >= 2 =>
+        h -> ((members.length.toLong, members.min, members.max))
+    }.toMap
+    val rows = SparkEntry.all.find(_.name == "q226_video_fingerprint").get
+      .run(spark, TestSession.sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rows == expected,
+      "video fingerprint census diverges from the arithmetic recompute")
+    assert(rows.nonEmpty, "fixture must produce at least one collision class")
+    // corrupt videos must be absent from every class
+    assert(rows.values.map(_._1).sum <= ids.count(_ % 7 != 3).toLong)
+  }
 }
