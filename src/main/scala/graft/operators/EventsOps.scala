@@ -1877,17 +1877,7 @@ object EventsOps {
         |FROM l WHERE l16 IS NOT NULL""".stripMargin
     }) { (s, dir) =>
       val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
-      val c = Tables.events(s, dir)
-        .groupBy(col("event_type"),
-          expr("unix_micros(ts) DIV 3600000000").as("h"))
-        .agg(count(lit(1)).cast("bigint").as("cnt"))
-      val sp = c.groupBy(col("event_type"))
-        .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
-        .select(col("event_type"),
-          explode(sequence(col("h0"), col("h1"))).as("h"))
-      val z = sp.join(c, Seq("event_type", "h"), "left")
-        .select(col("event_type"), col("h"),
-          coalesce(col("cnt"), lit(0L)).as("cnt"))
+      val z = hourlySpine(s, dir)
       val lagged = (1 to 16).foldLeft(z) { (df, k) =>
         df.withColumn(s"l$k", lag(col("cnt"), k).over(w))
       }
@@ -1898,7 +1888,178 @@ object EventsOps {
           expr(s"(1000 * ($wExpr)) DIV 65535").as("baseline_milli"),
           expr(s"CASE WHEN cnt * 65535 > 2 * ($wExpr) THEN 1 ELSE 0 END")
             .as("spike_flag"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q227_cusum_changepoint",
+      """CUSUM changepoint detection over the hourly event series — the
+        |cumulative-sum chart of Page 1954, the classical detector for
+        |a SUSTAINED mean shift (q225's EWMA reacts to level, q149's
+        |z-score to single spikes; CUSUM accumulates small persistent
+        |drift until it crosses a decision interval). The textbook
+        |recurrence S⁺_t = max(0, S⁺_{t-1} + x_t − μ − k) is a
+        |running-max-reset no window AGGREGATE expresses — but it has
+        |the exact closed form S⁺_t = P_t − min(0, min_{j≤t} P_j) over
+        |the prefix sums P of the excess series, which is TWO passes of
+        |the same keyed window (running sum + running min), expressible
+        |identically in both engines with zero recursion — the same
+        |rewrite-to-closed-form discipline as q207's waterfilling.
+        |Target μ and allowance k = μ/4 come from each type's own
+        |zero-filled spine mean (milli-integer floor divides); the
+        |alarm fires at S⁺ > 8μ (the 4-5σ decision-interval convention
+        |scaled to the mean on this deterministic corpus). All integer,
+        |division only in the per-type constants. Scale shape: q225's
+        |spine (ONE histogram shuffle, hours-bounded explode), a
+        ||types|-row mean agg broadcast back, then ONE keyed window
+        |pass computing both running aggregates — never a partition-
+        |less window, state O(1) per partition.""".stripMargin,
+      """WITH c AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+        |    count(*)::BIGINT AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT event_type, min(h) AS h0, max(h) AS h1 FROM c GROUP BY 1),
+        |sp AS (SELECT event_type, unnest(generate_series(h0, h1)) AS h FROM b),
+        |z AS (
+        |  SELECT sp.event_type, sp.h, coalesce(c.cnt, 0)::BIGINT AS cnt
+        |  FROM sp LEFT JOIN c ON c.event_type = sp.event_type AND c.h = sp.h),
+        |m AS (
+        |  SELECT event_type,
+        |    (1000 * CAST(sum(cnt) AS BIGINT)) // count(*) AS mu_milli
+        |  FROM z GROUP BY 1),
+        |y AS (
+        |  SELECT z.event_type, z.h, z.cnt, m.mu_milli,
+        |    1000 * z.cnt - m.mu_milli - m.mu_milli // 4 AS y_milli
+        |  FROM z JOIN m ON m.event_type = z.event_type),
+        |p AS (
+        |  SELECT event_type, h, cnt, mu_milli,
+        |    CAST(sum(y_milli) OVER w AS BIGINT) AS pre
+        |  FROM y
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY h
+        |               ROWS UNBOUNDED PRECEDING)),
+        |sc AS (
+        |  SELECT event_type, h, cnt, mu_milli, pre,
+        |    CAST(min(pre) OVER w AS BIGINT) AS mn
+        |  FROM p
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY h
+        |               ROWS UNBOUNDED PRECEDING))
+        |SELECT event_type, h AS epoch_hour, cnt,
+        |  pre - least(CAST(0 AS BIGINT), mn) AS cusum_milli,
+        |  8 * mu_milli AS thresh_milli,
+        |  CASE WHEN pre - least(CAST(0 AS BIGINT), mn) > 8 * mu_milli
+        |       THEN 1 ELSE 0 END AS alarm
+        |FROM sc""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val z = hourlySpine(s, dir)
+      val m = z.groupBy(col("event_type"))
+        .agg(expr("(1000 * CAST(sum(cnt) AS BIGINT)) DIV count(1)").as("mu_milli"))
+      z.join(broadcast(m), Seq("event_type"))
+        .withColumn("y_milli",
+          lit(1000) * col("cnt") - col("mu_milli") - expr("mu_milli DIV 4"))
+        .withColumn("pre", sum(col("y_milli")).over(w).cast("bigint"))
+        .withColumn("mn", min(col("pre")).over(w).cast("bigint"))
+        .select(col("event_type"), col("h").as("epoch_hour"), col("cnt"),
+          (col("pre") - least(lit(0L), col("mn"))).as("cusum_milli"),
+          (lit(8) * col("mu_milli")).as("thresh_milli"),
+          when(col("pre") - least(lit(0L), col("mn")) > lit(8) * col("mu_milli"), 1)
+            .otherwise(0).as("alarm"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q228_theil_sen",
+      """Theil-Sen robust trend per event type — the median-of-pairwise-
+        |slopes estimator (Theil 1950; Sen 1968; 29% breakdown point
+        |where q191's least squares has zero: a burst-day outlier drags
+        |OLS but not the pair median) over each type's daily count
+        |series, with the matching median-residual intercept. Exact
+        |integers throughout: slopes are milli-units by truncating
+        |division (BOTH engines truncate toward zero on negatives —
+        |pinned by this pair's hash), the median is the LOWER median,
+        |element (n+1) div 2 of the sorted list — never an averaged
+        |midpoint that would need fractions. Scale shape: the daily
+        |series is ONE (type, day)-keyed count with map-side combine,
+        ||types|×|days| rows TOTAL — the O(n²) pair expansion runs on
+        |that TINY aggregate (the q191 moral: reduce first, then pay
+        |quadratic cost on the reduction — 30 days is 435 pairs), via a
+        |broadcast triangular self-join; medians use the q82 zero-
+        |window shape (sorted array in a per-type aggregate row, rank =
+        |array position) — no partition-less window anywhere.""".stripMargin,
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+        |    count(*)::BIGINT AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |pr AS (
+        |  SELECT a.event_type,
+        |    (1000 * (b.cnt - a.cnt)) // (b.d - a.d) AS slope
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND a.d < b.d),
+        |sl AS (
+        |  SELECT event_type, count(*)::BIGINT AS n_pairs,
+        |    list_sort(list(slope))[(count(*) + 1) // 2] AS slope_milli
+        |  FROM pr GROUP BY 1),
+        |r AS (
+        |  SELECT daily.event_type, sl.n_pairs, sl.slope_milli,
+        |    1000 * daily.cnt - sl.slope_milli * daily.d AS resid
+        |  FROM daily JOIN sl ON sl.event_type = daily.event_type)
+        |SELECT event_type, count(*)::BIGINT AS n_days, n_pairs,
+        |  CAST(slope_milli AS BIGINT) AS slope_milli,
+        |  CAST(list_sort(list(resid))[(count(*) + 1) // 2] AS BIGINT)
+        |    AS intercept_milli
+        |FROM r GROUP BY 1, 3, 4""".stripMargin) { (s, dir) =>
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) DIV 86400000000").as("d"))
+        .agg(count(lit(1)).cast("bigint").as("cnt"))
+      // explicit renames on the self-join's right side: disambiguation
+      // by df("col") references resolves BOTH sides to the same lineage
+      // here (daily is one plan) and Spark warns about a trivially-true
+      // predicate — renamed columns make the condition unambiguous
+      val a = daily.select(col("event_type"), col("d").as("da"), col("cnt").as("ca"))
+      val b = daily.select(col("event_type").as("et_b"), col("d").as("db"),
+        col("cnt").as("cb"))
+      val sl = a.join(broadcast(b),
+          col("event_type") === col("et_b") && col("da") < col("db"))
+        .select(col("event_type"),
+          expr("(1000 * (cb - ca)) DIV (db - da)").as("slope"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("bigint").as("n_pairs"),
+          sort_array(collect_list(col("slope"))).as("xs"))
+        .select(col("event_type"), col("n_pairs"),
+          element_at(col("xs"),
+            ((col("n_pairs") + 1) / 2).cast("int")).as("slope_milli"))
+      daily.join(broadcast(sl), Seq("event_type"))
+        .select(col("event_type"), col("n_pairs"), col("slope_milli"),
+          (lit(1000) * col("cnt") - col("slope_milli") * col("d")).as("resid"))
+        .groupBy(col("event_type"), col("n_pairs"), col("slope_milli"))
+        .agg(count(lit(1)).cast("bigint").as("n_days"),
+          sort_array(collect_list(col("resid"))).as("rs"))
+        .select(col("event_type"), col("n_days"), col("n_pairs"),
+          col("slope_milli").cast("bigint").as("slope_milli"),
+          element_at(col("rs"), ((col("n_days") + 1) / 2).cast("int"))
+            .cast("bigint").as("intercept_milli"))
     })
+
+  /** Zero-filled hourly count spine shared by the control-chart pair
+    * (q225 EWMA, q227 CUSUM): one (type, hour) histogram shuffle with
+    * map-side combine, then each type's integer-hour range exploded
+    * (bounded by types × wall-clock hours, never event count) and
+    * left-joined so gap hours are REAL zero observations — both charts
+    * treat silence as evidence, and lag/prefix windows over the raw
+    * aggregate would silently compress quiet periods. */
+  private def hourlySpine(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val c = Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) DIV 3600000000").as("h"))
+      .agg(count(lit(1)).cast("bigint").as("cnt"))
+    val sp = c.groupBy(col("event_type"))
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(col("event_type"),
+        explode(sequence(col("h0"), col("h1"))).as("h"))
+    sp.join(c, Seq("event_type", "h"), "left")
+      .select(col("event_type"), col("h"),
+        coalesce(col("cnt"), lit(0L)).as("cnt"))
+  }
 
   /** q149's kernel, shared with the streaming twin's stream ≡ batch
     * proof (StreamAnomalySpec) and the spike-fixture spec: per event,

@@ -595,4 +595,67 @@ class EventsAnalyticsSpec extends SparkSpec {
       assert(base >= 0, "dyadic weights over non-negative counts")
     }
   }
+
+  test("q227 CUSUM closed form equals the textbook max(0, ...) recurrence") {
+    // the recompute runs Page's ORIGINAL recurrence — not the
+    // prefix-minus-running-min closed form the query uses — so the
+    // closed-form rewrite itself is what this test proves
+    val counts = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        expr("unix_micros(ts) DIV 3600000000").as("h"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val expected = counts.keys.map(_._1).toSeq.distinct.flatMap { et =>
+      val hs = counts.collect { case ((t, h), _) if t == et => h }
+      val series = (hs.min to hs.max)
+        .map(h => h -> counts.getOrElse((et, h), 0L))
+      val mu = 1000L * series.map(_._2).sum / series.size
+      val k = mu / 4
+      var s = 0L
+      series.map { case (h, cnt) =>
+        s = math.max(0L, s + 1000L * cnt - mu - k)
+        (et, h, cnt, s, 8L * mu, if (s > 8L * mu) 1 else 0)
+      }
+    }.toSet
+    val rows = byName("q227_cusum_changepoint").run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getInt(5))).toSet
+    assert(rows == expected,
+      "closed-form CUSUM diverges from the textbook recurrence")
+  }
+
+  test("q228 Theil-Sen equals a Scala pair-median recompute and resists an outlier") {
+    val daily = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        expr("unix_micros(ts) DIV 86400000000").as("d"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    def theilSen(series: Seq[(Long, Long)]): (Long, Long, Long, Long) = {
+      val s = series.sortBy(_._1)
+      val slopes = (for {
+        i <- s.indices; j <- i + 1 until s.size
+      } yield (1000L * (s(j)._2 - s(i)._2)) / (s(j)._1 - s(i)._1)).sorted
+      val slope = slopes((slopes.size + 1) / 2 - 1)
+      val resid = s.map { case (d, c) => 1000L * c - slope * d }.sorted
+      (s.size.toLong, slopes.size.toLong, slope, resid((resid.size + 1) / 2 - 1))
+    }
+    val expected = daily.keys.map(_._1).toSeq.distinct.map { et =>
+      val series = daily.collect { case ((t, d), c) if t == et => (d, c) }.toSeq
+      val (nd, np, sl, ic) = theilSen(series)
+      (et, nd, np, sl, ic)
+    }.toSet
+    val rows = byName("q228_theil_sen").run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(rows == expected, "Theil-Sen diverges from the Scala pair median")
+    // robustness: corrupting ONE day by 100x moves the pair median by
+    // less than the corruption would move a mean-based slope
+    val series = daily.collect { case ((t, d), c) if t == expected.head._1 => (d, c) }.toSeq
+    val (_, _, clean, _) = theilSen(series)
+    val corrupted = series.updated(series.size / 2,
+      (series(series.size / 2)._1, series(series.size / 2)._2 * 100))
+    val (_, _, dirty, _) = theilSen(corrupted)
+    assert(math.abs(dirty - clean) < 100L * 1000L,
+      "pair median must absorb a single 100x outlier day")
+  }
 }
