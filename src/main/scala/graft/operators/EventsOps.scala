@@ -1876,18 +1876,7 @@ object EventsOps {
         |  CASE WHEN cnt * 65535 > 2 * ($wSql) THEN 1 ELSE 0 END AS spike_flag
         |FROM l WHERE l16 IS NOT NULL""".stripMargin
     }) { (s, dir) =>
-      val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
-      val z = hourlySpine(s, dir)
-      val lagged = (1 to 16).foldLeft(z) { (df, k) =>
-        df.withColumn(s"l$k", lag(col("cnt"), k).over(w))
-      }
-      val wExpr = (1 to 16).map(k => s"${1L << (16 - k)} * l$k").mkString(" + ")
-      lagged.filter(col("l16").isNotNull)
-        .select(col("event_type"), col("h").as("epoch_hour"), col("cnt"),
-          expr(s"CAST($wExpr AS BIGINT)").as("baseline_num"),
-          expr(s"(1000 * ($wExpr)) DIV 65535").as("baseline_milli"),
-          expr(s"CASE WHEN cnt * 65535 > 2 * ($wExpr) THEN 1 ELSE 0 END")
-            .as("spike_flag"))
+      ewmaChart(Tables.events(s, dir))
     },
 
     // ----------------------------------------------------------------
@@ -2047,8 +2036,14 @@ object EventsOps {
     * treat silence as evidence, and lag/prefix windows over the raw
     * aggregate would silently compress quiet periods. */
   private def hourlySpine(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame = {
-    val c = Tables.events(s, dir)
+      dir: String): org.apache.spark.sql.DataFrame =
+    hourlySpineOf(Tables.events(s, dir))
+
+  /** [[hourlySpine]] over an arbitrary (event_type, ts) frame — the
+    * seam the streaming twin's stream ≡ batch proof drives. */
+  private[graft] def hourlySpineOf(
+      events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val c = events
       .groupBy(col("event_type"),
         expr("unix_micros(ts) DIV 3600000000").as("h"))
       .agg(count(lit(1)).cast("bigint").as("cnt"))
@@ -2059,6 +2054,25 @@ object EventsOps {
     sp.join(c, Seq("event_type", "h"), "left")
       .select(col("event_type"), col("h"),
         coalesce(col("cnt"), lit(0L)).as("cnt"))
+  }
+
+  /** q225's EWMA chart as a frame transform over (event_type, ts) —
+    * shared by batch q225 and the streaming twin
+    * ([[graft.streaming.StreamEwma]]); the stream ≡ batch proof covers
+    * this exact code path. */
+  private[graft] def ewmaChart(
+      events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+    val lagged = (1 to 16).foldLeft(hourlySpineOf(events)) { (df, k) =>
+      df.withColumn(s"l$k", lag(col("cnt"), k).over(w))
+    }
+    val wExpr = (1 to 16).map(k => s"${1L << (16 - k)} * l$k").mkString(" + ")
+    lagged.filter(col("l16").isNotNull)
+      .select(col("event_type"), col("h").as("epoch_hour"), col("cnt"),
+        expr(s"CAST($wExpr AS BIGINT)").as("baseline_num"),
+        expr(s"(1000 * ($wExpr)) DIV 65535").as("baseline_milli"),
+        expr(s"CASE WHEN cnt * 65535 > 2 * ($wExpr) THEN 1 ELSE 0 END")
+          .as("spike_flag"))
   }
 
   /** q149's kernel, shared with the streaming twin's stream ≡ batch
