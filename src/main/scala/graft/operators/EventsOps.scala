@@ -2026,6 +2026,88 @@ object EventsOps {
           col("slope_milli").cast("bigint").as("slope_milli"),
           element_at(col("rs"), ((col("n_days") + 1) / 2).cast("int"))
             .cast("bigint").as("intercept_milli"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q229_mann_kendall",
+      """Mann-Kendall trend TEST per event type — the nonparametric
+        |significance companion to q228's Theil-Sen estimate (Mann
+        |1945; Kendall 1975; the pair is the standard hydrology/
+        |monitoring stack: Sen's slope says HOW steep, Mann-Kendall
+        |says WHETHER the monotone trend is real): S = Σ_{i<j}
+        |sign(y_j − y_i) over the daily count series, its null variance
+        |with the full TIE CORRECTION Var = [n(n−1)(2n+5) −
+        |Σ_t t(t−1)(2t+5)]/18 (t = size of each tied-value group — the
+        |counts are small integers, ties are the norm, and skipping the
+        |correction inflates significance), and the two-sided decision
+        |at α = 0.05 evaluated DIVISION-FREE: with the ±1 continuity
+        |correction the test |z| > 1.96 squares to (|S|−1)² >
+        |1.96²·Var, and since 1.96 = 49/25 exactly and 18·Var is the
+        |integer numerator var18, it cross-multiplies to
+        |(|S|−1)²·625·18 > var18·2401 — no division, no sqrt, no float
+        |anywhere (the q149 cleared-form discipline). Scale shape: identical
+        |to q228 — pair expansion only on the tiny (type, day)
+        |aggregate via broadcast triangular self-join; the tie census
+        |is a (type, count-value) aggregate of that same tiny frame.""".stripMargin,
+      """WITH daily AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS d,
+        |    count(*)::BIGINT AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |s AS (
+        |  SELECT a.event_type,
+        |    CAST(sum(CASE WHEN b.cnt > a.cnt THEN 1
+        |                  WHEN b.cnt < a.cnt THEN -1 ELSE 0 END) AS BIGINT) AS s_stat
+        |  FROM daily a JOIN daily b
+        |    ON a.event_type = b.event_type AND a.d < b.d
+        |  GROUP BY 1),
+        |n AS (SELECT event_type, count(*)::BIGINT AS n_days FROM daily GROUP BY 1),
+        |ties AS (
+        |  SELECT event_type,
+        |    CAST(coalesce(sum(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT) AS tie_term
+        |  FROM (SELECT event_type, cnt, count(*)::BIGINT AS t
+        |        FROM daily GROUP BY 1, 2)
+        |  WHERE t >= 2 GROUP BY 1)
+        |SELECT n.event_type, n.n_days, s.s_stat,
+        |  n.n_days * (n.n_days - 1) * (2 * n.n_days + 5)
+        |    - coalesce(ties.tie_term, 0) AS var18,
+        |  CASE WHEN abs(s.s_stat) > 0 AND
+        |    (abs(s.s_stat) - 1) * (abs(s.s_stat) - 1) * 625 * 18
+        |      > (n.n_days * (n.n_days - 1) * (2 * n.n_days + 5)
+        |         - coalesce(ties.tie_term, 0)) * 2401
+        |    THEN 1 ELSE 0 END AS significant
+        |FROM n JOIN s ON s.event_type = n.event_type
+        |LEFT JOIN ties ON ties.event_type = n.event_type""".stripMargin) { (s, dir) =>
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) DIV 86400000000").as("d"))
+        .agg(count(lit(1)).cast("bigint").as("cnt"))
+      val a = daily.select(col("event_type"), col("d").as("da"), col("cnt").as("ca"))
+      val b = daily.select(col("event_type").as("et_b"), col("d").as("db"),
+        col("cnt").as("cb"))
+      val sStat = a.join(broadcast(b),
+          col("event_type") === col("et_b") && col("da") < col("db"))
+        .groupBy(col("event_type"))
+        .agg(sum(when(col("cb") > col("ca"), 1L)
+          .when(col("cb") < col("ca"), -1L).otherwise(0L))
+          .cast("bigint").as("s_stat"))
+      val n = daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("bigint").as("n_days"))
+      val ties = daily.groupBy(col("event_type"), col("cnt"))
+        .agg(count(lit(1)).cast("bigint").as("t"))
+        .filter(col("t") >= 2)
+        .groupBy(col("event_type"))
+        .agg(coalesce(sum(expr("t * (t - 1) * (2 * t + 5)")), lit(0L))
+          .cast("bigint").as("tie_term"))
+      n.join(broadcast(sStat), Seq("event_type"))
+        .join(broadcast(ties), Seq("event_type"), "left")
+        .select(col("event_type"), col("n_days"), col("s_stat"),
+          (expr("n_days * (n_days - 1) * (2 * n_days + 5)")
+            - coalesce(col("tie_term"), lit(0L))).as("var18"),
+          when(abs(col("s_stat")) > 0 &&
+            (abs(col("s_stat")) - 1) * (abs(col("s_stat")) - 1) * 625 * 18 >
+              (expr("n_days * (n_days - 1) * (2 * n_days + 5)")
+                - coalesce(col("tie_term"), lit(0L))) * 2401, 1)
+            .otherwise(0).as("significant"))
     })
 
   /** Zero-filled hourly count spine shared by the control-chart pair

@@ -658,4 +658,42 @@ class EventsAnalyticsSpec extends SparkSpec {
     assert(math.abs(dirty - clean) < 100L * 1000L,
       "pair median must absorb a single 100x outlier day")
   }
+
+  test("q229 Mann-Kendall equals a Scala recompute; synthetic trends decide correctly") {
+    def mk(series: Seq[(Long, Long)]): (Long, Long, Long, Int) = {
+      val s = series.sortBy(_._1)
+      val n = s.size.toLong
+      val sStat = (for {
+        i <- s.indices; j <- i + 1 until s.size
+      } yield java.lang.Long.signum(s(j)._2 - s(i)._2).toLong).sum
+      val tie = s.groupBy(_._2).values.map(_.size.toLong).filter(_ >= 2)
+        .map(t => t * (t - 1) * (2 * t + 5)).sum
+      val var18 = n * (n - 1) * (2 * n + 5) - tie
+      val sig =
+        if (math.abs(sStat) > 0 &&
+          (math.abs(sStat) - 1) * (math.abs(sStat) - 1) * 625 * 18 > var18 * 2401) 1
+        else 0
+      (n, sStat, var18, sig)
+    }
+    val daily = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        expr("unix_micros(ts) DIV 86400000000").as("d"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val expected = daily.keys.map(_._1).toSeq.distinct.map { et =>
+      val series = daily.collect { case ((t, d), c) if t == et => (d, c) }.toSeq
+      val (n, sStat, var18, sig) = mk(series)
+      (et, n, sStat, var18, sig)
+    }.toSet
+    val rows = byName("q229_mann_kendall").run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4))).toSet
+    assert(rows == expected, "Mann-Kendall diverges from the Scala recompute")
+    // decision sanity on synthetic series: a strict 30-day ramp is
+    // significant, a constant series is not (S = 0 short-circuits)
+    val ramp = (1L to 30L).map(d => (d, d))
+    assert(mk(ramp)._4 == 1, "a strict monotone ramp must flag")
+    val const = (1L to 30L).map(d => (d, 7L))
+    assert(mk(const)._2 == 0L && mk(const)._4 == 0, "a constant series must not flag")
+  }
 }
