@@ -40,7 +40,7 @@ object Graft {
     * not drop, so they need no family.) */
   val cacheFamilies: Map[String, Seq[String]] = Map(
     "knn" -> Seq("q109_knn_pq", "q110_knn_pq_rerank", "q31_knn_bruteforce",
-      "q34_knn_codegen", "q90_knn_ivf_probe"),
+      "q34_knn_codegen", "q90_knn_ivf_probe", "q231_matryoshka_recall"),
     "lsh" -> Seq("q145_containment", "q171_minhash_calibration",
       "q197_leakage_free_split", "q28_lsh_candidates", "q29_neardup_jaccard",
       "q63_curation_pipeline", "q68_dup_clusters"),
@@ -48,7 +48,8 @@ object Graft {
       "q77_simhash_hamming"),
     "graph" -> Seq("q130_triangle_count", "q131_pagerank",
       "q223_link_prediction"),
-    "semdedup" -> Seq("q205_semdedup", "q218_prototype_pruning"))
+    "semdedup" -> Seq("q205_semdedup", "q218_prototype_pruning",
+      "q232_clustering_eval"))
 
   /** Family id of a query — its own name when it belongs to none. */
   private val familyOf: Map[String, String] =

@@ -797,6 +797,243 @@ object Similarity {
         .selectExpr("vec_id", s"stack($JlDim, $stackArgs) AS (j, y)")
     },
 
+    // ----------------------------------------------------------------
+    q("q231_matryoshka_recall",
+      """Matryoshka prefix-truncation retrieval audit (Kusupati et al.
+        |2022, "Matryoshka Representation Learning"; the deployment
+        |recipe is "rank with the first m dimensions, keep the cheap
+        |index") — for the 10 query vectors, the top-5 by exact-decimal
+        |cosine over ONLY the first 16 of 64 dimensions, and per query
+        |how many of the FULL-dimension exact top-5 that truncated
+        |ranking recovers (overlap@5). This is q216's JL memory
+        |argument made data-dependent: same 4× cut, but measured as a
+        |retrieval-quality number, not a distance-distortion bound.
+        |The full-dimension reference is the q31/q34/q90 session-cached
+        |exact top-k — this query joins the knn cache family. Scale
+        |shape: identical to q31's (broadcast 10 queries, scan-side
+        |decimal fold on SLICED arrays, per-query rank window over 10
+        |partitions) — the truncated fold reads 16 elements where the
+        |full one reads 64, which IS the claimed saving.""".stripMargin,
+      s"""WITH $oracleBase,
+         |dots AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    CAST(sum(a.v * b.v) AS DOUBLE) AS dot
+         |  FROM e a JOIN e b ON a.i = b.i
+         |  WHERE a.vec_id < $QueryVecs AND b.vec_id <> a.vec_id
+         |  GROUP BY 1, 2),
+         |fullrk AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT d.query_id, d.neighbor_id,
+         |      rank() OVER (PARTITION BY d.query_id
+         |        ORDER BY round(d.dot / (sqrt(na.nrm) * sqrt(nb.nrm)), 4) DESC,
+         |                 d.neighbor_id) AS rk
+         |    FROM dots d
+         |    JOIN nrm na ON na.vec_id = d.query_id
+         |    JOIN nrm nb ON nb.vec_id = d.neighbor_id)
+         |  WHERE rk <= $TopK),
+         |tn AS (SELECT vec_id, CAST(sum(v * v) AS DOUBLE) AS nrm
+         |       FROM e WHERE i <= $JlDim GROUP BY 1),
+         |tdots AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         |    CAST(sum(a.v * b.v) AS DOUBLE) AS dot
+         |  FROM e a JOIN e b ON a.i = b.i
+         |  WHERE a.vec_id < $QueryVecs AND b.vec_id <> a.vec_id
+         |    AND a.i <= $JlDim
+         |  GROUP BY 1, 2),
+         |truncrk AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT d.query_id, d.neighbor_id,
+         |      rank() OVER (PARTITION BY d.query_id
+         |        ORDER BY round(d.dot / (sqrt(na.nrm) * sqrt(nb.nrm)), 4) DESC,
+         |                 d.neighbor_id) AS rk
+         |    FROM tdots d
+         |    JOIN tn na ON na.vec_id = d.query_id
+         |    JOIN tn nb ON nb.vec_id = d.neighbor_id)
+         |  WHERE rk <= $TopK)
+         |SELECT t.query_id,
+         |  CAST(count(f.neighbor_id) AS BIGINT) AS n_agree,
+         |  array_to_string(list_sort(list(t.neighbor_id)), ',') AS trunc_ids
+         |FROM truncrk t LEFT JOIN fullrk f
+         |  ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+         |GROUP BY 1""".stripMargin) { (s, dir) =>
+      val c = Tables.embeddings(s, dir)
+        .withColumn("qv", expr(s"slice(${quant("embedding")}, 1, $JlDim)"))
+        .withColumn("nrm", expr(dotExpr("qv", "qv")))
+      val queries = c.filter(col("vec_id") < QueryVecs)
+        .select(col("vec_id").as("query_id"), col("qv").as("qa"),
+          col("nrm").as("na"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("neighbor_id"))
+      val trunc = c
+        .select(col("vec_id").as("neighbor_id"), col("qv").as("qb"),
+          col("nrm").as("nb"))
+        .join(broadcast(queries), col("query_id") =!= col("neighbor_id"))
+        .withColumn("sim",
+          round(expr(dotExpr("qa", "qb")) / (sqrt(col("na")) * sqrt(col("nb"))), 4))
+        .withColumn("rk", rank().over(w))
+        .filter(col("rk") <= TopK)
+        .select(col("query_id"), col("neighbor_id"))
+      val full = exactTopK(s, dir).select(col("query_id"), col("neighbor_id"))
+      val agree = trunc.join(broadcast(full),
+          Seq("query_id", "neighbor_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).cast("bigint").as("n_agree"))
+      trunc.groupBy(col("query_id"))
+        .agg(array_join(transform(sort_array(collect_list(col("neighbor_id"))),
+          n => n.cast("string")), ",").as("trunc_ids"))
+        .join(broadcast(agree), Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_agree"), lit(0L)).as("n_agree"), col("trunc_ids"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q230_sq8_quantization",
+      """Scalar int8 quantization audit — the SQ8 compression step every
+        |production vector store offers (FAISS's ScalarQuantizer;
+        |Guo et al. 2020 cite it as the baseline ANN compression): each
+        |vector quantizes to q_j = (127·x_j) div s with per-vector scale
+        |s = max|x_j| (symmetric max-abs scheme, the int8 standard),
+        |4 bytes → 1 per dimension. The audit reports per vector the
+        |scale, the total and worst per-coordinate dequantization error
+        ||127·x_j − q_j·s| (exact integers in 127·grid units — x is the
+        |1e-4 grid, so every product is int64-exact), and the permille
+        |of squared norm the quantized vector retains — the number that
+        |says whether downstream cosine rankings survive the 4× memory
+        |cut (q231 then measures exactly that for the Matryoshka cut).
+        |Both engines truncate integer division toward zero, so the
+        |negative components quantize identically. Scale shape:
+        |entirely scan-side array HOFs — per-row aggregate() folds,
+        |zero shuffle, zero join; output is |vectors| rows.""".stripMargin,
+      """WITH iv AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |    CAST(CAST(round(CAST(unnest(embedding) AS DOUBLE), 4) AS DECIMAL(9,4))
+        |         * 10000 AS BIGINT) AS x
+        |  FROM embeddings),
+        |sc AS (SELECT vec_id, greatest(max(abs(x)), 1) AS s FROM iv GROUP BY 1),
+        |qe AS (
+        |  SELECT iv.vec_id, iv.x, sc.s,
+        |    (127 * iv.x) // sc.s AS qx
+        |  FROM iv JOIN sc ON sc.vec_id = iv.vec_id)
+        |SELECT vec_id, CAST(max(s) AS BIGINT) AS scale,
+        |  CAST(sum(abs(127 * x - qx * s)) AS BIGINT) AS err_sum,
+        |  CAST(max(abs(127 * x - qx * s)) AS BIGINT) AS err_max,
+        |  CAST((1000 * sum(qx * qx * s * s)) // sum(127 * 127 * x * x)
+        |    AS BIGINT) AS norm_permille
+        |FROM qe GROUP BY 1""".stripMargin) { (s, dir) =>
+      Tables.embeddings(s, dir)
+        .withColumn("iv", expr(
+          s"transform(${quant("embedding")}, x -> CAST(x * 10000 AS BIGINT))"))
+        .withColumn("s", expr(
+          "greatest(array_max(transform(iv, x -> abs(x))), CAST(1 AS BIGINT))"))
+        .withColumn("qv", expr("transform(iv, x -> (127 * x) DIV s)"))
+        .select(col("vec_id"), col("s").as("scale"),
+          expr("""CAST(aggregate(zip_with(iv, qv, (x, q) -> abs(127 * x - q * s)),
+                 |CAST(0 AS BIGINT), (acc, v) -> acc + v) AS BIGINT)""".stripMargin)
+            .as("err_sum"),
+          expr("""CAST(array_max(zip_with(iv, qv, (x, q) -> abs(127 * x - q * s)))
+                 |AS BIGINT)""".stripMargin).as("err_max"),
+          expr("""CAST((1000 * aggregate(qv, CAST(0 AS BIGINT),
+                 |  (acc, q) -> acc + q * q) * s * s)
+                 |DIV (127 * 127 * aggregate(iv, CAST(0 AS BIGINT),
+                 |  (acc, x) -> acc + x * x)) AS BIGINT)""".stripMargin)
+            .as("norm_permille"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q232_clustering_eval",
+      """External clustering evaluation — Rand index (Rand 1971) and
+        |purity (Manning, Raghavan & Schütze 2008 §16.3) of q205's
+        |computed-k cell assignment against the embedding table's
+        |ground-truth labels: the audit that says whether the semantic
+        |cells the dedup/pruning tier trusts actually track the label
+        |structure. All four pair categories (same-same, same cluster/
+        |different label, different cluster/same label, different-
+        |different) come from the CONTINGENCY table alone — C(n,2)
+        |combinatorics over per-(cell, label) counts, never a pair
+        |enumeration (n·(n−1)/2 is exact: consecutive integers, the
+        |product is even). Rand and purity emit as integer permille.
+        |Scale shape: the assignment is the SessionCache q205/q218
+        |stage (one cache family); the contingency is ONE
+        |(cell, label)-keyed count with map-side combine — state
+        |bounded by cells × labels, never vectors; everything after is
+        |arithmetic on that tiny frame.""".stripMargin,
+      """WITH e AS (
+        |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+        |    CAST(round(CAST(unnest(embedding) AS DOUBLE), 4) AS DECIMAL(9,4)) AS v
+        |  FROM embeddings),
+        |kk AS (SELECT greatest(8, CAST(floor(sqrt(CAST(count(*) AS DOUBLE)))
+        |         AS BIGINT)) AS k FROM embeddings),
+        |iv AS (SELECT vec_id, i, CAST(v * 10000 AS BIGINT) AS x FROM e),
+        |cent AS (SELECT c.vec_id AS cid, c.i, c.x AS cx
+        |         FROM iv c, kk WHERE c.vec_id < kk.k),
+        |cdist AS (
+        |  SELECT a.vec_id, c.cid,
+        |    CAST(sum((a.x - c.cx) * (a.x - c.cx)) AS BIGINT) AS d
+        |  FROM iv a JOIN cent c ON a.i = c.i
+        |  GROUP BY 1, 2),
+        |assign AS (SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        |    FROM cdist) WHERE rn = 1),
+        |lab AS (SELECT DISTINCT vec_id, label FROM e),
+        |ct AS (
+        |  SELECT a.cid, l.label, count(*)::BIGINT AS nij
+        |  FROM assign a JOIN lab l ON l.vec_id = a.vec_id
+        |  GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT CAST(sum(nij) AS BIGINT) AS n,
+        |    CAST(sum(nij * (nij - 1) // 2) AS BIGINT) AS a_pairs,
+        |    count(DISTINCT cid)::BIGINT AS k_cells,
+        |    count(DISTINCT label)::BIGINT AS n_labels
+        |  FROM ct),
+        |rows_ AS (
+        |  SELECT CAST(sum(ai * (ai - 1) // 2) AS BIGINT) AS row_pairs,
+        |    CAST(sum(mx) AS BIGINT) AS purity_num
+        |  FROM (SELECT cid, CAST(sum(nij) AS BIGINT) AS ai,
+        |          CAST(max(nij) AS BIGINT) AS mx FROM ct GROUP BY 1)),
+        |cols AS (
+        |  SELECT CAST(sum(bj * (bj - 1) // 2) AS BIGINT) AS col_pairs
+        |  FROM (SELECT label, CAST(sum(nij) AS BIGINT) AS bj FROM ct GROUP BY 1))
+        |SELECT tot.n, tot.k_cells, tot.n_labels,
+        |  tot.a_pairs,
+        |  rows_.row_pairs - tot.a_pairs AS b_pairs,
+        |  cols.col_pairs - tot.a_pairs AS c_pairs,
+        |  tot.n * (tot.n - 1) // 2 - rows_.row_pairs - cols.col_pairs
+        |    + tot.a_pairs AS d_pairs,
+        |  (1000 * (tot.a_pairs + tot.n * (tot.n - 1) // 2 - rows_.row_pairs
+        |    - cols.col_pairs + tot.a_pairs)) // (tot.n * (tot.n - 1) // 2)
+        |    AS rand_permille,
+        |  (1000 * rows_.purity_num) // tot.n AS purity_permille
+        |FROM tot, rows_, cols""".stripMargin) { (s, dir) =>
+      val ct = semAssign(s, dir).select(col("vec_id"), col("cid"))
+        .join(Tables.embeddings(s, dir).select(col("vec_id"), col("label")),
+          Seq("vec_id"))
+        .groupBy(col("cid"), col("label"))
+        .agg(count(lit(1)).cast("bigint").as("nij"))
+        .localCheckpoint()
+      val tot = ct.agg(sum(col("nij")).cast("bigint").as("n"),
+        sum(expr("nij * (nij - 1) DIV 2")).cast("bigint").as("a_pairs"),
+        countDistinct(col("cid")).cast("bigint").as("k_cells"),
+        countDistinct(col("label")).cast("bigint").as("n_labels"))
+      val rows = ct.groupBy(col("cid"))
+        .agg(sum(col("nij")).cast("bigint").as("ai"),
+          max(col("nij")).cast("bigint").as("mx"))
+        .agg(sum(expr("ai * (ai - 1) DIV 2")).cast("bigint").as("row_pairs"),
+          sum(col("mx")).cast("bigint").as("purity_num"))
+      val cols = ct.groupBy(col("label"))
+        .agg(sum(col("nij")).cast("bigint").as("bj"))
+        .agg(sum(expr("bj * (bj - 1) DIV 2")).cast("bigint").as("col_pairs"))
+      tot.crossJoin(broadcast(rows)).crossJoin(broadcast(cols))
+        .select(col("n"), col("k_cells"), col("n_labels"), col("a_pairs"),
+          (col("row_pairs") - col("a_pairs")).as("b_pairs"),
+          (col("col_pairs") - col("a_pairs")).as("c_pairs"),
+          expr("""n * (n - 1) DIV 2 - row_pairs - col_pairs + a_pairs""")
+            .as("d_pairs"),
+          expr("""(1000 * (a_pairs + n * (n - 1) DIV 2 - row_pairs - col_pairs
+                 |+ a_pairs)) DIV (n * (n - 1) DIV 2)""".stripMargin)
+            .as("rand_permille"),
+          expr("(1000 * purity_num) DIV n").as("purity_permille"))
+    },
+
     PQ.q109,
     PQ.q110)
 }

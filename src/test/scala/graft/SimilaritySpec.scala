@@ -169,4 +169,110 @@ class SimilaritySpec extends SparkSpec {
     val median = ratios(ratios.size / 2)
     assert(median > 0.75 && median < 1.3, s"median distortion $median off 1.0")
   }
+
+  test("q230 SQ8 audit equals an integer replay; errors bounded by the scale") {
+    val embI: Map[Long, Array[Long]] = spark.read
+      .parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(x =>
+        (BigDecimal(x.toDouble).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+          * 10000).toLongExact).toArray)
+      .toMap
+    val expected = embI.map { case (id, v) =>
+      val s = math.max(v.map(math.abs).max, 1L)
+      val q = v.map(x => 127L * x / s)
+      val errs = v.lazyZip(q).map((x, qq) => math.abs(127L * x - qq * s))
+      val qn = q.map(x => x * x).sum
+      val xn = v.map(x => x * x).sum
+      id -> ((s, errs.sum, errs.max, 1000L * qn * s * s / (127L * 127L * xn)))
+    }
+    val got = SparkEntry.all.find(_.name == "q230_sq8_quantization").get
+      .run(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(got == expected, "SQ8 audit diverges from the integer replay")
+    // truncation error per coordinate is < s by construction, and the
+    // quantized norm can never exceed the true norm (toward-zero trunc)
+    got.foreach { case (id, (s, _, errMax, normPm)) =>
+      assert(errMax < s, s"vec $id: per-coordinate error must stay below scale")
+      assert(normPm <= 1000L, s"vec $id: truncation can only shrink the norm")
+    }
+  }
+
+  test("q231 Matryoshka overlap equals a BigDecimal replay of both rankings") {
+    val emb: Map[Long, Array[BigDecimal]] = spark.read
+      .parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(x =>
+        BigDecimal(x.toDouble).setScale(4, BigDecimal.RoundingMode.HALF_UP)).toArray)
+      .toMap
+    def top5(dim: Int): Map[Long, Seq[Long]] = {
+      val sliced = emb.view.mapValues(_.take(dim)).toMap
+      val nrm = sliced.view.mapValues(v => v.map(x => x * x).sum).toMap
+      (0L until 10L).map { qid => // QueryVecs = 10 (operators-private)
+        val scored = sliced.keys.filter(_ != qid).map { nid =>
+          val sim = (sliced(qid).lazyZip(sliced(nid)).map(_ * _).sum /
+            (BigDecimal(math.sqrt(nrm(qid).toDouble))
+              * BigDecimal(math.sqrt(nrm(nid).toDouble))))
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP)
+          (sim, nid)
+        }.toSeq
+        // rank() semantics: keep every row tied with the 5th
+        val ordered = scored.sortBy { case (s, n) => (-s, n) }
+        val cut = ordered.take(5).last._1 // TopK = 5 (operators-private)
+        qid -> ordered.takeWhile { case (s, _) => s >= cut }.map(_._2)
+      }.toMap
+    }
+    val full = top5(64)
+    val trunc = top5(Similarity.JlDim)
+    val expected = trunc.map { case (qid, ids) =>
+      qid -> ((ids.count(full(qid).contains).toLong, ids.sorted.mkString(",")))
+    }
+    val got = SparkEntry.all.find(_.name == "q231_matryoshka_recall").get
+      .run(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    assert(got == expected, "overlap diverges from the BigDecimal replay")
+    // the audit must be non-degenerate: some query keeps signal in the
+    // 16-dim prefix (overlap > 0 somewhere) — all-zero means the slice
+    // convention broke, not that the data is adversarial
+    assert(got.values.exists(_._1 > 0), "prefix ranking lost all signal")
+  }
+
+  test("q232 Rand/purity equal a contingency recompute on the shared assignment") {
+    val rows = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select("vec_id", "embedding", "label").collect()
+    val embI: Map[Long, Array[Long]] = rows
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(x =>
+        (BigDecimal(x.toDouble).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+          * 10000).toLongExact).toArray)
+      .toMap
+    val label: Map[Long, Int] = rows.map(r => r.getLong(0) -> r.getInt(2)).toMap
+    def sqdist(a: Array[Long], b: Array[Long]): Long =
+      a.lazyZip(b).map((x, y) => (x - y) * (x - y)).sum
+    val k = math.max(8L, math.floor(math.sqrt(embI.size.toDouble)).toLong)
+    val cents = (0L until k).map(cid => cid -> embI(cid))
+    val assign: Map[Long, Long] = embI.map { case (id, v) =>
+      id -> cents.map { case (cid, cv) => (sqdist(v, cv), cid) }.min._2
+    }
+    val ct = assign.toSeq.map { case (id, cid) => (cid, label(id)) }
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def c2(n: Long) = n * (n - 1) / 2
+    val n = ct.values.sum
+    val aP = ct.values.map(c2).sum
+    val rowP = ct.groupBy(_._1._1).values.map(g => c2(g.values.sum)).sum
+    val colP = ct.groupBy(_._1._2).values.map(g => c2(g.values.sum)).sum
+    val dP = c2(n) - rowP - colP + aP
+    val purity = ct.groupBy(_._1._1).values.map(_.values.max).sum
+    val expected = (n, ct.keys.map(_._1).toSet.size.toLong,
+      ct.keys.map(_._2).toSet.size.toLong, aP, rowP - aP, colP - aP, dP,
+      1000L * (aP + dP) / c2(n), 1000L * purity / n)
+    val r = SparkEntry.all.find(_.name == "q232_clustering_eval").get
+      .run(spark, dir).collect().head
+    val got = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7), r.getLong(8))
+    assert(got == expected, "Rand/purity diverge from the contingency recompute")
+    // pair categories must partition C(n,2)
+    assert(got._4 + got._5 + got._6 + got._7 == c2(n),
+      "a+b+c+d must equal C(n,2)")
+  }
 }
