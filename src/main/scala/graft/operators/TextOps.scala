@@ -887,6 +887,135 @@ object TextOps {
           expr("(1000 * n1_hapax) DIV n_tokens").as("unseen_mass_permille"),
           expr("v_types + (n1_hapax * (n1_hapax - 1)) DIV (2 * (n2_dis + 1))")
             .as("chao1_richness"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q233_collocations",
+      """Collocation extraction by Dice coefficient — the association
+        |measure of Smadja, McKeown & Hatzivassiloglou 1996 (Dice 1945;
+        |the log-free member of the PMI family, which is why it runs
+        |exact here): for adjacent word pairs with joint count ≥ 5,
+        |dice = 2·c(vw) / (c(v) + c(w)) in integer permille, top 20 by
+        |(dice desc, bigram) with unigram and joint counts alongside —
+        |the phrase-lexicon builder between q221's raw top-n-grams and
+        |q224's phrase search. Scale shape: ONE bigram-keyed count and
+        |ONE unigram-keyed count, both with map-side combine and
+        |vocab-bounded state; the two unigram joins hit the ≥5-filtered
+        |bigram head (candidate-sized, broadcast-able at any corpus
+        |size because the ≥5 floor bounds it by corpus/5); the rank is
+        |TakeOrdered(20) into one sorted array row (the q82/q221
+        |zero-window shape — no partition-less window).""".stripMargin,
+      """WITH w AS (SELECT string_split(lower(text), ' ') AS w FROM documents),
+        |bg AS (
+        |  SELECT w[i] AS v, w[i+1] AS t, count(*)::BIGINT AS n_pair
+        |  FROM w, unnest(range(1, greatest(len(w), 1))) AS x(i)
+        |  GROUP BY 1, 2 HAVING count(*) >= 5),
+        |ug AS (
+        |  SELECT tok, count(*)::BIGINT AS n
+        |  FROM (SELECT unnest(w) AS tok FROM w) WHERE tok <> '' GROUP BY 1),
+        |d AS (
+        |  SELECT bg.v || ' ' || bg.t AS bigram, bg.n_pair,
+        |    uv.n AS n_v, ut.n AS n_w,
+        |    (2000 * bg.n_pair) // (uv.n + ut.n) AS dice_permille
+        |  FROM bg JOIN ug uv ON uv.tok = bg.v JOIN ug ut ON ut.tok = bg.t)
+        |SELECT CAST(row_number() OVER (ORDER BY dice_permille DESC, bigram)
+        |    AS BIGINT) AS rk,
+        |  bigram, n_pair, n_v, n_w, dice_permille
+        |FROM d ORDER BY dice_permille DESC, bigram LIMIT 20""".stripMargin) { (s, dir) =>
+      val words = Tables.documents(s, dir)
+        .select(split(lower(col("text")), " ").as("w"))
+      val bg = words
+        .withColumn("i", explode(when(size(col("w")) >= 2,
+          sequence(lit(1), size(col("w")) - 1)).otherwise(array())))
+        .select(col("w")(col("i") - 1).as("v"), col("w")(col("i")).as("t"))
+        .groupBy(col("v"), col("t")).agg(count(lit(1)).cast("bigint").as("n_pair"))
+        .filter(col("n_pair") >= 5)
+      val ug = words.select(explode(col("w")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy(col("tok")).agg(count(lit(1)).cast("bigint").as("n"))
+      bg.join(ug.select(col("tok").as("v"), col("n").as("n_v")), Seq("v"))
+        .join(ug.select(col("tok").as("t"), col("n").as("n_w")), Seq("t"))
+        .select(concat_ws(" ", col("v"), col("t")).as("bigram"),
+          col("n_pair"), col("n_v"), col("n_w"),
+          expr("(2000 * n_pair) DIV (n_v + n_w)").as("dice_permille"))
+        .orderBy(col("dice_permille").desc, col("bigram")).limit(20)
+        .select(struct((-col("dice_permille")).as("nd"), col("bigram"),
+          col("n_pair"), col("n_v"), col("n_w"),
+          col("dice_permille")).as("x"))
+        .agg(sort_array(collect_list(col("x"))).as("xs"))
+        .select(posexplode(col("xs")))
+        .select((col("pos") + 1).cast("bigint").as("rk"),
+          col("col.bigram").as("bigram"), col("col.n_pair").as("n_pair"),
+          col("col.n_v").as("n_v"), col("col.n_w").as("n_w"),
+          col("col.dice_permille").as("dice_permille"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q234_keyness",
+      """Corpus keyness by the Sketch Engine "simple maths" score
+        |(Kilgarriff 2009, "Simple maths for keywords") — for each
+        |source, which terms are most CHARACTERISTIC of it versus the
+        |rest of the corpus: keyness = (fpm_in + k) / (fpm_out + k)
+        |with smoothing constant k = 100 per-million (Kilgarriff's
+        |published default neighborhood; the additive k is what makes
+        |the measure log-free and zero-safe, which is why Sketch Engine
+        |ships it instead of chi-squared at corpus scale — and why it
+        |runs EXACT here, in integer per-million frequencies and a
+        |milli-ratio floor division). Top 5 terms per source by
+        |(keyness desc, term). Scale shape: ONE (source, term) count
+        |with map-side combine; per-term corpus totals DERIVED from it
+        |(the corpus is not re-read); per-source token totals are a
+        ||sources|-row broadcast; the rank window partitions by source
+        |— never partition-less.""".stripMargin,
+      """WITH st AS (
+        |  SELECT source, tok, count(*)::BIGINT AS cnt
+        |  FROM (SELECT source, unnest(string_split(lower(text), ' ')) AS tok
+        |        FROM documents)
+        |  WHERE tok <> '' GROUP BY 1, 2),
+        |tt AS (SELECT tok, CAST(sum(cnt) AS BIGINT) AS tot FROM st GROUP BY 1),
+        |src AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n_src FROM st GROUP BY 1),
+        |all_ AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_all FROM st),
+        |sc AS (
+        |  SELECT st.source, st.tok, st.cnt,
+        |    (1000000 * st.cnt) // src.n_src AS fpm_in,
+        |    (1000000 * (tt.tot - st.cnt)) // (all_.n_all - src.n_src) AS fpm_out
+        |  FROM st JOIN src ON src.source = st.source
+        |  JOIN tt ON tt.tok = st.tok, all_),
+        |r AS (
+        |  SELECT source, tok, cnt, fpm_in, fpm_out,
+        |    (1000 * (fpm_in + 100)) // (fpm_out + 100) AS keyness_milli,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY (1000 * (fpm_in + 100)) // (fpm_out + 100) DESC, tok) AS rk
+        |  FROM sc)
+        |SELECT source, CAST(rk AS BIGINT) AS rk, tok, cnt,
+        |  fpm_in, fpm_out, keyness_milli
+        |FROM r WHERE rk <= 5""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val st = Tables.documents(s, dir)
+        .select(col("source"),
+          explode(split(lower(col("text")), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy(col("source"), col("tok"))
+        .agg(count(lit(1)).cast("bigint").as("cnt"))
+        .localCheckpoint()
+      val tt = st.groupBy(col("tok")).agg(sum(col("cnt")).cast("bigint").as("tot"))
+      val src = st.groupBy(col("source"))
+        .agg(sum(col("cnt")).cast("bigint").as("n_src"))
+      val all = st.agg(sum(col("cnt")).cast("bigint").as("n_all"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("keyness_milli").desc, col("tok"))
+      st.join(broadcast(src), Seq("source"))
+        .join(tt, Seq("tok"))
+        .crossJoin(broadcast(all))
+        .select(col("source"), col("tok"), col("cnt"),
+          expr("(1000000 * cnt) DIV n_src").as("fpm_in"),
+          expr("(1000000 * (tot - cnt)) DIV (n_all - n_src)").as("fpm_out"))
+        .withColumn("keyness_milli",
+          expr("(1000 * (fpm_in + 100)) DIV (fpm_out + 100)"))
+        .withColumn("rk", row_number().over(w).cast("bigint"))
+        .filter(col("rk") <= 5)
+        .select(col("source"), col("rk"), col("tok"), col("cnt"),
+          col("fpm_in"), col("fpm_out"), col("keyness_milli"))
     })
 
   /** q206's rule battery as a frame transform: appends the five 0/1

@@ -123,6 +123,53 @@ class CorpusStatsSpec extends SparkSpec {
     assert(rows == expected, "vocab overlap diverges from the Scala set recompute")
   }
 
+  test("q233 collocations equal a Scala Dice recompute over adjacent pairs") {
+    val uni = docs.flatMap(_._3).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val big = docs.flatMap { case (_, _, w) =>
+      w.sliding(2).filter(_.length == 2).map(p => (p(0), p(1)))
+    }.groupBy(identity).view.mapValues(_.length.toLong)
+      .filter { case (_, c) => c >= 5 }.toMap
+    val scored = big.toSeq.map { case ((v, t), np) =>
+      (s"$v $t", np, uni(v), uni(t), 2000L * np / (uni(v) + uni(t)))
+    }
+    val expected = scored.sortBy { case (bg, _, _, _, dice) => (-dice, bg) }
+      .take(20).zipWithIndex
+      .map { case ((bg, np, nv, nw, dice), i) => (i + 1L, bg, np, nv, nw, dice) }
+      .toSet
+    val rows = byName("q233_collocations").run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(rows == expected, "Dice collocations diverge from the Scala recompute")
+  }
+
+  test("q234 keyness equals a Scala simple-maths recompute per source") {
+    val st = docs.flatMap { case (_, src, w) => w.map(t => (src, t)) }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val tt = st.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val srcN = st.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val nAll = st.values.sum
+    val expected = srcN.keys.flatMap { src =>
+      val terms = st.collect { case ((s, t), c) if s == src => (t, c) }.toSeq
+      val scored = terms.map { case (t, c) =>
+        val fpmIn = 1000000L * c / srcN(src)
+        val fpmOut = 1000000L * (tt(t) - c) / (nAll - srcN(src))
+        (t, c, fpmIn, fpmOut, 1000L * (fpmIn + 100) / (fpmOut + 100))
+      }
+      scored.sortBy { case (t, _, _, _, k) => (-k, t) }.take(5).zipWithIndex
+        .map { case ((t, c, fi, fo, k), i) => (src, i + 1L, t, c, fi, fo, k) }
+    }.toSet
+    val rows = byName("q234_keyness").run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    assert(rows == expected, "keyness diverges from the Scala recompute")
+    // every keyness must be positive and a source's rank-1 term must be
+    // at least as key as its rank-5 term
+    rows.groupBy(_._1).values.foreach { rs =>
+      val byRk = rs.toSeq.sortBy(_._2).map(_._7)
+      assert(byRk.head >= byRk.last && byRk.forall(_ > 0))
+    }
+  }
+
   test("q222 unseen mass / Chao1 equals a Scala recompute and bounds hold") {
     val rows = byName("q222_unseen_mass").run(spark, sfDir).collect()
       .map(r => r.getString(0) ->
