@@ -1937,21 +1937,7 @@ object EventsOps {
         |  CASE WHEN pre - least(CAST(0 AS BIGINT), mn) > 8 * mu_milli
         |       THEN 1 ELSE 0 END AS alarm
         |FROM sc""".stripMargin) { (s, dir) =>
-      val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val z = hourlySpine(s, dir)
-      val m = z.groupBy(col("event_type"))
-        .agg(expr("(1000 * CAST(sum(cnt) AS BIGINT)) DIV count(1)").as("mu_milli"))
-      z.join(broadcast(m), Seq("event_type"))
-        .withColumn("y_milli",
-          lit(1000) * col("cnt") - col("mu_milli") - expr("mu_milli DIV 4"))
-        .withColumn("pre", sum(col("y_milli")).over(w).cast("bigint"))
-        .withColumn("mn", min(col("pre")).over(w).cast("bigint"))
-        .select(col("event_type"), col("h").as("epoch_hour"), col("cnt"),
-          (col("pre") - least(lit(0L), col("mn"))).as("cusum_milli"),
-          (lit(8) * col("mu_milli")).as("thresh_milli"),
-          when(col("pre") - least(lit(0L), col("mn")) > lit(8) * col("mu_milli"), 1)
-            .otherwise(0).as("alarm"))
+      cusumChart(Tables.events(s, dir))
     },
 
     // ----------------------------------------------------------------
@@ -2136,6 +2122,36 @@ object EventsOps {
     sp.join(c, Seq("event_type", "h"), "left")
       .select(col("event_type"), col("h"),
         coalesce(col("cnt"), lit(0L)).as("cnt"))
+  }
+
+  /** q227's per-type CUSUM target: the zero-filled spine mean in milli
+    * units. Shared by batch [[cusumChart]] and (as the trained
+    * reference the online half consumes, the StreamBuckets
+    * train-batch/serve-stream pattern) the StreamCusum spec. */
+  private[graft] def cusumMu(
+      events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    hourlySpineOf(events).groupBy(col("event_type"))
+      .agg(expr("(1000 * CAST(sum(cnt) AS BIGINT)) DIV count(1)").as("mu_milli"))
+
+  /** q227's CUSUM chart as a frame transform over (event_type, ts) —
+    * shared by batch q227 and the streaming twin
+    * ([[graft.streaming.StreamCusum]]); the stream ≡ batch proof covers
+    * this exact code path. */
+  private[graft] def cusumChart(
+      events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val z = hourlySpineOf(events)
+    z.join(broadcast(cusumMu(events)), Seq("event_type"))
+      .withColumn("y_milli",
+        lit(1000) * col("cnt") - col("mu_milli") - expr("mu_milli DIV 4"))
+      .withColumn("pre", sum(col("y_milli")).over(w).cast("bigint"))
+      .withColumn("mn", min(col("pre")).over(w).cast("bigint"))
+      .select(col("event_type"), col("h").as("epoch_hour"), col("cnt"),
+        (col("pre") - least(lit(0L), col("mn"))).as("cusum_milli"),
+        (lit(8) * col("mu_milli")).as("thresh_milli"),
+        when(col("pre") - least(lit(0L), col("mn")) > lit(8) * col("mu_milli"), 1)
+          .otherwise(0).as("alarm"))
   }
 
   /** q225's EWMA chart as a frame transform over (event_type, ts) —
