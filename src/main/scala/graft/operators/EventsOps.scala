@@ -2094,6 +2094,86 @@ object EventsOps {
               (expr("n_days * (n_days - 1) * (2 * n_days + 5)")
                 - coalesce(col("tie_term"), lit(0L))) * 2401, 1)
             .otherwise(0).as("significant"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q235_survival_hazard",
+      """USER-LIFETIME SURVIVAL — the Nelson-Aalen cumulative-hazard
+        |estimator (Nelson 1972; Aalen 1978; the Kaplan-Meier 1958
+        |framing with the log-free cumulative SUM instead of the
+        |product, which is why it runs exact here): lifetime = days
+        |between a user's first and last event; a churn is OBSERVED
+        |when the last event precedes the corpus horizon (max event
+        |day) and CENSORED at the horizon otherwise — dropping
+        |censoring (the naive churn-rate mistake) biases hazards up,
+        |because horizon-day users haven't had the chance to churn.
+        |Per distinct lifetime t: the risk set n(t) = users with
+        |lifetime ≥ t, observed churns d(t), censored exits c(t), the
+        |hazard increment (10⁶·d) div n and the Nelson-Aalen cumulative
+        |hazard Σ_{s≤t} of those floor-divided increments (term-wise
+        |floors, so both engines sum identical integers). Scale shape:
+        |ONE user-keyed min/max agg (map-side combine) → a
+        ||lifetimes|-row table (bounded by the observation WINDOW in
+        |days, never by users — the control-chart sublinearity class);
+        |risk sets and the cumulation are broadcast non-equi self-joins
+        |of that tiny table (the q212 trick — no partition-less
+        |window); the horizon is a 1-row broadcast.""".stripMargin,
+      """WITH u AS (
+        |  SELECT user_id,
+        |    min(epoch_us(ts) // 86400000000) AS d0,
+        |    max(epoch_us(ts) // 86400000000) AS d1
+        |  FROM events GROUP BY 1),
+        |hz AS (SELECT max(d1) AS horizon FROM u),
+        |lt AS (
+        |  SELECT u.d1 - u.d0 AS t,
+        |    CASE WHEN u.d1 < hz.horizon THEN 1 ELSE 0 END AS observed
+        |  FROM u, hz),
+        |ev AS (
+        |  SELECT t,
+        |    CAST(sum(observed) AS BIGINT) AS d_events,
+        |    CAST(sum(1 - observed) AS BIGINT) AS c_censored,
+        |    count(*)::BIGINT AS exits
+        |  FROM lt GROUP BY 1),
+        |rk AS (
+        |  SELECT a.t, a.d_events, a.c_censored,
+        |    CAST(sum(b.exits) AS BIGINT) AS n_risk
+        |  FROM ev a JOIN ev b ON b.t >= a.t
+        |  GROUP BY 1, 2, 3),
+        |hzd AS (
+        |  SELECT t, n_risk, d_events, c_censored,
+        |    (1000000 * d_events) // n_risk AS hazard_micro
+        |  FROM rk)
+        |SELECT a.t AS t_days, a.n_risk, a.d_events, a.c_censored,
+        |  a.hazard_micro,
+        |  CAST(sum(b.hazard_micro) AS BIGINT) AS cum_hazard_micro
+        |FROM hzd a JOIN hzd b ON b.t <= a.t
+        |GROUP BY 1, 2, 3, 4, 5""".stripMargin) { (s, dir) =>
+      val u = Tables.events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(min(expr("unix_micros(ts) DIV 86400000000")).as("d0"),
+          max(expr("unix_micros(ts) DIV 86400000000")).as("d1"))
+      val hz = u.agg(max(col("d1")).as("horizon"))
+      val ev = u.crossJoin(broadcast(hz))
+        .select((col("d1") - col("d0")).as("t"),
+          when(col("d1") < col("horizon"), 1L).otherwise(0L).as("observed"))
+        .groupBy(col("t"))
+        .agg(sum(col("observed")).cast("bigint").as("d_events"),
+          sum(lit(1L) - col("observed")).cast("bigint").as("c_censored"),
+          count(lit(1)).cast("bigint").as("exits"))
+      val rk = ev.select(col("t"), col("d_events"), col("c_censored"))
+        .join(broadcast(ev.select(col("t").as("tb"), col("exits"))),
+          col("tb") >= col("t"))
+        .groupBy(col("t"), col("d_events"), col("c_censored"))
+        .agg(sum(col("exits")).cast("bigint").as("n_risk"))
+        .withColumn("hazard_micro", expr("(1000000 * d_events) DIV n_risk"))
+      rk.select(col("t"), col("n_risk"), col("d_events"), col("c_censored"),
+          col("hazard_micro"))
+        .join(broadcast(rk.select(col("t").as("tb"),
+            col("hazard_micro").as("hb"))),
+          col("tb") <= col("t"))
+        .groupBy(col("t").as("t_days"), col("n_risk"), col("d_events"),
+          col("c_censored"), col("hazard_micro"))
+        .agg(sum(col("hb")).cast("bigint").as("cum_hazard_micro"))
     })
 
   /** Zero-filled hourly count spine shared by the control-chart pair

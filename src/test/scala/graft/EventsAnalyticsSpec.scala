@@ -696,4 +696,41 @@ class EventsAnalyticsSpec extends SparkSpec {
     val const = (1L to 30L).map(d => (d, 7L))
     assert(mk(const)._2 == 0L && mk(const)._4 == 0, "a constant series must not flag")
   }
+
+  test("q235 Nelson-Aalen hazard equals a Scala recompute with censoring") {
+    val spans = Tables.events(spark, sfDir)
+      .select(col("user_id"), expr("unix_micros(ts) DIV 86400000000").as("d"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(ds => (ds.map(_._2).min, ds.map(_._2).max))
+      .toMap
+    val horizon = spans.values.map(_._2).max
+    val lt = spans.values.toSeq.map { case (d0, d1) =>
+      (d1 - d0, if (d1 < horizon) 1L else 0L)
+    }
+    val ts = lt.map(_._1).distinct.sorted
+    val byT = lt.groupBy(_._1)
+    val haz = ts.map { t =>
+      val d = byT(t).map(_._2).sum
+      val c = byT(t).size - d
+      val nRisk = lt.count(_._1 >= t).toLong
+      (t, nRisk, d, c, 1000000L * d / nRisk)
+    }
+    val expected = haz.map { case (t, n, d, c, h) =>
+      (t, n, d, c, h, haz.filter(_._1 <= t).map(_._5).sum)
+    }.toSet
+    val rows = byName("q235_survival_hazard").run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(rows == expected, "hazard diverges from the Scala recompute")
+    // structural gates: risk sets shrink as lifetime grows, the
+    // cumulative hazard is monotone, every user exits exactly once,
+    // and the horizon lifetime is fully censored (nobody can churn AT
+    // the horizon — censoring is the point of the estimator)
+    val byLife = rows.toSeq.sortBy(_._1)
+    assert(byLife.map(_._2) == byLife.map(_._2).sorted.reverse, "risk sets must shrink")
+    assert(byLife.map(_._6) == byLife.map(_._6).sorted, "cumulative hazard must be monotone")
+    assert(rows.map(r => r._3 + r._4).sum == spans.size.toLong, "every user exits once")
+    assert(rows.map(_._4).sum == spans.values.count(_._2 == horizon).toLong,
+      "censored exits must be exactly the horizon-day users")
+  }
 }
