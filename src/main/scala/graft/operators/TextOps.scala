@@ -890,6 +890,117 @@ object TextOps {
     },
 
     // ----------------------------------------------------------------
+    q("q236_simpson_diversity",
+      """Gini-Simpson lexical diversity per source — Simpson 1949's
+        |concentration index in its UNBIASED small-sample form
+        |(Σ c(c−1) / N(N−1), the probability two tokens drawn WITHOUT
+        |replacement are the same type), reported as both concentration
+        |and its Gini-Simpson complement in exact integer micro units —
+        |the log-free diversity measure (Shannon entropy needs ln; this
+        |is the member of the Hill-number family that runs exact, and
+        |ecology ships it for the same reason). Complements q213's
+        |TTR/hapax profile (type-count view) and q222's unseen-mass
+        |(tail view) with the repeat-probability view. Scale shape: the
+        |q213 shuffle exactly — ONE (source, token)-keyed count with
+        |map-side combine, vocab-bounded state — then a |sources|-row
+        |conditional roll-up; Σ c(c−1) is computed per term INSIDE the
+        |roll-up, never materializing probabilities.""".stripMargin,
+      """WITH tc AS (
+        |  SELECT source, tok, count(*)::BIGINT AS cnt
+        |  FROM (SELECT source, unnest(string_split(lower(text), ' ')) AS tok
+        |        FROM documents)
+        |  WHERE tok <> '' GROUP BY 1, 2)
+        |SELECT source,
+        |  CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        |  count(*)::BIGINT AS v_types,
+        |  CAST(sum(cnt * (cnt - 1)) AS BIGINT) AS repeat_pairs,
+        |  (1000000 * CAST(sum(cnt * (cnt - 1)) AS BIGINT))
+        |    // (CAST(sum(cnt) AS BIGINT) * (CAST(sum(cnt) AS BIGINT) - 1))
+        |    AS concentration_micro,
+        |  1000000 - (1000000 * CAST(sum(cnt * (cnt - 1)) AS BIGINT))
+        |    // (CAST(sum(cnt) AS BIGINT) * (CAST(sum(cnt) AS BIGINT) - 1))
+        |    AS gini_simpson_micro
+        |FROM tc GROUP BY 1""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("source"),
+          explode(split(lower(col("text")), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy(col("source"), col("tok")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("source"))
+        .agg(sum(col("cnt")).cast("bigint").as("n_tokens"),
+          count(lit(1)).cast("bigint").as("v_types"),
+          sum(expr("cnt * (cnt - 1)")).cast("bigint").as("repeat_pairs"))
+        .select(col("source"), col("n_tokens"), col("v_types"),
+          col("repeat_pairs"),
+          expr("(1000000 * repeat_pairs) DIV (n_tokens * (n_tokens - 1))")
+            .as("concentration_micro"),
+          expr("""1000000 - (1000000 * repeat_pairs)
+                 |DIV (n_tokens * (n_tokens - 1))""".stripMargin)
+            .as("gini_simpson_micro"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q237_qgram_spectrum",
+      """Pairwise SOURCE similarity by q-gram frequency spectra —
+        |Ukkonen 1992's q-gram profile distance, reported as the
+        |frequency-weighted cosine between each source pair's word-
+        |3-gram COUNT vectors: where q214's Jaccard sees only which
+        |shingles exist, the spectrum cosine sees how often — two
+        |sources sharing rare shingles at matching rates score high
+        |even when their vocabularies overlap broadly with everyone.
+        |Exact and sqrt-free: the SQUARED cosine in micro units by the
+        |TWO-STEP floor ((10⁶·dot div n2_a)·dot div n2_b) — same
+        |deterministic integers in both engines, and every intermediate
+        |is bounded by 10⁶·dot, so the expression survives norms far
+        |past where the single-expression (dot²·10⁶) form overflows
+        |int64 (dot > 3·10⁶ — a few hundred× this corpus).
+        |Scale shape: one (source, shingle) count with map-side combine
+        |(distinct-shingle state); the pair stage self-joins ON SHINGLE
+        |(co-partitioned, ≤ |sources|²/2 rows per shingle — never a doc
+        |pair space, q214's join discipline); per-source norms are a
+        ||sources|-row broadcast onto the 190-row result.""".stripMargin,
+      """WITH sg AS (
+        |  SELECT source, array_to_string(w[i:i+2], ' ') AS sh
+        |  FROM (SELECT source, string_split(lower(text), ' ') AS w FROM documents),
+        |       unnest(range(1, greatest(len(w) - 1, 1))) AS t(i)),
+        |tc AS (SELECT source, sh, count(*)::BIGINT AS cnt FROM sg GROUP BY 1, 2),
+        |nrm AS (
+        |  SELECT source, CAST(sum(cnt * cnt) AS BIGINT) AS n2 FROM tc GROUP BY 1),
+        |dots AS (
+        |  SELECT a.source AS src_a, b.source AS src_b,
+        |    CAST(sum(a.cnt * b.cnt) AS BIGINT) AS dot
+        |  FROM tc a JOIN tc b ON a.sh = b.sh AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT d.src_a, d.src_b, d.dot, na.n2 AS n2_a, nb.n2 AS n2_b,
+        |  ((1000000 * d.dot) // na.n2) * d.dot // nb.n2 AS cos2_micro
+        |FROM dots d
+        |JOIN nrm na ON na.source = d.src_a
+        |JOIN nrm nb ON nb.source = d.src_b""".stripMargin) { (s, dir) =>
+      val tc = Tables.documents(s, dir)
+        .select(col("source"), split(lower(col("text")), " ").as("w"))
+        .withColumn("i", explode(when(size(col("w")) >= 3,
+          sequence(lit(1), size(col("w")) - 2)).otherwise(array())))
+        .select(col("source"),
+          concat_ws(" ", slice(col("w"), col("i"), lit(3))).as("sh"))
+        .groupBy(col("source"), col("sh")).agg(count(lit(1)).cast("bigint").as("cnt"))
+        .localCheckpoint()
+      val nrm = tc.groupBy(col("source"))
+        .agg(sum(expr("cnt * cnt")).cast("bigint").as("n2"))
+      tc.select(col("source").as("src_a"), col("sh"), col("cnt").as("ca"))
+        .join(tc.select(col("source").as("src_b"), col("sh"), col("cnt").as("cb")),
+          Seq("sh"))
+        .filter(col("src_a") < col("src_b"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(sum(expr("ca * cb")).cast("bigint").as("dot"))
+        .join(broadcast(nrm.select(col("source").as("src_a"), col("n2").as("n2_a"))),
+          Seq("src_a"))
+        .join(broadcast(nrm.select(col("source").as("src_b"), col("n2").as("n2_b"))),
+          Seq("src_b"))
+        .select(col("src_a"), col("src_b"), col("dot"), col("n2_a"), col("n2_b"),
+          expr("((1000000 * dot) DIV n2_a) * dot DIV n2_b").as("cos2_micro"))
+    },
+
+    // ----------------------------------------------------------------
     q("q233_collocations",
       """Collocation extraction by Dice coefficient — the association
         |measure of Smadja, McKeown & Hatzivassiloglou 1996 (Dice 1945;

@@ -170,6 +170,50 @@ class CorpusStatsSpec extends SparkSpec {
     }
   }
 
+  test("q236 Simpson diversity equals a Scala recompute; probability bounds hold") {
+    val rows = byName("q236_simpson_diversity").run(spark, sfDir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    val expected = docs.groupBy(_._2).map { case (src, rs) =>
+      val counts = rs.flatMap(_._3).groupBy(identity).view.mapValues(_.length.toLong)
+      val n = counts.values.sum
+      val rp = counts.values.map(c => c * (c - 1)).sum
+      val conc = 1000000L * rp / (n * (n - 1))
+      src -> ((n, counts.size.toLong, rp, conc, 1000000L - conc))
+    }
+    assert(rows == expected, "Simpson index diverges from the Scala recompute")
+    rows.values.foreach { case (n, v, rp, conc, gini) =>
+      assert(conc >= 0 && conc <= 1000000L && conc + gini == 1000000L)
+      assert(rp <= n * (n - 1), "repeat pairs are a subset of all pairs")
+      assert(v > 1 || conc == 1000000L, "a one-type source is pure concentration")
+    }
+  }
+
+  test("q237 q-gram spectrum cosine equals a Scala recompute; bounded by 1") {
+    val prof: Map[String, Map[String, Long]] = docs.groupBy(_._2).map {
+      case (src, rs) =>
+        src -> rs.flatMap(_._3.sliding(3).filter(_.length == 3).map(_.mkString(" ")))
+          .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    }
+    val srcs = prof.keys.toSeq.sorted
+    val n2 = prof.view.mapValues(_.values.map(c => c * c).sum).toMap
+    val expected = (for {
+      a <- srcs; b <- srcs if a < b
+      dot = prof(a).keysIterator.map(sh => prof(a)(sh) * prof(b).getOrElse(sh, 0L)).sum
+      if dot > 0
+    } yield (a, b, dot, n2(a), n2(b),
+      1000000L * dot / n2(a) * dot / n2(b))).toSet
+    val rows = byName("q237_qgram_spectrum").run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(rows == expected, "spectrum cosine diverges from the Scala recompute")
+    rows.foreach { case (_, _, dot, na, nb, c2) =>
+      assert(c2 >= 0 && c2 <= 1000000L, "cos^2 is a probability-scaled ratio")
+      assert(dot * dot <= na * nb, "Cauchy-Schwarz must hold on exact integers")
+    }
+  }
+
   test("q222 unseen mass / Chao1 equals a Scala recompute and bounds hold") {
     val rows = byName("q222_unseen_mass").run(spark, sfDir).collect()
       .map(r => r.getString(0) ->
