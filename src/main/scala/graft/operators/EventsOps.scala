@@ -2174,6 +2174,142 @@ object EventsOps {
         .groupBy(col("t").as("t_days"), col("n_risk"), col("d_events"),
           col("c_censored"), col("hazard_micro"))
         .agg(sum(col("hb")).cast("bigint").as("cum_hazard_micro"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q238_autocorrelation",
+      """EXACT sample autocorrelation of the hourly series at lags 1
+        |and 24 (Box & Jenkins 1970's identification tool: lag-1 says
+        |momentum, lag-24 says daily seasonality — the two numbers that
+        |decide whether q225/q227's i.i.d.-style baselines are even
+        |appropriate for a series): r_k = Σ(x_t−x̄)(x_{t−k}−x̄) / Σ(x_t−x̄)²
+        |computed DIVISION-FREE until the final milli ratio by the
+        |n-scaling trick — d_t = n·x_t − S is integer, and r_k =
+        |Σ d_t·d_{t−k} / Σ d_t² exactly (the n² factors cancel), so
+        |both engines sum identical integers and divide once (both
+        |truncate toward zero on the possibly-negative numerator).
+        |Magnitudes: |d| ≤ n·max(x), squares ≤ 720²·counts² — far
+        |inside int64 for any wall-clock-bounded series. Scale shape:
+        |the q225 spine; per-type (n, S) broadcast back; ONE keyed
+        |window pass yields both lag columns; the rest is a
+        ||types|-row conditional aggregate unpivoted by stack().""".stripMargin,
+      """WITH c AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+        |    count(*)::BIGINT AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT event_type, min(h) AS h0, max(h) AS h1 FROM c GROUP BY 1),
+        |sp AS (SELECT event_type, unnest(generate_series(h0, h1)) AS h FROM b),
+        |z AS (
+        |  SELECT sp.event_type, sp.h, coalesce(c.cnt, 0)::BIGINT AS cnt
+        |  FROM sp LEFT JOIN c ON c.event_type = sp.event_type AND c.h = sp.h),
+        |m AS (
+        |  SELECT event_type, count(*)::BIGINT AS n, CAST(sum(cnt) AS BIGINT) AS s
+        |  FROM z GROUP BY 1),
+        |d AS (
+        |  SELECT z.event_type, z.h, m.n, m.n * z.cnt - m.s AS d,
+        |    lag(m.n * z.cnt - m.s, 1) OVER w AS d1,
+        |    lag(m.n * z.cnt - m.s, 24) OVER w AS d24
+        |  FROM z JOIN m ON m.event_type = z.event_type
+        |  WINDOW w AS (PARTITION BY z.event_type ORDER BY z.h)),
+        |a AS (
+        |  SELECT event_type, max(n) AS n_hours,
+        |    CAST(sum(d * d) AS BIGINT) AS den,
+        |    CAST(sum(d * d1) AS BIGINT) AS num1,
+        |    CAST(sum(d * d24) AS BIGINT) AS num24
+        |  FROM d GROUP BY 1)
+        |SELECT event_type, CAST(n_hours AS BIGINT) AS n_hours,
+        |  CAST(lag_k AS BIGINT) AS lag_k, num, den,
+        |  (1000 * num) // den AS acf_milli
+        |FROM (
+        |  SELECT event_type, n_hours, 1 AS lag_k, num1 AS num, den FROM a
+        |  UNION ALL
+        |  SELECT event_type, n_hours, 24, num24, den FROM a)""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      val z = hourlySpineOf(Tables.events(s, dir))
+      val m = z.groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          sum(col("cnt")).cast("bigint").as("s"))
+      val d = z.join(broadcast(m), Seq("event_type"))
+        .withColumn("d", col("n") * col("cnt") - col("s"))
+        .withColumn("d1", lag(col("d"), 1).over(w))
+        .withColumn("d24", lag(col("d"), 24).over(w))
+      d.groupBy(col("event_type"))
+        .agg(max(col("n")).as("n_hours"),
+          sum(col("d") * col("d")).cast("bigint").as("den"),
+          sum(col("d") * col("d1")).cast("bigint").as("num1"),
+          sum(col("d") * col("d24")).cast("bigint").as("num24"))
+        .selectExpr("event_type", "n_hours",
+          "stack(2, CAST(1 AS BIGINT), num1, CAST(24 AS BIGINT), num24) AS (lag_k, num)",
+          "den")
+        .select(col("event_type"), col("n_hours"), col("lag_k"), col("num"),
+          col("den"), expr("(1000 * num) DIV den").as("acf_milli"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q239_changepoint_location",
+      """CHANGEPOINT LOCATION by the at-most-one-change CUSUM argmax
+        |(Hinkley 1970; Taylor 2000's change-point-analysis practice:
+        |where q227 says WHETHER the series drifted, this says WHERE —
+        |the hour t maximizing |Σ_{s≤t}(x_s − x̄)| splits the series at
+        |its most likely level change), with the before/after means the
+        |split implies. Division-free core via the same n-scaling as
+        |q238: D_t = Σ_{s≤t}(n·x_s − S) is exact, its argmax picked by
+        |the max(struct(|D|, −h)) total order (the q172 argmax-without-
+        |a-second-window discipline; the prefix COUNT sum rides inside
+        |the struct so the means come off the winning row, no join
+        |back). The last hour is excluded — D there is identically 0
+        |and a "change after everything" is no change. Scale shape: the
+        |q225 spine, per-type (n, S) broadcast, ONE keyed window pass
+        |for both prefix sums, then a |types|-row argmax aggregate.""".stripMargin,
+      """WITH c AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+        |    count(*)::BIGINT AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT event_type, min(h) AS h0, max(h) AS h1 FROM c GROUP BY 1),
+        |sp AS (SELECT event_type, unnest(generate_series(h0, h1)) AS h FROM b),
+        |z AS (
+        |  SELECT sp.event_type, sp.h, coalesce(c.cnt, 0)::BIGINT AS cnt
+        |  FROM sp LEFT JOIN c ON c.event_type = sp.event_type AND c.h = sp.h),
+        |m AS (
+        |  SELECT event_type, count(*)::BIGINT AS n, CAST(sum(cnt) AS BIGINT) AS s
+        |  FROM z GROUP BY 1),
+        |p AS (
+        |  SELECT z.event_type, z.h, m.n, m.s,
+        |    CAST(sum(m.n * z.cnt - m.s) OVER w AS BIGINT) AS dd,
+        |    CAST(sum(z.cnt) OVER w AS BIGINT) AS px,
+        |    CAST(count(*) OVER w AS BIGINT) AS t
+        |  FROM z JOIN m ON m.event_type = z.event_type
+        |  WINDOW w AS (PARTITION BY z.event_type ORDER BY z.h
+        |               ROWS UNBOUNDED PRECEDING)),
+        |r AS (
+        |  SELECT event_type, h, n, s, abs(dd) AS absd, px, t,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY abs(dd) DESC, h) AS rn
+        |  FROM p WHERE t < n)
+        |SELECT event_type, h AS cp_hour, CAST(n AS BIGINT) AS n_hours,
+        |  absd AS peak_abs_d,
+        |  (1000 * px) // t AS mean_before_milli,
+        |  (1000 * (s - px)) // (n - t) AS mean_after_milli
+        |FROM r WHERE rn = 1""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val z = hourlySpineOf(Tables.events(s, dir))
+      val m = z.groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          sum(col("cnt")).cast("bigint").as("s"))
+      z.join(broadcast(m), Seq("event_type"))
+        .withColumn("dd", sum(col("n") * col("cnt") - col("s")).over(w).cast("bigint"))
+        .withColumn("px", sum(col("cnt")).over(w).cast("bigint"))
+        .withColumn("t", count(lit(1)).over(w).cast("bigint"))
+        .filter(col("t") < col("n"))
+        .groupBy(col("event_type"))
+        .agg(max(struct(abs(col("dd")).as("absd"), (-col("h")).as("nh"),
+          col("px").as("px"), col("t").as("t"), col("n").as("n"),
+          col("s").as("s"))).as("mx"))
+        .select(col("event_type"), (-col("mx.nh")).as("cp_hour"),
+          col("mx.n").as("n_hours"), col("mx.absd").as("peak_abs_d"),
+          expr("(1000 * mx.px) DIV mx.t").as("mean_before_milli"),
+          expr("(1000 * (mx.s - mx.px)) DIV (mx.n - mx.t)").as("mean_after_milli"))
     })
 
   /** Zero-filled hourly count spine shared by the control-chart pair

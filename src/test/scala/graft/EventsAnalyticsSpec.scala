@@ -733,4 +733,65 @@ class EventsAnalyticsSpec extends SparkSpec {
     assert(rows.map(_._4).sum == spans.values.count(_._2 == horizon).toLong,
       "censored exits must be exactly the horizon-day users")
   }
+
+  /** Zero-filled hourly series per type — shared by the q238/q239
+    * recomputes (the q225/q227 spine in plain Scala). */
+  private lazy val hourlySeries: Map[String, IndexedSeq[(Long, Long)]] = {
+    val counts = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        expr("unix_micros(ts) DIV 3600000000").as("h"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    counts.keys.map(_._1).toSeq.distinct.map { et =>
+      val hs = counts.collect { case ((t, h), _) if t == et => h }
+      et -> (hs.min to hs.max).map(h => h -> counts.getOrElse((et, h), 0L))
+    }.toMap
+  }
+
+  test("q238 autocorrelation equals the n-scaled Scala recompute at both lags") {
+    val expected = hourlySeries.flatMap { case (et, series) =>
+      val n = series.size.toLong
+      val s = series.map(_._2).sum
+      val d = series.map { case (_, c) => n * c - s }
+      val den = d.map(x => x * x).sum
+      Seq(1, 24).map { k =>
+        val num = (k until d.size).map(i => d(i) * d(i - k)).sum
+        (et, n, k.toLong, num, den, 1000L * num / den)
+      }
+    }.toSet
+    val rows = byName("q238_autocorrelation").run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(rows == expected, "ACF diverges from the Scala recompute")
+    // |r_k| <= 1 on exact integers (Cauchy-Schwarz over the lagged slice)
+    rows.foreach { case (_, _, _, _, den, acf) =>
+      assert(den > 0 && acf >= -1000 && acf <= 1000)
+    }
+  }
+
+  test("q239 changepoint location equals the Scala argmax recompute") {
+    val expected = hourlySeries.map { case (et, series) =>
+      val n = series.size.toLong
+      val s = series.map(_._2).sum
+      var dd = 0L
+      var px = 0L
+      val prefixes = series.zipWithIndex.dropRight(1).map { case ((h, c), i) =>
+        dd += n * c - s; px += c
+        (math.abs(dd), -h, h, px, i + 1L)
+      }
+      val win = prefixes.max
+      (et, win._3, n, win._1, 1000L * win._4 / win._5,
+        1000L * (s - win._4) / (n - win._5))
+    }.toSet
+    val rows = byName("q239_changepoint_location").run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(rows == expected, "changepoint diverges from the Scala argmax")
+    // the split must actually split: 1 <= t < n is enforced by the
+    // last-row exclusion, so both means exist and differ from each
+    // other unless the series is constant
+    rows.foreach { case (_, cp, n, peak, _, _) =>
+      assert(peak >= 0 && n >= 2, s"degenerate split at $cp")
+    }
+  }
 }
