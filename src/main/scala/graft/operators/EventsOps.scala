@@ -2310,6 +2310,56 @@ object EventsOps {
           col("mx.n").as("n_hours"), col("mx.absd").as("peak_abs_d"),
           expr("(1000 * mx.px) DIV mx.t").as("mean_before_milli"),
           expr("(1000 * (mx.s - mx.px)) DIV (mx.n - mx.t)").as("mean_after_milli"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q240_seasonal_profile",
+      """HOUR-OF-DAY seasonal profile — the seasonal-subseries summary
+        |(Cleveland et al. 1990's STL decomposes against exactly this;
+        |Hyndman & Athanasopoulos's seasonal-naive baseline forecasts
+        |FROM it): for each (type, hour-of-day), the distribution of
+        |that clock hour's counts across the observation window — n
+        |observations, min, LOWER median, max and the exact milli mean.
+        |This is the seasonal baseline q225/q227 deliberately do NOT
+        |model (their charts treat all history alike; a diurnal service
+        |needs deviation-from-profile, and this query IS the profile).
+        |Zero-filled spine first, as everywhere in the chart family —
+        |a silent 3 AM is a real observation of 0, and dropping it
+        |biases every night-hour median up. Scale shape: the q225
+        |spine, then ONE (type, hod)-keyed aggregate whose groups are
+        |wall-clock-bounded (≤ 24·|types|, each holding window-days
+        |observations) — the sorted-array median runs inside the
+        |aggregate row (q82 shape), no window anywhere.""".stripMargin,
+      """WITH c AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+        |    count(*)::BIGINT AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT event_type, min(h) AS h0, max(h) AS h1 FROM c GROUP BY 1),
+        |sp AS (SELECT event_type, unnest(generate_series(h0, h1)) AS h FROM b),
+        |z AS (
+        |  SELECT sp.event_type, sp.h % 24 AS hod,
+        |    coalesce(c.cnt, 0)::BIGINT AS cnt
+        |  FROM sp LEFT JOIN c ON c.event_type = sp.event_type AND c.h = sp.h)
+        |SELECT event_type, CAST(hod AS BIGINT) AS hod,
+        |  count(*)::BIGINT AS n_obs,
+        |  CAST(min(cnt) AS BIGINT) AS min_cnt,
+        |  CAST(list_sort(list(cnt))[(count(*) + 1) // 2] AS BIGINT) AS median_cnt,
+        |  CAST(max(cnt) AS BIGINT) AS max_cnt,
+        |  (1000 * CAST(sum(cnt) AS BIGINT)) // count(*) AS mean_milli
+        |FROM z GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      hourlySpineOf(Tables.events(s, dir))
+        .select(col("event_type"), (col("h") % 24).as("hod"), col("cnt"))
+        .groupBy(col("event_type"), col("hod"))
+        .agg(count(lit(1)).cast("bigint").as("n_obs"),
+          min(col("cnt")).cast("bigint").as("min_cnt"),
+          sort_array(collect_list(col("cnt"))).as("xs"),
+          max(col("cnt")).cast("bigint").as("max_cnt"),
+          sum(col("cnt")).cast("bigint").as("sm"))
+        .select(col("event_type"), col("hod").cast("bigint").as("hod"),
+          col("n_obs"), col("min_cnt"),
+          element_at(col("xs"), ((col("n_obs") + 1) / 2).cast("int"))
+            .cast("bigint").as("median_cnt"),
+          col("max_cnt"), expr("(1000 * sm) DIV n_obs").as("mean_milli"))
     })
 
   /** Zero-filled hourly count spine shared by the control-chart pair

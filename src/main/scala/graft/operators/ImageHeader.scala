@@ -255,6 +255,137 @@ object ImageHeader {
     buf.array()
   }
 
+  /** Animated-GIF facts a strict block walk yields without touching
+    * LZW: frame count, total display time (centiseconds, summed from
+    * each frame's Graphic Control Extension) and the NETSCAPE2.0 loop
+    * count (None = no application extension = play once). */
+  final case class GifAnim(width: Long, height: Long, nFrames: Long,
+      totalDelayCs: Long, loopCount: Option[Long])
+
+  /** Strict GIF89a ANIMATION walk (the 89a spec §23-§26 block
+    * grammar): after the logical screen descriptor + global color
+    * table, the stream must be a sequence of extension blocks (0x21:
+    * label, then length-prefixed sub-blocks to a 0 terminator — the
+    * Graphic Control Extension's 4-byte block carries the delay that
+    * applies to the NEXT image; the NETSCAPE2.0 application extension
+    * carries the loop count) and image descriptors (0x2C: 9-byte
+    * descriptor, optional local color table, LZW minimum-code byte,
+    * data sub-blocks to 0), ending at the 0x3B trailer which must be
+    * the LAST byte. Any overrun, unknown introducer, malformed GCE
+    * size or bytes after the trailer rejects the whole payload —
+    * the q89/q94/q133 strictness discipline. */
+  def decodeGifAnimation(b: Array[Byte]): Option[GifAnim] = {
+    val meta = decodeGif(b).getOrElse(return None)
+    val packed = b(10) & 0xff
+    val gctBytes = if ((packed & 0x80) != 0) 3 * (1 << ((packed & 0x07) + 1)) else 0
+    var p = 13 + gctBytes
+    var frames = 0L
+    var totalDelay = 0L
+    var pendingDelay = 0L
+    var loop: Option[Long] = None
+    def u(i: Int): Int = { if (i >= b.length) return -1; b(i) & 0xff }
+    while (p < b.length) {
+      u(p) match {
+        case 0x3b =>
+          return if (p == b.length - 1)
+            Some(GifAnim(meta.width, meta.height, frames, totalDelay, loop))
+          else None // bytes after the trailer: reject
+        case 0x21 =>
+          val label = u(p + 1)
+          if (label < 0) return None
+          var q = p + 2
+          var first = true
+          var appIsNetscape = false
+          while (u(q) != 0) {
+            val len = u(q)
+            if (len < 0 || q + 1 + len >= b.length) return None
+            if (first && label == 0xf9) {
+              if (len != 4) return None // GCE block size is fixed
+              pendingDelay = u(q + 2) | (u(q + 3) << 8)
+            }
+            if (first && label == 0xff)
+              appIsNetscape = len == 11 &&
+                new String(b, q + 1, 11, "US-ASCII") == "NETSCAPE2.0"
+            if (!first && appIsNetscape && len == 3 && u(q + 1) == 1)
+              loop = Some((u(q + 2) | (u(q + 3) << 8)).toLong)
+            first = false
+            q += 1 + len
+          }
+          p = q + 1
+        case 0x2c =>
+          if (p + 10 >= b.length) return None
+          val ipacked = u(p + 9)
+          val lctBytes =
+            if ((ipacked & 0x80) != 0) 3 * (1 << ((ipacked & 0x07) + 1)) else 0
+          var q = p + 10 + lctBytes + 1 // descriptor + LCT + LZW min code
+          if (q > b.length) return None
+          while (u(q) != 0) {
+            val len = u(q)
+            if (len < 0 || q + 1 + len >= b.length) return None
+            q += 1 + len
+          }
+          frames += 1
+          totalDelay += pendingDelay
+          pendingDelay = 0L
+          p = q + 1
+        case _ => return None
+      }
+    }
+    None // ran off the end without a trailer
+  }
+
+  /** Animated GIF89a fixture: header + LSD + zeroed GCT + NETSCAPE2.0
+    * loop extension + per frame (GCE with its delay, full-size image
+    * descriptor, LZW min-code byte, the payload split into ≤255-byte
+    * sub-blocks) + trailer. Structurally valid for
+    * [[decodeGifAnimation]]'s strict walk; pixel data is arbitrary
+    * bytes (the walk never inflates LZW, exactly like a real frame
+    * INDEXER that only needs offsets and timing). */
+  def encodeAnimatedGif(width: Int, height: Int, bpp: Int,
+      frames: Seq[(Int, Array[Byte])], loopCount: Int): Array[Byte] = {
+    require(width > 0 && height > 0 && width <= 0xffff && height <= 0xffff,
+      s"bad dims ${width}x$height")
+    require(bpp >= 1 && bpp <= 8, s"bad bpp $bpp")
+    require(frames.nonEmpty, "an animation needs at least one frame")
+    require(loopCount >= 0 && loopCount <= 0xffff, s"bad loop $loopCount")
+    val gctBytes = 3 * (1 << bpp)
+    def subBlockLen(n: Int) = n + (n + 254) / 255 + 1 // len bytes + terminator
+    val total = 13 + gctBytes + 19 +
+      frames.map { case (_, d) => 8 + 10 + 1 + subBlockLen(d.length) }.sum + 1
+    val buf = ByteBuffer.allocate(total).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("GIF89a".getBytes("US-ASCII"))
+    buf.putShort(width.toShort).putShort(height.toShort)
+    buf.put((0x80 | (bpp - 1)).toByte)
+    buf.put(0.toByte).put(0.toByte)
+    buf.position(buf.position() + gctBytes) // zeroed GCT
+    // NETSCAPE2.0 application extension: 19 bytes
+    buf.put(0x21.toByte).put(0xff.toByte).put(11.toByte)
+    buf.put("NETSCAPE2.0".getBytes("US-ASCII"))
+    buf.put(3.toByte).put(1.toByte).putShort(loopCount.toShort).put(0.toByte)
+    frames.foreach { case (delayCs, data) =>
+      require(delayCs >= 0 && delayCs <= 0xffff, s"bad delay $delayCs")
+      // GCE: 8 bytes
+      buf.put(0x21.toByte).put(0xf9.toByte).put(4.toByte)
+      buf.put(0.toByte).putShort(delayCs.toShort).put(0.toByte).put(0.toByte)
+      // image descriptor: 10 bytes, full frame, no LCT
+      buf.put(0x2c.toByte)
+      buf.putShort(0.toShort).putShort(0.toShort)
+      buf.putShort(width.toShort).putShort(height.toShort)
+      buf.put(0.toByte)
+      buf.put(2.toByte) // LZW minimum code size (arbitrary, not inflated)
+      var off = 0
+      while (off < data.length) {
+        val n = math.min(255, data.length - off)
+        buf.put(n.toByte)
+        buf.put(data, off, n)
+        off += n
+      }
+      buf.put(0.toByte) // data terminator
+    }
+    buf.put(0x3b.toByte)
+    buf.array()
+  }
+
   /** Minimal valid GIF89a: header + logical screen descriptor + global
     * color table (zeroed, 2^bpp entries) + trailer. Byte count is
     * 14 + 3 * 2^bpp, which the strict decoder re-derives and checks. */

@@ -1282,6 +1282,42 @@ object Multimodal {
         .filter(col("n_videos") >= 2)
     },
 
+    q("q241_gif_animation",
+      """ANIMATED-GIF frame census through the REAL GIF89a block
+        |grammar — the q133 move (header → the structures a frame
+        |reader walks) on the image modality: each doc_id-derived GIF
+        |carries a NETSCAPE2.0 loop extension and per-frame Graphic
+        |Control Extensions + image descriptors + length-prefixed data
+        |sub-blocks, and the strict walk (ImageHeader.decodeGifAnimation
+        |— spec §23-§26 grammar, no LZW inflation: a frame INDEXER only
+        |needs offsets and timing) yields frames, total display time
+        |and loop count per animation. Every 7th payload's first GCE
+        |block-size byte is corrupted 4→5 — the header-level decode
+        |still passes (magic, LSD, color table, trailer all intact), so
+        |ONLY the walk's fixed-size check can reject it; a lenient
+        |walker that skipped by the declared size would mis-frame the
+        |stream and turn rows red. The oracle replays frame counts,
+        |every per-frame delay and the loop count from doc_id
+        |arithmetic. Scale shape: one batched mapPartitions pass, ~24
+        |bytes out per animation; output is |docs| rows.""".stripMargin,
+      """WITH p AS (
+        |  SELECT doc_id, doc_id % 10 + 1 AS n, doc_id % 4 AS loop_count
+        |  FROM documents WHERE doc_id % 7 <> 3),
+        |d AS (
+        |  SELECT doc_id, CAST(sum(4 + (doc_id + i) % 6) AS BIGINT) AS total_cs
+        |  FROM p, range(0, 10) t(i) WHERE i < n GROUP BY 1)
+        |SELECT p.doc_id AS media_id, CAST(p.n AS BIGINT) AS n_frames,
+        |  d.total_cs AS total_delay_cs,
+        |  CAST(p.loop_count AS BIGINT) AS loop_count,
+        |  (1000 * d.total_cs) // p.n AS mean_delay_milli
+        |FROM p JOIN d ON d.doc_id = p.doc_id""".stripMargin) { (s, dir) =>
+      gifAnimStage(docAnimatedGifs(s, dir))
+        .filter(col("n_frames").isNotNull)
+        .select(col("media_id"), col("n_frames"), col("total_delay_cs"),
+          col("loop_count"),
+          expr("(1000 * total_delay_cs) DIV n_frames").as("mean_delay_milli"))
+    },
+
     q("q215_image_dhash",
       """Perceptual near-duplicate IMAGE dedup by difference hash —
         |the dHash of Krawetz 2013 ("Kind of Like That"), the
@@ -1402,6 +1438,60 @@ object Multimodal {
             }
             Row(id, fp)
           case None => Row(id, null)
+        }
+      }
+    }(enc)
+  }
+
+  /** q241's fixture: one doc_id-derived animated GIF per document —
+    * n = id%10+1 frames with per-frame delay 4+(id+i)%6 cs and
+    * (id+37·i)%300+1 bytes of payload, loop count id%4, bpp 2. Every
+    * 7th doc's FIRST GCE block-size byte is corrupted 4→5: the
+    * header-level decode still accepts the file, so only the
+    * animation walk's strict fixed-size check can reject it. */
+  private def docAnimatedGifs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val payloads = Tables.documents(s, dir)
+      .select(col("doc_id").cast("long")).as[Long]
+      .map { id =>
+        val n = (id % 10 + 1).toInt
+        val frames = (0 until n).map { i =>
+          val len = ((id + 37L * i) % 300 + 1).toInt
+          val data = Array.tabulate(len)(j => ((id + i + j) % 251).toByte)
+          ((4 + (id + i) % 6).toInt, data)
+        }
+        val bytes = ImageHeader.encodeAnimatedGif(
+          (id % 32 + 1).toInt, (id % 24 + 1).toInt, 2, frames, (id % 4).toInt)
+        if (id % 7 == 3) {
+          val gcePos = 13 + 3 * (1 << 2) + 19 + 2 // LSD+GCT, NETSCAPE ext, size byte
+          bytes(gcePos) = 5.toByte
+        }
+        (id, bytes)
+      }
+      .toDF("doc_id", "payload")
+      .withColumn("src", lit("synthetic"))
+    asMediaFrame(payloads, "doc_id", "payload", "src")
+  }
+
+  /** Animation-census stage: strict GIF89a block walk per payload
+    * (frames, total delay, loop count); payloads the walk rejects
+    * census to null columns. */
+  private[graft] def gifAnimStage(media: DataFrame): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("n_frames", LongType, nullable = true),
+      StructField("total_delay_cs", LongType, nullable = true),
+      StructField("loop_count", LongType, nullable = true)))
+    val enc = Encoders.row(outSchema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val mIdx = media.schema.fieldIndex("media")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(idIdx)
+        ImageHeader.decodeGifAnimation(r.getAs[Array[Byte]](mIdx)) match {
+          case Some(a) =>
+            Row(id, a.nFrames, a.totalDelayCs, a.loopCount.getOrElse(-1L))
+          case None => Row(id, null, null, null)
         }
       }
     }(enc)

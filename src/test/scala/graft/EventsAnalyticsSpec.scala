@@ -794,4 +794,23 @@ class EventsAnalyticsSpec extends SparkSpec {
       assert(peak >= 0 && n >= 2, s"degenerate split at $cp")
     }
   }
+
+  test("q240 seasonal profile equals a zero-filled Scala recompute per clock hour") {
+    val expected = hourlySeries.flatMap { case (et, series) =>
+      series.groupBy(_._1 % 24).map { case (hod, obs) =>
+        val cs = obs.map(_._2).sorted
+        val n = cs.size.toLong
+        (et, hod, n, cs.head, cs(((n + 1) / 2 - 1).toInt), cs.last,
+          1000L * cs.sum / n)
+      }
+    }.toSet
+    val rows = byName("q240_seasonal_profile").run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    assert(rows == expected, "seasonal profile diverges from the Scala recompute")
+    // order statistics must order: min <= median <= max per row
+    rows.foreach { case (_, _, _, mn, md, mx, _) =>
+      assert(mn <= md && md <= mx)
+    }
+  }
 }

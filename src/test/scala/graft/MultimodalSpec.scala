@@ -268,4 +268,36 @@ class MultimodalSpec extends SparkSpec {
     // corrupt videos must be absent from every class
     assert(rows.values.map(_._1).sum <= ids.count(_ % 7 != 3).toLong)
   }
+
+  test("q241 GIF animation census equals the arithmetic replay; walk is strict") {
+    val ids = Tables.documents(spark, TestSession.sfDir)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    val expected = ids.filter(_ % 7 != 3).map { id =>
+      val n = id % 10 + 1
+      val total = (0L until n).map(i => 4 + (id + i) % 6).sum
+      id -> ((n, total, id % 4, 1000L * total / n))
+    }.toMap
+    val rows = SparkEntry.all.find(_.name == "q241_gif_animation").get
+      .run(spark, TestSession.sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(rows == expected, "animation census diverges from the replay")
+
+    // unit strictness: the static (frame-less) GIF walks to zero frames
+    // with no loop extension; a corrupted GCE size byte rejects even
+    // though the header-level decode still accepts the file
+    val still = graft.operators.ImageHeader.encodeGif(8, 8, 2)
+    assert(graft.operators.ImageHeader.decodeGifAnimation(still)
+      .contains(graft.operators.ImageHeader.GifAnim(8, 8, 0, 0, None)))
+    val anim = graft.operators.ImageHeader.encodeAnimatedGif(
+      8, 8, 2, Seq((7, Array.fill(300)(1.toByte))), 3)
+    val walked = graft.operators.ImageHeader.decodeGifAnimation(anim).get
+    assert(walked == graft.operators.ImageHeader.GifAnim(8, 8, 1, 7, Some(3)))
+    val broken = anim.clone()
+    broken(13 + 12 + 19 + 2) = 5.toByte // GCE size 4 -> 5
+    assert(graft.operators.ImageHeader.decodeGif(broken).nonEmpty,
+      "header-level decode must still accept — only the walk can catch this")
+    assert(graft.operators.ImageHeader.decodeGifAnimation(broken).isEmpty,
+      "the strict walk must reject a malformed GCE size")
+  }
 }
