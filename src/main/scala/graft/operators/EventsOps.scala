@@ -2360,6 +2360,132 @@ object EventsOps {
           element_at(col("xs"), ((col("n_obs") + 1) / 2).cast("int"))
             .cast("bigint").as("median_cnt"),
           col("max_cnt"), expr("(1000 * sm) DIV n_obs").as("mean_milli"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q242_hampel_outliers",
+      """HAMPEL identifier over the hourly series — the median/MAD
+        |outlier rule (Hampel 1974; Davies & Gather 1993 call it THE
+        |robust detector: where q149's z-score lets a contaminated
+        |frame inflate its own sigma until nothing flags — masking —
+        |the median and the median absolute deviation have 50%
+        |breakdown, so half the series can be garbage before the rule
+        |lies): flag hour t when |x_t − med| > 3·MAD, both statistics
+        |LOWER medians over the type's zero-filled spine, entirely in
+        |integers (the raw-MAD form of the rule — the Gaussian 1.4826
+        |consistency constant is irrational, so published practice at
+        |integer scale states the threshold in raw MAD units, and 3 raw
+        |MADs ≈ 2 sigma). Emits only the flagged hours. Scale shape:
+        |the q225 spine; med and MAD are TWO |types|-row sorted-array
+        |aggregates (arrays are wall-clock-bounded hours, the q240
+        |class) broadcast back; the flag is a scan-side comparison.""".stripMargin,
+      """WITH c AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+        |    count(*)::BIGINT AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT event_type, min(h) AS h0, max(h) AS h1 FROM c GROUP BY 1),
+        |sp AS (SELECT event_type, unnest(generate_series(h0, h1)) AS h FROM b),
+        |z AS (
+        |  SELECT sp.event_type, sp.h, coalesce(c.cnt, 0)::BIGINT AS cnt
+        |  FROM sp LEFT JOIN c ON c.event_type = sp.event_type AND c.h = sp.h),
+        |m AS (
+        |  SELECT event_type,
+        |    CAST(list_sort(list(cnt))[(count(*) + 1) // 2] AS BIGINT) AS med
+        |  FROM z GROUP BY 1),
+        |dv AS (
+        |  SELECT z.event_type, z.h, z.cnt, m.med, abs(z.cnt - m.med) AS dev
+        |  FROM z JOIN m ON m.event_type = z.event_type),
+        |md AS (
+        |  SELECT event_type,
+        |    CAST(list_sort(list(dev))[(count(*) + 1) // 2] AS BIGINT) AS mad
+        |  FROM dv GROUP BY 1)
+        |SELECT dv.event_type, dv.h AS epoch_hour, dv.cnt, dv.med AS med_cnt,
+        |  md.mad, dv.dev - 3 * md.mad AS excess
+        |FROM dv JOIN md ON md.event_type = dv.event_type
+        |WHERE dv.dev > 3 * md.mad""".stripMargin) { (s, dir) =>
+      val z = hourlySpineOf(Tables.events(s, dir))
+      val m = z.groupBy(col("event_type"))
+        .agg(sort_array(collect_list(col("cnt"))).as("xs"),
+          count(lit(1)).cast("bigint").as("n"))
+        .select(col("event_type"),
+          element_at(col("xs"), ((col("n") + 1) / 2).cast("int"))
+            .cast("bigint").as("med"))
+      val dv = z.join(broadcast(m), Seq("event_type"))
+        .withColumn("dev", abs(col("cnt") - col("med")))
+      val md = dv.groupBy(col("event_type"))
+        .agg(sort_array(collect_list(col("dev"))).as("ds"),
+          count(lit(1)).cast("bigint").as("n"))
+        .select(col("event_type"),
+          element_at(col("ds"), ((col("n") + 1) / 2).cast("int"))
+            .cast("bigint").as("mad"))
+      dv.join(broadcast(md), Seq("event_type"))
+        .filter(col("dev") > lit(3) * col("mad"))
+        .select(col("event_type"), col("h").as("epoch_hour"), col("cnt"),
+          col("med").as("med_cnt"), col("mad"),
+          (col("dev") - lit(3) * col("mad")).as("excess"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q243_tukey_fences",
+      """TUKEY FENCES over the hourly series — the boxplot far-outlier
+        |rule (Tukey 1977's exploratory-data-analysis fences: beyond
+        |q3 + 1.5·IQR is "outside", beyond 3·IQR "far out"; this emits
+        |the 1.5 fence with the 3.0 flag alongside), quartiles as LOWER
+        |order statistics at index (n+1) div 4 and 3(n+1) div 4 of the
+        |sorted zero-filled spine, and the half-integer 1.5·IQR fence
+        |evaluated CROSS-MULTIPLIED (2x vs 2·q3 + 3·IQR — no fractional
+        |value ever materializes). The robust-outlier complement to
+        |q242: MAD fences track the center's noise, quartile fences
+        |track the bulk's spread — a series can trip one and not the
+        |other, which is why EDA practice plots both. Scale shape: the
+        |q225 spine; ONE |types|-row sorted-array aggregate yields both
+        |quartiles; flags are scan-side comparisons.""".stripMargin,
+      """WITH c AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+        |    count(*)::BIGINT AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT event_type, min(h) AS h0, max(h) AS h1 FROM c GROUP BY 1),
+        |sp AS (SELECT event_type, unnest(generate_series(h0, h1)) AS h FROM b),
+        |z AS (
+        |  SELECT sp.event_type, sp.h, coalesce(c.cnt, 0)::BIGINT AS cnt
+        |  FROM sp LEFT JOIN c ON c.event_type = sp.event_type AND c.h = sp.h),
+        |qq AS (
+        |  SELECT event_type,
+        |    CAST(list_sort(list(cnt))[greatest((count(*) + 1) // 4, 1)]
+        |      AS BIGINT) AS q1,
+        |    CAST(list_sort(list(cnt))[(3 * (count(*) + 1)) // 4] AS BIGINT) AS q3
+        |  FROM z GROUP BY 1)
+        |SELECT z.event_type, z.h AS epoch_hour, z.cnt, qq.q1, qq.q3,
+        |  CASE WHEN 2 * z.cnt > 2 * qq.q3 + 3 * (qq.q3 - qq.q1)
+        |         OR 2 * z.cnt < 2 * qq.q1 - 3 * (qq.q3 - qq.q1)
+        |       THEN 1 ELSE 0 END AS outside,
+        |  CASE WHEN z.cnt > qq.q3 + 3 * (qq.q3 - qq.q1)
+        |         OR z.cnt < qq.q1 - 3 * (qq.q3 - qq.q1)
+        |       THEN 1 ELSE 0 END AS far_out
+        |FROM z JOIN qq ON qq.event_type = z.event_type
+        |WHERE 2 * z.cnt > 2 * qq.q3 + 3 * (qq.q3 - qq.q1)
+        |   OR 2 * z.cnt < 2 * qq.q1 - 3 * (qq.q3 - qq.q1)""".stripMargin) { (s, dir) =>
+      val z = hourlySpineOf(Tables.events(s, dir))
+      val qq = z.groupBy(col("event_type"))
+        .agg(sort_array(collect_list(col("cnt"))).as("xs"),
+          count(lit(1)).cast("bigint").as("n"))
+        .select(col("event_type"),
+          element_at(col("xs"),
+            greatest(((col("n") + 1) / 4).cast("int"), lit(1)))
+            .cast("bigint").as("q1"),
+          element_at(col("xs"), ((lit(3) * (col("n") + 1)) / 4).cast("int"))
+            .cast("bigint").as("q3"))
+      z.join(broadcast(qq), Seq("event_type"))
+        .filter(lit(2) * col("cnt") > lit(2) * col("q3") + lit(3) * (col("q3") - col("q1")) ||
+          lit(2) * col("cnt") < lit(2) * col("q1") - lit(3) * (col("q3") - col("q1")))
+        .select(col("event_type"), col("h").as("epoch_hour"), col("cnt"),
+          col("q1"), col("q3"),
+          when(lit(2) * col("cnt") > lit(2) * col("q3") + lit(3) * (col("q3") - col("q1")) ||
+            lit(2) * col("cnt") < lit(2) * col("q1") - lit(3) * (col("q3") - col("q1")), 1)
+            .otherwise(0).as("outside"),
+          when(col("cnt") > col("q3") + lit(3) * (col("q3") - col("q1")) ||
+            col("cnt") < col("q1") - lit(3) * (col("q3") - col("q1")), 1)
+            .otherwise(0).as("far_out"))
     })
 
   /** Zero-filled hourly count spine shared by the control-chart pair

@@ -813,4 +813,44 @@ class EventsAnalyticsSpec extends SparkSpec {
       assert(mn <= md && md <= mx)
     }
   }
+
+  test("q242 Hampel outliers equal a Scala median/MAD recompute") {
+    def lowerMedian(xs: Seq[Long]): Long = xs.sorted.apply(((xs.size + 1) / 2) - 1)
+    val expected = hourlySeries.flatMap { case (et, series) =>
+      val med = lowerMedian(series.map(_._2))
+      val mad = lowerMedian(series.map { case (_, c) => math.abs(c - med) })
+      series.collect {
+        case (h, c) if math.abs(c - med) > 3 * mad =>
+          (et, h, c, med, mad, math.abs(c - med) - 3 * mad)
+      }
+    }.toSet
+    val rows = byName("q242_hampel_outliers").run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(rows == expected, "Hampel flags diverge from the Scala recompute")
+    rows.foreach { case (_, _, _, _, _, excess) => assert(excess > 0) }
+  }
+
+  test("q243 Tukey fences equal a Scala quartile recompute") {
+    val expected = hourlySeries.flatMap { case (et, series) =>
+      val s = series.map(_._2).sorted
+      val n = s.size
+      val q1 = s(math.max((n + 1) / 4, 1) - 1)
+      val q3 = s((3 * (n + 1)) / 4 - 1)
+      val iqr = q3 - q1
+      series.collect {
+        case (h, c) if 2 * c > 2 * q3 + 3 * iqr || 2 * c < 2 * q1 - 3 * iqr =>
+          (et, h, c, q1, q3, 1,
+            if (c > q3 + 3 * iqr || c < q1 - 3 * iqr) 1 else 0)
+      }
+    }.toSet
+    val rows = byName("q243_tukey_fences").run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getInt(5), r.getInt(6))).toSet
+    assert(rows == expected, "Tukey flags diverge from the Scala recompute")
+    // far-out rows are a subset of outside rows by construction
+    rows.foreach { case (_, _, _, q1, q3, outside, far) =>
+      assert(outside == 1 && (far == 0 || far == 1) && q1 <= q3)
+    }
+  }
 }
