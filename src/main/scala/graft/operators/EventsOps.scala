@@ -2486,6 +2486,73 @@ object EventsOps {
           when(col("cnt") > col("q3") + lit(3) * (col("q3") - col("q1")) ||
             col("cnt") < col("q1") - lit(3) * (col("q3") - col("q1")), 1)
             .otherwise(0).as("far_out"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q244_rank_concordance",
+      """RANK CO-MOVEMENT between event-type pairs — Goodman-Kruskal's
+        |gamma and Kendall's tau-a (Goodman & Kruskal 1954; Kendall
+        |1938) over each pair's hourly series on their SHARED spine
+        |hours: do two traffic streams rise and fall together? Both
+        |statistics are pure concordant/discordant pair counts, which
+        |is why they run exact where Pearson's r (variance products,
+        |sqrt) cannot: gamma = (C−D)/(C+D) ignores ties, tau-a =
+        |(C−D)/C(n,2) charges them — reporting both shows how much tie
+        |mass the integer-valued series carries. Quadratic in the
+        |WINDOW, not the data (the q228 moral): the hour-pair space is
+        |C(720,2) per type pair regardless of corpus size, built by a
+        |triangular self-join of the broadcast hours-bounded joined
+        |spine. Both ratios integer milli with truncating division
+        |(sign-consistent cross-engine).""".stripMargin,
+      """WITH c AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+        |    count(*)::BIGINT AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT event_type, min(h) AS h0, max(h) AS h1 FROM c GROUP BY 1),
+        |sp AS (SELECT event_type, unnest(generate_series(h0, h1)) AS h FROM b),
+        |z AS (
+        |  SELECT sp.event_type, sp.h, coalesce(c.cnt, 0)::BIGINT AS cnt
+        |  FROM sp LEFT JOIN c ON c.event_type = sp.event_type AND c.h = sp.h),
+        |j AS (
+        |  SELECT a.event_type AS et_a, b.event_type AS et_b, a.h,
+        |    a.cnt AS x, b.cnt AS y
+        |  FROM z a JOIN z b ON a.h = b.h AND a.event_type < b.event_type),
+        |pr AS (
+        |  SELECT p.et_a, p.et_b,
+        |    count(*)::BIGINT AS n_pairs,
+        |    CAST(sum(CASE WHEN (q.x - p.x) * (q.y - p.y) > 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS concordant,
+        |    CAST(sum(CASE WHEN (q.x - p.x) * (q.y - p.y) < 0 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS discordant
+        |  FROM j p JOIN j q
+        |    ON q.et_a = p.et_a AND q.et_b = p.et_b AND p.h < q.h
+        |  GROUP BY 1, 2)
+        |SELECT et_a, et_b, n_pairs, concordant, discordant,
+        |  (1000 * (concordant - discordant))
+        |    // greatest(concordant + discordant, 1) AS gamma_milli,
+        |  (1000 * (concordant - discordant)) // n_pairs AS tau_a_milli
+        |FROM pr""".stripMargin) { (s, dir) =>
+      val z = hourlySpineOf(Tables.events(s, dir))
+      val j = z.select(col("event_type").as("et_a"), col("h"), col("cnt").as("x"))
+        .join(z.select(col("event_type").as("et_b"), col("h"), col("cnt").as("y")),
+          Seq("h"))
+        .filter(col("et_a") < col("et_b"))
+      val p2 = j.select(col("et_a"), col("et_b"), col("h").as("h2"),
+        col("x").as("x2"), col("y").as("y2"))
+      j.join(broadcast(p2), Seq("et_a", "et_b"))
+        .filter(col("h") < col("h2"))
+        .groupBy(col("et_a"), col("et_b"))
+        .agg(count(lit(1)).cast("bigint").as("n_pairs"),
+          sum(when((col("x2") - col("x")) * (col("y2") - col("y")) > 0, 1L)
+            .otherwise(0L)).cast("bigint").as("concordant"),
+          sum(when((col("x2") - col("x")) * (col("y2") - col("y")) < 0, 1L)
+            .otherwise(0L)).cast("bigint").as("discordant"))
+        .select(col("et_a"), col("et_b"), col("n_pairs"),
+          col("concordant"), col("discordant"),
+          expr("""(1000 * (concordant - discordant))
+                 |DIV greatest(concordant + discordant, 1)""".stripMargin)
+            .as("gamma_milli"),
+          expr("(1000 * (concordant - discordant)) DIV n_pairs").as("tau_a_milli"))
     })
 
   /** Zero-filled hourly count spine shared by the control-chart pair

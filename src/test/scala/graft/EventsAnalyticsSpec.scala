@@ -853,4 +853,33 @@ class EventsAnalyticsSpec extends SparkSpec {
       assert(outside == 1 && (far == 0 || far == 1) && q1 <= q3)
     }
   }
+
+  test("q244 rank concordance equals a Scala pair-count recompute") {
+    val byHour = hourlySeries.view.mapValues(_.toMap).toMap
+    val types = hourlySeries.keys.toSeq.sorted
+    val expected = (for {
+      a <- types; b <- types if a < b
+    } yield {
+      val shared = (byHour(a).keySet & byHour(b).keySet).toSeq.sorted
+      val xs = shared.map(h => (byHour(a)(h), byHour(b)(h)))
+      var cc = 0L; var dd = 0L; var np = 0L
+      for (i <- xs.indices; k <- i + 1 until xs.size) {
+        np += 1
+        val s = (xs(k)._1 - xs(i)._1) * (xs(k)._2 - xs(i)._2)
+        if (s > 0) cc += 1 else if (s < 0) dd += 1
+      }
+      (a, b, np, cc, dd, 1000L * (cc - dd) / math.max(cc + dd, 1L),
+        1000L * (cc - dd) / np)
+    }).toSet
+    val rows = byName("q244_rank_concordance").run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    assert(rows == expected, "concordance diverges from the Scala recompute")
+    // |gamma| and |tau_a| are correlation-bounded, and tau never
+    // exceeds gamma in magnitude (same numerator, larger denominator)
+    rows.foreach { case (_, _, _, _, _, g, t) =>
+      assert(g >= -1000 && g <= 1000 && t >= -1000 && t <= 1000)
+      assert(math.abs(t) <= math.abs(g) + 1, "tie mass can only shrink the ratio")
+    }
+  }
 }
