@@ -789,11 +789,22 @@ object Similarity {
         }
         if (parts.isEmpty) "CAST(0 AS BIGINT)" else parts.mkString(" + ")
       }
+      // the 16 components project as SEPARATE COLUMNS before the stack:
+      // inlined into stack()'s children they all land in Generate's one
+      // doConsume method, whose bytecode exceeds the JVM's 64 KB limit
+      // — janino fails, and whole-stage codegen SILENTLY fell back to
+      // interpreted execution (caught by the bench-log WARN audit; the
+      // fallback=false guard in PlanGuardSpec now makes this class of
+      // demotion a red test). As projected columns each sum codegens
+      // small and Project splits across methods; the Generate then
+      // stacks 16 plain attributes.
       val stackArgs = (0 until JlDim)
-        .map(j => s"CAST($j AS BIGINT), CAST(${terms(j)} AS BIGINT)").mkString(", ")
+        .map(j => s"CAST($j AS BIGINT), y$j").mkString(", ")
       Tables.embeddings(s, dir)
         .withColumn("xq", expr(
           "transform(embedding, x -> CAST(CAST(round(CAST(x AS DOUBLE), 4) AS DECIMAL(9,4)) * 10000 AS BIGINT))"))
+        .selectExpr(("vec_id" +:
+          (0 until JlDim).map(j => s"CAST(${terms(j)} AS BIGINT) AS y$j")): _*)
         .selectExpr("vec_id", s"stack($JlDim, $stackArgs) AS (j, y)")
     },
 

@@ -234,6 +234,31 @@ class PlanGuardSpec extends SparkSpec {
     }
   }
 
+  test("no registered query silently falls back from whole-stage codegen") {
+    // q216 shipped with its 16 JL components inlined into stack()'s
+    // children: the Generate's doConsume bytecode blew the JVM's 64 KB
+    // method limit, janino failed, and Spark SILENTLY ran the stage
+    // interpreted — the query stayed green while costing ~1.5× its
+    // codegen'd time, and the only trace was a WARN in the bench tail.
+    // spark.sql.codegen.fallback=false turns that demotion into a hard
+    // failure, so executing every registered query under it makes the
+    // whole class a red test. Queries whose operators never ATTEMPT
+    // codegen (mapPartitions codecs, typed aggregators) are unaffected
+    // — the conf only bites when generated code fails to compile.
+    withSQLConf("spark.sql.codegen.fallback" -> "false") {
+      val offenders = guarded.flatMap { d =>
+        try {
+          d.run(spark, sfDir).write.format("noop").mode("overwrite").save()
+          None
+        } catch {
+          case e: Throwable =>
+            Some(s"${d.name}: ${String.valueOf(e.getMessage).take(120)}")
+        }
+      }
+      assert(offenders.isEmpty, s"codegen compilation failures in: $offenders")
+    }
+  }
+
   test("every oracle-paired query declares matching column names in its SQL") {
     // cheap drift guard: each Spark output column name must appear as a
     // token in the oracle SQL (aliased the same way) — the driver's
