@@ -2555,19 +2555,16 @@ object EventsOps {
           expr("(1000 * (concordant - discordant)) DIV n_pairs").as("tau_a_milli"))
     })
 
-  /** Zero-filled hourly count spine shared by the control-chart pair
-    * (q225 EWMA, q227 CUSUM): one (type, hour) histogram shuffle with
-    * map-side combine, then each type's integer-hour range exploded
-    * (bounded by types × wall-clock hours, never event count) and
-    * left-joined so gap hours are REAL zero observations — both charts
-    * treat silence as evidence, and lag/prefix windows over the raw
-    * aggregate would silently compress quiet periods. */
-  private def hourlySpine(s: org.apache.spark.sql.SparkSession,
-      dir: String): org.apache.spark.sql.DataFrame =
-    hourlySpineOf(Tables.events(s, dir))
-
-  /** [[hourlySpine]] over an arbitrary (event_type, ts) frame — the
-    * seam the streaming twin's stream ≡ batch proof drives. */
+  /** Zero-filled hourly count spine over an arbitrary (event_type, ts)
+    * frame, shared by the control-chart pair (q225 EWMA via
+    * [[ewmaChart]], q227 CUSUM via [[cusumChart]]) and driven directly
+    * by their streaming twins' stream ≡ batch proofs: one (type, hour)
+    * histogram shuffle with map-side combine, then each type's
+    * integer-hour range exploded (bounded by types × wall-clock hours,
+    * never event count) and left-joined so gap hours are REAL zero
+    * observations — both charts treat silence as evidence, and
+    * lag/prefix windows over the raw aggregate would silently compress
+    * quiet periods. */
   private[graft] def hourlySpineOf(
       events: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val c = events

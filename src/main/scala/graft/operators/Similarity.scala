@@ -927,7 +927,7 @@ object Similarity {
         |SELECT vec_id, CAST(max(s) AS BIGINT) AS scale,
         |  CAST(sum(abs(127 * x - qx * s)) AS BIGINT) AS err_sum,
         |  CAST(max(abs(127 * x - qx * s)) AS BIGINT) AS err_max,
-        |  CAST((1000 * sum(qx * qx * s * s)) // sum(127 * 127 * x * x)
+        |  CAST((1000 * sum(qx * qx * s * s)) // greatest(sum(127 * 127 * x * x), 1)
         |    AS BIGINT) AS norm_permille
         |FROM qe GROUP BY 1""".stripMargin) { (s, dir) =>
       Tables.embeddings(s, dir)
@@ -942,10 +942,13 @@ object Similarity {
             .as("err_sum"),
           expr("""CAST(array_max(zip_with(iv, qv, (x, q) -> abs(127 * x - q * s)))
                  |AS BIGINT)""".stripMargin).as("err_max"),
+          // greatest(...,1): an all-zero embedding has zero squared norm —
+          // the scale already carries this guard; without it here the
+          // engines diverge (Spark DIV NULL vs DuckDB // error).
           expr("""CAST((1000 * aggregate(qv, CAST(0 AS BIGINT),
                  |  (acc, q) -> acc + q * q) * s * s)
-                 |DIV (127 * 127 * aggregate(iv, CAST(0 AS BIGINT),
-                 |  (acc, x) -> acc + x * x)) AS BIGINT)""".stripMargin)
+                 |DIV greatest(127 * 127 * aggregate(iv, CAST(0 AS BIGINT),
+                 |  (acc, x) -> acc + x * x), CAST(1 AS BIGINT)) AS BIGINT)""".stripMargin)
             .as("norm_permille"))
     },
 

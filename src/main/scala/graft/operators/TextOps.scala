@@ -915,10 +915,10 @@ object TextOps {
         |  count(*)::BIGINT AS v_types,
         |  CAST(sum(cnt * (cnt - 1)) AS BIGINT) AS repeat_pairs,
         |  (1000000 * CAST(sum(cnt * (cnt - 1)) AS BIGINT))
-        |    // (CAST(sum(cnt) AS BIGINT) * (CAST(sum(cnt) AS BIGINT) - 1))
+        |    // greatest(CAST(sum(cnt) AS BIGINT) * (CAST(sum(cnt) AS BIGINT) - 1), 1)
         |    AS concentration_micro,
         |  1000000 - (1000000 * CAST(sum(cnt * (cnt - 1)) AS BIGINT))
-        |    // (CAST(sum(cnt) AS BIGINT) * (CAST(sum(cnt) AS BIGINT) - 1))
+        |    // greatest(CAST(sum(cnt) AS BIGINT) * (CAST(sum(cnt) AS BIGINT) - 1), 1)
         |    AS gini_simpson_micro
         |FROM tc GROUP BY 1""".stripMargin) { (s, dir) =>
       Tables.documents(s, dir)
@@ -932,10 +932,12 @@ object TextOps {
           sum(expr("cnt * (cnt - 1)")).cast("bigint").as("repeat_pairs"))
         .select(col("source"), col("n_tokens"), col("v_types"),
           col("repeat_pairs"),
-          expr("(1000000 * repeat_pairs) DIV (n_tokens * (n_tokens - 1))")
+          // greatest(...,1): a source with exactly one token has n*(n-1) == 0
+          // (NULL in Spark, error in DuckDB) — q244's zero-denominator guard.
+          expr("(1000000 * repeat_pairs) DIV greatest(n_tokens * (n_tokens - 1), 1)")
             .as("concentration_micro"),
           expr("""1000000 - (1000000 * repeat_pairs)
-                 |DIV (n_tokens * (n_tokens - 1))""".stripMargin)
+                 |DIV greatest(n_tokens * (n_tokens - 1), 1)""".stripMargin)
             .as("gini_simpson_micro"))
     },
 
@@ -1089,7 +1091,7 @@ object TextOps {
         |sc AS (
         |  SELECT st.source, st.tok, st.cnt,
         |    (1000000 * st.cnt) // src.n_src AS fpm_in,
-        |    (1000000 * (tt.tot - st.cnt)) // (all_.n_all - src.n_src) AS fpm_out
+        |    (1000000 * (tt.tot - st.cnt)) // greatest(all_.n_all - src.n_src, 1) AS fpm_out
         |  FROM st JOIN src ON src.source = st.source
         |  JOIN tt ON tt.tok = st.tok, all_),
         |r AS (
@@ -1120,7 +1122,12 @@ object TextOps {
         .crossJoin(broadcast(all))
         .select(col("source"), col("tok"), col("cnt"),
           expr("(1000000 * cnt) DIV n_src").as("fpm_in"),
-          expr("(1000000 * (tot - cnt)) DIV (n_all - n_src)").as("fpm_out"))
+          // greatest(...,1): on a single-source corpus n_all == n_src and the
+          // raw denominator is zero — Spark DIV would return NULL while
+          // DuckDB // raises, so the degenerate case is pinned to the
+          // q244 zero-denominator convention in BOTH engines.
+          expr("(1000000 * (tot - cnt)) DIV greatest(n_all - n_src, 1)")
+            .as("fpm_out"))
         .withColumn("keyness_milli",
           expr("(1000 * (fpm_in + 100)) DIV (fpm_out + 100)"))
         .withColumn("rk", row_number().over(w).cast("bigint"))
