@@ -1,6 +1,7 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Engine-level lifecycle hooks.
   *
@@ -89,5 +90,112 @@ object Graft {
     operators.Curation.clearEdgeCache(s)
     try s.catalog.clearCache()
     catch { case _: Throwable => () } // session may be stopping
+    // the SessionCache frames that embedded checkpoints are gone now, so
+    // the cache-scoped blocks can't be recomputed-through anymore
+    releaseStagedCheckpoints(s)
+    drain(cacheStaged, s)
   }
+
+  // ------------------------------------------------------------------
+  // Staged-checkpoint registry (VERDICT r13 #1).
+  //
+  // `Dataset.localCheckpoint(eager=true)` persists the materialized rows
+  // as storage blocks whose ONLY release path, absent help, is
+  // GC-then-ContextCleaner: `Dataset.unpersist` does not reach them, and
+  // the blocks stay pinned until the JVM happens to collect the dropped
+  // RDD reference. In a long multi-query run that debris is not inert —
+  // r13's driver bench measured q145 at 1.15/6.08/4.55 s across reps
+  // (0.59 s isolated) because each rep's abandoned checkpoint slices
+  // accumulated until the storage pool evicted the very family caches
+  // the reps depended on. System.gc() at family boundaries (the r12 fix)
+  // frees debris BETWEEN families but not between a family's own reps.
+  //
+  // The registry makes release deterministic: [[stagedCheckpoint]] is
+  // the engine-wide replacement for per-execution `.localCheckpoint()`
+  // calls — it checkpoints eagerly and records the underlying
+  // checkpointed RDD so [[releaseStagedCheckpoints]] (called by Bench
+  // after every rep, by Verify after every query, and by [[clearCaches]])
+  // can unpersist the blocks the moment the execution that staged them
+  // has consumed them. A checkpoint whose frame OUTLIVES the execution —
+  // i.e. one embedded under a SessionCache entry, today only the
+  // cluster-label propagation's converged frame — must instead go
+  // through [[cacheScopedCheckpoint]], which defers release to
+  // [[clearCaches]] (the owning cache's own lifetime): releasing it
+  // per-rep would truncate the lineage under a live cached plan, and an
+  // eviction-triggered recompute would then throw "checkpoint block not
+  // found".
+  private val execStaged = new java.util.concurrent.ConcurrentHashMap[
+    SparkSession, java.util.Queue[RDD[_]]]()
+  private val cacheStaged = new java.util.concurrent.ConcurrentHashMap[
+    SparkSession, java.util.Queue[RDD[_]]]()
+
+  private def register(
+      m: java.util.concurrent.ConcurrentHashMap[SparkSession, java.util.Queue[RDD[_]]],
+      df: DataFrame): DataFrame = {
+    df.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        m.computeIfAbsent(df.sparkSession,
+          _ => new java.util.concurrent.ConcurrentLinkedQueue[RDD[_]]).add(l.rdd)
+      // a future Spark that reshapes the checkpoint plan degrades to the
+      // old GC-paced freeing; StagedCheckpointSpec pins the match so the
+      // degradation cannot land silently
+      case _ => ()
+    }
+    df
+  }
+
+  /** Eager local checkpoint whose storage blocks are released
+    * DETERMINISTICALLY at the next [[releaseStagedCheckpoints]] — the
+    * required form for every per-execution "materialize once, fan out"
+    * frame in the operator layer. The frame must not escape the
+    * execution that created it (never store it in a SessionCache). */
+  private[graft] def stagedCheckpoint(df: DataFrame): DataFrame =
+    register(execStaged, df.localCheckpoint(true))
+
+  /** Eager local checkpoint that a SessionCache entry is allowed to
+    * reference: released only by [[clearCaches]], together with the
+    * owning cache entry. */
+  private[graft] def cacheScopedCheckpoint(df: DataFrame): DataFrame =
+    register(cacheStaged, df.localCheckpoint(true))
+
+  /** Eagerly free ONE checkpointed frame's storage blocks, for loops
+    * that can prove a round's frame dead before any registry boundary
+    * (cluster-label propagation). Harmless on non-checkpoint frames and
+    * on frames a registry later re-unpersists. The caller owns the
+    * proof: the frame must never be read again (its lineage is
+    * truncated, so a recompute would throw). */
+  private[graft] def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        try l.rdd.unpersist(blocking = false)
+        catch { case _: Throwable => () }
+      case _ => ()
+    }
+
+  /** Number of exec-scoped frames currently staged for `s` (spec hook). */
+  private[graft] def stagedCount(s: SparkSession): Int = {
+    val q = execStaged.get(s)
+    if (q == null) 0 else q.size
+  }
+
+  private def drain(
+      m: java.util.concurrent.ConcurrentHashMap[SparkSession, java.util.Queue[RDD[_]]],
+      s: SparkSession): Unit = {
+    val q = m.remove(s)
+    if (q != null) {
+      var r = q.poll()
+      while (r != null) {
+        // blocking: the point is that the NEXT rep starts with the pool
+        // actually empty, not with removals racing its reads
+        try r.unpersist(blocking = true)
+        catch { case _: Throwable => () } // session may be stopping
+        r = q.poll()
+      }
+    }
+  }
+
+  /** Unpersist every exec-scoped staged checkpoint for `s`. Safe (and
+    * cheap) to call whenever no execution is in flight; Bench calls it
+    * after every rep, Verify after every query. */
+  def releaseStagedCheckpoints(s: SparkSession): Unit = drain(execStaged, s)
 }

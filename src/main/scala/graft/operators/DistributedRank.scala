@@ -80,7 +80,7 @@ object DistributedRank {
       .withColumn("__pid", shiftright(col("__mid"), 33).cast("int"))
       .withColumn("__lr", (col("__mid").bitwiseAND(MaxPartRows - 1) + 1L))
       .drop("__mid")
-      .localCheckpoint()
+      .transform(graft.Graft.stagedCheckpoint)
     val cnts = local.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
       // overflow guard folded into the USED column so pruning can't
       // drop it; raise_error is NullType, cast back to long to unify
@@ -133,7 +133,7 @@ object DistributedRank {
       .sortWithinPartitions(ord: _*)
       .withColumn("__pid", shiftright(monotonically_increasing_id(), 33).cast("int"))
       .withColumn("__v", value.cast("long"))
-      .localCheckpoint()
+      .transform(graft.Graft.stagedCheckpoint)
     val w = Window.partitionBy(col("__pid")).orderBy(ord: _*)
     val cnts = local.groupBy(col("__pid")).agg(sum(col("__v")).as("__n"))
     val offs = cnts.as("a")

@@ -179,7 +179,7 @@ object ExtendedOps {
           count(lit(1)).as("n_user_events"))
         .orderBy(col("n_user_events").desc, col("user_id"))
         .limit(50)
-        .localCheckpoint(true)
+        .transform(graft.Graft.stagedCheckpoint)
       val errs = ev.filter(col("event_type") === "error")
         .select(epochUs(col("ts")).as("e_us"))
       val hits = errs

@@ -757,7 +757,7 @@ object ScaleOps {
       val gram = upper
         .union(upper.select(col("j").as("i"), col("i").as("j"), col("g")))
         .union(diag)
-        .localCheckpoint()
+        .transform(graft.Graft.stagedCheckpoint)
       var v = diag.select(col("i").as("j"), lit(1000L).cast("decimal(38,0)").as("v"))
       for (_ <- 1 to 3) {
         val w = gram.join(v, Seq("j"))

@@ -705,7 +705,7 @@ object Similarity {
             expr(s"transform(${quant("embedding")}, x -> CAST(x * 10000 AS BIGINT))")
               .as("iv"))
           .repartition(N)
-          .localCheckpoint()
+          .transform(graft.Graft.stagedCheckpoint)
         val picks = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
         val centers = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
         staged.orderBy(col("vec_id")).limit(1).collect().foreach { r =>
@@ -1023,7 +1023,7 @@ object Similarity {
           Seq("vec_id"))
         .groupBy(col("cid"), col("label"))
         .agg(count(lit(1)).cast("bigint").as("nij"))
-        .localCheckpoint()
+        .transform(graft.Graft.stagedCheckpoint)
       val tot = ct.agg(sum(col("nij")).cast("bigint").as("n"),
         sum(expr("nij * (nij - 1) DIV 2")).cast("bigint").as("a_pairs"),
         countDistinct(col("cid")).cast("bigint").as("k_cells"),

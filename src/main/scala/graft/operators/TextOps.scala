@@ -820,7 +820,7 @@ object TextOps {
           sequence(lit(1), size(col("w")) - 2)).otherwise(array())))
         .select(concat_ws(" ", slice(col("w"), col("i"), lit(3))).as("sh"))
         .groupBy(col("sh")).agg(count(lit(1)).as("cnt"))
-        .localCheckpoint()
+        .transform(graft.Graft.stagedCheckpoint)
       val total = tc.agg(sum(col("cnt")).cast("bigint").as("total_cnt"))
       val top = tc.orderBy(col("cnt").desc, col("sh")).limit(20)
         .select(struct((-col("cnt")).as("nc"), col("sh").as("sh"),
@@ -985,7 +985,7 @@ object TextOps {
         .select(col("source"),
           concat_ws(" ", slice(col("w"), col("i"), lit(3))).as("sh"))
         .groupBy(col("source"), col("sh")).agg(count(lit(1)).cast("bigint").as("cnt"))
-        .localCheckpoint()
+        .transform(graft.Graft.stagedCheckpoint)
       val nrm = tc.groupBy(col("source"))
         .agg(sum(expr("cnt * cnt")).cast("bigint").as("n2"))
       tc.select(col("source").as("src_a"), col("sh"), col("cnt").as("ca"))
@@ -1110,7 +1110,7 @@ object TextOps {
         .filter(col("tok") =!= "")
         .groupBy(col("source"), col("tok"))
         .agg(count(lit(1)).cast("bigint").as("cnt"))
-        .localCheckpoint()
+        .transform(graft.Graft.stagedCheckpoint)
       val tt = st.groupBy(col("tok")).agg(sum(col("cnt")).cast("bigint").as("tot"))
       val src = st.groupBy(col("source"))
         .agg(sum(col("cnt")).cast("bigint").as("n_src"))

@@ -94,7 +94,7 @@ object TrainingOps {
         .select(explode(split(lower(col("text")), " ")).as("tok"))
         .filter(col("tok") =!= "")
         .groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
-        .localCheckpoint()
+        .transform(graft.Graft.stagedCheckpoint)
       val total = tc.agg(sum(col("cnt")).cast("bigint").as("total_cnt"))
       // (cnt desc, tok) is a total order, so rank/running-sum restricted
       // to the TakeOrdered top 20 equals the same window over the full
@@ -521,7 +521,7 @@ object TrainingOps {
         .select(col("doc_id"), col("bg.a").as("a"), col("bg.b").as("b"))
         .groupBy(col("doc_id"), col("a"), col("b"))
         .agg(count(lit(1)).as("k"))
-        .localCheckpoint()
+        .transform(graft.Graft.stagedCheckpoint)
       val pair = db.groupBy(col("a"), col("b")).agg(sum(col("k")).as("cab"))
       val lft = pair.groupBy(col("a")).agg(sum(col("cab")).as("ca"))
       db.join(pair, Seq("a", "b")).join(lft, Seq("a"))
@@ -1211,7 +1211,7 @@ object TrainingOps {
         .select(col("doc_id"), col("tgt"), col("bg.a").as("a"), col("bg.b").as("b"))
         .groupBy(col("doc_id"), col("tgt"), col("a"), col("b"))
         .agg(count(lit(1)).as("k"))
-        .localCheckpoint()
+        .transform(graft.Graft.stagedCheckpoint)
       val pair = db.groupBy(col("a"), col("b"))
         .agg(sum(col("k")).cast("long").as("cab"),
           sum(when(col("tgt"), col("k")).otherwise(0L)).cast("long").as("cat"))
@@ -1533,7 +1533,7 @@ object TrainingOps {
         .select((col("pos") + 1).cast("bigint").as("rk"),
           col("col.sh").as("phrase"), (-col("col.nc")).as("cnt"),
           split(col("col.sh"), " ").as("pw"))
-        .localCheckpoint()
+        .transform(graft.Graft.stagedCheckpoint)
       // positional postings, PRE-FILTERED to the query terms (broadcast
       // semi-join — the pruned posting-list fetch), then co-partitioned
       // by doc for both adjacency joins
@@ -1614,7 +1614,7 @@ object TrainingOps {
       .select(col("doc_id"), col("lang"), col("bg.a").as("a"), col("bg.b").as("b"))
       .groupBy(col("doc_id"), col("lang"), col("a"), col("b"))
       .agg(count(lit(1)).as("k"))
-      .localCheckpoint()
+      .transform(graft.Graft.stagedCheckpoint)
     val pair = db.groupBy(col("a"), col("b")).agg(sum(col("k")).as("cab"))
     val lft = pair.groupBy(col("a")).agg(sum(col("cab")).as("ca"))
     db.join(pair, Seq("a", "b")).join(lft, Seq("a"))
