@@ -197,6 +197,29 @@ object Dedup {
        |  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
        |GROUP BY a.doc_id, b.doc_id""".stripMargin
 
+  /** Candidate-doc shingle slice: the corpus shingle table semi-filtered
+    * (broadcast, no shuffle of the big side) down to docs appearing in
+    * at least one LSH candidate pair. Candidate-bounded, so tiny — but
+    * THREE consumers walk it several plan branches deep each (both
+    * intersection sides + sizes in q145/q171/neardupPairs), and before
+    * r14 each execution re-materialized it as an eager localCheckpoint.
+    * Those abandoned per-rep checkpoint blocks were exactly the storage
+    * debris behind the r13 bench's q63/q145 8x in-suite inflation
+    * (VERDICT r13 #1), so the slice is now a family-scoped SessionCache
+    * like the artifacts it derives from: staged once per (session, dir),
+    * reused by every lsh-family member and every rep, dropped at the
+    * family boundary. */
+  private val candShCache = new SessionCache
+  private[operators] def candShingles(s: SparkSession, dir: String): DataFrame =
+    candShCache.getOrElseUpdate(s, dir) {
+      val cand = candidates(s, dir)
+      val candDocs = cand.select(col("doc_a").as("doc_id"))
+        .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+      shingles(s, dir)
+        .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+        .cache()
+    }
+
   /** The q29 result as a reusable stage: LSH-candidate pairs verified by
     * exact shingle Jaccard >= `minJaccard`. Consumed by the curation
     * pipeline (Curation.scala) for near-dup removal and clustering.
@@ -213,15 +236,12 @@ object Dedup {
       minJaccard: Double): DataFrame = {
     val cand = candidates(s, dir)
     // The candidate set is orders of magnitude smaller than the corpus
-    // (that's the whole point of LSH) — so first semi-filter the shingle
-    // table down to candidate docs with one broadcast semi-join (no
-    // shuffle of the big side), then run the intersection join on the
-    // tiny remainder. Without this the (doc_b, sh) join shuffles every
-    // shingle in the corpus; with it, only candidates' shingles move.
-    val candDocs = cand.select(col("doc_a").as("doc_id"))
-      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-    val sh = shingles(s, dir)
-      .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+    // (that's the whole point of LSH) — so the intersection join runs on
+    // the cached candidate-shingle slice ([[candShingles]]), never on
+    // the corpus shingle table. Without this the (doc_b, sh) join
+    // shuffles every shingle in the corpus; with it, only candidates'
+    // shingles move.
+    val sh = candShingles(s, dir)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val inter = broadcast(cand)
       .join(sh.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
@@ -408,16 +428,10 @@ object Dedup {
         |JOIN sizes zb ON zb.doc_id = i.doc_b
         |WHERE (i.n_common * 1000) // least(za.n, zb.n) >= 300""".stripMargin) { (s, dir) =>
       val cand = candidates(s, dir)
-      val candDocs = cand.select(col("doc_a").as("doc_id"))
-        .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-      // candidate-doc shingles: tiny (candidate-bounded), but three plan
-      // branches read it (both intersection sides + sizes) and each
-      // branch would re-scan the corpus-sized cached shingle table.
-      // Eager localCheckpoint materializes the filtered slice once per
-      // execution (the DistributedRank single-execution discipline).
-      val sh = shingles(s, dir)
-        .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
-        .localCheckpoint(true)
+      // candidate-doc shingles: the family-scoped [[candShingles]] cache
+      // (three plan branches read it; a per-execution checkpoint here
+      // was the r13 bench-churn offender — see the cache's scaladoc)
+      val sh = candShingles(s, dir)
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val inter = broadcast(cand)
         .join(sh.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
@@ -696,16 +710,10 @@ object Dedup {
         .join(sigA.as("a"), col("a.doc_id") === col("doc_a"))
         .join(sigA.as("b"), col("b.doc_id") === col("doc_b"))
         .select(col("doc_a"), col("doc_b"), matchExpr.as("n_match"))
-      val candDocs = cand.select(col("doc_a").as("doc_id"))
-        .union(cand.select(col("doc_b").as("doc_id"))).distinct()
-      // candidate-doc shingles: tiny (candidate-bounded), but three plan
-      // branches read it (both intersection sides + sizes) and each
-      // branch would re-scan the corpus-sized cached shingle table.
-      // Eager localCheckpoint materializes the filtered slice once per
-      // execution (the DistributedRank single-execution discipline).
-      val sh = shingles(s, dir)
-        .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
-        .localCheckpoint(true)
+      // candidate-doc shingles: the family-scoped [[candShingles]] cache
+      // (three plan branches read it; a per-execution checkpoint here
+      // was the r13 bench-churn offender — see the cache's scaladoc)
+      val sh = candShingles(s, dir)
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
       val inter = broadcast(cand.select(col("doc_a"), col("doc_b")))
         .join(sh.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
@@ -881,7 +889,115 @@ object Dedup {
             sort_array(collect_list(when(!col("boiler"),
               struct(col("idx"), col("chunk"))))),
             x => x.getField("chunk")))).as("clean_fp"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q245_exactsubstr",
+      """ExactSubstr deduplication census (Lee et al. 2021,
+        |"Deduplicating Training Data Makes Language Models Better",
+        |arXiv 2107.06499 §4.1): for every document, the EXACT number of
+        |token positions covered by some 50-token window that appears
+        |verbatim more than once in the corpus (the paper's 50-token
+        |removal threshold), the count of maximal removed intervals
+        |after merging overlapping/adjacent windows, and the longest
+        |such interval — the per-doc removal plan ExactSubstr derives
+        |from its suffix array. q151 reports which 12-token spans
+        |recur; this is the long-passage tier: what would actually be
+        |CUT, with coverage merged the way the paper merges byte
+        |ranges. Scale shape (the distributed reformulation of the
+        |suffix array): stride-1 anchors hash scan-side and shuffle as
+        |(hash, doc, pos) 24-byte rows with map-side combine — span
+        |BYTES never move for the full corpus. Positions whose hash
+        |recurs are semi-joined back (candidate-bounded), their actual
+        |50-token text re-derived from a semi-filtered token slice and
+        |VERIFIED by content equality — a hash collision cannot create
+        |a false removal. Interval merging is one keyed window over
+        |candidate positions (per-doc, bounded by doc length); output
+        |is bounded by documents containing duplicated passages, never
+        |the corpus.""".stripMargin,
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        |x AS (SELECT doc_id, w, len(w) AS n,
+        |        greatest(len(w) - 49, 0) AS nw FROM w),
+        |sp AS (SELECT doc_id, unnest(range(1, nw + 1)) AS i, w FROM x),
+        |sh AS (SELECT doc_id, i, array_to_string(w[i:(i+49)], ' ') AS s FROM sp),
+        |dup AS (SELECT s FROM sh GROUP BY s HAVING count(*) > 1),
+        |cand AS (SELECT doc_id, i FROM sh JOIN dup USING (s)),
+        |brk AS (SELECT doc_id, i,
+        |    CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) <= 50
+        |         THEN 0 ELSE 1 END AS b
+        |  FROM cand),
+        |grp AS (SELECT doc_id, i,
+        |    sum(b) OVER (PARTITION BY doc_id ORDER BY i) AS g FROM brk),
+        |runs AS (SELECT doc_id, g, min(i) AS lo, max(i) AS hi
+        |  FROM grp GROUP BY doc_id, g)
+        |SELECT r.doc_id, CAST(x.n AS BIGINT) AS n_tokens,
+        |  CAST(sum(r.hi + 50 - r.lo) AS BIGINT) AS dup_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_runs,
+        |  CAST(max(r.hi + 50 - r.lo) AS BIGINT) AS longest_run
+        |FROM runs r JOIN x ON x.doc_id = r.doc_id
+        |GROUP BY r.doc_id, x.n""".stripMargin) { (s, dir) =>
+      exactSubstrCensus(Tables.documents(s, dir), 50)
     })
+
+  /** q245's frame transform over an arbitrary (doc_id, text) frame —
+    * the seam ExactSubstrSpec's planted-duplicate fixtures drive. See
+    * the q245 registration for semantics and the scale argument. */
+  private[graft] def exactSubstrCensus(docs: DataFrame, L: Int): DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val toks = docs
+        .select(col("doc_id"),
+          filter(split(col("text"), "\\s+"), x => x =!= "").as("w"))
+      val anchors = toks
+        .withColumn("nw", expr(s"greatest(size(w) - ${L - 1}, 0)"))
+        .select(col("doc_id"), col("w"),
+          explode(expr(
+            "CASE WHEN nw > 0 THEN sequence(CAST(1 AS BIGINT), nw) ELSE array() END"))
+            .as("i"))
+        .select(col("doc_id"), col("i"),
+          xxhash64(concat_ws(" ",
+            slice(col("w"), col("i").cast("int"), lit(L)))).as("h"))
+      // anchoring: the only corpus-sized shuffle keys on the 64-bit
+      // hash; recurring hashes (bounded by duplicated spans + rare
+      // collisions) come back as candidate positions
+      val dupH = anchors.groupBy(col("h")).agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1).select(col("h"))
+      val cand = anchors.join(dupH, Seq("h"), "left_semi")
+        .select(col("doc_id"), col("i"))
+      // verification: re-derive the actual 50-token text for candidate
+      // positions only (token slices semi-filtered to candidate docs —
+      // broadcast, the corpus side never shuffles) and demand content
+      // equality, so a 64-bit collision cannot fabricate a removal
+      val candDocs = cand.select(col("doc_id")).distinct()
+      val candSpans = toks
+        .join(broadcast(candDocs), Seq("doc_id"), "left_semi")
+        .join(cand, Seq("doc_id"))
+        .select(col("doc_id"), col("i"),
+          concat_ws(" ", slice(col("w"), col("i").cast("int"), lit(L))).as("s"))
+      val ver = candSpans
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("s"))))
+        .filter(col("cnt") > 1)
+        .select(col("doc_id"), col("i"))
+      // interval merge (the paper's byte-range union, in token space):
+      // windows at i1 < i2 overlap or adjoin iff i2 <= i1 + 50
+      val wd = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+      val runs = ver
+        .withColumn("b",
+          when(col("i") - lag(col("i"), 1).over(wd) <= L, 0L).otherwise(1L))
+        .withColumn("g", sum(col("b")).over(wd))
+        .groupBy(col("doc_id"), col("g"))
+        .agg(min(col("i")).as("lo"), max(col("i")).as("hi"))
+      val nt = toks.select(col("doc_id"), size(col("w")).cast("bigint").as("n_tokens"))
+      runs.groupBy(col("doc_id"))
+        .agg(sum(col("hi") + L - col("lo")).cast("bigint").as("dup_tokens"),
+          count(lit(1)).cast("bigint").as("n_runs"),
+          max(col("hi") + L - col("lo")).cast("bigint").as("longest_run"))
+        .join(nt, Seq("doc_id"))
+        .select(col("doc_id"), col("n_tokens"), col("dup_tokens"),
+          col("n_runs"), col("longest_run"))
+  }
 
   /** 16-bit SimHash signature per doc (doc_id, simhash16), cached per
     * (session, dir) — q30's bucket profile (a sketch DEMO, never a
