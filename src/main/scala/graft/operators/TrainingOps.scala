@@ -1565,7 +1565,108 @@ object TrainingOps {
           min(col("doc_id")).as("first_doc"))
         .select(col("rk"), col("phrase"), col("n_occ"), col("n_docs"),
           col("first_doc"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q246_quality_classifier",
+      """Trained quality classifier — the DISCRIMINATIVE half of data
+        |selection (GPT-3, Brown et al. 2020 §A.2's curated-vs-crawl
+        |logistic gate; LLaMA, Touvron et al. 2023 §2's classifier
+        |filters) that q203's DSIR importance-sampling complements: a
+        |batch perceptron (Rosenblatt 1958; batch form per Duda & Hart
+        |1973 §5.5) over 256 hashed bag-of-words presence features plus
+        |bias, trained ref-vs-corpus with the q203 target convention
+        |(src1/src2 = the curated stand-in, label +1; everything else
+        |-1). Three full-batch passes: each scores every doc with the
+        |current weights, takes the misclassified set (y·s <= 0), and
+        |adds the signed feature sums — ALL-INTEGER, division-free, and
+        |order-independent within a pass, so both engines derive
+        |IDENTICAL weights (the oracle unrolls the same three passes as
+        |CTEs). Output is the selection census the gate would publish:
+        |per source, how many docs the classifier keeps (margin > 0)
+        |and the summed margin. Scale shape (q129's k-pass discipline):
+        |the corpus is scanned once into a staged compact feature frame
+        |(<= tokens-per-doc rows of 4 small cols); each pass is ONE job
+        |over that frame — scoring via a 257-long broadcast weight
+        |literal, error census via a doc-keyed semi-join, gradient as a
+        |257-row hash agg collected to the driver (bounded: the model,
+        |never the data); final scoring is scan-side. No window, no
+        |pair space, nothing corpus-sized on the driver.""".stripMargin,
+      {
+        val hx = "'0123456789abcdef'"
+        val passes = (1 to 3).map { k =>
+          s"""s$k AS (SELECT f.doc_id, CAST(sum(w) AS BIGINT) AS s
+             |  FROM feats f JOIN w${k - 1} USING (j) GROUP BY 1),
+             |e$k AS (SELECT y.doc_id, y.y FROM y JOIN s$k USING (doc_id)
+             |  WHERE y.y * s$k.s <= 0),
+             |g$k AS (SELECT j, CAST(sum(y) AS BIGINT) AS g
+             |  FROM feats JOIN e$k USING (doc_id) GROUP BY 1),
+             |w$k AS (SELECT w${k - 1}.j, w${k - 1}.w + coalesce(g$k.g, 0) AS w
+             |  FROM w${k - 1} LEFT JOIN g$k USING (j))""".stripMargin
+        }.mkString(",\n")
+        s"""WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+           |  FROM documents),
+           |fj AS (SELECT DISTINCT doc_id,
+           |    (strpos($hx, substr(md5(tok), 1, 1)) - 1) * 16
+           |      + strpos($hx, substr(md5(tok), 2, 1)) - 1 AS j
+           |  FROM tok),
+           |feats AS (SELECT doc_id, j FROM fj
+           |  UNION ALL SELECT doc_id, 256 AS j FROM documents),
+           |y AS (SELECT doc_id,
+           |    CASE WHEN source IN ('src1', 'src2') THEN 1 ELSE -1 END AS y
+           |  FROM documents),
+           |w0 AS (SELECT unnest(range(0, 257)) AS j, CAST(0 AS BIGINT) AS w),
+           |$passes,
+           |sf AS (SELECT f.doc_id, CAST(sum(w) AS BIGINT) AS s
+           |  FROM feats f JOIN w3 USING (j) GROUP BY 1)
+           |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(CASE WHEN sf.s > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+           |  CAST(sum(sf.s) AS BIGINT) AS margin_sum
+           |FROM documents d JOIN sf USING (doc_id)
+           |GROUP BY 1""".stripMargin
+      }) { (s, dir) =>
+      perceptronCensus(Tables.documents(s, dir), Seq("src1", "src2"), 3)
     })
+
+  /** q246's trainable core over an arbitrary (doc_id, text, source)
+    * frame — the seam QualityClassifierSpec's separable fixtures drive.
+    * See the q246 registration for semantics and the scale argument. */
+  private[graft] def perceptronCensus(docs: DataFrame,
+      refSources: Seq[String], passes: Int): DataFrame = {
+    val fj = docs
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+      .select(col("doc_id"),
+        expr("CAST(conv(substr(md5(tok), 1, 2), 16, 10) AS INT)").as("j"))
+      .distinct()
+    val lab = docs.select(col("doc_id"), col("source"),
+      when(col("source").isin(refSources: _*), 1L).otherwise(-1L).as("y"))
+    // one corpus scan, staged once: feeds every training pass AND the
+    // final scoring (released deterministically after the execution)
+    val feats = graft.Graft.stagedCheckpoint(
+      fj.union(docs.select(col("doc_id"), lit(256).as("j")))
+        .join(lab, Seq("doc_id")))
+    // the model lives on the driver: 257 longs, collected once per
+    // pass from the 257-row gradient agg (bounded by the feature
+    // space, never the corpus — the q129/q209 driver-data discipline)
+    val w = Array.fill[Long](257)(0L)
+    def score = sum(element_at(typedLit(w.toSeq), col("j") + 1))
+    for (_ <- 1 to passes) {
+      val errDocs = feats.groupBy(col("doc_id"), col("y"))
+        .agg(score.as("s"))
+        .filter(col("y") * col("s") <= 0)
+        .select(col("doc_id"))
+      feats.join(errDocs, Seq("doc_id"), "left_semi")
+        .groupBy(col("j")).agg(sum(col("y")).as("g"))
+        .collect() // <= 257 rows: the batch-perceptron update
+        .foreach(r => w(r.getInt(0)) += r.getLong(1))
+    }
+    feats.groupBy(col("doc_id"), col("source"))
+      .agg(score.as("s"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast("bigint").as("n_docs"),
+        sum(when(col("s") > 0, 1L).otherwise(0L)).cast("bigint").as("n_selected"),
+        sum(col("s")).cast("bigint").as("margin_sum"))
+  }
 
   /** q217's scan-side shard projection, shared VERBATIM with the
     * streaming ingest-manifest kernel ([[graft.streaming.StreamShard]]):
