@@ -169,6 +169,23 @@ object Similarity {
     * prune-rank. Explicit-N repartition: the corpus parquet can scan as
     * a few tasks, which would serialize the CPU-dense assignment
     * (SCALE.md §4 pinning rule). */
+  /** Quantization of `embedding` onto the 1e-4 integer grid — the
+    * cross-engine-exact vector representation every integer kernel
+    * reads. Shared verbatim with the streaming semantic-dedup kernel
+    * ([[graft.streaming.StreamSemDedup]]). */
+  private[graft] val ivExpr: String =
+    s"transform(${quant("embedding")}, x -> CAST(x * 10000 AS BIGINT))"
+
+  /** Nearest-centroid assignment over a `cents` array column of
+    * (cid, icv) structs and an `iv` integer vector: the (d, cid) struct
+    * of the ASSIGNED centroid (array_min tie-breaks on distance then
+    * cid — deterministic). Shared verbatim by [[semAssign]] (q205/q218/
+    * q232's staging) and [[graft.streaming.StreamSemDedup]]'s scan-side
+    * ingest assignment. */
+  private[graft] val cellAssignExpr: String =
+    "array_min(transform(cents, ct -> named_struct(" +
+      "'d', sq_dist_long(iv, ct.icv), 'cid', ct.cid)))"
+
   private val semAssignCache = new Dedup.SessionCache
   private[operators] def semAssign(s: SparkSession, dir: String): DataFrame =
     semAssignCache.getOrElseUpdate(s, dir) {
@@ -178,18 +195,14 @@ object Similarity {
         greatest(lit(8L), floor(sqrt(count(lit(1)).cast("double"))).cast("long"))
           .as("k"))
       val cI = Tables.embeddings(s, dir)
-        .select(col("vec_id"), col("embedding"),
-          expr(s"transform(${quant("embedding")}, x -> CAST(x * 10000 AS BIGINT))")
-            .as("iv"))
+        .select(col("vec_id"), col("embedding"), expr(ivExpr).as("iv"))
       val centsArr = cI.crossJoin(broadcast(kk))
         .filter(col("vec_id") < col("k"))
         .select(struct(col("vec_id").as("cid"), col("iv").as("icv")).as("ct"))
         .agg(sort_array(collect_list(col("ct"))).as("cents"))
-      val cdsExpr = "array_min(transform(cents, ct -> named_struct(" +
-        "'d', sq_dist_long(iv, ct.icv), 'cid', ct.cid)))"
       cI.repartition(N)
         .crossJoin(broadcast(centsArr))
-        .withColumn("m", expr(cdsExpr))
+        .withColumn("m", expr(cellAssignExpr))
         .select(col("vec_id"), col("embedding"), col("iv"),
           call_function("dot_long", col("iv"), col("iv")).as("nl"),
           col("m.cid").as("cid"), col("m.d").as("cd"))
