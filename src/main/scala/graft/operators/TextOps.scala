@@ -1134,6 +1134,77 @@ object TextOps {
         .filter(col("rk") <= 5)
         .select(col("source"), col("rk"), col("tok"), col("cnt"),
           col("fpm_in"), col("fpm_out"), col("keyness_milli"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q247_zipf_slope",
+      """Zipf rank-frequency slope per source (Zipf 1949; Piantadosi
+        |2014's review of rank-frequency fitting): the OLS slope of
+        |log2(frequency) against log2(rank) over each source's token
+        |spectrum — the classic one-number corpus-health check (natural
+        |text sits near -1; templated or truncated-vocabulary text
+        |drifts off). Exactness discipline: both logs are FLOOR log2
+        |computed as length(bin(n)) - 1 — pure integer, identical in
+        |both engines, no transcendentals — so the regression moments
+        |and the milli slope are exact BIGINT arithmetic (the dyadic-
+        |bucket analog of the q228 integer-regression move). Scale
+        |shape: one (source, token)-keyed count with map-side combine
+        |(vocab-sized state), the rank window partitions by source over
+        |vocab-sized rows, and the regression collapses to |sources|
+        |rows of five moments; at extreme per-source vocabularies the
+        |same moments aggregate by (x, y) bucket pair first — the sums
+        |are identical, the state drops to 64x64.""".stripMargin,
+      """WITH tk AS (
+        |  SELECT source, unnest(string_split(lower(text), ' ')) AS tok
+        |  FROM documents),
+        |tc AS (SELECT source, tok, count(*)::BIGINT AS cnt
+        |  FROM tk WHERE tok <> '' GROUP BY 1, 2),
+        |r AS (SELECT source, tok, cnt,
+        |    row_number() OVER (PARTITION BY source ORDER BY cnt DESC, tok) AS rk
+        |  FROM tc),
+        |xy AS (SELECT source, cnt,
+        |    CAST(length(bin(rk)) - 1 AS BIGINT) AS x,
+        |    CAST(length(bin(cnt)) - 1 AS BIGINT) AS y
+        |  FROM r),
+        |m AS (SELECT source, count(*)::BIGINT AS n_types,
+        |    CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(max(x) AS BIGINT) AS max_rank_log2
+        |  FROM xy GROUP BY 1)
+        |SELECT source, n_types, n_tokens, max_rank_log2,
+        |  (1000 * (n_types * sxy - sx * sy))
+        |    // greatest(n_types * sxx - sx * sx, 1) AS slope_milli
+        |FROM m""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val tc = Tables.documents(s, dir)
+        .select(col("source"),
+          explode(split(lower(col("text")), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy(col("source"), col("tok"))
+        .agg(count(lit(1)).cast("bigint").as("cnt"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("cnt").desc, col("tok"))
+      tc.withColumn("rk", row_number().over(w).cast("bigint"))
+        .select(col("source"), col("cnt"),
+          expr("CAST(length(bin(rk)) - 1 AS BIGINT)").as("x"),
+          expr("CAST(length(bin(cnt)) - 1 AS BIGINT)").as("y"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("bigint").as("n_types"),
+          sum(col("cnt")).cast("bigint").as("n_tokens"),
+          sum(col("x")).cast("bigint").as("sx"),
+          sum(col("y")).cast("bigint").as("sy"),
+          sum(expr("x * y")).cast("bigint").as("sxy"),
+          sum(expr("x * x")).cast("bigint").as("sxx"),
+          max(col("x")).cast("bigint").as("max_rank_log2"))
+        .select(col("source"), col("n_types"), col("n_tokens"),
+          col("max_rank_log2"),
+          // greatest(...,1): a single-type source has zero x-variance —
+          // the q244 zero-denominator convention
+          expr("""(1000 * (n_types * sxy - sx * sy))
+                 |DIV greatest(n_types * sxx - sx * sx, 1)""".stripMargin)
+            .as("slope_milli"))
     })
 
   /** q206's rule battery as a frame transform: appends the five 0/1
