@@ -533,6 +533,71 @@ object TrainingOps {
     },
 
     // ----------------------------------------------------------------
+    q("q248_kneser_ney",
+      """Interpolated Kneser-Ney bigram scoring (Kneser & Ney 1995;
+        |Chen & Goodman 1999 §3's interpolated form) — the smoothing
+        |family CCNet's actual filter model uses (KenLM, Heafield 2011;
+        |Wenzek et al. 2020 §3.3), where q135 is the add-nothing MLE
+        |and q203's DSIR uses add-one: absolute discount D = 3/4 moves
+        |mass from observed bigrams to the CONTINUATION unigram
+        |(how many distinct left contexts a word follows — the "San
+        |Francisco" correction: frequent-but-predictable words stop
+        |looking fluent). P(b|a) = (c(ab) - D)/c(a) + D·N1+(a·)/c(a) ·
+        |N1+(·b)/N1+(··), cleared of fractions by x4 and the bigram-
+        |type total V: p_permillion = 1e6·((4·cab - 3)·V + 3·n1a·n1b)
+        |DIV (4·ca·V) — exact BIGINT in both engines (widths: cab·V·1e6
+        |needs cab·V < 9e12; at petabyte corpora rescale the 1e6 stage
+        |like q203's bound note). Docs score by the count-weighted mean
+        |(q135's transcendental-free move); every doc bigram is in the
+        |corpus model by construction, so there is no unseen-mass
+        |branch to diverge on. Scale shape: the SAME staged per-doc
+        |bigram table as q135 (one corpus scan, stagedCheckpoint); the
+        |model adds exactly two vocab-sized aggs to q135's (right-
+        |context distinct = a row count on pair, continuation counts
+        |likewise) and a 1-row V broadcast; scoring is the same
+        |bigram-keyed equi-join + per-doc agg. No window, no driver
+        |data.""".stripMargin,
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents),
+        |i AS (SELECT doc_id, unnest(w[1:len(w)-1]) AS a, unnest(w[2:len(w)]) AS b FROM w),
+        |db AS (SELECT doc_id, a, b, count(*)::BIGINT AS k FROM i GROUP BY 1, 2, 3),
+        |pair AS (SELECT a, b, CAST(sum(k) AS BIGINT) AS cab FROM db GROUP BY 1, 2),
+        |lft AS (SELECT a, CAST(sum(cab) AS BIGINT) AS ca,
+        |          count(*)::BIGINT AS n1a FROM pair GROUP BY 1),
+        |cont AS (SELECT b, count(*)::BIGINT AS n1b FROM pair GROUP BY 1),
+        |vv AS (SELECT count(*)::BIGINT AS v FROM pair)
+        |SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+        |  CAST(CAST(sum(k * ((1000000 * ((4 * cab - 3) * v + 3 * n1a * n1b))
+        |                     // (4 * ca * v))) AS BIGINT)
+        |       // CAST(sum(k) AS BIGINT) AS BIGINT) AS kn_score
+        |FROM db JOIN pair USING (a, b) JOIN lft USING (a)
+        |  JOIN cont USING (b) CROSS JOIN vv
+        |GROUP BY doc_id""".stripMargin) { (s, dir) =>
+      val db = Tables.documents(s, dir)
+        .select(col("doc_id"), split(lower(col("text")), " ").as("w"))
+        .select(col("doc_id"), explode(expr(
+          """zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1),
+            |  (x, y) -> struct(x AS a, y AS b))""".stripMargin)).as("bg"))
+        .select(col("doc_id"), col("bg.a").as("a"), col("bg.b").as("b"))
+        .groupBy(col("doc_id"), col("a"), col("b"))
+        .agg(count(lit(1)).as("k"))
+        .transform(graft.Graft.stagedCheckpoint)
+      val pair = db.groupBy(col("a"), col("b")).agg(sum(col("k")).as("cab"))
+      val lft = pair.groupBy(col("a"))
+        .agg(sum(col("cab")).as("ca"), count(lit(1)).cast("bigint").as("n1a"))
+      val cont = pair.groupBy(col("b")).agg(count(lit(1)).cast("bigint").as("n1b"))
+      val vv = pair.agg(count(lit(1)).cast("bigint").as("v"))
+      db.join(pair, Seq("a", "b")).join(lft, Seq("a")).join(cont, Seq("b"))
+        .crossJoin(broadcast(vv))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("k")).cast("bigint").as("n_bigrams"),
+          sum(col("k") * expr(
+            "(1000000 * ((4 * cab - 3) * v + 3 * n1a * n1b)) DIV (4 * ca * v)"))
+            .as("sp"))
+        .select(col("doc_id"), col("n_bigrams"),
+          expr("sp DIV n_bigrams").cast("bigint").as("kn_score"))
+    },
+
+    // ----------------------------------------------------------------
     q("q136_bpe_encode",
       """BPE tokenizer APPLICATION — the pair of q129's training: apply
         |the 10 learned merges to every document and emit per-doc token
