@@ -43,8 +43,8 @@ object Graft {
     "knn" -> Seq("q109_knn_pq", "q110_knn_pq_rerank", "q31_knn_bruteforce",
       "q34_knn_codegen", "q90_knn_ivf_probe", "q231_matryoshka_recall"),
     "lsh" -> Seq("q145_containment", "q171_minhash_calibration",
-      "q197_leakage_free_split", "q28_lsh_candidates", "q29_neardup_jaccard",
-      "q63_curation_pipeline", "q68_dup_clusters"),
+      "q197_leakage_free_split", "q249_dedup_yield", "q28_lsh_candidates",
+      "q29_neardup_jaccard", "q63_curation_pipeline", "q68_dup_clusters"),
     "simhash" -> Seq("q200_source_datasheet", "q30_simhash",
       "q77_simhash_hamming"),
     "graph" -> Seq("q130_triangle_count", "q131_pagerank",

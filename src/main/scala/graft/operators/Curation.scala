@@ -521,6 +521,65 @@ object Curation {
         .agg(count(lit(1)).as("n_docs"),
           sum(when(col("clustered"), 1L).otherwise(0L)).cast("long")
             .as("n_from_clusters"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q251_degree_powerlaw",
+      """Degree-distribution power-law fit of the co-purchase graph
+        |(Faloutsos, Faloutsos & Faloutsos 1999's power-law exponent;
+        |Barabási & Albert 1999): the OLS slope of log2(#nodes with
+        |degree d) on log2(d) over the degree census — the one-number
+        |topology check (heavy-tailed real graphs fit a negative
+        |slope; near-regular or truncated graphs drift flat), and the
+        |quantity that justifies q130's O(sqrt m) orientation bound
+        |being worth taking. Exactness: q247's dyadic-log discipline —
+        |floor-log2 via length(bin(n)) - 1, all-BIGINT moments, q244
+        |zero-variance guard. Scale shape: rides the graph family's
+        |node-sized degree cache (built once for q130/q131/q223); the
+        |census is degree-DISTINCT-sized (<= max degree rows); the fit
+        |collapses to ONE row of five moments. The oracle recomputes
+        |degrees from the plain x<y relational edge table — the hash
+        |match proves the cached graph artifacts census-invisible.""".stripMargin,
+      """WITH e0 AS (
+        |  SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |d AS (SELECT n, count(*)::BIGINT AS deg
+        |  FROM (SELECT x AS n FROM e0 UNION ALL SELECT y FROM e0)
+        |  GROUP BY 1),
+        |cen AS (SELECT deg, count(*)::BIGINT AS n_nodes FROM d GROUP BY 1),
+        |xy AS (SELECT deg, n_nodes,
+        |    CAST(length(bin(deg)) - 1 AS BIGINT) AS x,
+        |    CAST(length(bin(n_nodes)) - 1 AS BIGINT) AS y
+        |  FROM cen),
+        |m AS (SELECT count(*)::BIGINT AS n_degrees,
+        |    CAST(sum(n_nodes) AS BIGINT) AS n_nodes,
+        |    CAST(max(deg) AS BIGINT) AS max_deg,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM xy)
+        |SELECT n_nodes, n_degrees, max_deg,
+        |  (1000 * (n_degrees * sxy - sx * sy))
+        |    // greatest(n_degrees * sxx - sx * sx, 1) AS slope_milli
+        |FROM m""".stripMargin) { (s, dir) =>
+      val cen = coPurchaseDegrees(s, dir)
+        .groupBy(col("deg")).agg(count(lit(1)).cast("bigint").as("n_nodes"))
+      cen
+        .select(col("deg"), col("n_nodes"),
+          expr("CAST(length(bin(deg)) - 1 AS BIGINT)").as("x"),
+          expr("CAST(length(bin(n_nodes)) - 1 AS BIGINT)").as("y"))
+        .agg(count(lit(1)).cast("bigint").as("n_degrees"),
+          sum(col("n_nodes")).cast("bigint").as("n_nodes"),
+          max(col("deg")).cast("bigint").as("max_deg"),
+          sum(col("x")).cast("bigint").as("sx"),
+          sum(col("y")).cast("bigint").as("sy"),
+          sum(expr("x * y")).cast("bigint").as("sxy"),
+          sum(expr("x * x")).cast("bigint").as("sxx"))
+        .select(col("n_nodes"), col("n_degrees"), col("max_deg"),
+          expr("""(1000 * (n_degrees * sxy - sx * sy))
+                 |DIV greatest(n_degrees * sxx - sx * sx, 1)""".stripMargin)
+            .as("slope_milli"))
     })
 
   /** Undirected co-purchase edge list {x < y}: parts that share an

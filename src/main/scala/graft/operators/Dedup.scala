@@ -940,6 +940,91 @@ object Dedup {
         |FROM runs r JOIN x ON x.doc_id = r.doc_id
         |GROUP BY r.doc_id, x.n""".stripMargin) { (s, dir) =>
       exactSubstrCensus(Tables.documents(s, dir), 50)
+    },
+
+    // ----------------------------------------------------------------
+    q("q249_dedup_yield",
+      """Dedup threshold-yield curve — the calibration sweep a curation
+        |run does BEFORE committing to a Jaccard cutoff (the threshold
+        |sensitivity analyses of Lee et al. 2021 §5 and the SlimPajama/
+        |RefinedWeb dedup reports): for every candidate threshold t in
+        |100..900 permille, how many verified near-dup pairs qualify,
+        |how many documents they touch, and how many the keep-smallest-
+        |id rule would remove. q29 verifies pairs at ONE threshold;
+        |this is the whole curve, so the operator that PICKS the
+        |threshold is itself oracle-gated. Scale shape: rides the lsh
+        |family's staged artifacts end to end (bands → candidates →
+        |candidate-bounded shingle slice); exact Jaccard permille per
+        |candidate pair is computed once; the 9-row threshold table
+        |broadcasts through a non-equi join (qualified rows <= 9x the
+        |verified-pair count — output-bounded, never corpus-bounded);
+        |the curve is zero-filled from the threshold side so empty
+        |levels are real rows.""".stripMargin,
+      s"""WITH cand AS ($candidatesSql),
+        |  sh AS ($shinglesSql),
+        |  sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |  inter AS (
+        |    SELECT c.doc_a, c.doc_b, count(*) AS n_common
+        |    FROM cand c
+        |    JOIN sh sa ON sa.doc_id = c.doc_a
+        |    JOIN sh sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+        |    GROUP BY c.doc_a, c.doc_b),
+        |  jp AS (
+        |    SELECT i.doc_a, i.doc_b,
+        |      (1000 * CAST(i.n_common AS BIGINT)) // (za.n + zb.n - i.n_common) AS jpm
+        |    FROM inter i
+        |    JOIN sizes za ON za.doc_id = i.doc_a
+        |    JOIN sizes zb ON zb.doc_id = i.doc_b),
+        |  th AS (SELECT CAST(unnest(range(100, 1000, 100)) AS BIGINT) AS threshold_pm),
+        |  qual AS (SELECT th.threshold_pm, jp.doc_a, jp.doc_b
+        |    FROM jp JOIN th ON jp.jpm >= th.threshold_pm),
+        |  byp AS (SELECT threshold_pm, count(*)::BIGINT AS n_pairs,
+        |      count(DISTINCT doc_b)::BIGINT AS n_removed
+        |    FROM qual GROUP BY 1),
+        |  byd AS (SELECT threshold_pm, count(DISTINCT d)::BIGINT AS n_docs
+        |    FROM (SELECT threshold_pm, doc_a AS d FROM qual
+        |          UNION ALL SELECT threshold_pm, doc_b FROM qual)
+        |    GROUP BY 1)
+        |SELECT th.threshold_pm,
+        |  coalesce(byp.n_pairs, 0) AS n_pairs,
+        |  coalesce(byd.n_docs, 0) AS n_docs_touched,
+        |  coalesce(byp.n_removed, 0) AS n_removed_keepfirst
+        |FROM th LEFT JOIN byp USING (threshold_pm)
+        |LEFT JOIN byd USING (threshold_pm)""".stripMargin) { (s, dir) =>
+      val cand = candidates(s, dir)
+      val sh = candShingles(s, dir)
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val inter = broadcast(cand.select(col("doc_a"), col("doc_b")))
+        .join(sh.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
+        .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+        .groupBy(col("doc_a"), col("doc_b"))
+        .agg(count(lit(1)).as("n_common"))
+      // pair-bounded, but BOTH census branches (per-pair counts and the
+      // doc-explode distinct) walk it — staged once per execution so the
+      // intersection join never re-runs per branch
+      val jp = inter
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          expr("(1000 * CAST(n_common AS BIGINT)) DIV (na + nb - n_common)")
+            .as("jpm"))
+        .transform(graft.Graft.stagedCheckpoint)
+      val th = s.range(1, 10)
+        .select((col("id") * 100).cast("bigint").as("threshold_pm"))
+      val qual = jp.join(broadcast(th), col("jpm") >= col("threshold_pm"))
+      val byp = qual.groupBy(col("threshold_pm"))
+        .agg(count(lit(1)).cast("bigint").as("n_pairs"),
+          countDistinct(col("doc_b")).cast("bigint").as("n_removed"))
+      val byd = qual
+        .select(col("threshold_pm"), explode(array(col("doc_a"), col("doc_b"))).as("d"))
+        .groupBy(col("threshold_pm"))
+        .agg(countDistinct(col("d")).cast("bigint").as("n_docs"))
+      th.join(byp, Seq("threshold_pm"), "left")
+        .join(byd, Seq("threshold_pm"), "left")
+        .select(col("threshold_pm"),
+          coalesce(col("n_pairs"), lit(0L)).as("n_pairs"),
+          coalesce(col("n_docs"), lit(0L)).as("n_docs_touched"),
+          coalesce(col("n_removed"), lit(0L)).as("n_removed_keepfirst"))
     })
 
   /** q245's frame transform over an arbitrary (doc_id, text) frame —

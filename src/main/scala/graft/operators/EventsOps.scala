@@ -2553,6 +2553,53 @@ object EventsOps {
                  |DIV greatest(concordant + discordant, 1)""".stripMargin)
             .as("gamma_milli"),
           expr("(1000 * (concordant - discordant)) DIV n_pairs").as("tau_a_milli"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q250_retention_cohorts",
+      """Cohort retention triangle — the product-analytics standard
+        |(Croll & Yoskovitz 2013 "Lean Analytics" cohort analysis;
+        |every growth dashboard's weekly table): users grouped by FIRST
+        |active day, then for each (cohort, day-offset) cell the count
+        |of cohort members active that day and its share of the cohort,
+        |in permille. Days are pure integer epoch-day indices
+        |(unix_micros DIV 86.4e9 — no calendar functions to diverge
+        |on). Scale shape: activity collapses to DISTINCT (user, day)
+        |pairs in one user-keyed agg with map-side combine; the
+        |first-day table comes from the SAME keyed frame (groupBy min,
+        |co-partitioned join back on user — the shuffle is reused, the
+        |corpus is never re-read); the census is (cohort, offset)-keyed
+        |— bounded by observation-window DAYS squared, the wall-clock
+        |sublinearity class (q235) — and cohort sizes broadcast back
+        |onto it from its own offset-0 slice. No window, no driver
+        |data.""".stripMargin,
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |f AS (SELECT user_id, min(day) AS cohort_day FROM ud GROUP BY 1),
+        |c AS (SELECT f.cohort_day, ud.day - f.cohort_day AS offset_days,
+        |        count(*)::BIGINT AS n_users
+        |      FROM ud JOIN f USING (user_id)
+        |      GROUP BY 1, 2),
+        |sz AS (SELECT cohort_day, n_users AS cohort_n FROM c WHERE offset_days = 0)
+        |SELECT c.cohort_day, c.offset_days, c.n_users,
+        |  (1000 * c.n_users) // sz.cohort_n AS retention_permille
+        |FROM c JOIN sz USING (cohort_day)""".stripMargin) { (s, dir) =>
+      val ud = Tables.events(s, dir)
+        .select(col("user_id"),
+          expr("unix_micros(ts) DIV 86400000000").as("day"))
+        .distinct()
+      val first = ud.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+      val census = ud.join(first, Seq("user_id"))
+        .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("offset_days"))
+        .agg(count(lit(1)).cast("bigint").as("n_users"))
+      // every cohort has its own offset-0 row by construction (the
+      // first active day IS an active day), so the size join is total
+      val sizes = census.filter(col("offset_days") === 0)
+        .select(col("cohort_day"), col("n_users").as("cohort_n"))
+      census.join(broadcast(sizes), Seq("cohort_day"))
+        .select(col("cohort_day"), col("offset_days"), col("n_users"),
+          expr("(1000 * n_users) DIV cohort_n").as("retention_permille"))
     })
 
   /** Zero-filled hourly count spine over an arbitrary (event_type, ts)

@@ -935,5 +935,62 @@ object TpchOps {
           min(when(expr("cum >= (9 * n + 9) DIV 10"), col("gap_days"))).as("p90_days"),
           min(when(expr("cum >= (99 * n + 99) DIV 100"), col("gap_days"))).as("p99_days"),
           max(col("gap_days")).as("max_days"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q252_benford_audit",
+      """Benford first-digit audit of order totals (Benford 1938;
+        |Nigrini 2012's forensic-accounting standard): the observed
+        |leading-digit distribution of o_totalprice against Benford's
+        |log10(1 + 1/d) expectation, per digit, with the signed
+        |deviation — the data-quality screen an analytics warehouse
+        |runs over any money column (fabricated or range-clipped
+        |figures fail it; TPC-H's near-uniform price generator fails it
+        |too, and the operator reports exactly that). Exactness: the
+        |leading digit comes from floor() then BIGINT then the first
+        |character of the decimal rendering — floor never changes the
+        |leading digit of a value >= 1, double->string is never used,
+        |and positive-BIGINT rendering is identical in both engines;
+        |Benford expectations are integer permille literals (301..46).
+        |Scale shape: one scan-side digit extraction, ONE 9-bucket agg
+        |with map-side combine, a 9-row digit spine zero-fills, and the
+        |1-row total broadcasts back. No window, no join wider than 9
+        |rows.""".stripMargin,
+      """WITH dg AS (
+        |  SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+        |         AS BIGINT) AS digit
+        |  FROM orders WHERE o_totalprice >= 1),
+        |obs AS (SELECT digit, count(*)::BIGINT AS n_orders FROM dg GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_orders) AS BIGINT) AS n FROM obs),
+        |sp AS (SELECT CAST(unnest(range(1, 10)) AS BIGINT) AS digit)
+        |SELECT sp.digit, coalesce(obs.n_orders, 0) AS n_orders,
+        |  (1000 * coalesce(obs.n_orders, 0)) // coalesce(tot.n, 1) AS observed_pm,
+        |  CASE sp.digit WHEN 1 THEN 301 WHEN 2 THEN 176 WHEN 3 THEN 125
+        |    WHEN 4 THEN 97 WHEN 5 THEN 79 WHEN 6 THEN 67 WHEN 7 THEN 58
+        |    WHEN 8 THEN 51 ELSE 46 END AS benford_pm,
+        |  (1000 * coalesce(obs.n_orders, 0)) // coalesce(tot.n, 1)
+        |    - (CASE sp.digit WHEN 1 THEN 301 WHEN 2 THEN 176 WHEN 3 THEN 125
+        |       WHEN 4 THEN 97 WHEN 5 THEN 79 WHEN 6 THEN 67 WHEN 7 THEN 58
+        |       WHEN 8 THEN 51 ELSE 46 END) AS delta_pm
+        |FROM sp LEFT JOIN obs USING (digit) CROSS JOIN tot""".stripMargin) { (s, dir) =>
+      val benford = """CASE digit WHEN 1 THEN 301 WHEN 2 THEN 176 WHEN 3 THEN 125
+        | WHEN 4 THEN 97 WHEN 5 THEN 79 WHEN 6 THEN 67 WHEN 7 THEN 58
+        | WHEN 8 THEN 51 ELSE 46 END""".stripMargin
+      val obs = Tables.orders(s, dir)
+        .filter(col("o_totalprice") >= 1)
+        .select(expr(
+          "CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS STRING), 1, 1) AS BIGINT)")
+          .as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).cast("bigint").as("n_orders"))
+      val tot = obs.agg(sum(col("n_orders")).cast("bigint").as("n"))
+      val sp = s.range(1, 10).select(col("id").cast("bigint").as("digit"))
+      sp.join(obs, Seq("digit"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("digit"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          expr("(1000 * coalesce(n_orders, CAST(0 AS BIGINT))) DIV coalesce(n, CAST(1 AS BIGINT))").as("observed_pm"),
+          expr(benford).cast("bigint").as("benford_pm"),
+          (expr("(1000 * coalesce(n_orders, CAST(0 AS BIGINT))) DIV coalesce(n, CAST(1 AS BIGINT))")
+            - expr(benford)).cast("bigint").as("delta_pm"))
     })
 }
