@@ -2600,6 +2600,59 @@ object EventsOps {
       census.join(broadcast(sizes), Seq("cohort_day"))
         .select(col("cohort_day"), col("offset_days"), col("n_users"),
           expr("(1000 * n_users) DIV cohort_n").as("retention_permille"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q254_activity_gini",
+      """Activity-concentration audit — Gini coefficient (Gini 1912)
+        |and top-decile Lorenz share of per-user event counts: the
+        |inequality numbers behind every "power users" analysis (and a
+        |training-data analog: contributor concentration in a crawl).
+        |Gini needs every user's GLOBAL rank by activity — the textbook
+        |formulation is a partition-less window, which PlanGuard
+        |forbids; this query is the DistributedRank showcase instead:
+        |exact global ranks from range-partitioned local ranks plus a
+        |triangular prefix-sum join, no WindowExec with an empty
+        |partitionSpec anywhere. With counts x_(1) <= ... <= x_(n),
+        |G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) — all-BIGINT,
+        |reported in micro units; the top-decile share is the n DIV 10
+        |highest-ranked users' event share in permille (0 when n < 10:
+        |floor semantics, pinned identically in both engines). Scale
+        |shape: one user-keyed count with map-side combine, one
+        |rank-shuffle over |users| rows, two 1-row aggregates joined by
+        |broadcast. Ties break on (cnt, user_id) — total order, both
+        |engines agree.""".stripMargin,
+      """WITH uc AS (SELECT user_id, count(*)::BIGINT AS cnt
+        |  FROM events GROUP BY 1),
+        |r AS (SELECT cnt,
+        |    row_number() OVER (ORDER BY cnt, user_id) AS rk FROM uc),
+        |m AS (SELECT count(*)::BIGINT AS n_users,
+        |    CAST(sum(cnt) AS BIGINT) AS n_events,
+        |    CAST(sum(rk * cnt) AS BIGINT) AS s_rx FROM r),
+        |t AS (SELECT CAST(coalesce(sum(r.cnt), 0) AS BIGINT) AS top_cnt
+        |  FROM r, m WHERE r.rk > m.n_users - m.n_users // 10)
+        |SELECT m.n_users, m.n_events,
+        |  (1000000 * (2 * m.s_rx - (m.n_users + 1) * m.n_events))
+        |    // greatest(m.n_users * m.n_events, 1) AS gini_micro,
+        |  (1000 * t.top_cnt) // greatest(m.n_events, 1) AS top_decile_share_pm
+        |FROM m, t""".stripMargin) { (s, dir) =>
+      val uc = Tables.events(s, dir)
+        .groupBy(col("user_id")).agg(count(lit(1)).cast("bigint").as("cnt"))
+      val r = DistributedRank.withGlobalRank(uc,
+        Seq(col("cnt"), col("user_id")), "rk", "n_users")
+      val m = r.agg(max(col("n_users")).as("n_users"),
+        sum(col("cnt")).cast("bigint").as("n_events"),
+        sum(expr("rk * cnt")).cast("bigint").as("s_rx"))
+      val t = r.crossJoin(broadcast(m.select(col("n_users").as("nu"))))
+        .filter(col("rk") > expr("nu - nu DIV 10"))
+        .agg(coalesce(sum(col("cnt")), lit(0L)).cast("bigint").as("top_cnt"))
+      m.crossJoin(broadcast(t))
+        .select(col("n_users"), col("n_events"),
+          expr("""(1000000 * (2 * s_rx - (n_users + 1) * n_events))
+                 |DIV greatest(n_users * n_events, 1)""".stripMargin)
+            .as("gini_micro"),
+          expr("(1000 * top_cnt) DIV greatest(n_events, 1)")
+            .as("top_decile_share_pm"))
     })
 
   /** Zero-filled hourly count spine over an arbitrary (event_type, ts)

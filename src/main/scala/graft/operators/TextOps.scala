@@ -1205,6 +1205,69 @@ object TextOps {
           expr("""(1000 * (n_types * sxy - sx * sy))
                  |DIV greatest(n_types * sxx - sx * sx, 1)""".stripMargin)
             .as("slope_milli"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q255_gk_lambda",
+      """Goodman-Kruskal lambda between source and language (Goodman &
+        |Kruskal 1954 §5 — the proportional-reduction-in-error measure
+        |for NOMINAL pairs): how much better one predicts a document's
+        |language knowing its source (and vice versa) than by always
+        |guessing the modal class. lambda(A|B) = (sum_b max_a O(a,b) -
+        |max_a R_a) / (n - max_a R_a), both directions reported in
+        |milli. Chosen over chi-square deliberately: lambda is PURE
+        |integer counts and one guarded division — no squared terms to
+        |overflow, no expected-frequency fractions — so it is exact at
+        |any corpus size where counts fit int64 (the chi-square
+        |numerator (n*O - R*C)^2 overflows 1e6-scaled int64 already at
+        |~5e4 docs). A zero lambda is evidence of independence the
+        |driver's iid generator should (and does) produce. Scale shape:
+        |ONE (source, lang) contingency agg with map-side combine —
+        |state is cells-sized, never corpus-sized — then every moment
+        |is a roll-up of that tiny frame; three 1-row broadcasts
+        |assemble the answer. Modal ties resolve by MAX, which is
+        |tie-order-free in both engines.""".stripMargin,
+      """WITH o AS (SELECT source, lang, count(*)::BIGINT AS n
+        |  FROM documents GROUP BY 1, 2),
+        |n_ AS (SELECT CAST(sum(n) AS BIGINT) AS n_docs FROM o),
+        |bs AS (SELECT CAST(sum(mx) AS BIGINT) AS sum_best_lang
+        |  FROM (SELECT source, max(n) AS mx FROM o GROUP BY 1)),
+        |bl AS (SELECT CAST(sum(mx) AS BIGINT) AS sum_best_src
+        |  FROM (SELECT lang, max(n) AS mx FROM o GROUP BY 1)),
+        |ml AS (SELECT CAST(max(s) AS BIGINT) AS modal_lang
+        |  FROM (SELECT lang, sum(n) AS s FROM o GROUP BY 1)),
+        |ms AS (SELECT CAST(max(s) AS BIGINT) AS modal_src
+        |  FROM (SELECT source, sum(n) AS s FROM o GROUP BY 1))
+        |SELECT n_.n_docs,
+        |  (1000 * (bs.sum_best_lang - ml.modal_lang))
+        |    // greatest(n_.n_docs - ml.modal_lang, 1) AS lambda_lang_milli,
+        |  (1000 * (bl.sum_best_src - ms.modal_src))
+        |    // greatest(n_.n_docs - ms.modal_src, 1) AS lambda_source_milli
+        |FROM n_, bs, bl, ml, ms""".stripMargin) { (s, dir) =>
+      // cells-sized, but FIVE moment branches read it — staged once so
+      // the corpus contingency scan never re-runs per branch
+      val o = Tables.documents(s, dir)
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).cast("bigint").as("n"))
+        .transform(graft.Graft.stagedCheckpoint)
+      val nDocs = o.agg(sum(col("n")).cast("bigint").as("n_docs"))
+      val bs = o.groupBy(col("source")).agg(max(col("n")).as("mx"))
+        .agg(sum(col("mx")).cast("bigint").as("sum_best_lang"))
+      val bl = o.groupBy(col("lang")).agg(max(col("n")).as("mx"))
+        .agg(sum(col("mx")).cast("bigint").as("sum_best_src"))
+      val ml = o.groupBy(col("lang")).agg(sum(col("n")).as("s"))
+        .agg(max(col("s")).cast("bigint").as("modal_lang"))
+      val ms = o.groupBy(col("source")).agg(sum(col("n")).as("s"))
+        .agg(max(col("s")).cast("bigint").as("modal_src"))
+      nDocs.crossJoin(broadcast(bs)).crossJoin(broadcast(bl))
+        .crossJoin(broadcast(ml)).crossJoin(broadcast(ms))
+        .select(col("n_docs"),
+          expr("""(1000 * (sum_best_lang - modal_lang))
+                 |DIV greatest(n_docs - modal_lang, 1)""".stripMargin)
+            .as("lambda_lang_milli"),
+          expr("""(1000 * (sum_best_src - modal_src))
+                 |DIV greatest(n_docs - modal_src, 1)""".stripMargin)
+            .as("lambda_source_milli"))
     })
 
   /** q206's rule battery as a frame transform: appends the five 0/1

@@ -992,5 +992,43 @@ object TpchOps {
           expr(benford).cast("bigint").as("benford_pm"),
           (expr("(1000 * coalesce(n_orders, CAST(0 AS BIGINT))) DIV coalesce(n, CAST(1 AS BIGINT))")
             - expr(benford)).cast("bigint").as("delta_pm"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q253_tpch_q6",
+      """TPC-H Q6 shape — the forecasting-revenue-change query, the one
+        |classic still missing from the shape catalog (Q2/Q16/Q20's
+        |faithful forms need partsupp, which the driver data does not
+        |ship): revenue that WOULD have been earned had discounts in a
+        |band been eliminated — one scan, three pushable predicates,
+        |one global sum. Exactness: the data's prices and discounts
+        |carry <= 2 decimal digits, so both scale losslessly to integer
+        |hundredths (DECIMAL(18,2) cast, x100, BIGINT — integral, so
+        |neither engine's decimal->long rounding can diverge), the
+        |discount-band predicate compares INTEGER hundredths (no
+        |float-equality trap), and revenue comes out as an exact BIGINT
+        |in 1e-4 units. Scale shape: this is THE predicate-pushdown
+        |showcase — date + quantity reach the parquet scan as
+        |PushedFilters, the scan prunes to three columns, and the
+        |aggregate is a 1-row map-side-combined sum. Zero shuffles
+        |beyond the final 1-row exchange.""".stripMargin,
+      """SELECT count(*)::BIGINT AS n_lines,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |           * CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |       AS BIGINT) AS revenue_e4
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT) BETWEEN 5 AND 7
+        |  AND l_quantity < 24""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp") &&
+          expr("CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)").between(5, 7) &&
+          col("l_quantity") < 24)
+        .agg(count(lit(1)).cast("bigint").as("n_lines"),
+          sum(expr("""CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+                     |* CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)""".stripMargin))
+            .cast("bigint").as("revenue_e4"))
     })
 }
