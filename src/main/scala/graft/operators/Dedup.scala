@@ -1065,23 +1065,32 @@ object Dedup {
         .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("s"))))
         .filter(col("cnt") > 1)
         .select(col("doc_id"), col("i"))
-      // interval merge (the paper's byte-range union, in token space):
-      // windows at i1 < i2 overlap or adjoin iff i2 <= i1 + 50
-      val wd = Window.partitionBy(col("doc_id")).orderBy(col("i"))
-      val runs = ver
-        .withColumn("b",
-          when(col("i") - lag(col("i"), 1).over(wd) <= L, 0L).otherwise(1L))
-        .withColumn("g", sum(col("b")).over(wd))
-        .groupBy(col("doc_id"), col("g"))
-        .agg(min(col("i")).as("lo"), max(col("i")).as("hi"))
       val nt = toks.select(col("doc_id"), size(col("w")).cast("bigint").as("n_tokens"))
-      runs.groupBy(col("doc_id"))
-        .agg(sum(col("hi") + L - col("lo")).cast("bigint").as("dup_tokens"),
-          count(lit(1)).cast("bigint").as("n_runs"),
-          max(col("hi") + L - col("lo")).cast("bigint").as("longest_run"))
+      removalRuns(ver, L)
         .join(nt, Seq("doc_id"))
         .select(col("doc_id"), col("n_tokens"), col("dup_tokens"),
           col("n_runs"), col("longest_run"))
+  }
+
+  /** Interval-merge of verified duplicated anchor positions (doc_id, i)
+    * into per-doc removal statistics — the paper's byte-range union in
+    * token space: windows at i1 < i2 overlap or adjoin iff i2 <= i1 + L.
+    * One keyed per-doc window over candidate positions (bounded by doc
+    * length). Shared by q245's [[exactSubstrCensus]] and the
+    * anchor-store incremental path ([[IncrementalExactSubstr]]). */
+  private[graft] def removalRuns(ver: DataFrame, L: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("i"))
+    ver
+      .withColumn("b",
+        when(col("i") - lag(col("i"), 1).over(wd) <= L, 0L).otherwise(1L))
+      .withColumn("g", sum(col("b")).over(wd))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(min(col("i")).as("lo"), max(col("i")).as("hi"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("hi") + L - col("lo")).cast("bigint").as("dup_tokens"),
+        count(lit(1)).cast("bigint").as("n_runs"),
+        max(col("hi") + L - col("lo")).cast("bigint").as("longest_run"))
   }
 
   /** 16-bit SimHash signature per doc (doc_id, simhash16), cached per

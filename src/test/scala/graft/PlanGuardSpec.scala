@@ -180,7 +180,7 @@ class PlanGuardSpec extends SparkSpec {
     // metadata truncation that eats the later PushedFilters field.
     val pinned = Seq("q2_scan_filter_agg", "q42_like_regexp",
       "q59_shipping_priority", "q61_returned_items", "q69_promo_revenue",
-      "q101_large_orders", "q102_dormant_balances")
+      "q101_large_orders", "q102_dormant_balances", "q253_tpch_q6")
     val nonEmptyDataFilters = "DataFilters: \\[[^\\]]".r
     val offenders = pinned.flatMap { n =>
       val plan = SparkEntry.all.find(_.name == n).get
