@@ -480,6 +480,36 @@ object TrainingSoak {
       (ok, sec)
     }
 
+    // ---- exactsubstr removal census (q245 shape) -------------------
+    // n/100 synthetic 80-token docs, generated executor-side: in every
+    // decade of doc ids, docs 10g and 10g+1 share a 55-token planted
+    // passage at token positions 11..65 (their other 25 tokens are
+    // doc-unique), the remaining eight docs are fully unique. Closed
+    // form: the content-VERIFIED census must contain exactly
+    // 2*(D/10) rows, every one (n_tokens 80, dup_tokens 55, n_runs 1,
+    // longest_run 55) — window anchors i in [11,16] are the only
+    // duplicated ones and they merge into one 55-token run.
+    val dd = (n / 100) / 10 * 10
+    val (esAgg, esSec) = timed {
+      val docs = spark.range(dd).select(col("id").as("doc_id"),
+        expr("""concat_ws(' ', transform(sequence(0, 79), i -> CASE
+          |  WHEN id % 10 < 2 AND i BETWEEN 10 AND 64
+          |    THEN concat('p', id DIV 10, '_', i - 10)
+          |  ELSE concat('u', id, '_', i) END))""".stripMargin).as("text"))
+      operators.Dedup.exactSubstrCensus(docs, 50)
+        .agg(count(lit(1)).as("rows"),
+          min(col("n_tokens")).as("tl"), max(col("n_tokens")).as("th"),
+          min(col("dup_tokens")).as("dl"), max(col("dup_tokens")).as("dh"),
+          min(col("n_runs")).as("rl"), max(col("n_runs")).as("rh"),
+          min(col("longest_run")).as("ll"), max(col("longest_run")).as("lh"))
+        .collect()(0)
+    }
+    val esOk = esAgg.getLong(0) == 2L * (dd / 10) &&
+      esAgg.getLong(1) == 80L && esAgg.getLong(2) == 80L &&
+      esAgg.getLong(3) == 55L && esAgg.getLong(4) == 55L &&
+      esAgg.getLong(5) == 1L && esAgg.getLong(6) == 1L &&
+      esAgg.getLong(7) == 55L && esAgg.getLong(8) == 55L
+
     println(
       s"""{"metric":"training_soak","rows":$n,""" +
         s""""hll_sec":$hllSec,"hll_est":$hllEst,"hll_ok":$hllOk,""" +
@@ -495,10 +525,11 @@ object TrainingSoak {
         s""""funnel_win_wide_sec":$funnelWinWideSec,"funnel_win_wide_ok":$funnelWinWideOk,""" +
         s""""funnel_win_hot_sec":$funnelWinHotSec,"funnel_win_hot_ok":$funnelWinHotOk,""" +
         s""""robust_sec":$robustSec,"robust_ok":$robustOk,""" +
-        s""""regression_sec":$regSec,"regression_ok":$regOk}""")
+        s""""regression_sec":$regSec,"regression_ok":$regOk,""" +
+        s""""exactsubstr_docs":$dd,"exactsubstr_sec":$esSec,"exactsubstr_ok":$esOk}""")
     spark.stop()
     if (!(mgOk && sampleOk && vocabOk && ivfOk && asofOk && rangeOk &&
         funnelWideOk && funnelHotOk && funnelWinWideOk && funnelWinHotOk &&
-        vecaggOk && hllOk && robustOk && regOk)) sys.exit(1)
+        vecaggOk && hllOk && robustOk && regOk && esOk)) sys.exit(1)
   }
 }
