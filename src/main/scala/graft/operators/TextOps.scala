@@ -1268,7 +1268,100 @@ object TextOps {
           expr("""(1000 * (sum_best_src - modal_src))
                  |DIV greatest(n_docs - modal_src, 1)""".stripMargin)
             .as("lambda_source_milli"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q256_shannon_entropy",
+      """Lexical Shannon entropy per source (Shannon 1948; the WIMBD-
+        |tier diversity number q213's TTR and q236's Gini-Simpson
+        |approximate from below): H = sum_t (c_t/N) * log2(N/c_t) in
+        |micro-bits per token, plus efficiency H / log2(V) in permille
+        |(Pielou 1966's evenness). The log that q236 declared impossible
+        |("log-free so it runs exact where Shannon entropy cannot") is
+        |a QUANTIZED DYADIC log2: bitlen-1 plus a 64-entry mantissa
+        |correction table computed once JVM-side and interpolated as
+        |literals into BOTH engines (the q153 micro-nat idiom) — a
+        |one-sided mantissa floor at most log2(65/64) = 0.0224 bits
+        |below true log2 per term, and the reported value is pinned
+        |exactly cross-engine by shared-constant construction
+        |(Log2TableSpec pins the bound, exactness at powers of two,
+        |and monotonicity).
+        |Scale shape: q213's (source, token) count exactly — map-side
+        |combine, vocab-sized state — then ONE |sources|-row roll-up;
+        |the log2 is row-local arithmetic on the count column, no
+        |joins, no windows.""".stripMargin,
+      {
+        val l2c = log2MicroDuck("tc.c")
+        val l2n = log2MicroDuck("ns.n")
+        val l2v = log2MicroDuck("ns.v")
+        s"""WITH tk AS (
+          |  SELECT source, unnest(string_split(lower(text), ' ')) AS tok
+          |  FROM documents),
+          |tc AS (SELECT source, tok, count(*)::BIGINT AS c
+          |  FROM tk WHERE tok <> '' GROUP BY 1, 2),
+          |ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n,
+          |    count(*)::BIGINT AS v FROM tc GROUP BY 1)
+          |SELECT tc.source, ns.n AS n_tokens, ns.v AS n_types,
+          |  CAST(sum(tc.c * ($l2n - $l2c)) // ns.n AS BIGINT)
+          |    AS entropy_microbits,
+          |  CAST((1000 * (CAST(sum(tc.c * ($l2n - $l2c)) AS BIGINT) // ns.n))
+          |    // greatest($l2v, 1) AS BIGINT) AS evenness_pm
+          |FROM tc JOIN ns USING (source)
+          |GROUP BY tc.source, ns.n, ns.v""".stripMargin
+      }) { (s, dir) =>
+      val tc = Tables.documents(s, dir)
+        .select(col("source"),
+          explode(split(lower(col("text")), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy(col("source"), col("tok"))
+        .agg(count(lit(1)).cast("bigint").as("c"))
+        .transform(graft.Graft.stagedCheckpoint) // two branches read it
+      val ns = tc.groupBy(col("source"))
+        .agg(sum(col("c")).cast("bigint").as("n"),
+          count(lit(1)).cast("bigint").as("v"))
+      tc.join(ns, Seq("source"))
+        .groupBy(col("source"), col("n"), col("v"))
+        .agg(sum(col("c") * (expr(log2MicroSpark("n")) - expr(log2MicroSpark("c"))))
+          .cast("bigint").as("hsum"))
+        .select(col("source"), col("n").as("n_tokens"), col("v").as("n_types"),
+          expr("hsum DIV n").cast("bigint").as("entropy_microbits"),
+          expr(s"""(1000 * (hsum DIV n))
+                  |DIV greatest(${log2MicroSpark("v")}, 1)""".stripMargin)
+            .cast("bigint").as("evenness_pm"))
     })
+
+  /** Quantized dyadic log2 in integer micro-bits, identical in both
+    * engines by SHARED-CONSTANT construction (the q153 micro-nat
+    * idiom): log2(x) = (bitlen-1) + log2(m/64) where m = the top 7
+    * mantissa bits, and the 64 mantissa corrections are computed ONCE
+    * here and interpolated as literals into both the Spark expression
+    * and the DuckDB oracle. Quantization is one-sided
+    * (mantissa floor): at most log2(65/64) ≈ 0.0224 bits BELOW true
+    * log2, never above — a diagnostic-grade log whose VALUE is
+    * nonetheless pinned exactly cross-engine, which is what unlocks
+    * entropy-family statistics q236 had to avoid ("log-free so it runs
+    * exact where Shannon entropy cannot"). Valid for 1 <= x < 2^57
+    * (the x*64 mantissa scale must not overflow). Lazy: `defs` above
+    * initializes first and its oracle strings interpolate this. */
+  private lazy val log2MantMicro: IndexedSeq[Long] =
+    (64 to 127).map(m => math.round(math.log(m / 64.0) / math.log(2.0) * 1e6))
+
+  /** Spark SQL form of the quantized log2 (micro-bits) of column
+    * expression `c` (must be >= 1). */
+  private[graft] def log2MicroSpark(c: String): String = {
+    val arr = log2MantMicro.mkString("array(", "L, ", "L)")
+    s"""(CAST(length(bin($c)) - 1 AS BIGINT) * 1000000
+       | + element_at($arr, CAST(($c * 64)
+       |     DIV CAST(power(2, length(bin($c)) - 1) AS BIGINT) AS INT) - 63))""".stripMargin
+  }
+
+  /** DuckDB form of the same quantized log2 (1-based list indexing). */
+  private[graft] def log2MicroDuck(c: String): String = {
+    val arr = log2MantMicro.mkString("[", ", ", "]")
+    s"""(CAST(length(bin($c)) - 1 AS BIGINT) * 1000000
+       | + ($arr)[CAST(($c * 64)
+       |     // CAST(power(2, length(bin($c)) - 1) AS BIGINT) AS INT) - 63])""".stripMargin
+  }
 
   /** q206's rule battery as a frame transform: appends the five 0/1
     * fail flags to whatever key columns ride along with `text` (and
