@@ -24,12 +24,9 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // the deterministic per-rep checkpoint release (Graft
-    // .releaseStagedCheckpoints) triggers a benign once-per-RDD "lineage
-    // has been truncated" WARN from the RDD class; keep the bench tail
-    // clean (VERDICT r12 #7) without muting real Spark warnings
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
+    // (the benign unpersist "lineage truncated" WARNs are suppressed
+    // ONLY around the registry's own release calls — Graft.quietRddLogs
+    // — so real org.apache.spark.rdd warnings stay visible here)
 
     // noop sink, not count(): count() lets ColumnPruning drop final
     // projections, so projection-only queries would time only the scan
@@ -161,21 +158,26 @@ object Bench {
     // manual adjudication (r13: q63/q145 read 8x high in-suite, 0.6 s
     // isolated). Measured offenders only: an erroring query's problem
     // is the err field, not its spread.
+    // -1.0 = the isolated re-run itself FAILED (a cold-start crash must
+    // not publish its near-zero throw time as "fast when isolated" —
+    // that would invert the adjudication); only successful reps enter
+    // the median.
     val isolated: Map[String, Double] = results
       .filter(r => r.measured && r.spread > 2.0)
       .flatMap(r => ordered.find(_.name == r.name))
       .map { d =>
         Graft.clearCaches(spark)
         System.gc()
-        def one(): Double = {
+        def one(): Option[Double] = {
           val t0 = System.nanoTime()
-          try exec(d) catch { case _: Throwable => () }
+          val ok = try { exec(d); true } catch { case _: Throwable => false }
           val t = (System.nanoTime() - t0) / 1e9
           Graft.releaseStagedCheckpoints(spark)
-          t
+          if (ok) Some(t) else None
         }
         (1 to warmups).foreach(_ => one())
-        d.name -> median((1 to reps).map(_ => one()))
+        val good = (1 to reps).flatMap(_ => one())
+        d.name -> (if (good.nonEmpty) median(good) else -1.0)
       }.toMap
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"

@@ -48,7 +48,7 @@ object Graft {
     "simhash" -> Seq("q200_source_datasheet", "q30_simhash",
       "q77_simhash_hamming"),
     "graph" -> Seq("q130_triangle_count", "q131_pagerank",
-      "q223_link_prediction"),
+      "q223_link_prediction", "q251_degree_powerlaw"),
     "semdedup" -> Seq("q205_semdedup", "q218_prototype_pruning",
       "q232_clustering_eval"))
 
@@ -124,6 +124,17 @@ object Graft {
   // per-rep would truncate the lineage under a live cached plan, and an
   // eviction-triggered recompute would then throw "checkpoint block not
   // found".
+  // Strong references BY DESIGN: deterministic release beats GC-paced
+  // freeing (the whole point of the registry). The contract for any
+  // driver other than Bench/Verify — e.g. a long-running ingestion loop
+  // calling stagedCheckpoint consumers per batch — is to call
+  // [[releaseStagedCheckpoints]] (or [[clearCaches]]) between units of
+  // work; holding the refs makes a missed release VISIBLE as monotone
+  // storage growth (StorageHygieneSpec's signature) instead of a
+  // GC-timing heisenbug. A stopped session cannot rely on that
+  // discipline, so each session's first registration installs an
+  // onApplicationEnd listener that drops the session's queues (the
+  // SessionCache lifecycle, same reasoning).
   private val execStaged = new java.util.concurrent.ConcurrentHashMap[
     SparkSession, java.util.Queue[RDD[_]]]()
   private val cacheStaged = new java.util.concurrent.ConcurrentHashMap[
@@ -134,8 +145,17 @@ object Graft {
       df: DataFrame): DataFrame = {
     df.queryExecution.logical match {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
-        m.computeIfAbsent(df.sparkSession,
-          _ => new java.util.concurrent.ConcurrentLinkedQueue[RDD[_]]).add(l.rdd)
+        m.computeIfAbsent(df.sparkSession, { sess =>
+          sess.sparkContext.addSparkListener(
+            new org.apache.spark.scheduler.SparkListener {
+              override def onApplicationEnd(
+                  e: org.apache.spark.scheduler.SparkListenerApplicationEnd): Unit = {
+                execStaged.remove(sess)
+                cacheStaged.remove(sess)
+              }
+            })
+          new java.util.concurrent.ConcurrentLinkedQueue[RDD[_]]
+        }).add(l.rdd)
       // a future Spark that reshapes the checkpoint plan degrades to the
       // old GC-paced freeing; StagedCheckpointSpec pins the match so the
       // degradation cannot land silently
@@ -167,8 +187,10 @@ object Graft {
   private[graft] def releaseCheckpoint(df: DataFrame): Unit =
     df.queryExecution.logical match {
       case l: org.apache.spark.sql.execution.LogicalRDD =>
-        try l.rdd.unpersist(blocking = false)
-        catch { case _: Throwable => () }
+        quietRddLogs {
+          try l.rdd.unpersist(blocking = false)
+          catch { case _: Throwable => () }
+        }
       case _ => ()
     }
 
@@ -178,11 +200,27 @@ object Graft {
     if (q == null) 0 else q.size
   }
 
+  /** Unpersisting a locally-checkpointed RDD logs a benign "lineage has
+    * been truncated" WARN from the RDD's own class logger. Muting the
+    * whole org.apache.spark.rdd package for the life of a run would
+    * also hide REAL warnings (double-persist, cleanup anomalies), so
+    * the suppression is scoped to exactly the unpersist calls the
+    * registry itself makes: level down, release, level restored. */
+  private def quietRddLogs[A](body: => A): A = {
+    import org.apache.logging.log4j.{Level, LogManager}
+    import org.apache.logging.log4j.core.config.Configurator
+    val logger = "org.apache.spark.rdd"
+    val prev = LogManager.getLogger(logger).getLevel
+    Configurator.setLevel(logger, Level.ERROR)
+    try body
+    finally Configurator.setLevel(logger, prev)
+  }
+
   private def drain(
       m: java.util.concurrent.ConcurrentHashMap[SparkSession, java.util.Queue[RDD[_]]],
       s: SparkSession): Unit = {
     val q = m.remove(s)
-    if (q != null) {
+    if (q != null && !q.isEmpty) quietRddLogs {
       var r = q.poll()
       while (r != null) {
         // blocking: the point is that the NEXT rep starts with the pool

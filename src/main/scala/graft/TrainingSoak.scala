@@ -489,7 +489,10 @@ object TrainingSoak {
     // 2*(D/10) rows, every one (n_tokens 80, dup_tokens 55, n_runs 1,
     // longest_run 55) — window anchors i in [11,16] are the only
     // duplicated ones and they merge into one 55-token run.
-    val dd = (n / 100) / 10 * 10
+    // floor at one decade: a tiny-but-valid n (e.g. 500) would make dd
+    // zero, the census empty, and the min/max aggregates NULL — the
+    // stanza must report ok=false/true, never NPE before the JSON line
+    val dd = math.max(10L, (n / 100) / 10 * 10)
     val (esAgg, esSec) = timed {
       val docs = spark.range(dd).select(col("id").as("doc_id"),
         expr("""concat_ws(' ', transform(sequence(0, 79), i -> CASE

@@ -24,13 +24,15 @@ import org.apache.spark.sql.functions._
   * [[censusDelta]] of a new batch:
   *   1. anchors of the new docs only (one pass over the new text);
   *   2. only hashes PRESENT IN THE BATCH can change status — history is
-  *      semi-joined against a broadcast of the batch's hash set (read,
-  *      never shuffled);
+  *      semi-joined against the batch's hash set (broadcast when the
+  *      batch is small, shuffled semi-join on a heavy drop — the set is
+  *      batch-token-sized, so the strategy is left to AQE; bucketing
+  *      the store by h1 co-locates the probe for continuous ingest);
   *   3. affected docs = holders of a batch hash that is now duplicated
   *      (new-new or new-old); their FULL anchor sets come back by a
-  *      broadcast doc-key semi-join, and the duplication status of
-  *      every hash those docs hold is counted corpus-wide, pruned to
-  *      that (affected-doc-bounded) hash set;
+  *      broadcast doc-key semi-join (doc lists are affected-doc-
+  *      bounded), and the duplication status of every hash those docs
+  *      hold is counted corpus-wide, pruned to that hash set;
   *   4. the shared interval-merge kernel (Dedup.removalRuns) rebuilds
   *      exactly the affected docs' census rows.
   *
@@ -87,9 +89,16 @@ object IncrementalExactSubstr {
     val spark = newDocs.sparkSession
     val aNew = graft.Graft.stagedCheckpoint(anchors(newDocs))
     val store = spark.read.parquet(storePath).drop("ingest")
-    // only batch hashes can change status; history is READ, not shuffled
+    // only batch hashes can change status. Join strategy is left to the
+    // planner DELIBERATELY: the batch hash set is batch-TOKEN-sized,
+    // not model-sized, so a forced broadcast would collect a multi-GB
+    // table on a heavy ingest drop — AQE broadcasts it when it is
+    // genuinely small and falls back to a shuffled semi-join otherwise
+    // (history shuffles once per probe, never a pair space; a
+    // continuous heavy-ingest deployment buckets the store by h1 so
+    // the probe co-locates instead).
     val newH = aNew.select(col("h1"), col("h2")).distinct()
-    val touched = store.join(broadcast(newH), Seq("h1", "h2"), "left_semi")
+    val touched = store.join(newH, Seq("h1", "h2"), "left_semi")
       .unionByName(aNew)
     val dupNow = touched.groupBy(col("h1"), col("h2"))
       .agg(count(lit(1)).as("c")).filter(col("c") > 1)
@@ -102,10 +111,11 @@ object IncrementalExactSubstr {
       store.join(broadcast(affected), Seq("doc_id"), "left_semi")
         .unionByName(aNew.join(broadcast(affected), Seq("doc_id"), "left_semi")))
     // duplication status of every hash an affected doc holds, counted
-    // corpus-wide but pruned to that (affected-doc-bounded) hash set
+    // corpus-wide but pruned to that hash set (affected-doc-TOKEN-
+    // sized — same planner-decided join strategy as newH above)
     val affH = aAff.select(col("h1"), col("h2")).distinct()
-    val occ = store.join(broadcast(affH), Seq("h1", "h2"), "left_semi")
-      .unionByName(aNew.join(broadcast(affH), Seq("h1", "h2"), "left_semi"))
+    val occ = store.join(affH, Seq("h1", "h2"), "left_semi")
+      .unionByName(aNew.join(affH, Seq("h1", "h2"), "left_semi"))
     val dupAll = occ.groupBy(col("h1"), col("h2"))
       .agg(count(lit(1)).as("c")).filter(col("c") > 1)
       .select(col("h1"), col("h2"))

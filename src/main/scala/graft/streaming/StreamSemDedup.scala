@@ -82,9 +82,20 @@ object StreamSemDedup {
       .dropDuplicatesWithinWatermark("cid")
 
   /** The nightly-sweep batch twin of [[dedup]] over the same horizon's
-    * landed rows: the SAME assignment, then the first arrival per cell
-    * — (ts, vec_id) min, so the tie-break is deterministic. The stream
-    * ≡ batch spec proves [[dedup]] emits exactly these rows. */
+    * landed rows: the SAME assignment, then one survivor per cell —
+    * the (ts, vec_id)-min row, a deterministic canonical pick. The
+    * stream ≡ batch contract is exact at CELL granularity always (same
+    * deduped cell set, one survivor each); the surviving ROW is also
+    * identical whenever a cell's arrivals are processed in event-time
+    * order, which is the replayed-ingest case the spec drives.
+    * Under intra-batch disorder `dropDuplicatesWithinWatermark` keeps
+    * the first row in PROCESSING order (late rows inside the horizon
+    * are correctly deduped, but the admitted representative may be the
+    * later-timestamped one) — which copy of a semantic duplicate
+    * survives ingest is immaterial by definition, and the nightly
+    * sweep's canonical pick supersedes it. The spec pins both tiers:
+    * row-identity on in-order replay, cell-set identity under
+    * disorder. */
   def batchSweep(docs: DataFrame, codebook: Seq[Cent]): DataFrame =
     assign(docs, codebook)
       .groupBy(col("cid"))

@@ -85,6 +85,37 @@ class StreamSemDedupSpec extends SparkSpec {
       "semantically distant arrivals must survive")
   }
 
+  test("intra-batch disorder: cell-set contract holds (one survivor per cell)") {
+    // same-cell rows arrive LATER-timestamp-first inside one micro-batch
+    // — dropDuplicatesWithinWatermark keeps the processing-order first,
+    // so row identity may differ from the batch sweep's canonical
+    // (ts, vec_id)-min pick, but the deduped CELL SET and one-per-cell
+    // invariant must match it exactly (see StreamSemDedup.batchSweep's
+    // scaladoc for the two-tier contract)
+    val disordered = Seq(Seq(
+      (ts(65), 200L, perturb(anchor(0), 0.02f)), // later ts, processed first
+      (ts(60), 201L, perturb(anchor(0), 0.03f)),
+      (ts(62), 202L, perturb(anchor(1), 0.02f))))
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, Seq[Float])]
+    val q = StreamSemDedup.dedup(in.toDF().toDF("ts", "vec_id", "embedding"),
+      codebook, delay = "10 minutes")
+      .writeStream.format("memory").queryName("semdedup_disorder")
+      .outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("graft-ssemd").toString)
+      .start()
+    try disordered.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+    finally q.stop()
+    val kept = spark.table("semdedup_disorder").select(col("vec_id"), col("cid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val sweptCells = StreamSemDedup.batchSweep(
+      disordered.flatten.toDF("ts", "vec_id", "embedding"), codebook)
+      .select(col("cid")).collect().map(_.getLong(0)).toSet
+    assert(kept.map(_._2).toSet == sweptCells, "deduped cell set diverged")
+    assert(kept.map(_._2).distinct.length == kept.length, "cell emitted twice")
+    assert(kept.length == 2, s"expected 2 survivors, got $kept")
+  }
+
   test("scan-side assignment equals a Scala argmin recompute (shared batch expression)") {
     val cb = codebook
     val rows = batches.flatten
