@@ -1328,6 +1328,118 @@ object TextOps {
           expr(s"""(1000 * (hsum DIV n))
                   |DIV greatest(${log2MicroSpark("v")}, 1)""".stripMargin)
             .cast("bigint").as("evenness_pm"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q257_selector_kappa",
+      """Inter-selector agreement audit (Cohen 1960's kappa): every
+        |data-curation pipeline stacks several keep/drop gates, and the
+        |FIRST question about a new gate is how much it agrees with the
+        |ones already deployed beyond what their base rates force —
+        |near-total agreement means the new gate is redundant, negative
+        |kappa means the gates are fighting. Raters here: A = the
+        |Gopher rule battery (q206's gopherFlags, shared VERBATIM —
+        |all five rules pass), B = the C4-style heuristic gate (q23's
+        |keep_flag: 20 <= words <= 1000 and stopword ratio >= 1%,
+        |integer cross-multiplied). Per source: the 2x2 confusion
+        |counts, raw agreement permille, and kappa in milli-units,
+        |kappa = (n*(n11+n00) - pe_num) / (n^2 - pe_num) with
+        |pe_num = r1*c1 + r0*c0 from the marginals — all BIGINT, the
+        |signed division via the q143 sign-symmetric split (magnitude
+        |DIV, sign reapplied) so Spark's truncating DIV and DuckDB's
+        |flooring // cannot disagree on negative kappa; pe = 1 (both
+        |raters constant) reports kappa 0 by convention. Scale shape:
+        |both gates are row-local array HOFs computed in ONE scan,
+        |the only shuffle is the |sources|-row partial agg — q206's
+        |exact cost, nothing added.""".stripMargin,
+      """WITH t AS (
+        |  SELECT doc_id, source, string_split(text, ' ') AS w,
+        |    CAST(length(text) AS BIGINT) AS nc
+        |  FROM documents),
+        |m AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(w) AS BIGINT) AS nw,
+        |    (nc - len(w) + 1) AS sumlen,
+        |    CAST(len(list_filter(w, x -> length(x) <= 2)) AS BIGINT) AS nshort,
+        |    CAST(len(list_distinct(list_filter(w,
+        |      x -> x IN ('the','a','of','and','to')))) AS BIGINT) AS nstopd,
+        |    CAST(list_max(list_transform(list_distinct(w),
+        |      u -> len(list_filter(w, x -> x = u)))) AS BIGINT) AS ntop,
+        |    CAST(len(list_filter(w,
+        |      x -> x IN ('the','a','of','and','to'))) AS BIGINT) AS nstop
+        |  FROM t),
+        |g AS (
+        |  SELECT source,
+        |    CASE WHEN (CASE WHEN nw < 30 OR nw > 90 THEN 1 ELSE 0 END)
+        |            + (CASE WHEN sumlen * 1000 < 3500 * nw
+        |                      OR sumlen * 1000 > 4800 * nw THEN 1 ELSE 0 END)
+        |            + (CASE WHEN nshort * 1000 > 120 * nw THEN 1 ELSE 0 END)
+        |            + (CASE WHEN nstopd < 2 THEN 1 ELSE 0 END)
+        |            + (CASE WHEN ntop * 1000 > 120 * nw THEN 1 ELSE 0 END) = 0
+        |         THEN 1 ELSE 0 END AS a,
+        |    CASE WHEN nw BETWEEN 20 AND 1000 AND nstop * 100 >= nw
+        |         THEN 1 ELSE 0 END AS b
+        |  FROM m),
+        |c AS (
+        |  SELECT source, count(*)::BIGINT AS n_docs,
+        |    CAST(sum(a * b) AS BIGINT) AS n11,
+        |    CAST(sum(a * (1 - b)) AS BIGINT) AS n10,
+        |    CAST(sum((1 - a) * b) AS BIGINT) AS n01,
+        |    CAST(sum((1 - a) * (1 - b)) AS BIGINT) AS n00
+        |  FROM g GROUP BY 1)
+        |SELECT source, n_docs, n11, n10, n01, n00,
+        |  (1000 * (n11 + n00)) // n_docs AS agree_pm,
+        |  CASE WHEN n_docs * n_docs
+        |         - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) = 0
+        |       THEN 0
+        |       WHEN n_docs * (n11 + n00)
+        |         - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) >= 0
+        |       THEN (1000 * (n_docs * (n11 + n00)
+        |         - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))))
+        |         // (n_docs * n_docs
+        |         - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)))
+        |       ELSE -((1000 * (((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+        |         - n_docs * (n11 + n00)))
+        |         // (n_docs * n_docs
+        |         - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))))
+        |  END AS kappa_milli
+        |FROM c""".stripMargin) { (s, dir) =>
+      val stopList = Stopwords.map(w => s"'$w'").mkString(",")
+      val base = Tables.documents(s, dir)
+        .withColumn("bt", size(split(col("text"), " ")).cast("bigint"))
+        .withColumn("bs",
+          size(expr(s"filter(split(text, ' '), x -> x IN ($stopList))")).cast("bigint"))
+        .withColumn("b",
+          when(col("bt").between(20, 1000) && col("bs") * 100 >= col("bt"), 1L)
+            .otherwise(0L))
+        .select(col("source"), col("b"), col("text"))
+      gopherFlags(base)
+        .withColumn("a",
+          when(col("f_words") + col("f_wordlen") + col("f_short") +
+            col("f_stop") + col("f_rep") === 0, 1L).otherwise(0L))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("bigint").as("n_docs"),
+          sum(col("a") * col("b")).cast("bigint").as("n11"),
+          sum(col("a") * (lit(1L) - col("b"))).cast("bigint").as("n10"),
+          sum((lit(1L) - col("a")) * col("b")).cast("bigint").as("n01"),
+          sum((lit(1L) - col("a")) * (lit(1L) - col("b"))).cast("bigint").as("n00"))
+        .select(col("source"), col("n_docs"),
+          col("n11"), col("n10"), col("n01"), col("n00"),
+          expr("(1000 * (n11 + n00)) DIV n_docs").as("agree_pm"),
+          expr("""CASE WHEN n_docs * n_docs
+                 |       - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) = 0
+                 |     THEN 0L
+                 |     WHEN n_docs * (n11 + n00)
+                 |       - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)) >= 0
+                 |     THEN (1000 * (n_docs * (n11 + n00)
+                 |       - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))))
+                 |       DIV (n_docs * n_docs
+                 |       - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)))
+                 |     ELSE -((1000 * (((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))
+                 |       - n_docs * (n11 + n00)))
+                 |       DIV (n_docs * n_docs
+                 |       - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))))
+                 |END""".stripMargin).as("kappa_milli"))
     })
 
   /** Quantized dyadic log2 in integer micro-bits, identical in both

@@ -1691,7 +1691,177 @@ object TrainingOps {
            |GROUP BY 1""".stripMargin
       }) { (s, dir) =>
       perceptronCensus(Tables.documents(s, dir), Seq("src1", "src2"), 3)
+    },
+
+    // ----------------------------------------------------------------
+    q("q258_padding_census",
+      """Length-bucketed batching waste census — the dynamic-batching
+        |planner's input (tensor2tensor/fairseq bucket-by-length): docs
+        |are bucketed to the next power-of-two token length, and per
+        |bucket the census reports doc count, real tokens, pad tokens
+        |to the bucket boundary, waste permille, and what a FIXED
+        |512-token window would cost instead (pad + truncation loss) —
+        |the two numbers that justify bucketed batching over pad-to-max.
+        |The bucket cap is pure integer bit arithmetic (2^bitlen(l-1),
+        |the q247 floor-log2 = length(bin) - 1 idiom), identical in both
+        |engines — no float log anywhere. Scale shape: the cap is a
+        |row-local expression, the census a ~log(max_len)-group agg with
+        |map-side combine — scan-bound at 100 TB, state bounded by the
+        |number of power-of-two buckets (< 64), never the corpus.""".stripMargin,
+      """WITH t AS (
+        |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS l
+        |  FROM documents),
+        |b AS (
+        |  SELECT l,
+        |    CASE WHEN l <= 1 THEN 1
+        |         ELSE CAST(power(2, length(bin(l - 1))) AS BIGINT) END AS bucket_cap
+        |  FROM t)
+        |SELECT bucket_cap, count(*)::BIGINT AS n_docs,
+        |  CAST(sum(l) AS BIGINT) AS sum_tokens,
+        |  CAST(count(*) * bucket_cap - sum(l) AS BIGINT) AS pad_tokens,
+        |  (1000 * CAST(count(*) * bucket_cap - sum(l) AS BIGINT))
+        |    // (count(*) * bucket_cap) AS waste_pm,
+        |  CAST(sum(512 - least(l, 512)) AS BIGINT) AS pad512_tokens,
+        |  CAST(sum(greatest(l - 512, 0)) AS BIGINT) AS trunc512_tokens
+        |FROM b GROUP BY 1""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(size(split(col("text"), " ")).cast("bigint").as("l"))
+        .withColumn("bucket_cap",
+          expr("""CASE WHEN l <= 1 THEN 1L
+                 |ELSE CAST(power(2, length(bin(l - 1))) AS BIGINT) END""".stripMargin))
+        .groupBy(col("bucket_cap"))
+        .agg(count(lit(1)).cast("bigint").as("n_docs"),
+          sum(col("l")).cast("bigint").as("sum_tokens"),
+          (count(lit(1)) * col("bucket_cap") - sum(col("l")))
+            .cast("bigint").as("pad_tokens"),
+          expr("""(1000 * CAST(count(1) * bucket_cap - sum(l) AS BIGINT))
+                 |DIV (count(1) * bucket_cap)""".stripMargin).as("waste_pm"),
+          sum(lit(512L) - least(col("l"), lit(512L))).cast("bigint").as("pad512_tokens"),
+          sum(greatest(col("l") - 512L, lit(0L))).cast("bigint").as("trunc512_tokens"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q259_nextfit_packing",
+      """Doc-boundary sequence packing by NEXT-FIT — the online greedy
+        |that T5-style loaders actually run when documents must not be
+        |split across training sequences (Raffel et al. 2020 §3.1.2;
+        |Krell et al. 2021, arXiv 2107.02027, study exactly this
+        |packing-efficiency question; next-fit is the classic bin-
+        |packing baseline with the 2x-of-optimal guarantee, Johnson
+        |1973). Per source in doc_id order, window W=128: a doc longer
+        |than W is truncated to W (no splitting), a doc that no longer
+        |fits closes the current bin. Census per source: docs, packed
+        |tokens, bins used, the ceil(total/W) lower bound (what q99's
+        |concat-and-chunk achieves by splitting docs), fill permille,
+        |and truncation loss. The recurrence fill' = (fill + l > W ?
+        |l : fill + l) is state-dependent — NOT a prefix sum — so the
+        |engine runs it as the funnel kernel does: hash-repartition by
+        |source (ONE shuffle), spill-safe local sort by (source,
+        |doc_id), and a single mapPartitions scan holding O(1) state
+        |per source; the oracle pins the same recurrence as a DuckDB
+        |recursive CTE stepping one doc per source per iteration.
+        |Scale shape: shuffle carries (source, doc_id, two ints) —
+        |never text; output is |sources| rows; a skewed source costs
+        |one long sorted run, the exact trade the funnel tier already
+        |documents.""".stripMargin,
+      """WITH RECURSIVE t AS (
+        |  SELECT source,
+        |    CAST(least(len(string_split(text, ' ')), 128) AS BIGINT) AS l,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS raw,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents),
+        |s AS (
+        |  SELECT source, rn, l AS fill, CAST(1 AS BIGINT) AS bins
+        |  FROM t WHERE rn = 1
+        |  UNION ALL
+        |  SELECT t.source, t.rn,
+        |    CASE WHEN s.fill + t.l > 128 THEN t.l ELSE s.fill + t.l END,
+        |    s.bins + CASE WHEN s.fill + t.l > 128 THEN 1 ELSE 0 END
+        |  FROM s JOIN t ON t.source = s.source AND t.rn = s.rn + 1),
+        |f AS (SELECT source, max(rn) AS n_docs FROM t GROUP BY 1),
+        |a AS (SELECT source, CAST(sum(l) AS BIGINT) AS packed_tokens,
+        |        CAST(sum(raw - l) AS BIGINT) AS trunc_tokens
+        |      FROM t GROUP BY 1)
+        |SELECT f.source, CAST(f.n_docs AS BIGINT) AS n_docs, a.packed_tokens,
+        |  s.bins AS n_bins,
+        |  (a.packed_tokens + 127) // 128 AS lb_bins,
+        |  (1000 * a.packed_tokens) // (s.bins * 128) AS fill_pm,
+        |  a.trunc_tokens
+        |FROM f
+        |JOIN s ON s.source = f.source AND s.rn = f.n_docs
+        |JOIN a ON a.source = f.source""".stripMargin) { (s, dir) =>
+      nextFitCensus(Tables.documents(s, dir), 128L)
     })
+
+  /** The next-fit packer's whole state: five longs, O(1) per source.
+    * `step` IS the recurrence — shared verbatim by the batch kernel
+    * ([[nextFitCensus]]'s sorted scan) and the streaming twin
+    * ([[graft.streaming.StreamPack]]'s keyed state), so the stream ≡
+    * batch proof covers the exact code path, not a transcription. */
+  final case class PackState(
+      nDocs: Long, packed: Long, bins: Long, fill: Long, trunc: Long) {
+    /** One doc: `l` = token length already truncated to the window,
+      * `tr` = tokens lost to that truncation, `w` = the window. */
+    def step(l: Long, tr: Long, w: Long): PackState =
+      if (bins == 0L || fill + l > w)
+        PackState(nDocs + 1L, packed + l, bins + 1L, l, trunc + tr)
+      else
+        PackState(nDocs + 1L, packed + l, bins, fill + l, trunc + tr)
+  }
+  object PackState { val empty: PackState = PackState(0L, 0L, 0L, 0L, 0L) }
+
+  /** q259's packing core over an arbitrary (source, doc_id, text)
+    * frame: next-fit doc-boundary packing at window `w`, docs consumed
+    * in doc_id order per source, oversize docs truncated to `w`. One
+    * hash shuffle + spill-safe local sort + a single mapPartitions
+    * scan holding O(1) per-source state — the funnel kernel's exact
+    * discipline (Funnel.run). Shared by batch q259 and the streaming
+    * twin ([[graft.streaming.StreamPack]]). */
+  private[graft] def nextFitCensus(docs: DataFrame, w: Long): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("source"),
+        col("doc_id").cast("long").as("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("raw"))
+      .withColumn("l", least(col("raw"), lit(w)))
+      .select(col("source"), col("doc_id"), col("l"),
+        (col("raw") - col("l")).as("tr"))
+      .repartition(col("source"))
+      .sortWithinPartitions(col("source"), col("doc_id"))
+      .as[(String, Long, Long, Long)]
+      .mapPartitions { iter =>
+        // contiguous source runs after the sort: the in-flight state is
+        // one PackState (five longs) — never a bin list or doc history
+        new Iterator[(String, Long, Long, Long, Long)] {
+          private var cur: String = null
+          private var st = PackState.empty
+          private var open = false
+          private var pending: (String, Long, Long, Long, Long) = _
+          private def close(): Unit =
+            pending = (cur, st.nDocs, st.packed, st.bins, st.trunc)
+          private def advance(): Unit = {
+            while (pending == null && iter.hasNext) {
+              val (src, _, l, tr) = iter.next()
+              if (open && src != cur) { close(); st = PackState.empty }
+              cur = src; open = true
+              st = st.step(l, tr, w)
+            }
+            if (pending == null && !iter.hasNext && open) {
+              close(); open = false
+            }
+          }
+          override def hasNext: Boolean = { advance(); pending != null }
+          override def next(): (String, Long, Long, Long, Long) = {
+            advance(); val r = pending; pending = null; r
+          }
+        }
+      }
+      .toDF("source", "n_docs", "packed_tokens", "n_bins", "trunc_tokens")
+      .select(col("source"), col("n_docs"), col("packed_tokens"), col("n_bins"),
+        expr(s"(packed_tokens + ${w - 1}) DIV $w").as("lb_bins"),
+        expr(s"(1000 * packed_tokens) DIV (n_bins * $w)").as("fill_pm"),
+        col("trunc_tokens"))
+  }
 
   /** q246's trainable core over an arbitrary (doc_id, text, source)
     * frame — the seam QualityClassifierSpec's separable fixtures drive.
