@@ -1440,6 +1440,87 @@ object TextOps {
                  |       DIV (n_docs * n_docs
                  |       - ((n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00))))
                  |END""".stripMargin).as("kappa_milli"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q260_token_dispersion",
+      """Token dispersion across sources — Gries 2008's DP (deviation
+        |of proportions), the corpus-linguistics number q234's keyness
+        |cannot give: keyness asks IS this token over-represented in
+        |one source, DP asks how UNEVENLY the token spreads over ALL
+        |of them at once (DP 0 = distributed exactly like the corpus,
+        |1 = confined to one source) — the single-score tell for
+        |template/boilerplate tokens that a frequency cut misses
+        |because they are common EVERYWHERE they appear. DP_t =
+        |(1/2)*sum_s |c_ts/C_t - N_s/N| in micro units, every share a
+        |floor division of exact BIGINTs ((1e6*x) DIV y — dividing
+        |EARLY keeps every product within 1e6*count, so the formula
+        |survives corpus sizes where the cross-multiplied form
+        |N*c_ts overflows); sources where the token is absent
+        |contribute their expected share, folded in as (exp_all -
+        |exp_present) — a per-corpus constant minus a per-token sum,
+        |never a dense token x source expansion. Scale shape: ONE
+        |(source, token) count (map-side combine, vocab-bounded
+        |state), re-keyed by token for the totals (the two frames
+        |co-partition on tok so the join adds no exchange), the
+        |20-row source-mass table and the 1-row exp_all broadcast.
+        |Reported for tokens with C_t >= 100 (the census is about
+        |FREQUENT tokens that hide by being spread).""".stripMargin,
+      """WITH tk AS (
+        |  SELECT source, unnest(string_split(lower(text), ' ')) AS tok
+        |  FROM documents),
+        |tc AS (SELECT source, tok, count(*)::BIGINT AS c
+        |  FROM tk WHERE tok <> '' GROUP BY 1, 2),
+        |ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS nsrc
+        |  FROM tc GROUP BY 1),
+        |nn AS (SELECT CAST(sum(nsrc) AS BIGINT) AS n FROM ns),
+        |ea AS (SELECT CAST(sum((1000000 * ns.nsrc) // nn.n) AS BIGINT) AS exp_all
+        |  FROM ns, nn),
+        |ct AS (SELECT tok, CAST(sum(c) AS BIGINT) AS ctot,
+        |         count(*)::BIGINT AS n_src
+        |  FROM tc GROUP BY 1),
+        |d AS (SELECT tc.tok,
+        |        CAST(sum(abs((1000000 * tc.c) // ct.ctot
+        |          - (1000000 * ns.nsrc) // nn.n)) AS BIGINT) AS dpres,
+        |        CAST(sum((1000000 * ns.nsrc) // nn.n) AS BIGINT) AS epres
+        |      FROM tc JOIN ct USING (tok) JOIN ns USING (source), nn
+        |      GROUP BY 1)
+        |SELECT d.tok, ct.ctot AS c_total, ct.n_src,
+        |  (d.dpres + ea.exp_all - d.epres) // 2 AS dp_micro
+        |FROM d JOIN ct ON ct.tok = d.tok, ea
+        |WHERE ct.ctot >= 100""".stripMargin) { (s, dir) =>
+      val tc = Tables.documents(s, dir)
+        .select(col("source"),
+          explode(split(lower(col("text")), " ")).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy(col("source"), col("tok"))
+        .agg(count(lit(1)).cast("bigint").as("c"))
+        .transform(graft.Graft.stagedCheckpoint) // three consumers below
+      val ns = tc.groupBy(col("source"))
+        .agg(sum(col("c")).cast("bigint").as("nsrc"))
+      val nn = ns.agg(sum(col("nsrc")).cast("bigint").as("n"))
+      val nsn = ns.crossJoin(broadcast(nn)) // 20 rows: (source, nsrc, n)
+      val expAll = nsn
+        .agg(sum(expr("(1000000 * nsrc) DIV n")).cast("bigint").as("exp_all"))
+      val ct = tc.groupBy(col("tok"))
+        .agg(sum(col("c")).cast("bigint").as("ctot"),
+          count(lit(1)).cast("bigint").as("n_src"))
+      tc.join(broadcast(nsn), Seq("source"))
+        .join(ct, Seq("tok")) // both sides keyed by tok: no extra exchange
+        // group on tok ALONE (ctot/n_src are functionally dependent —
+        // max() carries them) so the agg exchange reuses the join's
+        // tok partitioning instead of re-keying on a composite
+        .groupBy(col("tok"))
+        .agg(
+          max(col("ctot")).as("ctot"),
+          max(col("n_src")).as("n_src"),
+          sum(abs(expr("(1000000 * c) DIV ctot - (1000000 * nsrc) DIV n")))
+            .cast("bigint").as("dpres"),
+          sum(expr("(1000000 * nsrc) DIV n")).cast("bigint").as("epres"))
+        .filter(col("ctot") >= 100)
+        .crossJoin(broadcast(expAll))
+        .select(col("tok"), col("ctot").as("c_total"), col("n_src"),
+          expr("(dpres + exp_all - epres) DIV 2").as("dp_micro"))
     })
 
   /** Quantized dyadic log2 in integer micro-bits, identical in both

@@ -1030,5 +1030,124 @@ object TpchOps {
           sum(expr("""CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
                      |* CAST(CAST(l_discount AS DECIMAL(18,2)) * 100 AS BIGINT)""".stripMargin))
             .cast("bigint").as("revenue_e4"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q261_rfm_segments",
+      """RFM segmentation — the product-analytics staple (Hughes 1994;
+        |the recency/frequency/monetary cube every CRM cuts customers
+        |by) built value-exact: per customer, recency = days since
+        |last order (vs the corpus max date — the 'as-of' a batch job
+        |actually has), frequency = order count, monetary = exact
+        |DECIMAL-cents total; each metric cut at its terciles and the
+        |27 R x F x M cells reported with customer count, total cents
+        |and total orders. Tercile boundaries are VALUE-based via the
+        |q202/q204 histogram-inversion discipline — the three metrics
+        |STACK into (metric, value) rows so the cumulative window
+        |partitions by metric (never partition-less), its state
+        |bounded by each metric's value DOMAIN (days in the horizon,
+        |max order count, whole dollars — monetary is quantized to
+        |dollars for the boundary domain), not by customer count;
+        |ties at a boundary all land in the LOWER code, ceil(n/3) /
+        |ceil(2n/3) ranks exactly as q204's terciles. The 3x2
+        |threshold table pivots to ONE broadcast row and scoring is
+        |scan-side CASE arithmetic over the staged customer frame
+        |(consumed twice: histogram build + scoring). Code semantics:
+        |1 = lowest value third — so R=1 is the MOST recent third,
+        |F=3/M=3 the heaviest buyers. Scale shape: one custkey
+        |shuffle, one domain-bounded histogram shuffle, a 1-row and a
+        |1-row-of-6 broadcast, and a <= 27-group census.""".stripMargin,
+      """WITH cust AS (
+        |  SELECT o_custkey,
+        |    CAST(max(epoch_us(o_orderdate)) // 86400000000 AS BIGINT) AS last_day,
+        |    count(*)::BIGINT AS f,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |         AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |ref AS (SELECT CAST(max(last_day) AS BIGINT) AS ref_day FROM cust),
+        |base AS (
+        |  SELECT o_custkey, ref.ref_day - cust.last_day AS r, f, cents,
+        |    cents // 100 AS dollars
+        |  FROM cust, ref),
+        |st AS (
+        |  SELECT 'r' AS metric, r AS val FROM base
+        |  UNION ALL SELECT 'f', f FROM base
+        |  UNION ALL SELECT 'm', dollars FROM base),
+        |hist AS (SELECT metric, val, count(*)::BIGINT AS cnt
+        |         FROM st GROUP BY 1, 2),
+        |h2 AS (
+        |  SELECT metric, val, cnt,
+        |    CAST(sum(cnt) OVER (PARTITION BY metric ORDER BY val
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |    CAST(sum(cnt) OVER (PARTITION BY metric) AS BIGINT) AS n
+        |  FROM hist),
+        |th AS (
+        |  SELECT metric,
+        |    min(CASE WHEN cum >= (n + 2) // 3 THEN val END) AS t1,
+        |    min(CASE WHEN cum >= (2 * n + 2) // 3 THEN val END) AS t2
+        |  FROM h2 GROUP BY 1),
+        |tp AS (
+        |  SELECT max(CASE WHEN metric = 'r' THEN t1 END) AS r_t1,
+        |    max(CASE WHEN metric = 'r' THEN t2 END) AS r_t2,
+        |    max(CASE WHEN metric = 'f' THEN t1 END) AS f_t1,
+        |    max(CASE WHEN metric = 'f' THEN t2 END) AS f_t2,
+        |    max(CASE WHEN metric = 'm' THEN t1 END) AS m_t1,
+        |    max(CASE WHEN metric = 'm' THEN t2 END) AS m_t2
+        |  FROM th),
+        |sc AS (
+        |  SELECT
+        |    CASE WHEN r <= r_t1 THEN 1 WHEN r <= r_t2 THEN 2 ELSE 3 END AS r_code,
+        |    CASE WHEN f <= f_t1 THEN 1 WHEN f <= f_t2 THEN 2 ELSE 3 END AS f_code,
+        |    CASE WHEN dollars <= m_t1 THEN 1 WHEN dollars <= m_t2 THEN 2 ELSE 3 END AS m_code,
+        |    f, cents
+        |  FROM base, tp)
+        |SELECT r_code, f_code, m_code, count(*)::BIGINT AS n_customers,
+        |  CAST(sum(cents) AS BIGINT) AS total_cents,
+        |  CAST(sum(f) AS BIGINT) AS total_orders
+        |FROM sc GROUP BY 1, 2, 3""".stripMargin) { (s, dir) =>
+      val cust = Tables.orders(s, dir)
+        .groupBy(col("o_custkey"))
+        .agg(
+          expr("CAST(max(unix_micros(CAST(o_orderdate AS TIMESTAMP))) DIV 86400000000 AS BIGINT)")
+            .as("last_day"),
+          count(lit(1)).cast("bigint").as("f"),
+          sum(expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+            .cast("bigint").as("cents"))
+      val ref = cust.agg(max(col("last_day")).cast("bigint").as("ref_day"))
+      val base = cust.crossJoin(broadcast(ref))
+        .select(col("o_custkey"),
+          (col("ref_day") - col("last_day")).as("r"),
+          col("f"), col("cents"),
+          expr("cents DIV 100").as("dollars"))
+        .transform(graft.Graft.stagedCheckpoint) // histogram build + scoring
+      val st = base.select(
+        expr("stack(3, 'r', r, 'f', f, 'm', dollars) AS (metric, val)"))
+      val cum = Window.partitionBy(col("metric")).orderBy(col("val"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val whole = Window.partitionBy(col("metric"))
+      val th = st.groupBy(col("metric"), col("val"))
+        .agg(count(lit(1)).cast("bigint").as("cnt"))
+        .withColumn("cum", sum(col("cnt")).over(cum).cast("long"))
+        .withColumn("n", sum(col("cnt")).over(whole).cast("long"))
+        .groupBy(col("metric"))
+        .agg(min(when(col("cum") >= expr("(n + 2) DIV 3"), col("val"))).as("t1"),
+          min(when(col("cum") >= expr("(2 * n + 2) DIV 3"), col("val"))).as("t2"))
+      val tp = th.agg(
+        max(when(col("metric") === "r", col("t1"))).as("r_t1"),
+        max(when(col("metric") === "r", col("t2"))).as("r_t2"),
+        max(when(col("metric") === "f", col("t1"))).as("f_t1"),
+        max(when(col("metric") === "f", col("t2"))).as("f_t2"),
+        max(when(col("metric") === "m", col("t1"))).as("m_t1"),
+        max(when(col("metric") === "m", col("t2"))).as("m_t2"))
+      base.crossJoin(broadcast(tp))
+        .select(
+          expr("CASE WHEN r <= r_t1 THEN 1 WHEN r <= r_t2 THEN 2 ELSE 3 END").as("r_code"),
+          expr("CASE WHEN f <= f_t1 THEN 1 WHEN f <= f_t2 THEN 2 ELSE 3 END").as("f_code"),
+          expr("CASE WHEN dollars <= m_t1 THEN 1 WHEN dollars <= m_t2 THEN 2 ELSE 3 END").as("m_code"),
+          col("f"), col("cents"))
+        .groupBy(col("r_code"), col("f_code"), col("m_code"))
+        .agg(count(lit(1)).cast("bigint").as("n_customers"),
+          sum(col("cents")).cast("bigint").as("total_cents"),
+          sum(col("f")).cast("bigint").as("total_orders"))
     })
 }
