@@ -2653,6 +2653,132 @@ object EventsOps {
             .as("gini_micro"),
           expr("(1000 * top_cnt) DIV greatest(n_events, 1)")
             .as("top_decile_share_pm"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q263_top_paths",
+      """Top user paths — the adjacent event-type TRIGRAM census, the
+        |product-analytics 'common journeys' report that extends
+        |q150's first-order Markov matrix one step (a 2nd-order
+        |behavioral signature: signup→click→purchase and
+        |click→click→error are invisible to pairwise transitions).
+        |Per ordered triple of consecutive events within a user's
+        |(epoch micros, event_id) total order: occurrence count, how
+        |many DISTINCT users ever follow the path, and the path's
+        |share of all trigram occurrences in integer permille. Scale
+        |shape: q150's exact discipline — ONE user-keyed window pass
+        |computes both lags (state = two previous rows per partition
+        |stream), the census collapses the corpus to ≤|types|³ rows
+        |(map-side combine; distinct-user counts via a (path, user)
+        |pre-dedup that co-partitions with the census), and the
+        |grand total is a scalar broadcast joined back to ≤125
+        |rows.""".stripMargin,
+      """WITH o AS (
+        |  SELECT user_id,
+        |    lag(event_type, 2) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS t1,
+        |    lag(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS t2,
+        |    event_type AS t3
+        |  FROM events),
+        |tr AS (SELECT user_id, t1, t2, t3 FROM o WHERE t1 IS NOT NULL),
+        |c AS (SELECT t1, t2, t3, count(*)::BIGINT AS n_occurrences
+        |      FROM tr GROUP BY 1, 2, 3),
+        |u AS (SELECT t1, t2, t3, count(*)::BIGINT AS n_users
+        |      FROM (SELECT DISTINCT t1, t2, t3, user_id FROM tr)
+        |      GROUP BY 1, 2, 3),
+        |g AS (SELECT CAST(sum(n_occurrences) AS BIGINT) AS total FROM c)
+        |SELECT c.t1, c.t2, c.t3, c.n_occurrences, u.n_users,
+        |  (1000 * c.n_occurrences) // g.total AS share_pm
+        |FROM c JOIN u USING (t1, t2, t3), g""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(epochUs(col("ts")), col("event_id"))
+      val tr = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("t1", lag(col("event_type"), 2).over(w))
+        .withColumn("t2", lag(col("event_type"), 1).over(w))
+        .filter(col("t1").isNotNull)
+        .select(col("user_id"), col("t1"), col("t2"),
+          col("event_type").as("t3"))
+        .transform(graft.Graft.stagedCheckpoint) // census + distinct users
+      val c = tr.groupBy(col("t1"), col("t2"), col("t3"))
+        .agg(count(lit(1)).cast("bigint").as("n_occurrences"))
+      val u = tr.select(col("t1"), col("t2"), col("t3"), col("user_id"))
+        .distinct()
+        .groupBy(col("t1"), col("t2"), col("t3"))
+        .agg(count(lit(1)).cast("bigint").as("n_users"))
+      val g = c.agg(sum(col("n_occurrences")).cast("bigint").as("total"))
+      c.join(u, Seq("t1", "t2", "t3"))
+        .crossJoin(broadcast(g))
+        .select(col("t1"), col("t2"), col("t3"),
+          col("n_occurrences"), col("n_users"),
+          expr("(1000 * n_occurrences) DIV total").as("share_pm"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q264_transition_latency",
+      """Transition LATENCY matrix — q150's Markov transitions with the
+        |time dimension the count matrix throws away: per (prev_type →
+        |next_type) pair, exact p50/p90/max of the gap between the two
+        |events in whole seconds, plus the mean — how LONG each edge of
+        |the behavioral graph takes, the number a UX/SLA review reads
+        |next to the transition probability. Percentiles are exact by
+        |the q202 histogram-inversion discipline on the second-valued
+        |gap domain: the cumulative window partitions by the type PAIR
+        |and runs over per-pair gap histograms bounded by the event
+        |horizon in seconds — never by event count. Scale shape: ONE
+        |user-keyed window pass (q150's lag, plus the timestamp carried
+        |alongside), one (pair, gap) histogram shuffle with map-side
+        |combine, a ≤|types|² roll-up. Mean is a floor division of
+        |exact sums.""".stripMargin,
+      """WITH o AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS prev_type,
+        |    epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS gap_us
+        |  FROM events),
+        |g AS (SELECT prev_type, event_type AS next_type,
+        |        gap_us // 1000000 AS gap_s
+        |      FROM o WHERE prev_type IS NOT NULL),
+        |hist AS (SELECT prev_type, next_type, gap_s, count(*)::BIGINT AS cnt
+        |         FROM g GROUP BY 1, 2, 3),
+        |h2 AS (
+        |  SELECT prev_type, next_type, gap_s, cnt,
+        |    CAST(sum(cnt) OVER (PARTITION BY prev_type, next_type
+        |      ORDER BY gap_s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |    CAST(sum(cnt) OVER (PARTITION BY prev_type, next_type) AS BIGINT) AS n
+        |  FROM hist)
+        |SELECT prev_type, next_type, max(n) AS n_transitions,
+        |  min(CASE WHEN cum >= (n + 1) // 2 THEN gap_s END) AS p50_s,
+        |  min(CASE WHEN cum >= (9 * n + 9) // 10 THEN gap_s END) AS p90_s,
+        |  max(gap_s) AS max_s,
+        |  CAST(sum(gap_s * cnt) AS BIGINT) // max(n) AS mean_s
+        |FROM h2 GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(epochUs(col("ts")), col("event_id"))
+      val hist = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .withColumn("gap_us", epochUs(col("ts")) - lag(epochUs(col("ts")), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("event_type").as("next_type"),
+          expr("gap_us DIV 1000000").as("gap_s"))
+        .agg(count(lit(1)).cast("bigint").as("cnt"))
+      val cum = Window.partitionBy(col("prev_type"), col("next_type"))
+        .orderBy(col("gap_s"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val whole = Window.partitionBy(col("prev_type"), col("next_type"))
+      hist
+        .withColumn("cum", sum(col("cnt")).over(cum).cast("long"))
+        .withColumn("n", sum(col("cnt")).over(whole).cast("long"))
+        .groupBy(col("prev_type"), col("next_type"))
+        .agg(max(col("n")).as("n_transitions"),
+          min(when(expr("cum >= (n + 1) DIV 2"), col("gap_s"))).as("p50_s"),
+          min(when(expr("cum >= (9 * n + 9) DIV 10"), col("gap_s"))).as("p90_s"),
+          max(col("gap_s")).as("max_s"),
+          expr("CAST(sum(gap_s * cnt) AS BIGINT) DIV max(n)").as("mean_s"))
     })
 
   /** Zero-filled hourly count spine over an arbitrary (event_type, ts)

@@ -1791,6 +1791,47 @@ object TrainingOps {
         |JOIN s ON s.source = f.source AND s.rn = f.n_docs
         |JOIN a ON a.source = f.source""".stripMargin) { (s, dir) =>
       nextFitCensus(Tables.documents(s, dir), 128L)
+    },
+
+    // ----------------------------------------------------------------
+    q("q262_weighted_sample",
+      """Weighted sampling WITHOUT replacement, cluster-deterministic —
+        |Efraimidis & Spirakis 2006's A-ES: each doc draws key
+        |u^(1/w) (u uniform, w = token count) and the k largest keys
+        |are the sample, which selects with probability proportional
+        |to weight and no replacement — the principled way to
+        |subsample a corpus by token mass rather than doc count
+        |(q81's gate is per-STRATUM uniform; this is per-DOC
+        |weighted). Determinism: u comes from the q81 affine hash
+        |family (constants 37/11 — rand() reseeds per partition and
+        |cannot reproduce across cluster sizes), and the log that
+        |u^(1/w) needs is q256's shared-constant quantized dyadic
+        |log2 — maximizing u^(1/w) is minimizing (log2(M) -
+        |log2(u))/w, all BIGINT: ratio_nano = ((31e6 -
+        |log2micro(h)) * 1000) DIV w with M = 2^31 an exact 31e6
+        |micro-bits. Both engines rank the SAME integers, ties break
+        |on doc_id. Scale shape: the key is scan-side row-local
+        |arithmetic; selection is TakeOrdered k=100 (per-partition
+        |top-k + k·|partitions| merge — never a global sort
+        |materialization); output is k rows.""".stripMargin, {
+        val l2 = TextOps.log2MicroDuck(s"(((37 * doc_id + 11) % $P) + 1)")
+        s"""WITH t AS (
+          |  SELECT doc_id, source,
+          |    greatest(CAST(len(string_split(text, ' ')) AS BIGINT), 1) AS w,
+          |    ((31000000 - $l2) * 1000) AS keynum
+          |  FROM documents)
+          |SELECT doc_id, source, w, keynum // w AS ratio_nano
+          |FROM t ORDER BY keynum // w, doc_id LIMIT 100""".stripMargin
+      }) { (s, dir) =>
+      val l2 = TextOps.log2MicroSpark(s"(((37 * doc_id + 11) % $P) + 1)")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"),
+          greatest(size(split(col("text"), " ")).cast("bigint"), lit(1L)).as("w"),
+          expr(s"((31000000 - $l2) * 1000)").as("keynum"))
+        .select(col("doc_id"), col("source"), col("w"),
+          expr("keynum DIV w").as("ratio_nano"))
+        .orderBy(col("ratio_nano"), col("doc_id"))
+        .limit(100)
     })
 
   /** The next-fit packer's whole state: five longs, O(1) per source.
