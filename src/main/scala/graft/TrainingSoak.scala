@@ -513,6 +513,33 @@ object TrainingSoak {
       esAgg.getLong(5) == 1L && esAgg.getLong(6) == 1L &&
       esAgg.getLong(7) == 55L && esAgg.getLong(8) == 55L
 
+    // ---- next-fit packing census (q259 kernel) ---------------------
+    // n/10 synthetic 50-token docs over 64 sources (source = id % 64,
+    // so within a source doc_ids are contiguous strides and the sorted
+    // scan sees dp = D/64 docs each). Closed form at W=128: constant
+    // length 50 packs exactly two docs per bin (50+50=100 fits, +50
+    // overflows), so with dp even every source reports n_bins = dp/2,
+    // packed = 50*dp, fill_pm = (1000*50*dp) DIV ((dp/2)*128) = 781,
+    // trunc 0 — the recurrence exercises BOTH branches every step.
+    // D rounds to a multiple of 1280 so dp is even and >= 20.
+    val pd = math.max(1280L, (n / 10) / 1280 * 1280)
+    val (packAgg, packSec) = timed {
+      val docs = spark.range(pd).select(
+        concat(lit("src"), (col("id") % 64).cast("string")).as("source"),
+        col("id").as("doc_id"),
+        expr("concat_ws(' ', transform(sequence(1, 50), i -> 'x'))").as("text"))
+      operators.TrainingOps.nextFitCensus(docs, 128L)
+        .agg(count(lit(1)).as("srcs"),
+          sum(col("n_bins")).as("bins"), sum(col("packed_tokens")).as("packed"),
+          min(col("fill_pm")).as("fl"), max(col("fill_pm")).as("fh"),
+          sum(col("trunc_tokens")).as("tr"))
+        .collect()(0)
+    }
+    val packOk = packAgg.getLong(0) == 64L &&
+      packAgg.getLong(1) == pd / 2 && packAgg.getLong(2) == 50L * pd &&
+      packAgg.getLong(3) == 781L && packAgg.getLong(4) == 781L &&
+      packAgg.getLong(5) == 0L
+
     println(
       s"""{"metric":"training_soak","rows":$n,""" +
         s""""hll_sec":$hllSec,"hll_est":$hllEst,"hll_ok":$hllOk,""" +
@@ -529,10 +556,11 @@ object TrainingSoak {
         s""""funnel_win_hot_sec":$funnelWinHotSec,"funnel_win_hot_ok":$funnelWinHotOk,""" +
         s""""robust_sec":$robustSec,"robust_ok":$robustOk,""" +
         s""""regression_sec":$regSec,"regression_ok":$regOk,""" +
-        s""""exactsubstr_docs":$dd,"exactsubstr_sec":$esSec,"exactsubstr_ok":$esOk}""")
+        s""""exactsubstr_docs":$dd,"exactsubstr_sec":$esSec,"exactsubstr_ok":$esOk,""" +
+        s""""pack_docs":$pd,"pack_sec":$packSec,"pack_ok":$packOk}""")
     spark.stop()
     if (!(mgOk && sampleOk && vocabOk && ivfOk && asofOk && rangeOk &&
         funnelWideOk && funnelHotOk && funnelWinWideOk && funnelWinHotOk &&
-        vecaggOk && hllOk && robustOk && regOk && esOk)) sys.exit(1)
+        vecaggOk && hllOk && robustOk && regOk && esOk && packOk)) sys.exit(1)
   }
 }
