@@ -2656,63 +2656,75 @@ object EventsOps {
     },
 
     // ----------------------------------------------------------------
-    q("q263_top_paths",
-      """Top user paths — the adjacent event-type TRIGRAM census, the
-        |product-analytics 'common journeys' report that extends
-        |q150's first-order Markov matrix one step (a 2nd-order
-        |behavioral signature: signup→click→purchase and
-        |click→click→error are invisible to pairwise transitions).
-        |Per ordered triple of consecutive events within a user's
-        |(epoch micros, event_id) total order: occurrence count, how
-        |many DISTINCT users ever follow the path, and the path's
-        |share of all trigram occurrences in integer permille. Scale
-        |shape: q150's exact discipline — ONE user-keyed window pass
-        |computes both lags (state = two previous rows per partition
-        |stream), the census collapses the corpus to ≤|types|³ rows
-        |(map-side combine; distinct-user counts via a (path, user)
-        |pre-dedup that co-partitions with the census), and the
-        |grand total is a scalar broadcast joined back to ≤125
-        |rows.""".stripMargin,
+    q("q263_markov2_lift",
+      """Second-order Markov transition model with per-edge MEMORY-GAIN
+        |lift — the model-selection question q150 (first-order matrix)
+        |and q159 (top-path support mining) both leave open: does
+        |remembering TWO steps of history change the next-step
+        |prediction, and on which contexts? Per (t1, t2 → t3) triple
+        |over the user (epoch micros, event_id) total order:
+        |p2_pm = P(t3 | t1,t2) and p1_pm = P(t3 | t2) in permille,
+        |both estimated on the SAME trigram-anchored positions (q150's
+        |all-pairs estimate would mix in positions with no 2-history —
+        |apples to oranges for the lift), and lift_milli = 1000 ·
+        |P(t3|t1,t2) / P(t3|t2) — lift far from 1000 marks the edges
+        |where second-order memory actually earns its state. The lift
+        |cross-product runs in DECIMAL(19,0) (q157's discipline:
+        |count × count × 1000 passes int64 near 1e9 rows). Scale
+        |shape: ONE user-keyed window pass (both lags in one
+        |projection → one Window operator), then every aggregate is
+        |over ≤|types|³ census rows; the prefix/bigram marginals join
+        |back as ≤25-row broadcasts.""".stripMargin,
       """WITH o AS (
         |  SELECT user_id,
-        |    lag(event_type, 2) OVER (PARTITION BY user_id
-        |      ORDER BY epoch_us(ts), event_id) AS t1,
-        |    lag(event_type, 1) OVER (PARTITION BY user_id
-        |      ORDER BY epoch_us(ts), event_id) AS t2,
+        |    lag(event_type, 2) OVER w AS t1,
+        |    lag(event_type, 1) OVER w AS t2,
         |    event_type AS t3
-        |  FROM events),
-        |tr AS (SELECT user_id, t1, t2, t3 FROM o WHERE t1 IS NOT NULL),
-        |c AS (SELECT t1, t2, t3, count(*)::BIGINT AS n_occurrences
-        |      FROM tr GROUP BY 1, 2, 3),
-        |u AS (SELECT t1, t2, t3, count(*)::BIGINT AS n_users
-        |      FROM (SELECT DISTINCT t1, t2, t3, user_id FROM tr)
-        |      GROUP BY 1, 2, 3),
-        |g AS (SELECT CAST(sum(n_occurrences) AS BIGINT) AS total FROM c)
-        |SELECT c.t1, c.t2, c.t3, c.n_occurrences, u.n_users,
-        |  (1000 * c.n_occurrences) // g.total AS share_pm
-        |FROM c JOIN u USING (t1, t2, t3), g""".stripMargin) { (s, dir) =>
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        |tr AS (SELECT t1, t2, t3 FROM o WHERE t1 IS NOT NULL),
+        |c3 AS (SELECT t1, t2, t3, count(*)::BIGINT AS n3
+        |       FROM tr GROUP BY 1, 2, 3),
+        |c2 AS (SELECT t1, t2, CAST(sum(n3) AS BIGINT) AS n2
+        |       FROM c3 GROUP BY 1, 2),
+        |cb AS (SELECT t2, t3, count(*)::BIGINT AS nb FROM tr GROUP BY 1, 2),
+        |ct AS (SELECT t2, CAST(sum(nb) AS BIGINT) AS nbt FROM cb GROUP BY 1)
+        |SELECT c3.t1, c3.t2, c3.t3, c3.n3,
+        |  (1000 * c3.n3) // c2.n2 AS p2_pm,
+        |  (1000 * cb.nb) // ct.nbt AS p1_pm,
+        |  CAST((1000 * CAST(c3.n3 AS HUGEINT) * ct.nbt)
+        |       // (CAST(c2.n2 AS HUGEINT) * cb.nb) AS BIGINT) AS lift_milli
+        |FROM c3 JOIN c2 USING (t1, t2) JOIN cb USING (t2, t3)
+        |JOIN ct USING (t2)""".stripMargin) { (s, dir) =>
       val w = Window.partitionBy(col("user_id"))
         .orderBy(epochUs(col("ts")), col("event_id"))
       val tr = Tables.events(s, dir)
-        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
-        .withColumn("t1", lag(col("event_type"), 2).over(w))
-        .withColumn("t2", lag(col("event_type"), 1).over(w))
-        .filter(col("t1").isNotNull)
-        .select(col("user_id"), col("t1"), col("t2"),
+        .select(col("user_id"),
+          // both lags in ONE projection so they plan as a single
+          // Window operator (one sort, one pass — the q159 note)
+          lag(col("event_type"), 2).over(w).as("t1"),
+          lag(col("event_type"), 1).over(w).as("t2"),
           col("event_type").as("t3"))
-        .transform(graft.Graft.stagedCheckpoint) // census + distinct users
-      val c = tr.groupBy(col("t1"), col("t2"), col("t3"))
-        .agg(count(lit(1)).cast("bigint").as("n_occurrences"))
-      val u = tr.select(col("t1"), col("t2"), col("t3"), col("user_id"))
-        .distinct()
-        .groupBy(col("t1"), col("t2"), col("t3"))
-        .agg(count(lit(1)).cast("bigint").as("n_users"))
-      val g = c.agg(sum(col("n_occurrences")).cast("bigint").as("total"))
-      c.join(u, Seq("t1", "t2", "t3"))
-        .crossJoin(broadcast(g))
-        .select(col("t1"), col("t2"), col("t3"),
-          col("n_occurrences"), col("n_users"),
-          expr("(1000 * n_occurrences) DIV total").as("share_pm"))
+        .filter(col("t1").isNotNull)
+        .select(col("t1"), col("t2"), col("t3"))
+        .transform(graft.Graft.stagedCheckpoint) // trigram + bigram census
+      val c3 = tr.groupBy(col("t1"), col("t2"), col("t3"))
+        .agg(count(lit(1)).cast("bigint").as("n3"))
+      val c2 = c3.groupBy(col("t1"), col("t2"))
+        .agg(sum(col("n3")).cast("bigint").as("n2"))
+      val cb = tr.groupBy(col("t2"), col("t3"))
+        .agg(count(lit(1)).cast("bigint").as("nb"))
+      val ct = cb.groupBy(col("t2"))
+        .agg(sum(col("nb")).cast("bigint").as("nbt"))
+      c3.join(broadcast(c2), Seq("t1", "t2"))
+        .join(broadcast(cb), Seq("t2", "t3"))
+        .join(broadcast(ct), Seq("t2"))
+        .select(col("t1"), col("t2"), col("t3"), col("n3"),
+          expr("(1000 * n3) DIV n2").as("p2_pm"),
+          expr("(1000 * nb) DIV nbt").as("p1_pm"),
+          expr("""CAST((1000 * CAST(n3 AS DECIMAL(19,0)) * nbt)
+                 |     DIV (CAST(n2 AS DECIMAL(19,0)) * nb) AS BIGINT)""".stripMargin)
+            .as("lift_milli"))
     },
 
     // ----------------------------------------------------------------
@@ -2779,6 +2791,224 @@ object EventsOps {
           min(when(expr("cum >= (9 * n + 9) DIV 10"), col("gap_s"))).as("p90_s"),
           max(col("gap_s")).as("max_s"),
           expr("CAST(sum(gap_s * cnt) AS BIGINT) DIV max(n)").as("mean_s"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q265_session_concurrency",
+      """Concurrent-session curve — capacity planning's first chart:
+        |per clock hour, how many of q21's gap-rule sessions are OPEN
+        |(span the hour), how many start, how many end, and how many
+        |distinct users they belong to. Sessions come from q21's exact
+        |two-window pattern (one shuffle, one sort — same 2h gap rule,
+        |so the curve reconciles with the session catalog row for row);
+        |each session then explodes to its [start_hour, end_hour] span
+        |— bounded by the session's own wall-clock length in hours
+        |(horizon-capped), NOT by its event count, so a bot session
+        |with 1e8 events in one hour costs ONE row here. The hourly
+        |census is an hour-keyed agg with map-side combine; state is
+        |the active-hour spine, never the event stream. This is the
+        |interval-overlap count done without a partition-less
+        |boundary-sweep window — the explode trades horizon-bounded
+        |rows for the global cumulative sum the +1/−1 formulation
+        |would need.""".stripMargin,
+      """WITH marked AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 7200000000
+        |         OR lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |    THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM marked),
+        |sess AS (
+        |  SELECT user_id, session_id,
+        |    min(epoch_us(ts) // 1000000) // 3600 AS sh,
+        |    max(epoch_us(ts) // 1000000) // 3600 AS eh
+        |  FROM s GROUP BY 1, 2),
+        |x AS (SELECT user_id, sh, eh, unnest(generate_series(sh, eh)) AS h
+        |      FROM sess)
+        |SELECT h AS epoch_hour, count(*)::BIGINT AS n_active,
+        |  CAST(sum(CASE WHEN h = sh THEN 1 ELSE 0 END) AS BIGINT) AS n_starting,
+        |  CAST(sum(CASE WHEN h = eh THEN 1 ELSE 0 END) AS BIGINT) AS n_ending,
+        |  count(DISTINCT user_id)::BIGINT AS n_users
+        |FROM x GROUP BY 1""".stripMargin) { (s, dir) =>
+      val byTs = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val gap = epochUs(col("ts")) - lag(epochUs(col("ts")), 1).over(byTs)
+      Tables.events(s, dir)
+        .withColumn("brk", when(gap > 7200000000L || gap.isNull, 1).otherwise(0))
+        .withColumn("session_id", sum(col("brk")).over(
+          byTs.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(expr("min(unix_micros(CAST(ts AS TIMESTAMP)) DIV 1000000) DIV 3600").as("sh"),
+          expr("max(unix_micros(CAST(ts AS TIMESTAMP)) DIV 1000000) DIV 3600").as("eh"))
+        .select(col("user_id"), col("sh"), col("eh"),
+          explode(expr("sequence(sh, eh)")).as("epoch_hour"))
+        .groupBy(col("epoch_hour"))
+        .agg(count(lit(1)).cast("bigint").as("n_active"),
+          sum(when(col("epoch_hour") === col("sh"), 1L).otherwise(0L))
+            .cast("bigint").as("n_starting"),
+          sum(when(col("epoch_hour") === col("eh"), 1L).otherwise(0L))
+            .cast("bigint").as("n_ending"),
+          countDistinct(col("user_id")).cast("bigint").as("n_users"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q266_funnel_latency",
+      """Funnel TIME-TO-CONVERT by entry cohort — the duration
+        |dimension the depth censuses (q112/q121) discard: per first-
+        |'view' day, how many users entered the strict FIRST-TOUCH
+        |chain (first view, first click AFTER it, first purchase after
+        |THAT — the attribution-grade chain semantics, deliberately
+        |distinct from q112's greedy earliest-completion subsequence,
+        |which may complete where the first-touch chain stalls), how
+        |many completed, and exact p50/p90 completion seconds via the
+        |q202 histogram inversion on the duration domain, partitioned
+        |by cohort day. Scale shape: the three chained mins are three
+        |aggregates over the SAME user-hash-partitioned staged event
+        |slice (each join lands co-partitioned — the corpus shuffles
+        |once, at the staging repartition); the percentile windows run
+        |over day-partitioned duration histograms bounded by the
+        |horizon in seconds, never by user count.""".stripMargin,
+      """WITH ev AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us FROM events
+        |  WHERE event_type IN ('view', 'click', 'purchase')),
+        |e1 AS (SELECT user_id, min(us) AS t1 FROM ev
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |e2 AS (SELECT ev.user_id, min(us) AS t2 FROM ev JOIN e1 USING (user_id)
+        |       WHERE event_type = 'click' AND us > t1 GROUP BY 1),
+        |e3 AS (SELECT ev.user_id, min(us) AS t3 FROM ev JOIN e2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND us > t2 GROUP BY 1),
+        |c AS (SELECT e1.user_id, t1 // 86400000000 AS day,
+        |        (t3 - t1) // 1000000 AS dur_s
+        |      FROM e1 LEFT JOIN e3 USING (user_id)),
+        |ent AS (SELECT day, count(*)::BIGINT AS n_entered,
+        |          CAST(sum(CASE WHEN dur_s IS NOT NULL THEN 1 ELSE 0 END)
+        |               AS BIGINT) AS n_completed
+        |        FROM c GROUP BY 1),
+        |hist AS (SELECT day, dur_s, count(*)::BIGINT AS cnt
+        |         FROM c WHERE dur_s IS NOT NULL GROUP BY 1, 2),
+        |h2 AS (SELECT day, dur_s, cnt,
+        |         CAST(sum(cnt) OVER (PARTITION BY day ORDER BY dur_s
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) AS cum,
+        |         CAST(sum(cnt) OVER (PARTITION BY day) AS BIGINT) AS n
+        |       FROM hist),
+        |p AS (SELECT day,
+        |        min(CASE WHEN cum >= (n + 1) // 2 THEN dur_s END) AS p50_s,
+        |        min(CASE WHEN cum >= (9 * n + 9) // 10 THEN dur_s END) AS p90_s
+        |      FROM h2 GROUP BY 1)
+        |SELECT ent.day, ent.n_entered, ent.n_completed, p.p50_s, p.p90_s
+        |FROM ent LEFT JOIN p USING (day)""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+        .filter(col("event_type").isin("view", "click", "purchase"))
+        .select(col("user_id"), col("event_type"),
+          epochUs(col("ts")).as("us"))
+        .repartition(col("user_id")) // every agg/join below rides this
+        .transform(graft.Graft.stagedCheckpoint)
+      val e1 = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("us")).as("t1"))
+      val e2 = ev.filter(col("event_type") === "click")
+        .join(e1, Seq("user_id")).filter(col("us") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("us")).as("t2"))
+      val e3 = ev.filter(col("event_type") === "purchase")
+        .join(e2, Seq("user_id")).filter(col("us") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("us")).as("t3"))
+      val c = e1.join(e3, Seq("user_id"), "left")
+        .select(expr("t1 DIV 86400000000").as("day"),
+          expr("(t3 - t1) DIV 1000000").as("dur_s"))
+      val ent = c.groupBy(col("day"))
+        .agg(count(lit(1)).cast("bigint").as("n_entered"),
+          sum(when(col("dur_s").isNotNull, 1L).otherwise(0L))
+            .cast("bigint").as("n_completed"))
+      val cum = Window.partitionBy(col("day")).orderBy(col("dur_s"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val whole = Window.partitionBy(col("day"))
+      val p = c.filter(col("dur_s").isNotNull)
+        .groupBy(col("day"), col("dur_s"))
+        .agg(count(lit(1)).cast("bigint").as("cnt"))
+        .withColumn("cum", sum(col("cnt")).over(cum).cast("long"))
+        .withColumn("n", sum(col("cnt")).over(whole).cast("long"))
+        .groupBy(col("day"))
+        .agg(min(when(expr("cum >= (n + 1) DIV 2"), col("dur_s"))).as("p50_s"),
+          min(when(expr("cum >= (9 * n + 9) DIV 10"), col("dur_s"))).as("p90_s"))
+      ent.join(p, Seq("day"), "left")
+        .select(col("day"), col("n_entered"), col("n_completed"),
+          col("p50_s"), col("p90_s"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q267_theil_decomposition",
+      """Theil T inequality index of event spend, DECOMPOSED — the
+        |property that makes economists reach past Gini (q157/q254
+        |report concentration but cannot say WHERE it lives): T =
+        |T_between + T_within splits inequality into the share
+        |explained by event-type group means vs the share inside the
+        |groups (Theil 1967; Shorrocks 1980 on decomposability). The
+        |log that kept this family out of reach is q256's
+        |shared-constant quantized dyadic log2:
+        |T·S = Σx·log2(x) − S·log2(S/n) runs term-exact in micro-bits
+        |with Σx·log2(x) accumulated in DECIMAL(38,0) (cents ×
+        |micro-bits passes int64 near 1e9 rows — q157's discipline;
+        |decimal sums are order-independent, so the result is
+        |bit-identical under any partitioning), and T_between needs
+        |only the ≤|types| group (n_g, S_g) pairs. Output in
+        |micro-bits of entropy (×ln2 for nats): total, between,
+        |within = total − between, over positive-cent events (Theil
+        |is defined on positive values — the filter IS the
+        |definition). Scale shape: one |types|-group partial agg over
+        |the scan, a ≤|types|-row roll-up, zero joins, zero
+        |windows.""".stripMargin, {
+        import TextOps.{log2MicroDuck => ld}
+        s"""WITH c AS (
+          |  SELECT event_type,
+          |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+          |  FROM events
+          |  WHERE CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) >= 1),
+          |g AS (
+          |  SELECT event_type, count(*)::BIGINT AS ng,
+          |    CAST(sum(cents) AS BIGINT) AS sg,
+          |    sum(CAST(cents AS HUGEINT) * ${ld("cents")}) AS rg
+          |  FROM c GROUP BY 1),
+          |t AS (
+          |  SELECT CAST(sum(ng) AS BIGINT) AS n, CAST(sum(sg) AS BIGINT) AS s,
+          |    sum(rg) AS r,
+          |    sum(CAST(sg AS HUGEINT) * (${ld("sg")} - ${ld("ng")})) AS b
+          |  FROM g)
+          |SELECT n, s AS total_cents,
+          |  CAST(r // CAST(s AS HUGEINT) AS BIGINT) - ${ld("s")} + ${ld("n")}
+          |    AS theil_micro,
+          |  CAST(b // CAST(s AS HUGEINT) AS BIGINT) - ${ld("s")} + ${ld("n")}
+          |    AS between_micro,
+          |  (CAST(r // CAST(s AS HUGEINT) AS BIGINT) - ${ld("s")} + ${ld("n")})
+          |  - (CAST(b // CAST(s AS HUGEINT) AS BIGINT) - ${ld("s")} + ${ld("n")})
+          |    AS within_micro
+          |FROM t""".stripMargin
+      }) { (s, dir) =>
+      import TextOps.{log2MicroSpark => ls}
+      val c = Tables.events(s, dir)
+        .select(col("event_type"),
+          (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+        .filter(col("cents") >= 1)
+      val g = c.groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("bigint").as("ng"),
+          sum(col("cents")).cast("bigint").as("sg"),
+          sum(expr(s"CAST(cents AS DECIMAL(19,0)) * ${ls("cents")}"))
+            .cast("decimal(38,0)").as("rg"))
+      g.agg(sum(col("ng")).cast("bigint").as("n"),
+          sum(col("sg")).cast("bigint").as("s"),
+          sum(col("rg")).cast("decimal(38,0)").as("r"),
+          sum(expr(s"CAST(sg AS DECIMAL(19,0)) * (${ls("sg")} - ${ls("ng")})"))
+            .cast("decimal(38,0)").as("b"))
+        .select(col("n"), col("s").as("total_cents"),
+          expr(s"""CAST(r DIV CAST(s AS DECIMAL(19,0)) AS BIGINT)
+                  | - ${ls("s")} + ${ls("n")}""".stripMargin).as("theil_micro"),
+          expr(s"""CAST(b DIV CAST(s AS DECIMAL(19,0)) AS BIGINT)
+                  | - ${ls("s")} + ${ls("n")}""".stripMargin).as("between_micro"),
+          expr(s"""(CAST(r DIV CAST(s AS DECIMAL(19,0)) AS BIGINT) - ${ls("s")} + ${ls("n")})
+                  | - (CAST(b DIV CAST(s AS DECIMAL(19,0)) AS BIGINT) - ${ls("s")} + ${ls("n")})""".stripMargin)
+            .as("within_micro"))
     })
 
   /** Zero-filled hourly count spine over an arbitrary (event_type, ts)
