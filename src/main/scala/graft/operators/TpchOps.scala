@@ -1149,5 +1149,125 @@ object TpchOps {
         .agg(count(lit(1)).cast("bigint").as("n_customers"),
           sum(col("cents")).cast("bigint").as("total_cents"),
           sum(col("f")).cast("bigint").as("total_orders"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q268_order_backlog",
+      """Open-order BACKLOG curve — the fulfillment-ops daily chart
+        |(how many orders are in flight, entering, and leaving, and
+        |how much money is tied up in them): an order is open from its
+        |order date until its LAST line ships (q202 measures the
+        |latency distribution of exactly this interval; this query
+        |materializes the concurrency it implies). Same
+        |interval-overlap discipline as q265: each order explodes to
+        |its [order_day, last_ship_day] span — bounded by fulfillment
+        |latency in DAYS (q202's domain argument), never by line
+        |count — and the daily census is a day-keyed agg with map-side
+        |combine. The close day is clamped to >= the open day so both
+        |engines agree on degenerate spans (Spark's sequence() counts
+        |DOWN when end < start, DuckDB's generate_series returns
+        |empty — the clamp removes the divergence class). Scale
+        |shape: orders ⋈ lineitem is key-co-partitioned (one
+        |shuffle pair), the explode output is orders × avg-latency
+        |rows, the census ≤ horizon days.""".stripMargin,
+      """WITH o AS (
+        |  SELECT o.o_orderkey,
+        |    epoch_us(o.o_orderdate) // 86400000000 AS open_day,
+        |    CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |    greatest(max(epoch_us(l.l_shipdate) // 86400000000),
+        |             epoch_us(o.o_orderdate) // 86400000000) AS close_day
+        |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |  GROUP BY 1, 2, 3),
+        |x AS (SELECT open_day, close_day, cents,
+        |        unnest(generate_series(open_day, close_day)) AS day
+        |      FROM o)
+        |SELECT day, count(*)::BIGINT AS n_open,
+        |  CAST(sum(CASE WHEN day = open_day THEN 1 ELSE 0 END) AS BIGINT) AS n_opening,
+        |  CAST(sum(CASE WHEN day = close_day THEN 1 ELSE 0 END) AS BIGINT) AS n_closing,
+        |  CAST(sum(cents) AS BIGINT) AS open_value_cents
+        |FROM x GROUP BY 1""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir)
+        .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_shipdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"),
+          expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000")
+            .as("open_day"),
+          expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+            .as("cents"))
+        .agg(expr("""greatest(max(unix_micros(CAST(l_shipdate AS TIMESTAMP))
+                    |  DIV 86400000000), open_day)""".stripMargin).as("close_day"))
+        .select(col("open_day"), col("close_day"), col("cents"),
+          explode(expr("sequence(open_day, close_day)")).as("day"))
+        .groupBy(col("day"))
+        .agg(count(lit(1)).cast("bigint").as("n_open"),
+          sum(when(col("day") === col("open_day"), 1L).otherwise(0L))
+            .cast("bigint").as("n_opening"),
+          sum(when(col("day") === col("close_day"), 1L).otherwise(0L))
+            .cast("bigint").as("n_closing"),
+          sum(col("cents")).cast("bigint").as("open_value_cents"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q269_reorder_cycle",
+      """Reorder-cycle distribution — the purchase-cadence report
+        |behind replenishment forecasting and q261's R threshold
+        |choice: per calendar YEAR (of the earlier order), the gaps in
+        |days between a customer's consecutive orders, as exact
+        |p50/p90/max plus the mean, via the q202 histogram-inversion
+        |discipline on the (year, gap_days) domain. Ordering within a
+        |customer is the suite's total order (epoch day, order key).
+        |Scale shape: ONE customer-keyed window pass computes the
+        |gaps; the histogram shuffle carries (year, gap_days) with
+        |map-side combine — bounded by horizon-years × latency-days,
+        |never by order count; the roll-up is |years| rows.""".stripMargin,
+      """WITH o AS (
+        |  SELECT o_custkey, year(o_orderdate) AS yr,
+        |    epoch_us(o_orderdate) // 86400000000 AS day,
+        |    lag(epoch_us(o_orderdate) // 86400000000) OVER w AS prev_day,
+        |    lag(year(o_orderdate)) OVER w AS prev_yr
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey
+        |               ORDER BY epoch_us(o_orderdate) // 86400000000, o_orderkey)),
+        |g AS (SELECT prev_yr AS yr, day - prev_day AS gap_days FROM o
+        |      WHERE prev_day IS NOT NULL),
+        |hist AS (SELECT yr, gap_days, count(*)::BIGINT AS cnt
+        |         FROM g GROUP BY 1, 2),
+        |h2 AS (SELECT yr, gap_days, cnt,
+        |         CAST(sum(cnt) OVER (PARTITION BY yr ORDER BY gap_days
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) AS cum,
+        |         CAST(sum(cnt) OVER (PARTITION BY yr) AS BIGINT) AS n
+        |       FROM hist)
+        |SELECT yr, max(n) AS n_gaps,
+        |  min(CASE WHEN cum >= (n + 1) // 2 THEN gap_days END) AS p50_days,
+        |  min(CASE WHEN cum >= (9 * n + 9) // 10 THEN gap_days END) AS p90_days,
+        |  max(gap_days) AS max_days,
+        |  CAST(sum(gap_days * cnt) AS BIGINT) // max(n) AS mean_days
+        |FROM h2 GROUP BY 1""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("day"), col("o_orderkey"))
+      val hist = Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"),
+          year(col("o_orderdate")).as("yr0"),
+          expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000")
+            .as("day"))
+        .select(col("o_custkey"), col("o_orderkey"), col("day"),
+          lag(col("day"), 1).over(w).as("prev_day"),
+          lag(col("yr0"), 1).over(w).as("yr"))
+        .filter(col("prev_day").isNotNull)
+        .groupBy(col("yr"), (col("day") - col("prev_day")).as("gap_days"))
+        .agg(count(lit(1)).cast("bigint").as("cnt"))
+      val cum = Window.partitionBy(col("yr")).orderBy(col("gap_days"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val whole = Window.partitionBy(col("yr"))
+      hist
+        .withColumn("cum", sum(col("cnt")).over(cum).cast("long"))
+        .withColumn("n", sum(col("cnt")).over(whole).cast("long"))
+        .groupBy(col("yr"))
+        .agg(max(col("n")).as("n_gaps"),
+          min(when(expr("cum >= (n + 1) DIV 2"), col("gap_days"))).as("p50_days"),
+          min(when(expr("cum >= (9 * n + 9) DIV 10"), col("gap_days"))).as("p90_days"),
+          max(col("gap_days")).as("max_days"),
+          expr("CAST(sum(gap_days * cnt) AS BIGINT) DIV max(n)").as("mean_days"))
     })
 }
