@@ -943,6 +943,76 @@ object ScaleOps {
             .as("within_q8_mean"),
           expr("""CAST(bnum DIV (CAST(n AS DECIMAL(38,0)) * n * ng * ng) AS BIGINT)""")
             .as("dist2_global_q8"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q270_join_skew_audit",
+      """Join-key SKEW pre-flight — the audit that decides when
+        |SCALE.md §4's salting/AQE-skew-join rules fire, run as a
+        |query instead of a post-mortem: for each of the suite's three
+        |hottest shuffle keys (lineitem.l_orderkey, events.user_id,
+        |documents.source), the key count, row count, heaviest key,
+        |mean rows/key, skew factor (max/mean, milli), and the exact
+        |p99 key weight. A 1000-executor shuffle stalls on its
+        |heaviest key regardless of cluster size — skew_milli names
+        |the stall BEFORE the job runs. p99 comes from the
+        |frequency-of-frequencies histogram (rows-per-key → how many
+        |keys carry that many rows), which is bounded by the heaviest
+        |key's weight, never by key count — so the cumulative window
+        |partitions by relation over a tiny spectrum. Scale shape:
+        |one groupBy per relation (the same shuffle the audited join
+        |would do — the audit costs what one map-side-combined pass
+        |costs), then everything downstream is spectrum-sized.""".stripMargin,
+      """WITH c1 AS (SELECT count(*)::BIGINT AS cnt FROM lineitem GROUP BY l_orderkey),
+        |f1 AS (SELECT 'lineitem.l_orderkey' AS relation, cnt,
+        |         count(*)::BIGINT AS nk FROM c1 GROUP BY 2),
+        |c2 AS (SELECT count(*)::BIGINT AS cnt FROM events GROUP BY user_id),
+        |f2 AS (SELECT 'events.user_id' AS relation, cnt,
+        |         count(*)::BIGINT AS nk FROM c2 GROUP BY 2),
+        |c3 AS (SELECT count(*)::BIGINT AS cnt FROM documents GROUP BY source),
+        |f3 AS (SELECT 'documents.source' AS relation, cnt,
+        |         count(*)::BIGINT AS nk FROM c3 GROUP BY 2),
+        |fof AS (SELECT * FROM f1 UNION ALL SELECT * FROM f2
+        |        UNION ALL SELECT * FROM f3),
+        |h AS (SELECT relation, cnt, nk,
+        |        CAST(sum(nk) OVER (PARTITION BY relation ORDER BY cnt
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS BIGINT) AS cum,
+        |        CAST(sum(nk) OVER (PARTITION BY relation) AS BIGINT) AS n_keys,
+        |        CAST(sum(cnt * nk) OVER (PARTITION BY relation) AS BIGINT) AS n_rows
+        |      FROM fof)
+        |SELECT relation, max(n_keys) AS n_keys, max(n_rows) AS n_rows,
+        |  max(cnt) AS max_key_rows,
+        |  max(n_rows) // max(n_keys) AS mean_key_rows,
+        |  (1000 * max(cnt) * max(n_keys)) // max(n_rows) AS skew_milli,
+        |  min(CASE WHEN cum >= (99 * n_keys + 99) // 100 THEN cnt END) AS p99_key_rows
+        |FROM h GROUP BY 1""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      def keyCounts(rel: String, df: DataFrame, key: org.apache.spark.sql.Column) =
+        df.groupBy(key.as("key")).agg(count(lit(1)).cast("bigint").as("cnt"))
+          .groupBy(col("cnt")).agg(count(lit(1)).cast("bigint").as("nk"))
+          .select(lit(rel).as("relation"), col("cnt"), col("nk"))
+      // the three spectra union AFTER per-relation aggregation, so the
+      // key columns never need a common type (and never leave their agg)
+      val fof =
+        keyCounts("lineitem.l_orderkey", Tables.lineitem(s, dir), col("l_orderkey"))
+          .unionByName(keyCounts("events.user_id", Tables.events(s, dir), col("user_id")))
+          .unionByName(keyCounts("documents.source", Tables.documents(s, dir),
+            col("source")))
+      val cum = Window.partitionBy(col("relation")).orderBy(col("cnt"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val whole = Window.partitionBy(col("relation"))
+      fof
+        .withColumn("cum", sum(col("nk")).over(cum).cast("long"))
+        .withColumn("n_keys", sum(col("nk")).over(whole).cast("long"))
+        .withColumn("n_rows", sum(col("cnt") * col("nk")).over(whole).cast("long"))
+        .groupBy(col("relation"))
+        .agg(max(col("n_keys")).as("n_keys"), max(col("n_rows")).as("n_rows"),
+          max(col("cnt")).as("max_key_rows"),
+          expr("max(n_rows) DIV max(n_keys)").as("mean_key_rows"),
+          expr("(1000 * max(cnt) * max(n_keys)) DIV max(n_rows)").as("skew_milli"),
+          min(when(expr("cum >= (99 * n_keys + 99) DIV 100"), col("cnt")))
+            .as("p99_key_rows"))
     }
   )
 
