@@ -27,6 +27,7 @@ object SparkEntry {
       operators.ScaleOps.defs ++
       operators.TrainingOps.defs ++
       operators.TemporalJoins.defs ++
+      operators.DataQuality.defs ++
       sources.SchemaDrift.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
