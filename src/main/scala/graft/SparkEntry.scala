@@ -28,6 +28,7 @@ object SparkEntry {
       operators.TrainingOps.defs ++
       operators.TemporalJoins.defs ++
       operators.DataQuality.defs ++
+      operators.Drift.defs ++
       sources.SchemaDrift.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
