@@ -29,6 +29,7 @@ object SparkEntry {
       operators.TemporalJoins.defs ++
       operators.DataQuality.defs ++
       operators.Drift.defs ++
+      operators.TimeSeries.defs ++
       sources.SchemaDrift.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

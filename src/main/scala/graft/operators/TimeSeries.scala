@@ -1,0 +1,362 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.QueryDef.q
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, Dataset}
+
+/** Time-series analytics tier — the bar/indicator operators every
+  * metrics warehouse and market-data pipeline runs over an event
+  * stream: time-weighted averages (TWAP), OHLC bars, the Pearson
+  * cross-correlation matrix between series, and Holt's linear-trend
+  * exponential smoothing with dyadic coefficients.
+  *
+  * Exactness discipline: money stays in BIGINT cents (the q178
+  * DECIMAL(18,2)*100 convention), time in integer micros/hours,
+  * Pearson through DECIMAL(38,0)/HUGEINT cross-moments with the
+  * quotient bounded by Cauchy-Schwarz, and the Holt recurrence uses
+  * alpha = beta = 1/4 so every step is one integer division that
+  * TRUNCATES toward zero in both engines (Java long `/` in the Scala
+  * kernel; DuckDB's integer `//` truncates on BIGINT even though it
+  * floors on DOUBLE) — negative trends step identically everywhere.
+  *
+  * Scale shape: q278/q279 ride day/hour-bounded windows (never a
+  * per-type global sort); q280 collapses to an hour-spine census
+  * before any pairing; q281 is the funnel/packing recurrence
+  * discipline — ONE hash shuffle of the wall-clock-bounded spine,
+  * spill-safe local sort, O(1) state per series, with the step
+  * function shared verbatim with the streaming twin
+  * ([[graft.streaming.StreamHolt]]).
+  */
+object TimeSeries {
+
+  /** Holt's linear-trend state (Holt 1957; Hyndman & Athanasopoulos
+    * fpp3 §8.2) with alpha = beta = 1/4, all integer milli-units:
+    *   l_t = (1000*y_t + 3*(l + b)) / 4
+    *   b_t = ((l_t - l) + 3*b) / 4
+    * divisions TRUNCATE toward zero — Java's long `/`, which is what
+    * BOTH SQL engines do on integers (DuckDB `//` truncates on
+    * BIGINT, (-7)//4 = -1, despite flooring on DOUBLE; Spark DIV
+    * truncates), so negative trends step identically everywhere.
+    * `sae` accumulates |1-step forecast error|; the first observation
+    * initializes l = 1000*y, b = 0 and is not a forecast. `step` is
+    * shared VERBATIM by batch q281, the per-hour chart kernel, and
+    * the streaming twin — the stream ≡ batch proof covers this exact
+    * code. */
+  final case class HoltState(n: Long, l: Long, b: Long, sae: Long) {
+    def step(y: Long): HoltState =
+      if (n == 0L) HoltState(1L, 1000L * y, 0L, 0L)
+      else {
+        val e = math.abs(1000L * y - (l + b))
+        val l2 = (1000L * y + 3L * (l + b)) / 4L
+        val b2 = ((l2 - l) + 3L * b) / 4L
+        HoltState(n + 1L, l2, b2, sae + e)
+      }
+  }
+  object HoltState { val empty: HoltState = HoltState(0L, 0L, 0L, 0L) }
+
+  /** One per-hour row of the Holt chart (batch and stream twins):
+    * the state AFTER folding the hour, plus the next-hour forecast. */
+  final case class HoltRow(
+      event_type: String, epoch_hour: Long, cnt: Long,
+      level_milli: Long, trend_milli: Long, forecast_milli: Long)
+
+  /** Per-hour Holt chart over the zero-filled hourly spine — the
+    * batch twin [[graft.streaming.StreamHolt]] must reproduce
+    * row-for-row. Spine rows hash-shuffle by type ONCE, sort locally
+    * by hour, and fold through [[HoltState.step]] with O(1) state. */
+  def holtChart(events: DataFrame): Dataset[HoltRow] = {
+    val s = events.sparkSession
+    import s.implicits._
+    EventsOps.hourlySpineOf(events)
+      .select(col("event_type"), col("h").cast("long"), col("cnt").cast("long"))
+      .as[(String, Long, Long)]
+      .repartition(col("event_type"))
+      .sortWithinPartitions(col("event_type"), col("h"))
+      .mapPartitions { iter =>
+        new Iterator[HoltRow] {
+          private var cur: String = null
+          private var st = HoltState.empty
+          private var nextRow: HoltRow = _
+          private var has = false
+          private def advance(): Unit = {
+            has = false
+            while (!has && iter.hasNext) {
+              val (t, h, y) = iter.next()
+              if (t != cur) { cur = t; st = HoltState.empty }
+              st = st.step(y)
+              nextRow = HoltRow(t, h, y, st.l, st.b, st.l + st.b)
+              has = true
+            }
+          }
+          advance()
+          def hasNext: Boolean = has
+          def next(): HoltRow = { val r = nextRow; advance(); r }
+        }
+      }
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    // ------------------------------------------------------------------
+    q("q278_twap",
+      """Time-weighted average value per (event type, day) — TWAP, the
+        |execution-quality benchmark (Berkowitz et al. 1988's market-
+        |impact yardstick) and equally the correct way to average any
+        |last-observation-carried-forward gauge: each observation's
+        |value holds until the type's NEXT event, weighted by that
+        |interval's exact duration in micros; intervals that cross
+        |midnight are excluded so every day's average is self-contained
+        |(the deterministic variant of day-clamping — documented, and
+        |identical in both engines because the window partitions BY
+        |(type, day), making the cross-midnight lead null). All BIGINT:
+        |cents x gap-micros accumulates in DECIMAL(38,0)/HUGEINT, the
+        |final division is non-negative DIV.
+        |Scale shape: the ONLY window partitions by (type, day) — each
+        |partition is one day of one type's events, never a global or
+        |per-type total order; the census is (type, day)-sized.""".stripMargin,
+      """WITH t AS (
+        |  SELECT event_type, epoch_us(ts) AS us, event_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |    epoch_us(ts) // 86400000000 AS day
+        |  FROM events),
+        |g AS (
+        |  SELECT event_type, day, cents,
+        |    lead(us) OVER (PARTITION BY event_type, day
+        |                   ORDER BY us, event_id) - us AS gap_us
+        |  FROM t)
+        |SELECT event_type, day, count(*)::BIGINT AS n_intervals,
+        |  CAST(sum(gap_us) AS BIGINT) AS dur_us,
+        |  CAST(sum(CAST(cents AS HUGEINT) * gap_us)
+        |       // sum(CAST(gap_us AS HUGEINT)) AS BIGINT) AS twap_cents
+        |FROM g WHERE gap_us IS NOT NULL AND gap_us > 0
+        |GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val t = Tables.events(s, dir).select(col("event_type"),
+        expr("unix_micros(ts)").as("us"), col("event_id"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"),
+        expr("unix_micros(ts) DIV 86400000000").as("day"))
+      val w = Window.partitionBy(col("event_type"), col("day"))
+        .orderBy(col("us"), col("event_id"))
+      t.withColumn("gap_us", lead(col("us"), 1).over(w) - col("us"))
+        .filter(col("gap_us").isNotNull && col("gap_us") > 0)
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).cast("bigint").as("n_intervals"),
+          sum(col("gap_us")).cast("bigint").as("dur_us"),
+          expr("""CAST(sum(CAST(cents AS DECIMAL(38,0)) * gap_us)
+                 |DIV sum(CAST(gap_us AS DECIMAL(38,0))) AS BIGINT)""".stripMargin)
+            .as("twap_cents"))
+    },
+
+    // ------------------------------------------------------------------
+    q("q279_ohlc_bars",
+      """OHLC candlestick bars per (event type, hour) — the universal
+        |time-series downsampling (every market-data store and metrics
+        |TSDB materializes these): open and close are the value of the
+        |first/last event by the deterministic (ts, event_id) total
+        |order WITHIN the bar (a row_number in both engines — never an
+        |engine-specific arg_min/first_value whose tie rules could
+        |differ), high/low are max/min cents, and mean_cents the exact
+        |bar average. Scale shape: the two row_number windows partition
+        |by (type, hour) — bar-bounded, thousands of rows each at any
+        |corpus size — and everything else is one (type, hour) census
+        |aggregate with map-side combine.""".stripMargin,
+      """WITH t AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+        |    epoch_us(ts) AS us, event_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, h, cents,
+        |    row_number() OVER (PARTITION BY event_type, h
+        |                       ORDER BY us, event_id) AS rn_a,
+        |    row_number() OVER (PARTITION BY event_type, h
+        |                       ORDER BY us DESC, event_id DESC) AS rn_d
+        |  FROM t)
+        |SELECT event_type, h AS epoch_hour, count(*)::BIGINT AS n_events,
+        |  CAST(max(CASE WHEN rn_a = 1 THEN cents END) AS BIGINT) AS open_cents,
+        |  CAST(max(cents) AS BIGINT) AS high_cents,
+        |  CAST(min(cents) AS BIGINT) AS low_cents,
+        |  CAST(max(CASE WHEN rn_d = 1 THEN cents END) AS BIGINT) AS close_cents,
+        |  CAST(sum(cents) // count(*) AS BIGINT) AS mean_cents
+        |FROM r GROUP BY 1, 2""".stripMargin) { (s, dir) =>
+      val t = Tables.events(s, dir).select(col("event_type"),
+        expr("unix_micros(ts) DIV 3600000000").as("h"),
+        expr("unix_micros(ts)").as("us"), col("event_id"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+      val wa = Window.partitionBy(col("event_type"), col("h"))
+        .orderBy(col("us"), col("event_id"))
+      val wd = Window.partitionBy(col("event_type"), col("h"))
+        .orderBy(col("us").desc, col("event_id").desc)
+      t.withColumn("rn_a", row_number().over(wa))
+        .withColumn("rn_d", row_number().over(wd))
+        .groupBy(col("event_type"), col("h").as("epoch_hour"))
+        .agg(count(lit(1)).cast("bigint").as("n_events"),
+          max(when(col("rn_a") === 1, col("cents"))).cast("bigint").as("open_cents"),
+          max(col("cents")).cast("bigint").as("high_cents"),
+          min(col("cents")).cast("bigint").as("low_cents"),
+          max(when(col("rn_d") === 1, col("cents"))).cast("bigint").as("close_cents"),
+          expr("CAST(sum(cents) DIV count(1) AS BIGINT)").as("mean_cents"))
+    },
+
+    // ------------------------------------------------------------------
+    q("q280_type_correlation",
+      """Pearson cross-correlation matrix between event-type hourly
+        |series — the co-movement statistic q244's rank concordance
+        |deliberately avoided and this query makes exact: for every
+        |ordered type pair over the GLOBAL zero-filled hour spine
+        |(absence is a 0 observation — correlation over different
+        |supports is meaningless), the covariance numerator
+        |num = n*Sxy - Sx*Sy, its sign, and r^2 in ppm =
+        |1e6*num^2 / ((n*Sxx - Sx^2)(n*Syy - Sy^2)) — the quotient is
+        |<= 1e6 BY Cauchy-Schwarz, so the division cannot overflow;
+        |products ride DECIMAL(38,0)/HUGEINT; constant series report
+        |r2 = 0 via the greatest(...,1) denominator guard (the q244
+        |zero-denominator convention). sign + r^2 carry everything r
+        |does without a cross-engine sqrt.
+        |Scale shape: one (type, hour) count with map-side combine,
+        |a wall-clock-bounded dense spine, a |types|^2 x |hours|
+        |census self-join on hour, five integer moments per pair.""".stripMargin,
+      """WITH c AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+        |    count(*)::BIGINT AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT min(h) AS h0, max(h) AS h1 FROM c),
+        |ty AS (SELECT DISTINCT event_type FROM c),
+        |sp AS (SELECT ty.event_type, g.h
+        |       FROM ty CROSS JOIN
+        |         (SELECT unnest(generate_series(b.h0, b.h1)) AS h FROM b) g),
+        |z AS (SELECT sp.event_type, sp.h, COALESCE(c.cnt, 0) AS cnt
+        |      FROM sp LEFT JOIN c ON c.event_type = sp.event_type AND c.h = sp.h),
+        |p AS (
+        |  SELECT a.event_type AS type_a, b2.event_type AS type_b,
+        |    count(*)::BIGINT AS n,
+        |    CAST(sum(a.cnt) AS BIGINT) AS sx, CAST(sum(b2.cnt) AS BIGINT) AS sy,
+        |    CAST(sum(a.cnt * b2.cnt) AS BIGINT) AS sxy,
+        |    CAST(sum(a.cnt * a.cnt) AS BIGINT) AS sxx,
+        |    CAST(sum(b2.cnt * b2.cnt) AS BIGINT) AS syy
+        |  FROM z a JOIN z b2 ON a.h = b2.h AND a.event_type < b2.event_type
+        |  GROUP BY 1, 2)
+        |SELECT type_a, type_b, n,
+        |  CAST(CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy AS BIGINT) AS cov_num,
+        |  CASE WHEN CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy > 0 THEN 1
+        |       WHEN CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy < 0 THEN -1
+        |       ELSE 0 END AS cov_sign,
+        |  CAST((1000000 * (CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy)
+        |                 * (CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy))
+        |       // (greatest(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx, 1)
+        |          * greatest(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy, 1))
+        |    AS BIGINT) AS r2_ppm
+        |FROM p""".stripMargin) { (s, dir) =>
+      val c = Tables.events(s, dir)
+        .groupBy(col("event_type"), expr("unix_micros(ts) DIV 3600000000").as("h"))
+        .agg(count(lit(1)).cast("bigint").as("cnt"))
+        .transform(graft.Graft.stagedCheckpoint) // bounds, types, grid
+      val b = c.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      val ty = c.select(col("event_type")).distinct()
+      val sp = ty.crossJoin(broadcast(
+        b.select(explode(sequence(col("h0"), col("h1"))).as("h"))))
+      val z = sp.join(c, Seq("event_type", "h"), "left")
+        .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+        .transform(graft.Graft.stagedCheckpoint) // self-joined a x b
+      val a = z.select(col("h"), col("event_type").as("type_a"), col("cnt").as("ca"))
+      val b2 = z.select(col("h"), col("event_type").as("type_b"), col("cnt").as("cb"))
+      a.join(b2, Seq("h"))
+        .filter(col("type_a") < col("type_b"))
+        .groupBy(col("type_a"), col("type_b"))
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          sum(col("ca")).cast("bigint").as("sx"),
+          sum(col("cb")).cast("bigint").as("sy"),
+          sum(col("ca") * col("cb")).cast("bigint").as("sxy"),
+          sum(col("ca") * col("ca")).cast("bigint").as("sxx"),
+          sum(col("cb") * col("cb")).cast("bigint").as("syy"))
+        .select(col("type_a"), col("type_b"), col("n"),
+          expr("CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy")
+            .cast("bigint").as("cov_num"),
+          expr("""CASE WHEN CAST(n AS DECIMAL(38,0)) * sxy
+                 |          - CAST(sx AS DECIMAL(38,0)) * sy > 0 THEN 1
+                 |     WHEN CAST(n AS DECIMAL(38,0)) * sxy
+                 |          - CAST(sx AS DECIMAL(38,0)) * sy < 0 THEN -1
+                 |     ELSE 0 END""".stripMargin).cast("bigint").as("cov_sign"),
+          expr("""CAST((1000000 * (CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy)
+                 |               * (CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy))
+                 |DIV (greatest(CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx, 1)
+                 |     * greatest(CAST(n AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy, 1))
+                 |AS BIGINT)""".stripMargin).as("r2_ppm"))
+    },
+
+    // ------------------------------------------------------------------
+    q("q281_holt_linear",
+      """Holt's linear-trend exponential smoothing per event type over
+        |the zero-filled hourly series (Holt 1957, reprinted IJF 2004;
+        |Hyndman & Athanasopoulos fpp3 §8.2) — the level+trend
+        |forecaster between q225's EWMA (level only) and a full
+        |seasonal model (q240 profiles the seasonality separately).
+        |alpha = beta = 1/4 make every update a dyadic integer step:
+        |l' = (1000y + 3(l+b)) // 4, b' = ((l'-l) + 3b) // 4, with the
+        |division TRUNCATING toward zero in both engines (Java long /
+        |in the Scala kernel; DuckDB's integer // truncates too) so
+        |negative trends cannot diverge. Census per type: hours, final
+        |level/trend, next-hour
+        |forecast, total and mean |1-step error| — the in-sample
+        |forecastability number (a type q227's changepoints rule is
+        |trending smoothly iff mae is small relative to level).
+        |Scale shape: the recurrence is state-dependent (NOT a prefix
+        |sum) and runs as q259's discipline — ONE hash shuffle of the
+        |wall-clock-bounded spine, spill-safe local sort, O(1) state
+        |per type via HoltState.step, shared verbatim with streaming
+        |kernel #19 (StreamHolt).""".stripMargin,
+      """WITH RECURSIVE c AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+        |    count(*)::BIGINT AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |sp AS (
+        |  SELECT event_type, unnest(generate_series(h0, h1)) AS h
+        |  FROM (SELECT event_type, min(h) AS h0, max(h) AS h1
+        |        FROM c GROUP BY 1)),
+        |z AS (
+        |  SELECT sp.event_type, sp.h, COALESCE(c.cnt, 0) AS cnt,
+        |    row_number() OVER (PARTITION BY sp.event_type ORDER BY sp.h) AS rn
+        |  FROM sp LEFT JOIN c ON c.event_type = sp.event_type AND c.h = sp.h),
+        |r AS (
+        |  SELECT event_type, rn, 1000 * cnt AS l, CAST(0 AS BIGINT) AS b,
+        |    CAST(0 AS BIGINT) AS sae
+        |  FROM z WHERE rn = 1
+        |  UNION ALL
+        |  SELECT z.event_type, z.rn,
+        |    (1000 * z.cnt + 3 * (r.l + r.b)) // 4,
+        |    (((1000 * z.cnt + 3 * (r.l + r.b)) // 4) - r.l + 3 * r.b) // 4,
+        |    r.sae + abs(1000 * z.cnt - (r.l + r.b))
+        |  FROM r JOIN z ON z.event_type = r.event_type AND z.rn = r.rn + 1),
+        |f AS (SELECT event_type, max(rn) AS n FROM z GROUP BY 1)
+        |SELECT f.event_type, CAST(f.n AS BIGINT) AS n_hours,
+        |  r.l AS level_milli, r.b AS trend_milli,
+        |  r.l + r.b AS forecast_milli, r.sae AS sae_milli,
+        |  r.sae // greatest(f.n - 1, 1) AS mae_milli
+        |FROM f JOIN r ON r.event_type = f.event_type AND r.rn = f.n""".stripMargin) { (s, dir) =>
+      val sp = s
+      import sp.implicits._
+      EventsOps.hourlySpineOf(Tables.events(s, dir))
+        .select(col("event_type"), col("h").cast("long"), col("cnt").cast("long"))
+        .as[(String, Long, Long)]
+        .repartition(col("event_type"))
+        .sortWithinPartitions(col("event_type"), col("h"))
+        .mapPartitions { iter =>
+          // one HoltState per type run — emit on type change / end
+          val out = Vector.newBuilder[(String, Long, Long, Long, Long, Long, Long)]
+          var cur: String = null
+          var st = HoltState.empty
+          def close(): Unit = if (cur != null) {
+            out += ((cur, st.n, st.l, st.b, st.l + st.b, st.sae,
+              st.sae / math.max(st.n - 1L, 1L)))
+          }
+          iter.foreach { case (t, _, y) =>
+            if (t != cur) { close(); cur = t; st = HoltState.empty }
+            st = st.step(y)
+          }
+          close()
+          out.result().iterator
+        }
+        .toDF("event_type", "n_hours", "level_milli", "trend_milli",
+          "forecast_milli", "sae_milli", "mae_milli")
+    })
+}

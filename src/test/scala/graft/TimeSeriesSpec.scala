@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TimeSeries.HoltState
+
+/** Brute-force recomputes of the time-series tier (q278-q281): each
+  * statistic re-derived in plain Scala from the collected fixture with
+  * the same integer arithmetic, plus partitioning invariance.
+  */
+class TimeSeriesSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private def byName(n: String) = SparkEntry.all.find(_.name == n).get
+
+  private def rows: Seq[(String, Long, Long, Long)] =
+    Tables.events(spark, sfDir)
+      .select(col("event_type"), expr("unix_micros(ts)"), col("event_id"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+
+  test("q278 TWAP equals a sorted same-day interval walk") {
+    val got = byName("q278_twap").run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    val exp = rows.groupBy(_._1).flatMap { case (t, evs) =>
+      val sorted = evs.sortBy(e => (e._2, e._3))
+      val ivs = sorted.zip(sorted.drop(1)).map { case (a, b) =>
+        (a._2 / 86400000000L, b._2 / 86400000000L, b._2 - a._2, a._4)
+      }.filter(iv => iv._1 == iv._2 && iv._3 > 0)
+      ivs.groupBy(_._1).map { case (day, xs) =>
+        val dur = xs.map(_._3).sum
+        val num = xs.map(x => BigInt(x._4) * x._3).sum
+        (t, day) -> ((xs.size.toLong, dur, (num / dur).toLong))
+      }
+    }
+    assert(got == exp, "TWAP census diverges from the interval walk")
+    assert(got.nonEmpty)
+  }
+
+  test("q279 OHLC bars equal a sorted per-bar walk") {
+    val got = byName("q279_ohlc_bars").run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7)))).toMap
+    val exp = rows.groupBy(e => (e._1, e._2 / 3600000000L)).map { case (k, evs) =>
+      val sorted = evs.sortBy(e => (e._2, e._3))
+      val cents = sorted.map(_._4)
+      k -> ((cents.size.toLong, sorted.head._4, cents.max, cents.min,
+        sorted.last._4, cents.sum / cents.size))
+    }
+    assert(got == exp, "OHLC bars diverge from the per-bar walk")
+    // high >= max(open, close), low <= min(open, close), every bar
+    got.values.foreach { case (_, o, hi, lo, c, m) =>
+      assert(hi >= math.max(o, c) && lo <= math.min(o, c) && m >= lo && m <= hi)
+    }
+  }
+
+  test("q280 correlation equals a BigInt moment recompute over the dense spine") {
+    val counts = rows.groupBy(e => (e._1, e._2 / 3600000000L))
+      .map { case (k, v) => k -> v.size.toLong }
+    val hours = counts.keys.map(_._2)
+    val spine = (hours.min to hours.max).toSeq
+    val types = counts.keys.map(_._1).toSeq.distinct.sorted
+    val got = byName("q280_type_correlation").run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    for (Seq(ta, tb) <- types.combinations(2)) {
+      val xs = spine.map(h => counts.getOrElse((ta, h), 0L))
+      val ys = spine.map(h => counts.getOrElse((tb, h), 0L))
+      val n = BigInt(spine.size)
+      val (sx, sy) = (BigInt(xs.sum), BigInt(ys.sum))
+      val sxy = xs.zip(ys).map { case (x, y) => BigInt(x) * y }.sum
+      val sxx = xs.map(x => BigInt(x) * x).sum
+      val syy = ys.map(y => BigInt(y) * y).sum
+      val num = n * sxy - sx * sy
+      val d1 = (n * sxx - sx * sx).max(1)
+      val d2 = (n * syy - sy * sy).max(1)
+      val r2 = (BigInt(1000000) * num * num / (d1 * d2)).toLong
+      assert(got((ta, tb)) ==
+        ((spine.size.toLong, num.toLong, num.signum.toLong, r2)), s"pair $ta/$tb")
+    }
+  }
+
+  test("q281 Holt census equals the shared HoltState fold over the spine") {
+    val counts = rows.groupBy(e => (e._1, e._2 / 3600000000L))
+      .map { case (k, v) => k -> v.size.toLong }
+    val got = byName("q281_holt_linear").run(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    for (t <- counts.keys.map(_._1).toSeq.distinct) {
+      val hs = counts.keys.filter(_._1 == t).map(_._2)
+      val st = (hs.min to hs.max).foldLeft(HoltState.empty) { (s, h) =>
+        s.step(counts.getOrElse((t, h), 0L))
+      }
+      assert(got(t) == ((st.n, st.l, st.b, st.l + st.b, st.sae,
+        st.sae / math.max(st.n - 1, 1))), s"type $t")
+    }
+  }
+
+  test("time-series queries are partitioning-invariant") {
+    for (n <- Seq("q280_type_correlation", "q281_holt_linear")) {
+      val d = byName(n)
+      val a = withSQLConf("spark.sql.shuffle.partitions" -> "1") {
+        d.run(spark, sfDir).collect().map(_.toString).sorted.toSeq
+      }
+      val b = withSQLConf("spark.sql.shuffle.partitions" -> "7") {
+        d.run(spark, sfDir).collect().map(_.toString).sorted.toSeq
+      }
+      assert(a == b && a.nonEmpty, s"$n must be a pure function of the data")
+    }
+  }
+}
