@@ -30,6 +30,7 @@ object SparkEntry {
       operators.DataQuality.defs ++
       operators.Drift.defs ++
       operators.TimeSeries.defs ++
+      operators.Attribution.defs ++
       sources.SchemaDrift.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
