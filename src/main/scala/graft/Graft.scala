@@ -37,6 +37,9 @@ object Graft {
     *  - lsh: Dedup shingle/sig/cand/pair caches + Curation clusterCache
     *  - simhash: Dedup.simhashCache
     *  - graph: Curation edge/deg/orient/dstEdge caches
+    *  - semdedup: Similarity.semAssignCache
+    *  - perceptron: TrainingOps.perceptronScoreCache (q246's trained
+    *    margins, read by the ML-evaluation tier)
     * (BPE queries share a driver-side merge memo that clearCaches does
     * not drop, so they need no family.) */
   val cacheFamilies: Map[String, Seq[String]] = Map(
@@ -50,7 +53,9 @@ object Graft {
     "graph" -> Seq("q130_triangle_count", "q131_pagerank",
       "q223_link_prediction", "q251_degree_powerlaw"),
     "semdedup" -> Seq("q205_semdedup", "q218_prototype_pruning",
-      "q232_clustering_eval"))
+      "q232_clustering_eval"),
+    "perceptron" -> Seq("q246_quality_classifier", "q284_roc_auc",
+      "q285_reliability", "q286_pr_curve"))
 
   /** Family id of a query — its own name when it belongs to none. */
   private val familyOf: Map[String, String] =

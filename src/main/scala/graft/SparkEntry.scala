@@ -31,6 +31,7 @@ object SparkEntry {
       operators.Drift.defs ++
       operators.TimeSeries.defs ++
       operators.Attribution.defs ++
+      operators.MlEval.defs ++
       sources.SchemaDrift.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -358,5 +358,85 @@ object TimeSeries {
         }
         .toDF("event_type", "n_hours", "level_milli", "trend_milli",
           "forecast_milli", "sae_milli", "mae_milli")
+    },
+
+    // ------------------------------------------------------------------
+    q("q287_classical_decomposition",
+      """Classical additive seasonal decomposition of the hourly series
+        |(Hyndman & Athanasopoulos fpp3 §3.4 — the moving-average
+        |method STL refines): trend = the centered 2x24-hour moving
+        |average (the average of the [-12,11] and [-11,12] sliding
+        |sums — exact: milli = 1000*(s1+s2) // 48, emitted only where
+        |BOTH frames hold a full 24 hours, the textbook edge rule),
+        |detrended = 1000*cnt - trend, and the seasonal index per
+        |hour-of-day = the mean detrended value, CENTERED by the
+        |per-type mean so indices sum to ~0 (exactly 0 up to the two
+        |truncating divisions, both spelled sign-symmetrically in both
+        |engines). This is the chart that separates "traffic grows"
+        |from "traffic peaks at 19:00" — q281's trend state and q240's
+        |raw hour-of-day profile, unified in one decomposition.
+        |Scale shape: everything runs on the zero-filled spine
+        |(wall-clock-bounded, replica-invariant); the windows partition
+        |by type with 24-row frames; output is |types| x 24 rows.""".stripMargin,
+      """WITH c AS (SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+        |    count(*)::BIGINT AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |sp AS (SELECT event_type, unnest(generate_series(h0, h1)) AS h
+        |  FROM (SELECT event_type, min(h) AS h0, max(h) AS h1
+        |        FROM c GROUP BY 1)),
+        |z AS (SELECT sp.event_type, sp.h, COALESCE(c.cnt, 0) AS cnt
+        |  FROM sp LEFT JOIN c ON c.event_type = sp.event_type AND c.h = sp.h),
+        |tr AS (
+        |  SELECT event_type, h, cnt,
+        |    CAST(sum(cnt) OVER w1 AS BIGINT) AS s1, count(*) OVER w1 AS n1,
+        |    CAST(sum(cnt) OVER w2 AS BIGINT) AS s2, count(*) OVER w2 AS n2
+        |  FROM z
+        |  WINDOW w1 AS (PARTITION BY event_type ORDER BY h
+        |                ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING),
+        |         w2 AS (PARTITION BY event_type ORDER BY h
+        |                ROWS BETWEEN 11 PRECEDING AND 12 FOLLOWING)),
+        |dt AS (
+        |  SELECT event_type, h % 24 AS hod,
+        |    1000 * cnt - (1000 * (s1 + s2)) // 48 AS d
+        |  FROM tr WHERE n1 = 24 AND n2 = 24),
+        |sr AS (
+        |  SELECT event_type, hod, count(*)::BIGINT AS n_obs,
+        |    CAST(CASE WHEN sum(d) >= 0 THEN sum(d) // count(*)
+        |         ELSE -((-sum(d)) // count(*)) END AS BIGINT) AS s_raw
+        |  FROM dt GROUP BY 1, 2),
+        |m AS (SELECT event_type,
+        |    CAST(CASE WHEN sum(s_raw) >= 0 THEN sum(s_raw) // count(*)
+        |         ELSE -((-sum(s_raw)) // count(*)) END AS BIGINT) AS s_mean
+        |  FROM sr GROUP BY 1)
+        |SELECT sr.event_type, sr.hod, sr.n_obs, sr.s_raw,
+        |  sr.s_raw - m.s_mean AS seasonal_milli
+        |FROM sr JOIN m USING (event_type)""".stripMargin) { (s, dir) =>
+      val z = EventsOps.hourlySpineOf(Tables.events(s, dir))
+      val w1 = Window.partitionBy(col("event_type")).orderBy(col("h"))
+        .rowsBetween(-12, 11)
+      val w2 = Window.partitionBy(col("event_type")).orderBy(col("h"))
+        .rowsBetween(-11, 12)
+      val dt = z
+        .withColumn("s1", sum(col("cnt")).over(w1).cast("long"))
+        .withColumn("n1", count(lit(1)).over(w1))
+        .withColumn("s2", sum(col("cnt")).over(w2).cast("long"))
+        .withColumn("n2", count(lit(1)).over(w2))
+        .filter(col("n1") === 24 && col("n2") === 24)
+        .select(col("event_type"), (col("h") % 24).as("hod"),
+          (lit(1000L) * col("cnt") -
+            expr("(1000 * (s1 + s2)) DIV 48")).as("d"))
+      val sr = dt.groupBy(col("event_type"), col("hod"))
+        .agg(count(lit(1)).cast("bigint").as("n_obs"),
+          expr("""CAST(CASE WHEN sum(d) >= 0 THEN sum(d) DIV count(1)
+                 |ELSE -((-sum(d)) DIV count(1)) END AS BIGINT)""".stripMargin)
+            .as("s_raw"))
+        .transform(graft.Graft.stagedCheckpoint) // centering agg + final join
+      val m = sr.groupBy(col("event_type"))
+        .agg(expr("""CAST(CASE WHEN sum(s_raw) >= 0 THEN sum(s_raw) DIV count(1)
+                    |ELSE -((-sum(s_raw)) DIV count(1)) END AS BIGINT)""".stripMargin)
+          .as("s_mean"))
+      sr.join(broadcast(m), Seq("event_type"))
+        .select(col("event_type"), col("hod"), col("n_obs"), col("s_raw"),
+          (col("s_raw") - col("s_mean")).as("seasonal_milli"))
     })
 }

@@ -1657,40 +1657,13 @@ object TrainingOps {
         |257-row hash agg collected to the driver (bounded: the model,
         |never the data); final scoring is scan-side. No window, no
         |pair space, nothing corpus-sized on the driver.""".stripMargin,
-      {
-        val hx = "'0123456789abcdef'"
-        val passes = (1 to 3).map { k =>
-          s"""s$k AS (SELECT f.doc_id, CAST(sum(w) AS BIGINT) AS s
-             |  FROM feats f JOIN w${k - 1} USING (j) GROUP BY 1),
-             |e$k AS (SELECT y.doc_id, y.y FROM y JOIN s$k USING (doc_id)
-             |  WHERE y.y * s$k.s <= 0),
-             |g$k AS (SELECT j, CAST(sum(y) AS BIGINT) AS g
-             |  FROM feats JOIN e$k USING (doc_id) GROUP BY 1),
-             |w$k AS (SELECT w${k - 1}.j, w${k - 1}.w + coalesce(g$k.g, 0) AS w
-             |  FROM w${k - 1} LEFT JOIN g$k USING (j))""".stripMargin
-        }.mkString(",\n")
-        s"""WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
-           |  FROM documents),
-           |fj AS (SELECT DISTINCT doc_id,
-           |    (strpos($hx, substr(md5(tok), 1, 1)) - 1) * 16
-           |      + strpos($hx, substr(md5(tok), 2, 1)) - 1 AS j
-           |  FROM tok),
-           |feats AS (SELECT doc_id, j FROM fj
-           |  UNION ALL SELECT doc_id, 256 AS j FROM documents),
-           |y AS (SELECT doc_id,
-           |    CASE WHEN source IN ('src1', 'src2') THEN 1 ELSE -1 END AS y
-           |  FROM documents),
-           |w0 AS (SELECT unnest(range(0, 257)) AS j, CAST(0 AS BIGINT) AS w),
-           |$passes,
-           |sf AS (SELECT f.doc_id, CAST(sum(w) AS BIGINT) AS s
-           |  FROM feats f JOIN w3 USING (j) GROUP BY 1)
-           |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
-           |  CAST(sum(CASE WHEN sf.s > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
-           |  CAST(sum(sf.s) AS BIGINT) AS margin_sum
-           |FROM documents d JOIN sf USING (doc_id)
-           |GROUP BY 1""".stripMargin
-      }) { (s, dir) =>
-      perceptronCensus(Tables.documents(s, dir), Seq("src1", "src2"), 3)
+      s"""WITH $perceptronOracleCtes
+         |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN sf.s > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+         |  CAST(sum(sf.s) AS BIGINT) AS margin_sum
+         |FROM documents d JOIN sf USING (doc_id)
+         |GROUP BY 1""".stripMargin) { (s, dir) =>
+      perceptronCensusOf(trainedScores(s, dir))
     },
 
     // ----------------------------------------------------------------
@@ -1904,11 +1877,31 @@ object TrainingOps {
         col("trunc_tokens"))
   }
 
-  /** q246's trainable core over an arbitrary (doc_id, text, source)
-    * frame — the seam QualityClassifierSpec's separable fixtures drive.
+  /** q246's trained per-doc margins (doc_id, source, y, s) over an
+    * arbitrary (doc_id, text, source) frame — the scoring seam the
+    * ML-evaluation tier (q284–q286, [[MlEval]]) reads, and the
+    * trainable core QualityClassifierSpec's separable fixtures drive.
     * See the q246 registration for semantics and the scale argument. */
-  private[graft] def perceptronCensus(docs: DataFrame,
-      refSources: Seq[String], passes: Int): DataFrame = {
+  private[graft] def perceptronScores(docs: DataFrame,
+      refSources: Seq[String], passes: Int): DataFrame =
+    perceptronScoresStaged(docs, refSources, passes, graft.Graft.stagedCheckpoint)
+
+  /** Session-cached trained margins for the REGISTERED corpus — one
+    * training shared by q246 and the ML-eval tier (the `perceptron`
+    * cache family). The embedded feature checkpoint must outlive the
+    * building execution (the cached frame's lineage references it), so
+    * it goes through cacheScopedCheckpoint — released by clearCaches
+    * together with the owning entry, the cluster-label precedent. */
+  private val perceptronScoreCache = new Dedup.SessionCache
+  private[graft] def trainedScores(s: SparkSession, dir: String): DataFrame =
+    perceptronScoreCache.getOrElseUpdate(s, dir) {
+      perceptronScoresStaged(Tables.documents(s, dir), Seq("src1", "src2"), 3,
+        graft.Graft.cacheScopedCheckpoint).cache()
+    }
+
+  private def perceptronScoresStaged(docs: DataFrame,
+      refSources: Seq[String], passes: Int,
+      stage: DataFrame => DataFrame): DataFrame = {
     val fj = docs
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
       .select(col("doc_id"),
@@ -1918,7 +1911,7 @@ object TrainingOps {
       when(col("source").isin(refSources: _*), 1L).otherwise(-1L).as("y"))
     // one corpus scan, staged once: feeds every training pass AND the
     // final scoring (released deterministically after the execution)
-    val feats = graft.Graft.stagedCheckpoint(
+    val feats = stage(
       fj.union(docs.select(col("doc_id"), lit(256).as("j")))
         .join(lab, Seq("doc_id")))
     // the model lives on the driver: 257 longs, collected once per
@@ -1936,12 +1929,55 @@ object TrainingOps {
         .collect() // <= 257 rows: the batch-perceptron update
         .foreach(r => w(r.getInt(0)) += r.getLong(1))
     }
-    feats.groupBy(col("doc_id"), col("source"))
-      .agg(score.as("s"))
-      .groupBy(col("source"))
+    feats.groupBy(col("doc_id"), col("source"), col("y"))
+      .agg(score.cast("long").as("s"))
+  }
+
+  /** q246's selection census over a trained-margins frame. */
+  private[graft] def perceptronCensusOf(scores: DataFrame): DataFrame =
+    scores.groupBy(col("source"))
       .agg(count(lit(1)).cast("bigint").as("n_docs"),
         sum(when(col("s") > 0, 1L).otherwise(0L)).cast("bigint").as("n_selected"),
         sum(col("s")).cast("bigint").as("margin_sum"))
+
+  /** q246's census on a fresh (uncached) training — the spec seam. */
+  private[graft] def perceptronCensus(docs: DataFrame,
+      refSources: Seq[String], passes: Int): DataFrame =
+    perceptronCensusOf(perceptronScores(docs, refSources, passes))
+
+  /** The q246 oracle's CTE chain through `sf` (doc_id, s) and `y`
+    * (doc_id, y) — the three unrolled perceptron passes. Shared by
+    * q246's census oracle and the ML-evaluation oracles (q284–q286),
+    * so every consumer trains the IDENTICAL model. Lazy: `defs` above
+    * initializes first and its oracle strings interpolate this (the
+    * log2MantMicro precedent). */
+  private[graft] lazy val perceptronOracleCtes: String = {
+    val hx = "'0123456789abcdef'"
+    val passes = (1 to 3).map { k =>
+      s"""s$k AS (SELECT f.doc_id, CAST(sum(w) AS BIGINT) AS s
+         |  FROM feats f JOIN w${k - 1} USING (j) GROUP BY 1),
+         |e$k AS (SELECT y.doc_id, y.y FROM y JOIN s$k USING (doc_id)
+         |  WHERE y.y * s$k.s <= 0),
+         |g$k AS (SELECT j, CAST(sum(y) AS BIGINT) AS g
+         |  FROM feats JOIN e$k USING (doc_id) GROUP BY 1),
+         |w$k AS (SELECT w${k - 1}.j, w${k - 1}.w + coalesce(g$k.g, 0) AS w
+         |  FROM w${k - 1} LEFT JOIN g$k USING (j))""".stripMargin
+    }.mkString(",\n")
+    s"""tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+       |  FROM documents),
+       |fj AS (SELECT DISTINCT doc_id,
+       |    (strpos($hx, substr(md5(tok), 1, 1)) - 1) * 16
+       |      + strpos($hx, substr(md5(tok), 2, 1)) - 1 AS j
+       |  FROM tok),
+       |feats AS (SELECT doc_id, j FROM fj
+       |  UNION ALL SELECT doc_id, 256 AS j FROM documents),
+       |y AS (SELECT doc_id,
+       |    CASE WHEN source IN ('src1', 'src2') THEN 1 ELSE -1 END AS y
+       |  FROM documents),
+       |w0 AS (SELECT unnest(range(0, 257)) AS j, CAST(0 AS BIGINT) AS w),
+       |$passes,
+       |sf AS (SELECT f.doc_id, CAST(sum(w) AS BIGINT) AS s
+       |  FROM feats f JOIN w3 USING (j) GROUP BY 1)""".stripMargin
   }
 
   /** q217's scan-side shard projection, shared VERBATIM with the

@@ -99,6 +99,38 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("q287 decomposition equals a brute-force MA walk; indices center") {
+    val counts = rows.groupBy(e => (e._1, e._2 / 3600000000L))
+      .map { case (k, v) => k -> v.size.toLong }
+    def sdiv(a: Long, b: Long): Long = if (a >= 0) a / b else -((-a) / b)
+    val exp = counts.keys.map(_._1).toSeq.distinct.flatMap { t =>
+      val hs = counts.keys.filter(_._1 == t).map(_._2)
+      val spine = (hs.min to hs.max).map(h => h -> counts.getOrElse((t, h), 0L))
+      val ys = spine.map(_._2)
+      val ds = spine.indices.flatMap { i =>
+        if (i >= 12 && i + 12 < spine.size) {
+          val s1 = (i - 12 to i + 11).map(ys).sum
+          val s2 = (i - 11 to i + 12).map(ys).sum
+          Some((spine(i)._1 % 24, 1000L * ys(i) - (1000L * (s1 + s2)) / 48L))
+        } else None
+      }
+      val sr = ds.groupBy(_._1).map { case (hod, xs) =>
+        (hod, xs.size.toLong, sdiv(xs.map(_._2).sum, xs.size))
+      }.toSeq
+      val sMean = sdiv(sr.map(_._3).sum, sr.size)
+      sr.map { case (hod, n, raw) => (t, hod) -> ((n, raw, raw - sMean)) }
+    }.toMap
+    val got = byName("q287_classical_decomposition").run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got == exp, "decomposition diverges from the MA walk")
+    // centered indices sum to ~0 per type (exact up to 24 truncations)
+    got.keys.map(_._1).toSeq.distinct.foreach { t =>
+      val s = got.collect { case ((`t`, _), (_, _, c)) => c }.sum
+      assert(math.abs(s) <= 24, s"$t seasonal indices should center near 0: $s")
+    }
+  }
+
   test("time-series queries are partitioning-invariant") {
     for (n <- Seq("q280_type_correlation", "q281_holt_linear")) {
       val d = byName(n)
