@@ -540,6 +540,39 @@ object TrainingSoak {
       packAgg.getLong(3) == 781L && packAgg.getLong(4) == 781L &&
       packAgg.getLong(5) == 0L
 
+    // ---- distribution-drift chart (q273/StreamDrift kernel) --------
+    // n rows over H=100 hours (n/H each), value digit = (id DIV H)%10
+    // — uniform over 0..9 within every hour BY CONSTRUCTION (n/H is a
+    // multiple of 10), except hour 0 whose digits shift by +100 (full
+    // separation). Reference: the same uniform 0..9. Closed form per
+    // the single-numerator statistic: every hour reports KS 0 / W1 0
+    // except hour 0 with KS = 1000 and W1 = exactly 100 length-units
+    // (4.5 + 91 + 4.5 gap-weighted) = 100000 milli — the uniform
+    // masses divide exactly, no truncation slack anywhere. State:
+    // H x 20 histogram cells total, independent of n.
+    // rows round down to a multiple of 1000 (H=100 hours x 10 digits)
+    // so the per-hour digit distribution is exactly uniform
+    val nd = math.max(1000L, n / 1000 * 1000)
+    val (driftAgg, driftSec) = timed {
+      import spark.implicits._
+      val H = 100L
+      val ref = operators.Drift.referenceCdfs(
+        (0 until 30).map(i => ("a", (i % 10).toLong)).toDF("source", "n_chars"))
+      val stream = spark.range(nd).select(lit("a").as("source"),
+        expr(s"timestamp_seconds((id % $H) * 3600)").as("ts"),
+        expr(s"CASE WHEN id % $H = 0 THEN 100 + (id DIV $H) % 10 " +
+          s"ELSE (id DIV $H) % 10 END").as("v"))
+      operators.Drift.driftChart(stream, ref)
+        .groupBy().agg(count(lit(1)).as("hours"),
+          sum(col("n_window")).as("nw"),
+          sum(col("ks_pm")).as("ks_sum"), max(col("ks_pm")).as("ks_max"),
+          sum(col("w1_milli")).as("w1_sum"), max(col("w1_milli")).as("w1_max"))
+        .collect()(0)
+    }
+    val driftOk = driftAgg.getLong(0) == 100L && driftAgg.getLong(1) == nd &&
+      driftAgg.getLong(2) == 1000L && driftAgg.getLong(3) == 1000L &&
+      driftAgg.getLong(4) == 100000L && driftAgg.getLong(5) == 100000L
+
     println(
       s"""{"metric":"training_soak","rows":$n,""" +
         s""""hll_sec":$hllSec,"hll_est":$hllEst,"hll_ok":$hllOk,""" +
@@ -557,7 +590,8 @@ object TrainingSoak {
         s""""robust_sec":$robustSec,"robust_ok":$robustOk,""" +
         s""""regression_sec":$regSec,"regression_ok":$regOk,""" +
         s""""exactsubstr_docs":$dd,"exactsubstr_sec":$esSec,"exactsubstr_ok":$esOk,""" +
-        s""""pack_docs":$pd,"pack_sec":$packSec,"pack_ok":$packOk}""")
+        s""""pack_docs":$pd,"pack_sec":$packSec,"pack_ok":$packOk,""" +
+        s""""drift_rows":$nd,"drift_sec":$driftSec,"drift_ok":$driftOk}""")
     spark.stop()
     if (!(mgOk && sampleOk && vocabOk && ivfOk && asofOk && rangeOk &&
         funnelWideOk && funnelHotOk && funnelWinWideOk && funnelWinHotOk &&

@@ -438,5 +438,118 @@ object TimeSeries {
       sr.join(broadcast(m), Seq("event_type"))
         .select(col("event_type"), col("hod"), col("n_obs"), col("s_raw"),
           (col("s_raw") - col("s_mean")).as("seasonal_milli"))
+    },
+
+    // ------------------------------------------------------------------
+    q("q288_lead_lag",
+      """Lead-lag detection between event-type hourly series — q280's
+        |cross-correlation swept over lags -6..+6 (Box & Jenkins'
+        |cross-correlation function, the "which metric moves FIRST"
+        |question every incident postmortem asks): for each ordered
+        |type pair, the exact r^2 ppm at every lag (q280's
+        |Cauchy-Schwarz-bounded integer formula on the lag-shifted
+        |spine join), then the best lag picked DETERMINISTICALLY —
+        |max r^2, ties broken toward the smallest lag — alongside the
+        |lag-0 r^2 so the reader sees the lead-lag GAIN. A negative
+        |best lag with positive sign means type_a's series leads
+        |type_b's. Overlap shrinks by |lag| at the spine edges (the
+        |standard CCF truncation), so each lag's moments use its own
+        |n. Scale shape: the lag sweep multiplies q280's census join
+        |by 13 — still spine-bounded; the pick is two tiny aggregates
+        |over the |pairs| x 13 result.""".stripMargin,
+      """WITH c AS (SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+        |    count(*)::BIGINT AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |b AS (SELECT min(h) AS h0, max(h) AS h1 FROM c),
+        |ty AS (SELECT DISTINCT event_type FROM c),
+        |sp AS (SELECT ty.event_type, g.h FROM ty CROSS JOIN
+        |  (SELECT unnest(generate_series(b.h0, b.h1)) AS h FROM b) g),
+        |z AS (SELECT sp.event_type, sp.h, COALESCE(c.cnt, 0) AS cnt
+        |  FROM sp LEFT JOIN c ON c.event_type = sp.event_type AND c.h = sp.h),
+        |lags AS (SELECT CAST(unnest(generate_series(-6, 6)) AS BIGINT) AS lag),
+        |p AS (
+        |  SELECT a.event_type AS type_a, b2.event_type AS type_b, lags.lag,
+        |    count(*)::BIGINT AS n,
+        |    CAST(sum(a.cnt) AS BIGINT) AS sx, CAST(sum(b2.cnt) AS BIGINT) AS sy,
+        |    CAST(sum(a.cnt * b2.cnt) AS BIGINT) AS sxy,
+        |    CAST(sum(a.cnt * a.cnt) AS BIGINT) AS sxx,
+        |    CAST(sum(b2.cnt * b2.cnt) AS BIGINT) AS syy
+        |  FROM lags
+        |  JOIN z a ON TRUE
+        |  JOIN z b2 ON b2.h = a.h + lags.lag AND a.event_type < b2.event_type
+        |  GROUP BY 1, 2, 3),
+        |r AS (
+        |  SELECT type_a, type_b, lag, n,
+        |    CASE WHEN CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy > 0 THEN 1
+        |         WHEN CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy < 0 THEN -1
+        |         ELSE 0 END AS cov_sign,
+        |    CAST((1000000 * (CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy)
+        |                  * (CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy))
+        |      // (greatest(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx, 1)
+        |        * greatest(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy, 1))
+        |      AS BIGINT) AS r2_ppm
+        |  FROM p),
+        |mx AS (SELECT type_a, type_b, max(r2_ppm) AS r2_best FROM r GROUP BY 1, 2),
+        |pick AS (SELECT r.type_a, r.type_b, min(r.lag) AS best_lag
+        |  FROM r JOIN mx ON mx.type_a = r.type_a AND mx.type_b = r.type_b
+        |   AND r.r2_ppm = mx.r2_best GROUP BY 1, 2),
+        |l0 AS (SELECT type_a, type_b, r2_ppm AS r2_lag0 FROM r WHERE lag = 0)
+        |SELECT r.type_a, r.type_b, r.lag AS best_lag, r.n AS n_overlap,
+        |  r.cov_sign, r.r2_ppm AS r2_best, l0.r2_lag0
+        |FROM pick
+        |JOIN r ON r.type_a = pick.type_a AND r.type_b = pick.type_b
+        |      AND r.lag = pick.best_lag
+        |JOIN l0 ON l0.type_a = pick.type_a AND l0.type_b = pick.type_b""".stripMargin) { (s, dir) =>
+      val c = Tables.events(s, dir)
+        .groupBy(col("event_type"), expr("unix_micros(ts) DIV 3600000000").as("h"))
+        .agg(count(lit(1)).cast("bigint").as("cnt"))
+        .transform(graft.Graft.stagedCheckpoint) // bounds, types, grid
+      val b = c.agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      val ty = c.select(col("event_type")).distinct()
+      val sp = ty.crossJoin(broadcast(
+        b.select(explode(sequence(col("h0"), col("h1"))).as("h"))))
+      val z = sp.join(c, Seq("event_type", "h"), "left")
+        .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+        .transform(graft.Graft.stagedCheckpoint) // lag-shifted self-join
+      val lags = s.range(-6, 7).select(col("id").cast("long").as("lag"))
+      val a = z.select(col("event_type").as("type_a"), col("h"), col("cnt").as("ca"))
+        .crossJoin(broadcast(lags))
+      val b2 = z.select(col("event_type").as("type_b"),
+        col("h").as("hb"), col("cnt").as("cb"))
+      val r = a.join(b2, col("hb") === col("h") + col("lag") &&
+          col("type_a") < col("type_b"))
+        .groupBy(col("type_a"), col("type_b"), col("lag"))
+        .agg(count(lit(1)).cast("bigint").as("n"),
+          sum(col("ca")).cast("bigint").as("sx"),
+          sum(col("cb")).cast("bigint").as("sy"),
+          sum(col("ca") * col("cb")).cast("bigint").as("sxy"),
+          sum(col("ca") * col("ca")).cast("bigint").as("sxx"),
+          sum(col("cb") * col("cb")).cast("bigint").as("syy"))
+        .select(col("type_a"), col("type_b"), col("lag"), col("n"),
+          expr("""CASE WHEN CAST(n AS DECIMAL(38,0)) * sxy
+                 |          - CAST(sx AS DECIMAL(38,0)) * sy > 0 THEN 1
+                 |     WHEN CAST(n AS DECIMAL(38,0)) * sxy
+                 |          - CAST(sx AS DECIMAL(38,0)) * sy < 0 THEN -1
+                 |     ELSE 0 END""".stripMargin).cast("bigint").as("cov_sign"),
+          expr("""CAST((1000000 * (CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy)
+                 |               * (CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy))
+                 |DIV (greatest(CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx, 1)
+                 |     * greatest(CAST(n AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy, 1))
+                 |AS BIGINT)""".stripMargin).as("r2_ppm"))
+        .transform(graft.Graft.stagedCheckpoint) // mx, pick, l0, final join
+      val mx = r.groupBy(col("type_a"), col("type_b"))
+        .agg(max(col("r2_ppm")).as("r2_best"))
+      val pick = r.join(mx, Seq("type_a", "type_b"))
+        .filter(col("r2_ppm") === col("r2_best"))
+        .groupBy(col("type_a"), col("type_b"))
+        .agg(min(col("lag")).as("best_lag"))
+      val l0 = r.filter(col("lag") === 0)
+        .select(col("type_a"), col("type_b"), col("r2_ppm").as("r2_lag0"))
+      pick.join(r, pick("type_a") === r("type_a") &&
+          pick("type_b") === r("type_b") && col("best_lag") === col("lag"))
+        .select(pick("type_a"), pick("type_b"), col("best_lag"),
+          col("n").as("n_overlap"), col("cov_sign"),
+          col("r2_ppm").as("r2_best"))
+        .join(l0, Seq("type_a", "type_b"))
     })
 }

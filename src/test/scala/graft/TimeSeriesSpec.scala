@@ -131,6 +131,43 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("q288 lead-lag equals a brute-force lag sweep with the exact tie-break") {
+    val counts = rows.groupBy(e => (e._1, e._2 / 3600000000L))
+      .map { case (k, v) => k -> v.size.toLong }
+    val hours = counts.keys.map(_._2)
+    val spine = (hours.min to hours.max).toSeq
+    val types = counts.keys.map(_._1).toSeq.distinct.sorted
+    def series(t: String) = spine.map(h => counts.getOrElse((t, h), 0L))
+    val got = byName("q288_lead_lag").run(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6)))).toMap
+    for (Seq(ta, tb) <- types.combinations(2)) {
+      val (xs, ys) = (series(ta), series(tb))
+      def r2At(lag: Int): (Long, Long, Long) = { // (n, sign, r2_ppm)
+        val pairs = spine.indices.flatMap { i =>
+          val j = i + lag
+          if (j >= 0 && j < spine.size) Some((xs(i), ys(j))) else None
+        }
+        val n = BigInt(pairs.size)
+        val sx = BigInt(pairs.map(_._1).sum); val sy = BigInt(pairs.map(_._2).sum)
+        val sxy = pairs.map(p => BigInt(p._1) * p._2).sum
+        val sxx = pairs.map(p => BigInt(p._1) * p._1).sum
+        val syy = pairs.map(p => BigInt(p._2) * p._2).sum
+        val num = n * sxy - sx * sy
+        val r2 = (BigInt(1000000) * num * num /
+          ((n * sxx - sx * sx).max(1) * (n * syy - sy * sy).max(1))).toLong
+        (pairs.size.toLong, num.signum.toLong, r2)
+      }
+      val all = (-6 to 6).map(l => l -> r2At(l))
+      val best = all.map(_._2._3).max
+      val bestLag = all.filter(_._2._3 == best).map(_._1).min
+      val (n, sign, r2) = r2At(bestLag)
+      assert(got((ta, tb)) == ((bestLag.toLong, n, sign, r2, r2At(0)._3)),
+        s"pair $ta/$tb")
+    }
+  }
+
   test("time-series queries are partitioning-invariant") {
     for (n <- Seq("q280_type_correlation", "q281_holt_linear")) {
       val d = byName(n)
