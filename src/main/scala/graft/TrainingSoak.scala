@@ -557,12 +557,13 @@ object TrainingSoak {
       import spark.implicits._
       val H = 100L
       val ref = operators.Drift.referenceCdfs(
-        (0 until 30).map(i => ("a", (i % 10).toLong)).toDF("source", "n_chars"))
+        (0 until 30).map(i => ("a", (i % 10).toLong)).toDF("source", "n_chars"),
+        "n_chars")
       val stream = spark.range(nd).select(lit("a").as("source"),
         expr(s"timestamp_seconds((id % $H) * 3600)").as("ts"),
         expr(s"CASE WHEN id % $H = 0 THEN 100 + (id DIV $H) % 10 " +
           s"ELSE (id DIV $H) % 10 END").as("v"))
-      operators.Drift.driftChart(stream, ref)
+      operators.Drift.driftChart(stream, ref, "v")
         .groupBy().agg(count(lit(1)).as("hours"),
           sum(col("n_window")).as("nw"),
           sum(col("ks_pm")).as("ks_sum"), max(col("ks_pm")).as("ks_max"),

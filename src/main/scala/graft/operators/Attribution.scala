@@ -236,7 +236,15 @@ object Attribution {
         |(model-sized, the q246 discipline); 5 variants x 40
         |iterations of ≤ 7-row integer algebra run driver-side in
         |microseconds; the oracle runs the same iterations as a
-        |recursive CTE with aggregation.""".stripMargin,
+        |recursive CTE with aggregation.
+        |DuckDB-VERSION NOTE (ADVICE r14): that CTE references the
+        |recursive table TWICE in the recursive term (r for the state
+        |row, rv for v(next)) — valid on the pinned DuckDB v1.0.0 the
+        |driver runs, but multiple recursive self-references are
+        |nonstandard SQL whose validity has shifted across DuckDB
+        |releases; if the pin ever moves and this oracle breaks,
+        |restructure the iteration to reference r once (carry the full
+        |v-vector as a per-iteration LIST/STRUCT row).""".stripMargin,
       s"""WITH RECURSIVE $duckPaths,
         |led AS (SELECT st AS s, rn, user_id, sid,
         |    COALESCE(lead(st) OVER (PARTITION BY user_id, sid ORDER BY rn),

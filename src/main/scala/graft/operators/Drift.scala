@@ -11,7 +11,8 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   * downstream selection/dedup tier (q203+) re-tunes its thresholds:
   * the two-sample tests (Kolmogorov-Smirnov, Mann-Whitney U), the
   * transport distance (Wasserstein-1), the divergence family over
-  * vocabulary (exact Pearson chi-square, quantized Jensen-Shannon),
+  * vocabulary (per-term-quantized Pearson chi-square, quantized
+  * Jensen-Shannon),
   * the industry drift score (PSI), and blocked fuzzy string matching
   * for dimension-value reconciliation.
   *
@@ -77,9 +78,13 @@ object Drift {
 
   /** Build the frozen per-source reference CDFs from a static corpus —
     * the model-sized offline training step (the collect is domain x
-    * |sources| rows, never corpus rows). */
-  def referenceCdfs(docs: DataFrame): Map[String, RefCdf] =
-    docs.groupBy(col("source"), col("n_chars").as("v"))
+    * |sources| rows, never corpus rows). `valueCol` names the monitored
+    * value column EXPLICITLY (ADVICE r14: the train half used to read
+    * 'n_chars' while the serve halves read 'v', a rename landmine for
+    * callers handing both halves generic frames — now every caller
+    * states the contract at both ends). */
+  def referenceCdfs(docs: DataFrame, valueCol: String): Map[String, RefCdf] =
+    docs.groupBy(col("source"), col(valueCol).as("v"))
       .agg(count(lit(1)).cast("bigint").as("c"))
       .collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
@@ -96,12 +101,13 @@ object Drift {
     * recompute the streaming monitor must agree with. Rows collapse to
     * (source, hour, value) histogram cells FIRST (map-side combine),
     * so the typed per-group pass holds domain-sized state only. */
-  def driftChart(docs: DataFrame, ref: Map[String, RefCdf]): Dataset[DriftRow] = {
+  def driftChart(docs: DataFrame, ref: Map[String, RefCdf],
+      valueCol: String): Dataset[DriftRow] = {
     val s = docs.sparkSession
     import s.implicits._
     val refs = ref // stable closure capture
     docs.select(col("source"), (unix_timestamp(col("ts")) / 3600L).cast("long").as("h"),
-        col("v"))
+        col(valueCol).as("v"))
       .filter(col("source").isin(refs.keys.toSeq: _*))
       .groupBy(col("source"), col("h"), col("v"))
       .agg(count(lit(1)).cast("bigint").as("c"))
@@ -305,18 +311,24 @@ object Drift {
     q("q276_vocab_divergence",
       """Vocabulary drift between every ordered source pair, reported
         |through BOTH lenses the divergence literature offers: the
-        |exact Pearson chi-square divergence chi2 = sum_t (p_t - q_t)^2
-        |/ (p_t + q_t) in micro-units (exact-rational via cross-
-        |multiplied counts x = c_a*n_b, y = c_b*n_a — the per-term
-        |quotient is bounded by 1e6 BY CONSTRUCTION, (1e6*|x-y|) //
-        |(x+y) <= 1e6, so no division can overflow at any corpus
-        |size), and the Jensen-Shannon divergence (Lin 1991) in
+        |Pearson chi-square divergence chi2 = sum_t (p_t - q_t)^2
+        |/ (p_t + q_t) in micro-units, QUANTIZED PER-TERM: counts are
+        |cross-multiplied (x = c_a*n_b, y = c_b*n_a) so each term is a
+        |ratio of integers, but the per-term quotient (1e6*|x-y|) //
+        |(x+y) floors BEFORE the second |x-y| multiply — deterministic
+        |and cross-engine identical, losing up to ~1 micro-unit per
+        |vocabulary term (up to |vocab| micro-units total; unlike the
+        |single-numerator statistics in q273/q274, which are exact).
+        |The floor-first form is what bounds the quotient by 1e6 BY
+        |CONSTRUCTION, so no division can overflow at any corpus
+        |size. Beside it, the Jensen-Shannon divergence (Lin 1991) in
         |micro-bits via q256's shared-constant quantized dyadic log2.
         |The JS value is pinned bit-identical cross-engine but carries
         |the table's one-sided quantization floor (<= 0.0224 bits per
         |log term), so divergences under ~0.05 bits clamp toward 0 —
-        |which is WHY the exact chi-square rides alongside: it
-        |resolves the small-divergence regime exactly, while JS gives
+        |which is WHY the chi-square rides alongside: its micro-unit
+        |per-term quantization is ~2000x finer than the JS table's
+        |floor in the small-divergence regime, while JS gives
         |the bounded [0,1]-bit number practitioners compare across
         |corpora (the two orderings agree: chi2/4 <= JS*ln2 <= chi2/2
         |for nearby distributions). Scale shape: (source, token)

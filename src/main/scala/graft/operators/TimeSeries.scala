@@ -15,7 +15,9 @@ import org.apache.spark.sql.{DataFrame, Dataset}
   * Exactness discipline: money stays in BIGINT cents (the q178
   * DECIMAL(18,2)*100 convention), time in integer micros/hours,
   * Pearson through DECIMAL(38,0)/HUGEINT cross-moments with the
-  * quotient bounded by Cauchy-Schwarz, and the Holt recurrence uses
+  * quotient bounded by Cauchy-Schwarz and the intermediates guarded
+  * by the shared r2PpmExpr template (the bound covers only the final
+  * quotient), and the Holt recurrence uses
   * alpha = beta = 1/4 so every step is one integer division that
   * TRUNCATES toward zero in both engines (Java long `/` in the Scala
   * kernel; DuckDB's integer `//` truncates on BIGINT even though it
@@ -55,6 +57,48 @@ object TimeSeries {
       }
   }
   object HoltState { val empty: HoltState = HoltState(0L, 0L, 0L, 0L) }
+
+  /** Overflow-GUARDED r^2-ppm formula shared by q280 and q288 (and by
+    * both engines — the Spark and DuckDB programs interpolate the same
+    * template). The final quotient 1e6*num^2/(dx*dy) is <= ~1e6 by
+    * Cauchy-Schwarz, but the INTERMEDIATE 1e6*num^2 is not bounded by
+    * it (ADVICE r14: hourly counts ~1e6 over ~1e4 hours push it to
+    * ~1e45, past DECIMAL(38,0)/HUGEINT — where Spark's non-ANSI
+    * decimal silently NULLs while DuckDB errors). Guard: when
+    * |num| <= 3e15 and dx, dy <= 3e18 every intermediate is <= 9e36
+    * (exact branch, bit-identical to the pre-guard formula — all
+    * fixtures land here); otherwise BOTH engines take the same
+    * rescaled branch, dividing |num|, dx, dy by n before squaring
+    * (identical quantization cross-engine; abs() first because the
+    * engines' negative-division conventions need not be trusted when
+    * the square erases sign anyway). Validity bound of the rescaled
+    * branch, q273/q274-style: with per-(type,hour) counts <= C over n
+    * hours, |num| DIV n <= n*C^2, so intermediates stay inside 38
+    * digits while n*C^2 <= 3e15 — e.g. C = 1e6 events/hour/type for
+    * ~3e3 hours (4 months), or C = 1e4 for ~3e7 hours; past that,
+    * coarsen the bucket. (q280's cov_num column is additionally a raw
+    * BIGINT cast of num, valid while n*C <= 3e9 — the same class of
+    * bound q273/q274 document.)
+    *
+    * `c` wraps a column in the engine's wide-integer cast; `div` is
+    * the engine's integral division (Spark DIV / DuckDB //). */
+  private def r2PpmExpr(c: String => String, div: String): String = {
+    val num = s"(${c("n")} * sxy - ${c("sx")} * sy)"
+    val dx = s"(${c("n")} * sxx - ${c("sx")} * sx)"
+    val dy = s"(${c("n")} * syy - ${c("sy")} * sy)"
+    s"""CASE WHEN abs($num) <= 3000000000000000
+       |       AND $dx <= 3000000000000000000
+       |       AND $dy <= 3000000000000000000
+       |  THEN CAST((1000000 * $num * $num)
+       |       $div (greatest($dx, 1) * greatest($dy, 1)) AS BIGINT)
+       |  ELSE CAST((1000000 * (abs($num) $div n) * (abs($num) $div n))
+       |       $div (greatest($dx $div n, 1) * greatest($dy $div n, 1)) AS BIGINT)
+       |END""".stripMargin
+  }
+  private[operators] val r2PpmSpark: String =
+    r2PpmExpr(x => s"CAST($x AS DECIMAL(38,0))", "DIV")
+  private[operators] val r2PpmDuck: String =
+    r2PpmExpr(x => s"CAST($x AS HUGEINT)", "//")
 
   /** One per-hour row of the Holt chart (batch and stream twins):
     * the state AFTER folding the hour, plus the next-hour forecast. */
@@ -207,16 +251,21 @@ object TimeSeries {
         |(absence is a 0 observation — correlation over different
         |supports is meaningless), the covariance numerator
         |num = n*Sxy - Sx*Sy, its sign, and r^2 in ppm =
-        |1e6*num^2 / ((n*Sxx - Sx^2)(n*Syy - Sy^2)) — the quotient is
-        |<= 1e6 BY Cauchy-Schwarz, so the division cannot overflow;
-        |products ride DECIMAL(38,0)/HUGEINT; constant series report
-        |r2 = 0 via the greatest(...,1) denominator guard (the q244
+        |1e6*num^2 / ((n*Sxx - Sx^2)(n*Syy - Sy^2)) — the QUOTIENT is
+        |<= 1e6 by Cauchy-Schwarz, and the intermediates (which that
+        |bound does NOT cover) are overflow-guarded by the shared
+        |r2PpmExpr template: the exact branch while |num| <= 3e15, the
+        |identically-quantized /n rescale past it, valid to n*C^2 <=
+        |3e15 (see r2PpmExpr's scaladoc for the bounds; cov_num's raw
+        |BIGINT cast is additionally valid to n*C <= 3e9). Products
+        |ride DECIMAL(38,0)/HUGEINT; constant series report r2 = 0 via
+        |the greatest(...,1) denominator guard (the q244
         |zero-denominator convention). sign + r^2 carry everything r
         |does without a cross-engine sqrt.
         |Scale shape: one (type, hour) count with map-side combine,
         |a wall-clock-bounded dense spine, a |types|^2 x |hours|
         |census self-join on hour, five integer moments per pair.""".stripMargin,
-      """WITH c AS (
+      s"""WITH c AS (
         |  SELECT event_type, epoch_us(ts) // 3600000000 AS h,
         |    count(*)::BIGINT AS cnt
         |  FROM events GROUP BY 1, 2),
@@ -241,11 +290,7 @@ object TimeSeries {
         |  CASE WHEN CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy > 0 THEN 1
         |       WHEN CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy < 0 THEN -1
         |       ELSE 0 END AS cov_sign,
-        |  CAST((1000000 * (CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy)
-        |                 * (CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy))
-        |       // (greatest(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx, 1)
-        |          * greatest(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy, 1))
-        |    AS BIGINT) AS r2_ppm
+        |  $r2PpmDuck AS r2_ppm
         |FROM p""".stripMargin) { (s, dir) =>
       val c = Tables.events(s, dir)
         .groupBy(col("event_type"), expr("unix_micros(ts) DIV 3600000000").as("h"))
@@ -277,11 +322,7 @@ object TimeSeries {
                  |     WHEN CAST(n AS DECIMAL(38,0)) * sxy
                  |          - CAST(sx AS DECIMAL(38,0)) * sy < 0 THEN -1
                  |     ELSE 0 END""".stripMargin).cast("bigint").as("cov_sign"),
-          expr("""CAST((1000000 * (CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy)
-                 |               * (CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy))
-                 |DIV (greatest(CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx, 1)
-                 |     * greatest(CAST(n AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy, 1))
-                 |AS BIGINT)""".stripMargin).as("r2_ppm"))
+          expr(r2PpmSpark).as("r2_ppm"))
     },
 
     // ------------------------------------------------------------------
@@ -447,7 +488,8 @@ object TimeSeries {
         |cross-correlation function, the "which metric moves FIRST"
         |question every incident postmortem asks): for each ordered
         |type pair, the exact r^2 ppm at every lag (q280's
-        |Cauchy-Schwarz-bounded integer formula on the lag-shifted
+        |overflow-guarded integer formula — the shared r2PpmExpr
+        |template and its validity bounds — on the lag-shifted
         |spine join), then the best lag picked DETERMINISTICALLY —
         |max r^2, ties broken toward the smallest lag — alongside the
         |lag-0 r^2 so the reader sees the lead-lag GAIN. A negative
@@ -457,7 +499,7 @@ object TimeSeries {
         |n. Scale shape: the lag sweep multiplies q280's census join
         |by 13 — still spine-bounded; the pick is two tiny aggregates
         |over the |pairs| x 13 result.""".stripMargin,
-      """WITH c AS (SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+      s"""WITH c AS (SELECT event_type, epoch_us(ts) // 3600000000 AS h,
         |    count(*)::BIGINT AS cnt
         |  FROM events GROUP BY 1, 2),
         |b AS (SELECT min(h) AS h0, max(h) AS h1 FROM c),
@@ -483,11 +525,7 @@ object TimeSeries {
         |    CASE WHEN CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy > 0 THEN 1
         |         WHEN CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy < 0 THEN -1
         |         ELSE 0 END AS cov_sign,
-        |    CAST((1000000 * (CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy)
-        |                  * (CAST(n AS HUGEINT) * sxy - CAST(sx AS HUGEINT) * sy))
-        |      // (greatest(CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx, 1)
-        |        * greatest(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy, 1))
-        |      AS BIGINT) AS r2_ppm
+        |    $r2PpmDuck AS r2_ppm
         |  FROM p),
         |mx AS (SELECT type_a, type_b, max(r2_ppm) AS r2_best FROM r GROUP BY 1, 2),
         |pick AS (SELECT r.type_a, r.type_b, min(r.lag) AS best_lag
@@ -531,11 +569,7 @@ object TimeSeries {
                  |     WHEN CAST(n AS DECIMAL(38,0)) * sxy
                  |          - CAST(sx AS DECIMAL(38,0)) * sy < 0 THEN -1
                  |     ELSE 0 END""".stripMargin).cast("bigint").as("cov_sign"),
-          expr("""CAST((1000000 * (CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy)
-                 |               * (CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy))
-                 |DIV (greatest(CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx, 1)
-                 |     * greatest(CAST(n AS DECIMAL(38,0)) * syy - CAST(sy AS DECIMAL(38,0)) * sy, 1))
-                 |AS BIGINT)""".stripMargin).as("r2_ppm"))
+          expr(r2PpmSpark).as("r2_ppm"))
         .transform(graft.Graft.stagedCheckpoint) // mx, pick, l0, final join
       val mx = r.groupBy(col("type_a"), col("type_b"))
         .agg(max(col("r2_ppm")).as("r2_best"))
@@ -545,9 +579,16 @@ object TimeSeries {
         .agg(min(col("lag")).as("best_lag"))
       val l0 = r.filter(col("lag") === 0)
         .select(col("type_a"), col("type_b"), col("r2_ppm").as("r2_lag0"))
-      pick.join(r, pick("type_a") === r("type_a") &&
-          pick("type_b") === r("type_b") && col("best_lag") === col("lag"))
-        .select(pick("type_a"), pick("type_b"), col("best_lag"),
+      // pick derives FROM r, so joining the two through same-named
+      // columns would lean on Spark's ambiguous-self-join dataset-id
+      // heuristic (and log "trivially true equals predicate" WARNs) —
+      // the pick side is renamed first so the equi-join is between
+      // genuinely distinct attributes (VERDICT r14 #2)
+      val pickR = pick.select(col("type_a").as("best_type_a"),
+        col("type_b").as("best_type_b"), col("best_lag"))
+      pickR.join(r, col("best_type_a") === col("type_a") &&
+          col("best_type_b") === col("type_b") && col("best_lag") === col("lag"))
+        .select(col("type_a"), col("type_b"), col("best_lag"),
           col("n").as("n_overlap"), col("cov_sign"),
           col("r2_ppm").as("r2_best"))
         .join(l0, Seq("type_a", "type_b"))

@@ -42,7 +42,7 @@ class StreamDriftSpec extends SparkSpec {
   test("streaming drift equals the batch kernel after the watermark passes") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val ref = Drift.referenceCdfs(refDocs)
+    val ref = Drift.referenceCdfs(refDocs, "n_chars")
     assert(ref.keySet == Set("a") && ref("a").n == 30)
 
     val in = MemoryStream[(String, Timestamp, Long)]
@@ -63,7 +63,7 @@ class StreamDriftSpec extends SparkSpec {
         ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
 
     val batch = Drift.driftChart(
-        (batch1 ++ batch2).toDF("source", "ts", "v"), ref)
+        (batch1 ++ batch2).toDF("source", "ts", "v"), ref, "v")
       .collect()
       .map(r => (r.source, r.epoch_hour) ->
         ((r.n_window, r.ks_pm, r.w1_milli))).toMap
