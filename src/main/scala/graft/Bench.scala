@@ -12,9 +12,70 @@ import org.apache.spark.sql.SparkSession
   * measured reps, and the reported per-query time is the MEDIAN of the
   * measured reps — robust to a single loaded-machine outlier. The
   * stdout total is the sum of medians; every raw rep is preserved in
-  * bench_detail.json for audit.
+  * bench_detail.json for audit. Suspect queries — high spread OR a
+  * median 3x past the previous run's / this run's own floor — are
+  * re-run isolated at suite end and carry `sec_isolated` in-artifact
+  * (see the adjudication comment below), and every artifact names the
+  * git SHA it measured.
   */
 object Bench {
+
+  /** Registry git SHA (VERDICT r14 #7): resolved from .git by hand (no
+    * exec, no library) so every artifact names the exact tree it
+    * measured — r14's q131 adjudication had to match driver and builder
+    * artifacts by timestamp inference. Returns "unknown" outside a git
+    * checkout. */
+  def gitHead(repoDir: String = "."): String = {
+    import java.nio.file.{Files, Paths}
+    try {
+      val head = Files.readString(Paths.get(repoDir, ".git", "HEAD")).trim
+      if (!head.startsWith("ref: ")) head.take(40)
+      else {
+        val ref = head.stripPrefix("ref: ").trim
+        val refFile = Paths.get(repoDir, ".git", ref)
+        if (Files.exists(refFile)) Files.readString(refFile).trim.take(40)
+        else { // packed refs
+          val packed = Paths.get(repoDir, ".git", "packed-refs")
+          if (!Files.exists(packed)) "unknown"
+          else Files.readAllLines(packed).toArray(Array.empty[String])
+            .find(l => !l.startsWith("#") && l.endsWith(" " + ref))
+            .map(_.split(' ')(0).take(40)).getOrElse("unknown")
+        }
+      }
+    } catch { case _: Throwable => "unknown" }
+  }
+
+  /** Previous full-run per-query medians, for the uniformly-slow
+    * adjudication trigger (VERDICT r14 #1): parsed from the committed
+    * bench_detail.json at HEAD (the prior round's full run), or from
+    * SPARK_GRAFT_BENCH_PREV if set. A missing/unparseable file yields
+    * an empty map — the trigger simply has one fewer reference point —
+    * and so does a file measured at a DIFFERENT scale factor (an sf0.01
+    * iteration detail must not make every sf0.1 median read "3x slow"
+    * and trigger a suite-wide re-run storm). Jackson rides Spark's own
+    * classpath. */
+  def prevMedians(path: String, sfDir: String): Map[String, Double] =
+    try {
+      val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      val root = m.readTree(txt)
+      val qs = root.get("queries")
+      val sfName = sfDir.split('/').last
+      val prevSf = Option(root.get("sf")).map(_.asText("")).getOrElse("")
+      if (qs == null || !qs.isObject || prevSf.split('/').last != sfName)
+        Map.empty
+      else {
+        val it = qs.fields()
+        val b = Map.newBuilder[String, Double]
+        while (it.hasNext) {
+          val e = it.next()
+          val sec = e.getValue.get("sec")
+          if (sec != null && sec.isNumber) b += e.getKey -> sec.asDouble()
+        }
+        b.result()
+      }
+    } catch { case _: Throwable => Map.empty }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -84,7 +145,7 @@ object Bench {
     final case class QRes(name: String, sec: Double, secMin: Double,
                           reps: Seq[(Double, Boolean)],
                           spread: Double, err: Option[String], measured: Boolean,
-                          spill: Long)
+                          spill: Long, floorMin: Double)
     var prevFamily: String = null
     val results: Seq[QRes] =
       ordered.map { d =>
@@ -126,7 +187,10 @@ object Bench {
           Graft.releaseStagedCheckpoints(spark)
           (t, ok)
         }
-        (1 to warmups).foreach(_ => once())
+        // warm-up wall times are kept: the min over warmups+measured is
+        // the query's observed noise floor THIS run, one of the two
+        // uniformly-slow adjudication references (VERDICT r14 #1)
+        val warmTimes = (1 to warmups).map(_ => once()).collect { case (t, true) => t }
         err = None // warm-up failures don't gate measurement; measured reps decide
         val spill0 = spillBytes.get()
         val all = scala.collection.mutable.ArrayBuffer.empty[(Double, Boolean)]
@@ -147,23 +211,49 @@ object Bench {
         val secMin = if (good.nonEmpty) good.min else all.last._1
         val spread =
           if (good.size >= 2 && good.min > 0) good.max / good.min else 1.0
+        val floorMin =
+          if ((warmTimes ++ good).nonEmpty) (warmTimes ++ good).min
+          else sec
         QRes(d.name, sec, secMin, all.toSeq, spread, err,
-          measured = good.nonEmpty, spill = spillBytes.get() - spill0)
+          measured = good.nonEmpty, spill = spillBytes.get() - spill0,
+          floorMin = floorMin)
       }
-    // Self-adjudication (VERDICT r13 #3): every spread>2 offender is
-    // re-run ISOLATED at suite end — fresh clearCaches+GC, its own
-    // warm-up staging, the same rep/median protocol — so the round
-    // artifact itself distinguishes a genuinely noisy plan from
-    // in-suite churn or box load, instead of costing the judge a
-    // manual adjudication (r13: q63/q145 read 8x high in-suite, 0.6 s
-    // isolated). Measured offenders only: an erroring query's problem
-    // is the err field, not its spread.
+    // Self-adjudication (VERDICT r13 #3): every offender is re-run
+    // ISOLATED at suite end — fresh clearCaches+GC, its own warm-up
+    // staging, the same rep/median protocol — so the round artifact
+    // itself distinguishes a genuinely noisy plan from in-suite churn
+    // or box load, instead of costing the judge a manual adjudication
+    // (r13: q63/q145 read 8x high in-suite, 0.6 s isolated). Measured
+    // offenders only: an erroring query's problem is the err field.
+    //
+    // TWO trigger classes (VERDICT r14 #1 — a spread-only trigger is
+    // blind to a CONSISTENT slowdown: r14's q131 read 16.5 s with
+    // spread 1.28 because the box was loaded for the whole family
+    // window, vs 2.43 s isolated):
+    //  - "spread": max/min over measured reps > 2 (intra-run noise);
+    //  - "slow": the median exceeds 3x a reference point the artifact
+    //    can carry — the previous full run's median for the same query
+    //    (committed bench_detail.json at HEAD, or SPARK_GRAFT_BENCH_PREV)
+    //    or this run's own observed floor (min over warmups+reps) —
+    //    with a 0.5 s absolute gate so sub-second jitter doesn't
+    //    trigger a re-run storm.
     // -1.0 = the isolated re-run itself FAILED (a cold-start crash must
     // not publish its near-zero throw time as "fast when isolated" —
     // that would invert the adjudication); only successful reps enter
     // the median.
+    val prev = prevMedians(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_PREV", "bench_detail.json"), sfDir)
+    def adjReason(r: QRes): Option[String] =
+      if (!r.measured) None
+      else if (r.spread > 2.0) Some("spread")
+      else if (r.sec > 0.5 &&
+        (prev.get(r.name).exists(p => p > 0 && r.sec > 3.0 * p) ||
+          (r.floorMin > 0 && r.sec > 3.0 * r.floorMin))) Some("slow")
+      else None
+    val adjReasons: Map[String, String] =
+      results.flatMap(r => adjReason(r).map(r.name -> _)).toMap
     val isolated: Map[String, Double] = results
-      .filter(r => r.measured && r.spread > 2.0)
+      .filter(r => adjReasons.contains(r.name))
       .flatMap(r => ordered.find(_.name == r.name))
       .map { d =>
         Graft.clearCaches(spark)
@@ -240,8 +330,9 @@ object Bench {
     // across rounds; the median total is the conservative headline.
     val totalMin = results.filter(_.measured).map(_.secMin).sum
     val nExcluded = results.count(!_.measured)
+    val head = gitHead()
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"value_min":${fmt(totalMin)},"unit":"sec","excluded":$nExcluded,"n_queries":${results.size},"queries":$qs,"queries_omitted":$nOmitted,"detail":"bench_detail.json","err":$errs,"spread_gt2":$noisy,"sec_isolated":$isoJson,"spill_mb":$spilled,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"value_min":${fmt(totalMin)},"unit":"sec","excluded":$nExcluded,"n_queries":${results.size},"queries":$qs,"queries_omitted":$nOmitted,"detail":"bench_detail.json","err":$errs,"spread_gt2":$noisy,"sec_isolated":$isoJson,"spill_mb":$spilled,"head":"$head","sf":"$sfDir"}"""
     val detail = results.map { r =>
       // each rep carries its own ok flag so an auditor can tell exactly
       // which recorded wall time was the failing one
@@ -252,13 +343,15 @@ object Bench {
           "{\"sec\":" + fmt(t) + ",\"ok\":" + ok + "}"
         }.mkString("[", ",", "]") +
         ",\"spread\":" + fmt(r.spread) +
+        ",\"floor_min\":" + fmt(r.floorMin) +
+        ",\"adjudicated\":" + adjReasons.get(r.name).map(jstr).getOrElse("null") +
         ",\"sec_isolated\":" + isolated.get(r.name).map(fmt).getOrElse("null") +
         ",\"spill_bytes\":" + r.spill +
         ",\"err\":" + r.err.map(jstr).getOrElse("null") + "}"
     }.mkString("{", ",", "}")
     try {
       val w = new java.io.PrintWriter("bench_detail.json")
-      try w.println(s"""{"total":$total,"total_min":$totalMin,"sf":"$sfDir","warmups":$warmups,"reps":$reps,"queries":$detail}""")
+      try w.println(s"""{"total":$total,"total_min":$totalMin,"sf":"$sfDir","head":"$head","warmups":$warmups,"reps":$reps,"queries":$detail}""")
       finally w.close()
     } catch { case _: java.io.IOException => () } // detail file is best-effort
     println(line)

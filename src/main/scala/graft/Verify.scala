@@ -59,6 +59,13 @@ object Verify {
       .filter { case (k, _) => only.isEmpty || only(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // registry git SHA beside the dump (VERDICT r14 #7): meta.json is a
+    // SEPARATE file — a key inside oracle_sql.json would read as a query
+    // name to the driver's iteration
+    val head = Bench.gitHead()
+    Files.writeString(Paths.get(s"$outDir/meta.json"),
+      s"""{"head":${q(head)},"sf":${q(sfDir)}}""")
+    System.err.println(s"[verify] head $head")
     spark.stop()
   }
 }
