@@ -22,6 +22,20 @@ import org.apache.spark.sql.functions._
   */
 object DataQuality {
 
+  /** q289's LinearCounting table: ln(256/V) for V = 1..256 in integer
+    * micro-nats, computed once and interpolated into BOTH engine
+    * programs (the q153 shared-constant discipline, at m = 256). */
+  private val hllLn256Micro: IndexedSeq[Long] =
+    (1 to 256).map(v => math.round(math.log(256.0 / v) * 1e6))
+
+  /** alpha_256 = 0.7213/(1 + 1.079/256) = 0.71827 (Flajolet et al.
+    * 2007, Fig. 3), entered as the rational 71827/100000 under floor
+    * division. Estimate = alpha * m^2 * 2^31 / sumpow with sumpow
+    * accumulating 2^(31-rho); one factor of 2 folds into the
+    * denominator (71827 * 65536 * 2^30 = 5.05e18 fits a BIGINT,
+    * 50000 * sumpow <= 50000 * 2^39 = 2.75e16 does too). */
+  private val hllAlphaNum = 71827L
+
   val defs: Seq[QueryDef] = Seq(
     // ----------------------------------------------------------------
     q("q271_column_profile",
@@ -192,5 +206,174 @@ object DataQuality {
         .select(col("check_name"), col("n_checked"), col("n_violations"),
           when(col("n_violations") === 0L, 1L).otherwise(0L)
             .cast("bigint").as("pass"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q289_hll_column_profile",
+      """The APPROXIMATE column profile — q271's six-way distinct
+        |replaced by q153's HyperLogLog register algebra (Flajolet et
+        |al. 2007), which is the 100-TB profile path: q271's exact
+        |multi-distinct Expand is the catalog's steepest curve (×14.8
+        |at 30× data, the documented exact trade), while this query's
+        |distinct-state is 6 columns × 256 registers = 1536 rows at
+        |ANY corpus size — max() combines map-side, any partition
+        |merge IS the HLL union, and nothing data-sized ever shuffles.
+        |Per column: row count, null count, the HLL estimate, and the
+        |±6.5% one-sigma band (1.04/sqrt(256), Flajolet's published
+        |RSE) as integer est_lo/est_hi — the error band a profile
+        |consumer gates on when approximate tolerance is acceptable
+        |(else run q271). DELIBERATELY no exact column: an exact
+        |distinct inside the approximate profiler would re-buy the
+        |very Expand this query exists to avoid; the
+        |estimate-vs-exact calibration on the fixture lives in
+        |HllProfileSpec (every column's estimate within 3 sigma of
+        |q271's exact counts at sf0.001/0.01/0.1) and both engines
+        |recompute the identical registers here, so the estimate
+        |itself is hash-gated. Determinism discipline is q153's at
+        |m = 256: base-131 fold over the 24-char zero-padded key
+        |(substr-then-lpad so neither engine's lpad truncation
+        |semantics are in play), TWO modular squaring passes to
+        |restore avalanche on sequential ids (one pass left the m=64
+        |prototype 27-41% off on the id columns), alpha_256 =
+        |71827/100000 under floor division, and the shared 256-entry
+        |micro-nat ln table for the LinearCounting small-range
+        |correction (raw <= 2.5m = 640). The rank source is a SPLICED
+        |30-bit window — the first mix's low byte as the top 8 bits
+        |over the second mix's mid 22 bits, rank = 31 - bitlength —
+        |because a single mix's rest ranges over [0, p/256), not a
+        |power of two: that skews P(rank=1) to 0.463 and read as a
+        |consistent +8-21% overestimate; the spliced window is dyadic
+        |exactly through rank 8 and to ~3e-4 beyond.
+        |Keys are canonicalized to their first 24 chars — injective
+        |on every fixture column (max props length is 9) and
+        |documented as the fingerprint domain past that. Column
+        |typing follows q271: ts in micros, value in cents, both as
+        |decimal-exact strings.""".stripMargin,
+      {
+        val ln = hllLn256Micro.mkString(",")
+        s"""WITH base AS (
+        |  SELECT count(*)::BIGINT AS n,
+        |    CAST(count(event_id) AS BIGINT) AS nn_id,
+        |    CAST(count(ts) AS BIGINT) AS nn_ts,
+        |    CAST(count(user_id) AS BIGINT) AS nn_u,
+        |    CAST(count(event_type) AS BIGINT) AS nn_t,
+        |    CAST(count(value) AS BIGINT) AS nn_v,
+        |    CAST(count(props) AS BIGINT) AS nn_p
+        |  FROM events),
+        |nulls AS (
+        |  SELECT 'event_id' AS column_name, n, n - nn_id AS n_null FROM base
+        |  UNION ALL SELECT 'ts', n, n - nn_ts FROM base
+        |  UNION ALL SELECT 'user_id', n, n - nn_u FROM base
+        |  UNION ALL SELECT 'event_type', n, n - nn_t FROM base
+        |  UNION ALL SELECT 'value', n, n - nn_v FROM base
+        |  UNION ALL SELECT 'props', n, n - nn_p FROM base),
+        |k AS (
+        |  SELECT column_name, k FROM (
+        |    SELECT 'event_id' AS column_name, CAST(event_id AS VARCHAR) AS k FROM events
+        |    UNION ALL SELECT 'ts', CAST(epoch_us(ts) AS VARCHAR) FROM events
+        |    UNION ALL SELECT 'user_id', CAST(user_id AS VARCHAR) FROM events
+        |    UNION ALL SELECT 'event_type', event_type FROM events
+        |    UNION ALL SELECT 'value',
+        |      CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS VARCHAR) FROM events
+        |    UNION ALL SELECT 'props', props FROM events)
+        |  WHERE k IS NOT NULL),
+        |h0 AS (SELECT column_name,
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |    list_transform(range(1, 25),
+        |      i -> CAST(ascii(substr(lpad(substr(k, 1, 24), 24, '0'), i, 1)) AS BIGINT))),
+        |    (a, c) -> (a * 131 + c) % 1000000007) AS h
+        |  FROM k),
+        |h1 AS (SELECT column_name, (h * h + h) % 1000000007 AS h1 FROM h0),
+        |hm AS (SELECT column_name, h1, (h1 * h1 + h1) % 1000000007 AS h2 FROM h1),
+        |r AS (SELECT column_name, h2 % 256 AS reg,
+        |        (h1 % 256) * 4194304 + (h2 // 256) % 4194304 AS rest FROM hm),
+        |m AS (SELECT column_name, reg,
+        |        max(CASE WHEN rest = 0 THEN 31
+        |                 ELSE 31 - length(bin(rest)) END) AS rho
+        |      FROM r GROUP BY 1, 2),
+        |f AS (SELECT c.column_name, CAST(g.reg AS BIGINT) AS reg,
+        |             CAST(coalesce(m.rho, 0) AS BIGINT) AS rho
+        |      FROM (SELECT DISTINCT column_name FROM nulls) c
+        |      CROSS JOIN (SELECT unnest(range(0, 256)) AS reg) g
+        |      LEFT JOIN m ON m.column_name = c.column_name AND m.reg = g.reg),
+        |z AS (SELECT column_name,
+        |        CAST(sum(1::BIGINT << CAST(31 - rho AS INT)) AS BIGINT) AS sumpow,
+        |        CAST(sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT) AS vzero
+        |      FROM f GROUP BY 1),
+        |e AS (SELECT column_name,
+        |        CASE WHEN (CAST($hllAlphaNum AS BIGINT) * 65536 * 1073741824) // (50000 * sumpow) <= 640
+        |                  AND vzero > 0
+        |             THEN (256 * CAST([$ln][CAST(vzero AS INT)] AS BIGINT)) // 1000000
+        |             ELSE (CAST($hllAlphaNum AS BIGINT) * 65536 * 1073741824) // (50000 * sumpow) END AS est
+        |      FROM z)
+        |SELECT nulls.column_name, nulls.n, nulls.n_null,
+        |  CAST(e.est AS BIGINT) AS hll_estimate,
+        |  CAST((e.est * 935) // 1000 AS BIGINT) AS est_lo,
+        |  CAST((e.est * 1065 + 999) // 1000 AS BIGINT) AS est_hi
+        |FROM nulls JOIN e USING (column_name)""".stripMargin
+      }) { (s, dir) =>
+      graft.plans.GraftFunctions.register(s)
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      // ONE scan: the six typed keys stack to (column_name, k) rows
+      // map-side and collapse immediately into the 384-register state
+      val keyed = ev.select(expr(
+        """stack(6,
+          |  'event_id', CAST(event_id AS STRING),
+          |  'ts', CAST(unix_micros(CAST(ts AS TIMESTAMP)) AS STRING),
+          |  'user_id', CAST(user_id AS STRING),
+          |  'event_type', event_type,
+          |  'value', CAST(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS STRING),
+          |  'props', props
+          |) AS (column_name, k)""".stripMargin))
+        .filter(col("k").isNotNull)
+      val hm = keyed
+        .select(col("column_name"), call_function("rolling_hash",
+          lpad(substring(col("k"), 1, 24), 24, "0")).as("h0"))
+        .select(col("column_name"), expr("(h0 * h0 + h0) % 1000000007").as("h1"))
+        .select(col("column_name"), col("h1"),
+          expr("(h1 * h1 + h1) % 1000000007").as("h2"))
+      val m = hm
+        .select(col("column_name"), (col("h2") % 256).as("reg"),
+          expr("(h1 % 256) * 4194304 + (h2 DIV 256) % 4194304").as("rest"))
+        .groupBy(col("column_name"), col("reg"))
+        .agg(max(expr(
+          "CASE WHEN rest = 0 THEN 31L ELSE CAST(31 - length(bin(rest)) AS BIGINT) END")).as("rho"))
+      // densified registers come from a LITERAL column list x range(256)
+      // (never from the data), so an empty corpus still yields 6 rows
+      // with estimate 0 — the EmptyInputSpec contract
+      val colNames = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
+      val f = colNames.toDF("column_name")
+        .crossJoin(s.range(256).select(col("id").as("reg")))
+        .join(m, Seq("column_name", "reg"), "left")
+        .select(col("column_name"), coalesce(col("rho"), lit(0L)).as("rho"))
+      val est = f.groupBy(col("column_name")).agg(
+        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(31 - rho AS INT))"))
+          .cast("long").as("sumpow"),
+        sum(when(col("rho") === 0, 1L).otherwise(0L)).cast("long").as("vzero"))
+        .select(col("column_name"), expr(
+          s"""CASE WHEN (CAST($hllAlphaNum AS BIGINT) * 65536 * 1073741824) DIV (50000 * sumpow) <= 640
+             |          AND vzero > 0
+             |     THEN (256 * CAST(element_at(array(${hllLn256Micro.mkString(",")}),
+             |                     CAST(vzero AS INT)) AS BIGINT)) DIV 1000000
+             |     ELSE (CAST($hllAlphaNum AS BIGINT) * 65536 * 1073741824) DIV (50000 * sumpow)
+             |END""".stripMargin).as("hll_estimate"))
+      val nulls = ev.agg(
+        count(lit(1)).cast("bigint").as("n"),
+        count(col("event_id")).cast("bigint").as("nn_id"),
+        count(col("ts")).cast("bigint").as("nn_ts"),
+        count(col("user_id")).cast("bigint").as("nn_u"),
+        count(col("event_type")).cast("bigint").as("nn_t"),
+        count(col("value")).cast("bigint").as("nn_v"),
+        count(col("props")).cast("bigint").as("nn_p"))
+        .select(col("n"), expr(
+          """stack(6,
+            |  'event_id', n - nn_id, 'ts', n - nn_ts, 'user_id', n - nn_u,
+            |  'event_type', n - nn_t, 'value', n - nn_v, 'props', n - nn_p
+            |) AS (column_name, n_null)""".stripMargin))
+      nulls.join(broadcast(est), Seq("column_name"))
+        .select(col("column_name"), col("n"), col("n_null"), col("hll_estimate"),
+          expr("(hll_estimate * 935) DIV 1000").as("est_lo"),
+          expr("(hll_estimate * 1065 + 999) DIV 1000").as("est_hi"))
     })
 }

@@ -35,7 +35,7 @@ object ScaleOps {
     * correction divides the same constants on both engines. (Declared
     * before `defs`: object vals initialize in order, and the oracle
     * string interpolates this eagerly.) */
-  private val hllLnMicro: IndexedSeq[Long] =
+  private[operators] val hllLnMicro: IndexedSeq[Long] =
     (1 to 64).map(v => math.round(math.log(64.0 / v) * 1e6))
 
   // Accumulator is DECIMAL(30,8), NOT (38,8): Spark types acc+v at
