@@ -955,11 +955,19 @@ object ScaleOps {
         |mean rows/key, skew factor (max/mean, milli), and the exact
         |p99 key weight. A 1000-executor shuffle stalls on its
         |heaviest key regardless of cluster size — skew_milli names
-        |the stall BEFORE the job runs. p99 comes from the
+        |the stall BEFORE the job runs. p99 (and p50) come from the
         |frequency-of-frequencies histogram (rows-per-key → how many
         |keys carry that many rows), which is bounded by the heaviest
         |key's weight, never by key count — so the cumulative window
-        |partitions by relation over a tiny spectrum. Scale shape:
+        |partitions by relation over a tiny spectrum.
+        |The audit CLOSES THE LOOP (VERDICT r14 #5): recommended_salt
+        |= ceil(max_key_rows / p50_key_rows) clamped to [1, 256] and
+        |rounded up to a power of two — the salt factor at which the
+        |heaviest key's reducer load shrinks to roughly a median
+        |key's, ready to hand to Skew.saltedCount/saltedJoin (whose
+        |JVM mirror Skew.recommendedSalt computes the same number;
+        |SkewSpec proves count/join parity at the derived value).
+        |1 means "don't salt". Scale shape:
         |one groupBy per relation (the same shuffle the audited join
         |would do — the audit costs what one map-side-combined pass
         |costs), then everything downstream is spectrum-sized.""".stripMargin,
@@ -980,13 +988,23 @@ object ScaleOps {
         |          AS BIGINT) AS cum,
         |        CAST(sum(nk) OVER (PARTITION BY relation) AS BIGINT) AS n_keys,
         |        CAST(sum(cnt * nk) OVER (PARTITION BY relation) AS BIGINT) AS n_rows
-        |      FROM fof)
-        |SELECT relation, max(n_keys) AS n_keys, max(n_rows) AS n_rows,
-        |  max(cnt) AS max_key_rows,
-        |  max(n_rows) // max(n_keys) AS mean_key_rows,
-        |  (1000 * max(cnt) * max(n_keys)) // max(n_rows) AS skew_milli,
-        |  min(CASE WHEN cum >= (99 * n_keys + 99) // 100 THEN cnt END) AS p99_key_rows
-        |FROM h GROUP BY 1""".stripMargin) { (s, dir) =>
+        |      FROM fof),
+        |agg AS (
+        |  SELECT relation, max(n_keys) AS n_keys, max(n_rows) AS n_rows,
+        |    max(cnt) AS max_key_rows,
+        |    max(n_rows) // max(n_keys) AS mean_key_rows,
+        |    (1000 * max(cnt) * max(n_keys)) // max(n_rows) AS skew_milli,
+        |    min(CASE WHEN cum >= (99 * n_keys + 99) // 100 THEN cnt END) AS p99_key_rows,
+        |    min(CASE WHEN cum >= (n_keys + 1) // 2 THEN cnt END) AS p50_key_rows
+        |  FROM h GROUP BY 1),
+        |sr AS (SELECT *,
+        |  least(greatest((max_key_rows + p50_key_rows - 1) // p50_key_rows, 1), 256) AS r
+        |  FROM agg)
+        |SELECT relation, n_keys, n_rows, max_key_rows, mean_key_rows,
+        |  skew_milli, p99_key_rows, p50_key_rows,
+        |  CAST(CASE WHEN r <= 1 THEN 1
+        |       ELSE 1::BIGINT << length(bin(r - 1)) END AS BIGINT) AS recommended_salt
+        |FROM sr""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
       def keyCounts(rel: String, df: DataFrame, key: org.apache.spark.sql.Column) =
         df.groupBy(key.as("key")).agg(count(lit(1)).cast("bigint").as("cnt"))
@@ -1012,7 +1030,16 @@ object ScaleOps {
           expr("max(n_rows) DIV max(n_keys)").as("mean_key_rows"),
           expr("(1000 * max(cnt) * max(n_keys)) DIV max(n_rows)").as("skew_milli"),
           min(when(expr("cum >= (99 * n_keys + 99) DIV 100"), col("cnt")))
-            .as("p99_key_rows"))
+            .as("p99_key_rows"),
+          min(when(expr("cum >= (n_keys + 1) DIV 2"), col("cnt")))
+            .as("p50_key_rows"))
+        .withColumn("r", expr(
+          "least(greatest((max_key_rows + p50_key_rows - 1) DIV p50_key_rows, 1), 256)"))
+        .withColumn("recommended_salt", expr(
+          """CAST(CASE WHEN r <= 1 THEN 1
+            |ELSE shiftleft(CAST(1 AS BIGINT), CAST(length(bin(r - 1)) AS INT))
+            |END AS BIGINT)""".stripMargin))
+        .drop("r")
     }
   )
 

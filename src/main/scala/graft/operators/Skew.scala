@@ -27,6 +27,23 @@ object Skew {
   private def saltCol(salts: Int): Column =
     pmod(monotonically_increasing_id(), lit(salts))
 
+  /** JVM mirror of q270's `recommended_salt` audit column (ScaleOps) —
+    * the ONE derivation both ends of the loop share, so a pipeline can
+    * read the pre-flight's number and hand it straight to
+    * [[saltedCount]]/[[saltedJoin]]: ceil(maxKeyRows / p50KeyRows),
+    * clamped to [1, 256], rounded UP to a power of two. The heaviest
+    * key's reducer load shrinks by the salt factor, so salting at this
+    * value brings it to roughly a median key's weight; the power-of-two
+    * rounding keeps salt counts composable with partition counts; the
+    * 256 cap bounds the small-side replication cost saltedJoin pays.
+    * 1 means "don't salt". */
+  def recommendedSalt(maxKeyRows: Long, p50KeyRows: Long): Int = {
+    require(p50KeyRows > 0, s"p50KeyRows must be positive, got $p50KeyRows")
+    val r = math.min(math.max((maxKeyRows + p50KeyRows - 1) / p50KeyRows, 1L), 256L)
+    if (r <= 1L) 1
+    else 1 << (64 - java.lang.Long.numberOfLeadingZeros(r - 1L))
+  }
+
   /** Exact two-phase count per key through a salt. */
   def saltedCount(df: DataFrame, key: Column, salts: Int = 16): DataFrame =
     df.withColumn("__salt", saltCol(salts))
