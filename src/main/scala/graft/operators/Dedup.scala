@@ -88,7 +88,7 @@ object Dedup {
   /** Shingle set of an arbitrary (doc_id, text) frame — the signature
     * machinery is per-doc absolute (md5-based), so it composes into the
     * incremental path (IncrementalDedup) unchanged. */
-  private[operators] def shinglesOf(docs: DataFrame): DataFrame =
+  private[graft] def shinglesOf(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .withColumn("i", explode(when(size(col("w")) >= 3,
@@ -115,7 +115,7 @@ object Dedup {
     * Jaccard verify. */
   /** Wide signature of an arbitrary (doc_id, text) frame (see
     * [[shinglesOf]] on why this composes incrementally). */
-  private[operators] def signatureWideOf(docs: DataFrame): DataFrame = {
+  private[graft] def signatureWideOf(docs: DataFrame): DataFrame = {
     val aggs = (0 until NumSeeds).map(i =>
       min(md5(concat(col("sh"), lit(s":$i")))).as(s"mh$i"))
     shinglesOf(docs).groupBy(col("doc_id"))
@@ -134,7 +134,7 @@ object Dedup {
 
   /** Band-key columns (bk0..bkN) appended to a wide signature — the
     * row-local LSH keys, same expression the dir-based [[bands]] uses. */
-  private[operators] def withBandKeys(sigWide: DataFrame): DataFrame =
+  private[graft] def withBandKeys(sigWide: DataFrame): DataFrame =
     (0 until NumBands).foldLeft(sigWide) { (d, b) =>
       val ms = (b * BandSize until (b + 1) * BandSize).map(i => s"mh$i").mkString(", ")
       d.withColumn(s"bk$b", expr(s"md5(array_join(array_sort(array($ms)), ','))"))
