@@ -316,8 +316,16 @@ object DataQuality {
       import s.implicits._
       val ev = Tables.events(s, dir)
       // ONE scan: the six typed keys stack to (column_name, k) rows
-      // map-side and collapse immediately into the 384-register state
-      val keyed = ev.select(expr(
+      // map-side and collapse immediately into the 1536-register state.
+      // Explicit-N repartition first (the SCALE.md §4 pinning rule, the
+      // q36 lesson): the per-row work is 6 hash folds, and a compact
+      // parquet file arrives as ONE split — without the spread the
+      // whole CPU-dense stage runs serially (measured 29 s at x10 on a
+      // single-file replica vs ~3 s spread; the raw-row exchange it
+      // buys is bytes-cheap)
+      val keyed = ev
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(expr(
         """stack(6,
           |  'event_id', CAST(event_id AS STRING),
           |  'ts', CAST(unix_micros(CAST(ts AS TIMESTAMP)) AS STRING),
