@@ -49,16 +49,24 @@ object ScaleUp {
     def reps = broadcast(
       spark.range(factor).select(col("id").cast("long").as("rep")))
     def rd(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
-    def wr(df: DataFrame, t: String): Unit = {
-      df.write.mode("overwrite").parquet(s"$dst/$t.parquet")
-      System.err.println(s"[scaleup] wrote $t")
+    // FILE LAYOUT IS A PARALLELISM KNOB (round-15 lesson): the replica
+    // tables used to write as ONE compact snappy file each, and a
+    // ≤128 MB file is ONE input split — so at sf3 every scan-bound
+    // first stage (hashing, tokenizing, sketching) ran serially and
+    // the whole-suite sweep measured the layout, not the plans (q43
+    // read 62 s; the first q289 measure read 29 s at ×10). A real ×30
+    // corpus arrives as many files; the replica now does too.
+    def wr(df: DataFrame, t: String, parts: Int =
+        spark.sparkContext.defaultParallelism): Unit = {
+      df.repartition(parts).write.mode("overwrite").parquet(s"$dst/$t.parquet")
+      System.err.println(s"[scaleup] wrote $t ($parts files)")
     }
     def shifted(t: String)(cols: org.apache.spark.sql.Column*): Unit =
       wr(rd(t).crossJoin(reps).select(cols: _*), t)
 
-    // dims: single copy
-    wr(rd("region"), "region")
-    wr(rd("nation"), "nation")
+    // dims: single copy, single file (25 rows don't need splits)
+    wr(rd("region"), "region", parts = 1)
+    wr(rd("nation"), "nation", parts = 1)
 
     shifted("customer")(
       (col("c_custkey") + col("rep") * KK).as("c_custkey"),
