@@ -27,19 +27,28 @@ object Bench {
     * checkout. */
   def gitHead(repoDir: String = "."): String = {
     import java.nio.file.{Files, Paths}
+    // A detached HEAD is exactly 40 hex chars; anything else that isn't
+    // a ref (e.g. "gitdir: /path" when .git is a worktree/submodule
+    // POINTER FILE, where the readString above returns the pointer, not
+    // a SHA) must stamp "unknown" rather than 40 bytes of a path
+    // (ADVICE r15).
+    def shaOrUnknown(s: String): String =
+      if (s.matches("[0-9a-f]{40}")) s else "unknown"
     try {
       val head = Files.readString(Paths.get(repoDir, ".git", "HEAD")).trim
-      if (!head.startsWith("ref: ")) head.take(40)
+      if (!head.startsWith("ref: ")) shaOrUnknown(head.take(40))
       else {
         val ref = head.stripPrefix("ref: ").trim
         val refFile = Paths.get(repoDir, ".git", ref)
-        if (Files.exists(refFile)) Files.readString(refFile).trim.take(40)
+        if (Files.exists(refFile))
+          shaOrUnknown(Files.readString(refFile).trim.take(40))
         else { // packed refs
           val packed = Paths.get(repoDir, ".git", "packed-refs")
           if (!Files.exists(packed)) "unknown"
           else Files.readAllLines(packed).toArray(Array.empty[String])
             .find(l => !l.startsWith("#") && l.endsWith(" " + ref))
-            .map(_.split(' ')(0).take(40)).getOrElse("unknown")
+            .map(l => shaOrUnknown(l.split(' ')(0).take(40)))
+            .getOrElse("unknown")
         }
       }
     } catch { case _: Throwable => "unknown" }

@@ -124,6 +124,86 @@ object Attribution {
     v.getOrElse("start", 0L)
   }
 
+  /** Hard cap on the Shapley channel count (VERDICT r15 #6). The exact
+    * lattice enumerates 2^n coalitions and the channel-term join walks
+    * n·2^(n-1) rows — tractable at n=12 (4096 coalitions), doubling per
+    * channel past it. Published data-driven-attribution deployments cap
+    * at about a dozen channels for exactly this reason. */
+  val MaxShapleyChannels = 12
+
+  /** EXACT Shapley-value attribution over an arbitrary ordered channel
+    * list (the q282 kernel, generalized): `paths` is a session frame of
+    * (user_id, sid, st) rows with 'conv' marking conversion (the
+    * [[sessionPaths]] shape); channel i gets bit 1<<i. Coalition value
+    * v(S) = converted sessions whose touched-channel set ⊆ S; shares are
+    * computed in micro-conversions with the integer factorial weights
+    * |S|!(n-|S|-1)! and ONE final division by n! (n ≤ 12 keeps every
+    * weight and 1e6·sum(term) far inside BIGINT).
+    *
+    * GUARDED: more than [[MaxShapleyChannels]] channels refuses loudly
+    * at plan time — above ~12 channels the 2^n lattice explodes
+    * silently (the fixture's 4 channels never exercise the cliff, so
+    * without the guard a wider caller would discover it as an
+    * OOM/runaway job, not an error). The >12-channel path is q283's
+    * Markov removal-effect attribution ([[markovConvPpm]]), which
+    * scales as |states|², not 2^n. */
+  private[graft] def shapleyReport(s: SparkSession, paths: DataFrame,
+      channels: Seq[String]): DataFrame = {
+    require(channels.size <= MaxShapleyChannels,
+      s"Shapley attribution enumerates the full 2^n coalition lattice: " +
+        s"n=${channels.size} channels exceeds the cap of " +
+        s"$MaxShapleyChannels (${1 << MaxShapleyChannels} coalitions), " +
+        "and the lattice doubles per extra channel. For wider channel " +
+        "sets use q283's Markov removal-effect attribution " +
+        "(Attribution.markovConvPpm) — it scales as |states|^2, not 2^n.")
+    require(channels.nonEmpty && channels.distinct.size == channels.size &&
+        !channels.contains("conv"),
+      "channels must be non-empty, distinct, and not the absorbing 'conv'")
+    val n = channels.size
+    val full = (1L << n) - 1L
+    def fact(k: Int): Long = (1 to k).foldLeft(1L)(_ * _.toLong)
+    val maskCase = channels.zipWithIndex
+      .map { case (ch, i) => s"WHEN '$ch' THEN ${1L << i}" }
+      .mkString("CASE st ", " ", " END")
+    val weightCase = (0 until n)
+      .map(k => s"WHEN $k THEN ${fact(k) * fact(n - 1 - k)}")
+      .mkString("CASE bit_count(s0) ", " ", " END")
+    val sm = paths
+      .groupBy(col("user_id"), col("sid"))
+      .agg(coalesce(expr(s"sum(DISTINCT $maskCase)"), lit(0L))
+          .cast("long").as("mask"),
+        max(when(col("st") === "conv", 1).otherwise(0)).as("conv"))
+    val census = sm.filter(col("conv") === 1)
+      .groupBy(col("mask")).agg(count(lit(1)).cast("bigint").as("c"))
+    val subsets = s.range(1L << n).select(col("id").cast("long").as("s"))
+    val v = subsets.join(broadcast(census),
+        expr("(mask & s) = mask"), "left")
+      .groupBy(col("s"))
+      .agg(coalesce(sum(col("c")), lit(0L)).cast("bigint").as("val"))
+      .transform(graft.Graft.stagedCheckpoint) // terms x2 + 3 scalar slices
+    import s.implicits._
+    val ch = channels.zipWithIndex.map { case (c, i) => (c, 1L << i) }
+      .toDF("channel", "bit")
+    val v0 = v.select(col("s").as("s0"), col("val").as("val0"))
+    val v1 = v.select(col("s").as("s1"), col("val").as("val1"))
+    val terms = broadcast(ch)
+      .join(v0, expr("(s0 & bit) = 0"))
+      .join(v1, col("s1") === col("s0") + col("bit"))
+      .select(col("channel"), col("bit"),
+        (expr(weightCase) * (col("val1") - col("val0"))).as("term"))
+    val vTot = v.filter(col("s") === full).select(col("val").as("v15"))
+      .crossJoin(v.filter(col("s") === 0).select(col("val").as("v0x")))
+    val solo = v.select(col("s").as("bit"), col("val").as("v_solo"))
+    terms.groupBy(col("channel"), col("bit"))
+      .agg(expr(s"CAST((1000000 * sum(term)) DIV ${fact(n)} AS BIGINT)")
+        .as("shapley_micro"))
+      .join(broadcast(solo), Seq("bit"))
+      .crossJoin(broadcast(vTot))
+      .select(col("channel"), col("shapley_micro"), col("v_solo"),
+        (col("v15") - col("v0x")).cast("long").as("n_conv_attributable"),
+        col("v0x").cast("long").as("n_conv_unattributable"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     // ------------------------------------------------------------------
     q("q282_shapley_attribution",
@@ -175,42 +255,12 @@ object Attribution {
         |     - (SELECT val FROM v WHERE s = 0) AS BIGINT) AS n_conv_attributable,
         |  CAST((SELECT val FROM v WHERE s = 0) AS BIGINT) AS n_conv_unattributable
         |FROM terms t GROUP BY t.channel, t.bit""".stripMargin) { (s, dir) =>
-      val sm = sessionPaths(s, dir)
-        .groupBy(col("user_id"), col("sid"))
-        .agg(coalesce(expr(
-          """sum(DISTINCT CASE st WHEN 'click' THEN 1 WHEN 'error' THEN 2
-            |WHEN 'signup' THEN 4 WHEN 'view' THEN 8 END)""".stripMargin),
-          lit(0L)).cast("long").as("mask"),
-          max(when(col("st") === "conv", 1).otherwise(0)).as("conv"))
-      val census = sm.filter(col("conv") === 1)
-        .groupBy(col("mask")).agg(count(lit(1)).cast("bigint").as("c"))
-      val subsets = s.range(16).select(col("id").cast("long").as("s"))
-      val v = subsets.join(broadcast(census),
-          expr("(mask & s) = mask"), "left")
-        .groupBy(col("s"))
-        .agg(coalesce(sum(col("c")), lit(0L)).cast("bigint").as("val"))
-        .transform(graft.Graft.stagedCheckpoint) // terms x2 + 3 scalar slices
-      import s.implicits._
-      val ch = Seq(("click", 1L), ("error", 2L), ("signup", 4L), ("view", 8L))
-        .toDF("channel", "bit")
-      val v0 = v.select(col("s").as("s0"), col("val").as("val0"))
-      val v1 = v.select(col("s").as("s1"), col("val").as("val1"))
-      val terms = broadcast(ch)
-        .join(v0, expr("(s0 & bit) = 0"))
-        .join(v1, col("s1") === col("s0") + col("bit"))
-        .select(col("channel"), col("bit"),
-          (expr("CASE bit_count(s0) WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2 ELSE 6 END")
-            * (col("val1") - col("val0"))).as("term"))
-      val vTot = v.filter(col("s") === 15).select(col("val").as("v15"))
-        .crossJoin(v.filter(col("s") === 0).select(col("val").as("v0x")))
-      val solo = v.select(col("s").as("bit"), col("val").as("v_solo"))
-      terms.groupBy(col("channel"), col("bit"))
-        .agg(expr("CAST((1000000 * sum(term)) DIV 24 AS BIGINT)").as("shapley_micro"))
-        .join(broadcast(solo), Seq("bit"))
-        .crossJoin(broadcast(vTot))
-        .select(col("channel"), col("shapley_micro"), col("v_solo"),
-          (col("v15") - col("v0x")).cast("long").as("n_conv_attributable"),
-          col("v0x").cast("long").as("n_conv_unattributable"))
+      // the guarded general kernel ([[shapleyReport]]) with the event
+      // schema's four non-purchase channels: click=1, error=2,
+      // signup=4, view=8 — identical lattice, weights (6/2/2/6) and
+      // /24 division to the pre-r16 inline version
+      shapleyReport(s, sessionPaths(s, dir),
+        Seq("click", "error", "signup", "view"))
     },
 
     // ------------------------------------------------------------------

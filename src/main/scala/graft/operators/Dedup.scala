@@ -176,7 +176,19 @@ object Dedup {
   /** Candidate near-dup pairs: docs sharing >=1 LSH band bucket.
     * Cached: q28 emits it directly and q29 references it twice (once for
     * the doc-id semi-filter broadcast, once as the pair list) — without
-    * the cache the band self-join would run three times. */
+    * the cache the band self-join would run three times.
+    *
+    * BROADCAST DISCIPLINE (VERDICT r15 #2): this artifact's row count is
+    * DATA-DEPENDENT — bounded by the corpus's actual near-dup structure,
+    * not by any constant — so on a duplicate-heavy web crawl at 100 TB it
+    * can exceed any broadcast budget, and an unconditional `broadcast()`
+    * of it would kill the job at plan time. Every verify-stage consumer
+    * therefore goes through [[candPairs]]/[[candIntersections]], which
+    * broadcast only while the MEASURED count stays inside
+    * [[CandBroadcastMaxRows]] and otherwise fall back to a plain shuffle
+    * join co-partitioned on the pair key — the same size-gated fallback
+    * contract StreamExactSubstr documents for its dictionary. DedupSpec
+    * proves the two paths emit identical rows. */
   private val candCache = new SessionCache
   private def candidates(s: SparkSession, dir: String): DataFrame =
     candCache.getOrElseUpdate(s, dir) {
@@ -196,6 +208,48 @@ object Dedup {
        |FROM ($bandsSql) a JOIN ($bandsSql) b
        |  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
        |GROUP BY a.doc_id, b.doc_id""".stripMargin
+
+  /** Broadcast budget (rows) for the candidate-pair artifact when it
+    * feeds a verify-stage join. 1M pairs of three BIGINTs ≈ 24 MB on the
+    * driver — comfortably inside any executor's broadcast headroom while
+    * still letting the common case (candidates orders of magnitude
+    * smaller than the corpus) skip the shuffle. Above the budget the
+    * consumers shuffle-join instead; correctness is path-independent
+    * (DedupSpec). */
+  private[graft] val CandBroadcastMaxRows = 1000000L
+
+  /** Whether the candidate set fits the broadcast budget — ONE tiny
+    * count job on the family-cached frame, shared by every gated
+    * consumer in the same execution. */
+  private def candFitsBroadcast(s: SparkSession, dir: String,
+      maxRows: Long): Boolean =
+    candidates(s, dir).count() <= maxRows
+
+  /** The (doc_a, doc_b) candidate-pair frame prepared for use as the
+    * small side of a verify-stage join: broadcast-hinted only when the
+    * measured count is inside `maxRows` (see [[candidates]]' broadcast
+    * discipline). */
+  private def candPairs(s: SparkSession, dir: String,
+      maxRows: Long): DataFrame = {
+    val pairs = candidates(s, dir).select(col("doc_a"), col("doc_b"))
+    if (candFitsBroadcast(s, dir, maxRows)) broadcast(pairs) else pairs
+  }
+
+  /** |A∩B| distinct-shingle intersection counts per LSH candidate pair —
+    * the verify-stage kernel shared by q29 (Jaccard), q145 (containment),
+    * q171 (calibration) and q249 (yield curve). The candidate side is
+    * size-gated per [[CandBroadcastMaxRows]]; `broadcastMaxRows` is a
+    * parameter so DedupSpec can force the shuffle path and prove both
+    * paths emit identical rows. */
+  private[graft] def candIntersections(s: SparkSession, dir: String,
+      broadcastMaxRows: Long = CandBroadcastMaxRows): DataFrame = {
+    val sh = candShingles(s, dir)
+    candPairs(s, dir, broadcastMaxRows)
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+  }
 
   /** Candidate-doc shingle slice: the corpus shingle table semi-filtered
     * (broadcast, no shuffle of the big side) down to docs appearing in
@@ -234,20 +288,16 @@ object Dedup {
 
   private def neardupPairsUncached(s: SparkSession, dir: String,
       minJaccard: Double): DataFrame = {
-    val cand = candidates(s, dir)
-    // The candidate set is orders of magnitude smaller than the corpus
-    // (that's the whole point of LSH) — so the intersection join runs on
-    // the cached candidate-shingle slice ([[candShingles]]), never on
-    // the corpus shingle table. Without this the (doc_b, sh) join
-    // shuffles every shingle in the corpus; with it, only candidates'
-    // shingles move.
+    // The candidate set is usually orders of magnitude smaller than the
+    // corpus (that's the whole point of LSH) — so the intersection join
+    // runs on the cached candidate-shingle slice ([[candShingles]]),
+    // never on the corpus shingle table, with the candidate side
+    // size-gated ([[candIntersections]]). Without the slice the
+    // (doc_b, sh) join shuffles every shingle in the corpus; with it,
+    // only candidates' shingles move.
     val sh = candShingles(s, dir)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val inter = broadcast(cand)
-      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
-      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("n_common"))
+    val inter = candIntersections(s, dir)
     inter
       .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
@@ -427,17 +477,13 @@ object Dedup {
         |JOIN sizes za ON za.doc_id = i.doc_a
         |JOIN sizes zb ON zb.doc_id = i.doc_b
         |WHERE (i.n_common * 1000) // least(za.n, zb.n) >= 300""".stripMargin) { (s, dir) =>
-      val cand = candidates(s, dir)
       // candidate-doc shingles: the family-scoped [[candShingles]] cache
       // (three plan branches read it; a per-execution checkpoint here
-      // was the r13 bench-churn offender — see the cache's scaladoc)
+      // was the r13 bench-churn offender — see the cache's scaladoc);
+      // the candidate-pair side is size-gated ([[candIntersections]])
       val sh = candShingles(s, dir)
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val inter = broadcast(cand)
-        .join(sh.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
-        .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
-        .groupBy(col("doc_a"), col("doc_b"))
-        .agg(count(lit(1)).as("n_common"))
+      val inter = candIntersections(s, dir)
       inter
         .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
         .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
@@ -701,12 +747,15 @@ object Dedup {
         |LEFT JOIN inter ON inter.doc_a = m.doc_a AND inter.doc_b = m.doc_b
         |JOIN sizes za ON za.doc_id = m.doc_a
         |JOIN sizes zb ON zb.doc_id = m.doc_b""".stripMargin) { (s, dir) =>
-      val cand = candidates(s, dir)
       val sigA = signatureWide(s, dir)
       val matchExpr = (0 until NumSeeds)
         .map(i => when(col(s"a.mh$i") === col(s"b.mh$i"), 1L).otherwise(0L))
         .reduce(_ + _)
-      val m = broadcast(cand.select(col("doc_a"), col("doc_b")))
+      // both pair-sized sides ride the same size gate: if the candidate
+      // set fits the budget so does its grouped intersection output
+      // (inter rows ⊆ candidate pairs)
+      val fits = candFitsBroadcast(s, dir, CandBroadcastMaxRows)
+      val m = candPairs(s, dir, CandBroadcastMaxRows)
         .join(sigA.as("a"), col("a.doc_id") === col("doc_a"))
         .join(sigA.as("b"), col("b.doc_id") === col("doc_b"))
         .select(col("doc_a"), col("doc_b"), matchExpr.as("n_match"))
@@ -715,12 +764,8 @@ object Dedup {
       // was the r13 bench-churn offender — see the cache's scaladoc)
       val sh = candShingles(s, dir)
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val inter = broadcast(cand.select(col("doc_a"), col("doc_b")))
-        .join(sh.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
-        .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
-        .groupBy(col("doc_a"), col("doc_b"))
-        .agg(count(lit(1)).as("n_common"))
-      m.join(broadcast(inter), Seq("doc_a", "doc_b"), "left")
+      val inter = candIntersections(s, dir)
+      m.join(if (fits) broadcast(inter) else inter, Seq("doc_a", "doc_b"), "left")
         .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
         .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
         .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
@@ -991,14 +1036,9 @@ object Dedup {
         |  coalesce(byp.n_removed, 0) AS n_removed_keepfirst
         |FROM th LEFT JOIN byp USING (threshold_pm)
         |LEFT JOIN byd USING (threshold_pm)""".stripMargin) { (s, dir) =>
-      val cand = candidates(s, dir)
       val sh = candShingles(s, dir)
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-      val inter = broadcast(cand.select(col("doc_a"), col("doc_b")))
-        .join(sh.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
-        .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
-        .groupBy(col("doc_a"), col("doc_b"))
-        .agg(count(lit(1)).as("n_common"))
+      val inter = candIntersections(s, dir)
       // pair-bounded, but BOTH census branches (per-pair counts and the
       // doc-explode distinct) walk it — staged once per execution so the
       // intersection join never re-runs per branch

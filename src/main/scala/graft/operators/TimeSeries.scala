@@ -81,23 +81,39 @@ object TimeSeries {
     * bound q273/q274 document.)
     *
     * `c` wraps a column in the engine's wide-integer cast; `div` is
-    * the engine's integral division (Spark DIV / DuckDB //). */
+    * the engine's integral division (Spark DIV / DuckDB //).
+    *
+    * Every rescaled-branch QUOTIENT is re-wrapped in `c` before it is
+    * squared/multiplied (ADVICE r15): Spark's IntegralDivide returns
+    * BIGINT even for DECIMAL(38,0) operands, so without the re-wrap
+    * `1000000 * (num DIV n) * (num DIV n)` executes in 64-bit long
+    * arithmetic and silently wraps (non-ANSI) once a quotient passes
+    * ~3.03e6 — far below the branch's documented n*C^2 <= 3e15
+    * validity bound — while DuckDB's `//` stays HUGEINT and computes
+    * exactly. With the re-wrap both engines square in >=128-bit width
+    * (intermediates <= 1e6 * (3e15)^2 = 9e36 < 38 digits) and agree
+    * bit-for-bit; TimeSeriesSpec exercises this branch against a
+    * BigInt recompute, which is exactly DuckDB's HUGEINT arithmetic
+    * at these widths. */
   private def r2PpmExpr(c: String => String, div: String): String = {
     val num = s"(${c("n")} * sxy - ${c("sx")} * sy)"
     val dx = s"(${c("n")} * sxx - ${c("sx")} * sx)"
     val dy = s"(${c("n")} * syy - ${c("sy")} * sy)"
+    val qn = c(s"(abs($num) $div n)")
+    val qx = c(s"($dx $div n)")
+    val qy = c(s"($dy $div n)")
     s"""CASE WHEN abs($num) <= 3000000000000000
        |       AND $dx <= 3000000000000000000
        |       AND $dy <= 3000000000000000000
        |  THEN CAST((1000000 * $num * $num)
        |       $div (greatest($dx, 1) * greatest($dy, 1)) AS BIGINT)
-       |  ELSE CAST((1000000 * (abs($num) $div n) * (abs($num) $div n))
-       |       $div (greatest($dx $div n, 1) * greatest($dy $div n, 1)) AS BIGINT)
+       |  ELSE CAST((1000000 * $qn * $qn)
+       |       $div (greatest($qx, 1) * greatest($qy, 1)) AS BIGINT)
        |END""".stripMargin
   }
-  private[operators] val r2PpmSpark: String =
+  private[graft] val r2PpmSpark: String =
     r2PpmExpr(x => s"CAST($x AS DECIMAL(38,0))", "DIV")
-  private[operators] val r2PpmDuck: String =
+  private[graft] val r2PpmDuck: String =
     r2PpmExpr(x => s"CAST($x AS HUGEINT)", "//")
 
   /** One per-hour row of the Holt chart (batch and stream twins):

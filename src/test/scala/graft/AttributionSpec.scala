@@ -74,6 +74,43 @@ class AttributionSpec extends SparkSpec {
     got.values.foreach { case (phi, _, _, _) => assert(phi >= 0L) }
   }
 
+  test("shapleyReport refuses more than MaxShapleyChannels channels, loudly") {
+    // VERDICT r15 #6: the 2^n coalition lattice is safe only because the
+    // fixture has 4 channels; above ~12 it explodes silently. The guard
+    // must fire BEFORE any job runs, with a message that points the
+    // caller at the scalable alternative (q283's Markov model).
+    val paths = Tables.events(spark, sfDir)
+      .selectExpr("user_id", "CAST(1 AS BIGINT) AS sid", "event_type AS st")
+    val tooMany = (1 to Attribution.MaxShapleyChannels + 1).map(i => s"ch$i")
+    val e = intercept[IllegalArgumentException] {
+      Attribution.shapleyReport(spark, paths, tooMany)
+    }
+    assert(e.getMessage.contains("q283") && e.getMessage.contains("Markov"),
+      s"guard message must point at the >12-channel path: ${e.getMessage}")
+    // at the cap boundary it must NOT throw (plan construction only)
+    Attribution.shapleyReport(spark, paths,
+      (1 to Attribution.MaxShapleyChannels).map(i => s"ch$i"))
+  }
+
+  test("shapleyReport generalizes: n=2 hand-computed lattice") {
+    // two channels, three converting sessions: {A}, {B}, {A,B} and one
+    // non-converting {A}. v(∅)=0, v({A})=1, v({B})=1, v({A,B})=3.
+    // phi_A = [0!1!(v(A)-v(∅)) + 1!0!(v(AB)-v(B))] / 2! = (1+2)/2 = 1.5
+    // phi_B symmetric = 1.5.
+    val s = spark
+    import s.implicits._
+    val paths = Seq(
+      (1L, 1L, "A"), (1L, 1L, "conv"),
+      (2L, 1L, "B"), (2L, 1L, "conv"),
+      (3L, 1L, "A"), (3L, 1L, "B"), (3L, 1L, "conv"),
+      (4L, 1L, "A")).toDF("user_id", "sid", "st")
+    val got = Attribution.shapleyReport(spark, paths, Seq("A", "B"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got("A") == ((1500000L, 1L, 3L, 0L)), s"A: ${got("A")}")
+    assert(got("B") == ((1500000L, 1L, 3L, 0L)), s"B: ${got("B")}")
+  }
+
   test("q283 Markov matches a double-precision absorbing solve; monotone removal") {
     val got = byName("q283_markov_attribution").run(spark, sfDir).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap

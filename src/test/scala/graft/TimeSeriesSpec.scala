@@ -168,6 +168,43 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("r2PpmExpr rescaled branch matches BigInt (≡ DuckDB HUGEINT) arithmetic") {
+    // ADVICE r15: the ELSE branch used to square the DIV quotients in
+    // 64-bit long (Spark's IntegralDivide returns BIGINT even on
+    // DECIMAL(38,0) operands) and silently wrapped past quotient
+    // ~3.03e6, diverging from DuckDB's exact HUGEINT `//`. This series
+    // is engineered to land in the rescaled branch (|num| > 3e15) with
+    // a quotient far past the old wrap point, and the assertion mirrors
+    // the branch in BigInt — exactly what DuckDB computes at these
+    // widths (every intermediate < 1e38).
+    val n = 5000
+    val xs = (0 until n).map(i => 1000000L + 200L * i)
+    val ys = (0 until n).map(i => 500000L + i.toLong)
+    val (sx, sy) = (BigInt(xs.sum), BigInt(ys.sum))
+    val sxy = xs.zip(ys).map { case (x, y) => BigInt(x) * y }.sum
+    val sxx = xs.map(x => BigInt(x) * x).sum
+    val syy = ys.map(y => BigInt(y) * y).sum
+    Seq(sx, sy, sxy, sxx, syy).foreach(v => assert(v.isValidLong))
+    val num = BigInt(n) * sxy - sx * sy
+    val dx = BigInt(n) * sxx - sx * sx
+    val dy = BigInt(n) * syy - sy * sy
+    assert(num.abs > BigInt("3000000000000000"),
+      s"fixture must land in the rescaled branch, num=$num")
+    val qn = num.abs / n
+    assert(qn > 3030000L, s"quotient must exceed the old 64-bit wrap point, qn=$qn")
+    val exp = (BigInt(1000000) * qn * qn /
+      ((dx / n).max(1) * (dy / n).max(1))).toLong
+    val s = spark
+    import s.implicits._
+    val got = Seq((n.toLong, sx.toLong, sy.toLong, sxy.toLong, sxx.toLong, syy.toLong))
+      .toDF("n", "sx", "sy", "sxy", "sxx", "syy")
+      .selectExpr(s"(${graft.operators.TimeSeries.r2PpmSpark}) AS r2")
+      .head.getLong(0)
+    assert(got == exp, s"Spark rescaled branch $got != BigInt/HUGEINT $exp")
+    // and it is a sane r² for a perfectly-correlated pair: ~1e6 ppm
+    assert(got > 900000L && got <= 1000000L, s"r2_ppm out of range: $got")
+  }
+
   test("time-series queries are partitioning-invariant") {
     for (n <- Seq("q280_type_correlation", "q281_holt_linear")) {
       val d = byName(n)
