@@ -22,10 +22,10 @@ import graft.streaming._
   *     row per live KEY (flatMapGroupsWithState) → ≤ |event types| = 5;
   *   - StreamHll: 64 registers × open windows; windows close at the
   *     watermark and evict a batch later, so the co-residency bound is
-  *     64 × (horizon + batch-ingest span) windows — asserted at
-  *     64 × 8;
-  *   - StreamBuckets: |langs| × 3 census rows × open windows — asserted
-  *     at 15 × 8.
+  *     64 × (horizon + batch-ingest span) windows — the
+  *     `windowAllowance` budget, independent of row count;
+  *   - StreamBuckets: |langs| × 3 census rows × open windows — same
+  *     budget.
   *
   * The artifacts the train-batch/serve-stream kernels need (CUSUM μ,
   * tercile boundaries, drift reference CDFs) are trained on the SAME
@@ -50,9 +50,21 @@ object ConcurrentSoak {
     def allOk: Boolean = kernels.forall(_.ok)
   }
 
-  /** The soak body, callable from the spec at small n. */
+  /** The soak body, callable from the spec at small n.
+    *
+    * `windowAllowance` is the open-window budget for the two
+    * windowed-agg kernels: watermark horizon (2 windows) + the largest
+    * event-time span one micro-batch can ingest + one batch of
+    * eviction lag. That span is a function of the PACER (slices land
+    * on a wall-clock schedule) and of batch duration under co-resident
+    * load — independent of row count, which is the bound that matters:
+    * at the default 60 s pace over 48 h the full-size run observes
+    * 9-10 open windows against the 16 allowed (and against 49 total
+    * span windows if nothing ever evicted); the spec's gentler 20 s /
+    * 12 h pacing stays inside 8. */
   def run(spark: SparkSession, n: Long, spanHours: Int,
-      paceSec: Double = 60.0, baseDir: Option[String] = None): Report = {
+      paceSec: Double = 60.0, baseDir: Option[String] = None,
+      windowAllowance: Int = 16): Report = {
     import spark.implicits._
     val types = Seq("view", "click", "purchase", "signup", "error")
     val spanS = spanHours * 3600L
@@ -101,9 +113,9 @@ object ConcurrentSoak {
       ("ewma", StreamEwma.chart(src).toDF, types.size.toLong),
       ("drift", StreamDrift.chart(asSources(src), refs).toDF,
         types.size.toLong),
-      ("hll", StreamHll.hourlyRegisters(src), 64L * 8),
+      ("hll", StreamHll.hourlyRegisters(src), 64L * windowAllowance),
       ("buckets", StreamBuckets.hourlyCensus(asDocs(src), thresholds),
-        15L * 8))
+        15L * windowAllowance))
 
     // ---- telemetry: max state rows/bytes + input rows per query -----
     val maxRows = new ConcurrentHashMap[java.util.UUID, Long]()

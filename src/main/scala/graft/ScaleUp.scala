@@ -61,8 +61,17 @@ object ScaleUp {
       df.repartition(parts).write.mode("overwrite").parquet(s"$dst/$t.parquet")
       System.err.println(s"[scaleup] wrote $t ($parts files)")
     }
+    // The SOURCE side of the crossJoin needs the same treatment as the
+    // output (round-16): a single-file source table is ONE input split,
+    // so at factor 100 the ×100 row explosion ran inside one task —
+    // lineitem ×100 serialized on a single core. Pre-splitting the
+    // source spreads the explosion across the executor pool; the
+    // post-explosion repartition in wr() then runs with parallel map
+    // sides too.
+    def pre(t: String): DataFrame =
+      rd(t).repartition(spark.sparkContext.defaultParallelism)
     def shifted(t: String)(cols: org.apache.spark.sql.Column*): Unit =
-      wr(rd(t).crossJoin(reps).select(cols: _*), t)
+      wr(pre(t).crossJoin(reps).select(cols: _*), t)
 
     // dims: single copy, single file (25 rows don't need splits)
     wr(rd("region"), "region", parts = 1)
@@ -95,7 +104,7 @@ object ScaleUp {
       col("ts"),
       (col("user_id") + col("rep") * KK).as("user_id"),
       col("event_type"), col("value"), col("props"))
-    wr(rd("documents").crossJoin(reps).select(
+    wr(pre("documents").crossJoin(reps).select(
       (col("doc_id") + col("rep") * KK).as("doc_id"),
       when(col("rep") === 0, col("text")).otherwise(
         regexp_replace(col("text"), lit("(\\S+)"),
@@ -103,7 +112,7 @@ object ScaleUp {
       col("lang"), col("source"))
       .withColumn("n_chars", length(col("text")).cast("long")),
       "documents")
-    wr(rd("embeddings").crossJoin(reps).select(
+    wr(pre("embeddings").crossJoin(reps).select(
       (col("vec_id") + col("rep") * KK).as("vec_id"),
       transform(col("embedding"),
         x => x + col("rep").cast("float") * lit(0.001f)).as("embedding"),

@@ -383,5 +383,67 @@ object DataQuality {
         .select(col("column_name"), col("n"), col("n_null"), col("hll_estimate"),
           expr("(hll_estimate * 935) DIV 1000").as("est_lo"),
           expr("(hll_estimate * 1065 + 999) DIV 1000").as("est_hi"))
+    },
+
+    // ----------------------------------------------------------------
+    q("q290_artifact_staleness",
+      """TRAINED-ARTIFACT staleness report, oracle-gated: the r16
+        |ArtifactMonitor tier as a registered query, on the kernel whose
+        |statistic is fully SQL-expressible — StreamCusum's per-type μ.
+        |The event horizon splits at its midpoint hour: μ trains on the
+        |FIRST half (the exact q227/cusumMu spine-mean formula the
+        |serving kernel freezes) and the SECOND half plays the sliding
+        |window; the report is ArtifactMonitor.cusumMuReport VERBATIM —
+        |per type, the frozen μ, the window's recomputed μ, their
+        |absolute deviation in permille of the reference, and the
+        |retrain flag at the 250‰ default (CUSUM's own slack is μ/4, so
+        |a shift the chart would alarm on within hours is a shift worth
+        |retraining for). This pins the monitor's arithmetic cross-
+        |engine; the other four monitors' fire/silent behavior is
+        |spec-proven (ArtifactMonitorSpec) because their statistics
+        |(codebook inertia, HLL-free KS, span dictionaries) are shared
+        |JVM kernels, not SQL.
+        |Scale shape: two (type, hour) histogram aggregates with
+        |map-side combine (each bounded by types × wall-clock hours),
+        |two model-sized collects (the 1-row split bound and the
+        ||types|-row trained μ — the q246/q283 train-offline
+        |discipline), one |types|-row join. Nothing row-bounded ever
+        |shuffles twice.""".stripMargin,
+      """WITH hrs AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS h FROM events),
+        |b AS (SELECT (min(h) + max(h) + 1) // 2 AS split FROM hrs),
+        |trc AS (SELECT event_type, h, count(*)::BIGINT AS cnt
+        |        FROM hrs, b WHERE h < split GROUP BY 1, 2),
+        |trs AS (SELECT event_type,
+        |          CAST((1000 * CAST(sum(cnt) AS BIGINT))
+        |               // (max(h) - min(h) + 1) AS BIGINT) AS ref_mu_milli
+        |        FROM trc GROUP BY 1),
+        |wnc AS (SELECT event_type, h, count(*)::BIGINT AS cnt
+        |        FROM hrs, b WHERE h >= split GROUP BY 1, 2),
+        |wns AS (SELECT event_type,
+        |          CAST((1000 * CAST(sum(cnt) AS BIGINT))
+        |               // (max(h) - min(h) + 1) AS BIGINT) AS window_mu_milli
+        |        FROM wnc GROUP BY 1)
+        |SELECT *, dev_pm > 250 AS retrain FROM (
+        |  SELECT w.event_type, t.ref_mu_milli, w.window_mu_milli,
+        |    CAST((1000 * abs(w.window_mu_milli - t.ref_mu_milli))
+        |         // greatest(t.ref_mu_milli, 1) AS BIGINT) AS dev_pm
+        |  FROM wns w JOIN trs t ON t.event_type = w.event_type)""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val hourExpr = "unix_micros(ts) DIV 3600000000"
+      // 1-row bound collect (model-sized): the horizon midpoint. Null
+      // on an empty corpus — both halves are then empty and the report
+      // is structurally empty, matching the oracle's NULL-comparison
+      // empties.
+      val b = ev.agg(min(expr(hourExpr)).as("h0"), max(expr(hourExpr)).as("h1"))
+        .head
+      val split = if (b.isNullAt(0)) 0L else (b.getLong(0) + b.getLong(1) + 1L) / 2L
+      val train = ev.filter(expr(s"$hourExpr < $split"))
+      val window = ev.filter(expr(s"$hourExpr >= $split"))
+      // the trained artifact, exactly as StreamCusum consumes it:
+      // |types|-row collect of the spine-mean μ (train-offline shape)
+      val mu = EventsOps.cusumMu(train).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      graft.streaming.ArtifactMonitor.cusumMuReport(window, mu)
     })
 }

@@ -16,8 +16,11 @@ class ConcurrentSoakSpec extends SparkSpec {
     // whole 12 h span lands inside ~one batch and the windowed kernels
     // legitimately hold every window at once, which proves nothing
     // about the eviction bound
+    // the 20 s pacing keeps per-batch ingest spans small, so the spec
+    // can hold the TIGHTER 8-window allowance (8 < the span's 13 total
+    // windows — the assertion proves eviction, not just completion)
     val rep = ConcurrentSoak.run(spark, n = 200000L, spanHours = 12,
-      paceSec = 20.0)
+      paceSec = 20.0, windowAllowance = 8)
     assert(rep.rows == 200000L)
     assert(rep.kernels.size == 6)
     rep.kernels.foreach { k =>
