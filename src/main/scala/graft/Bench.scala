@@ -223,6 +223,13 @@ object Bench {
         val floorMin =
           if ((warmTimes ++ good).nonEmpty) (warmTimes ++ good).min
           else sec
+        // live progress on stderr: long scale sweeps (sf3/sf10) run for
+        // an hour or more — without a per-query line, a sweep that
+        // stalls or gets killed leaves NO trace of where the time went
+        // (the r16 full-sf10 attempt died at 115 min with nothing to
+        // diagnose). One line per query, outside the timed region.
+        System.err.println(f"[bench] ${d.name}%-34s med=$sec%8.2fs" +
+          f" min=$secMin%8.2fs" + (if (err.isDefined) " ERR" else ""))
         QRes(d.name, sec, secMin, all.toSeq, spread, err,
           measured = good.nonEmpty, spill = spillBytes.get() - spill0,
           floorMin = floorMin)

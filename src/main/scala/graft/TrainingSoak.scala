@@ -233,19 +233,18 @@ object TrainingSoak {
 
     // ---- 6) Range-join kernel (q105 shape) -------------------------
     // Points at every integer micro 0..n-1; one interval per 100k
-    // points, each [s, s + 10003) — a width that is NOT a multiple of
-    // the 4096-micro bucket, so intervals straddle 3-4 buckets and the
-    // explode bounds and boundary re-filter are genuinely exercised.
-    // Every interval provably contains exactly 10003 points (the last
-    // interval ends 89997 micros before n), so count/min/max/sum are
-    // all closed-form.
-    val rjW = 10003L; val rjB = 4096L; val rjStride = 100000L
+    // points, each [s, s + 10003) — half-open, with both boundary
+    // points (t = s kept, t = e shed) genuinely exercised at every
+    // interval. Every interval provably contains exactly 10003 points
+    // (the last interval ends 89997 micros before n), so
+    // count/min/max/sum are all closed-form.
+    val rjW = 10003L; val rjStride = 100000L
     require(n % rjStride == 0 && n >= rjStride, s"n must be divisible by $rjStride")
     val rjPts = spark.range(n).select(col("id").as("t_us"))
     val rjIvs = spark.range(n / rjStride).select(col("id"),
       (col("id") * rjStride).as("s_us"), (col("id") * rjStride + rjW).as("e_us"))
     val (rjAgg, rjSec) = timed {
-      operators.TemporalJoins.rangeCountKernel(rjIvs, rjPts, rjB)
+      operators.TemporalJoins.rangeCountKernel(rjIvs, rjPts)
         .agg(count(lit(1)).as("n_ivs"),
           min(col("n_points")).as("pmin"), max(col("n_points")).as("pmax"),
           sum(col("n_points")).as("psum"))

@@ -25,12 +25,12 @@ import org.apache.spark.sql.functions._
   *    join-then-rank formulation (which materializes every candidate
   *    pair — quadratic for hot keys) and matches DuckDB's native
   *    ASOF JOIN, which the oracle uses verbatim.
-  *  - Range: explode each interval to the fixed-width time buckets it
-  *    covers, equi-join probes on their own bucket, re-filter exactly.
-  *    Candidate fan-out is bounded by interval_len/bucket_len + 1 (= 2
-  *    here), the join is a plain hash join — never a
-  *    BroadcastNestedLoopJoin/CartesianProduct, which is what Spark
-  *    would pick for a raw range predicate (PlanGuardSpec forbids both).
+  *  - Range COUNT: one distributed prefix sum over the tagged
+  *    points ∪ interval-endpoints union — n([s,e)) = F(e) − F(s) —
+  *    never a BroadcastNestedLoopJoin/CartesianProduct (what Spark
+  *    would pick for a raw range predicate; PlanGuardSpec forbids
+  *    both), and never the pair-enumerating bucketed equi-join either
+  *    (quadratic in per-bucket density — see rangeCountKernel).
   */
 object TemporalJoins {
 
@@ -59,26 +59,43 @@ object TemporalJoins {
       .select(col("k"), col("id"), col("t"), col("b_id"), col("b_t"))
   }
 
-  /** The bucketed interval-count kernel shared by q105 and the soak:
+  /** The interval point-COUNT kernel shared by q105 and the soak:
     * `intervals` pre-projected to (id, s_us, e_us) half-open micro
-    * ranges, `points` to (t_us), `bUs` the bucket width. Each interval
-    * explodes to its covering buckets (fan-out bounded by
-    * len/bucket + 1), points compute their single bucket scan-side,
-    * and a hash equi-join on the bucket + exact re-filter feeds one
-    * count per interval — left semantics (empty intervals count 0),
-    * no dedup needed (a point's one bucket meets each covering
-    * interval exactly once), never a nested loop. */
-  def rangeCountKernel(intervals: DataFrame, points: DataFrame, bUs: Long): DataFrame = {
-    val inc = intervals.select(col("id"), col("s_us"), col("e_us"))
-      .withColumn("bucket", explode(sequence(
-        expr(s"s_us DIV ${bUs}L"), expr(s"(e_us - 1) DIV ${bUs}L"))))
-    val pts = points.select(col("t_us"), expr(s"t_us DIV ${bUs}L").as("bucket"))
-    inc.join(pts,
-        inc("bucket") === pts("bucket") &&
-          col("t_us") >= col("s_us") && col("t_us") < col("e_us"),
-        "left")
+    * ranges, `points` to (t_us). A count never needs the pair space:
+    * n_points([s, e)) = F(e) − F(s) with F(x) = #points strictly
+    * before x, so the kernel evaluates F at the 2·|intervals| probe
+    * positions with ONE distributed prefix sum
+    * ([[DistributedRank.withGlobalPrefixSumDense]] over the dense
+    * time axis — per-bucket windows, never partition-less) of the
+    * tagged union points(weight 1) ∪ probes(weight 0). The doubled
+    * ordinate (points at 2t, probes at 2x−1) sorts every probe
+    * strictly before a same-instant point, making the RANGE-frame
+    * cumulative exclusive (t < x, so the half-open [s, e) keeps its
+    * t = s points and sheds its t = e ones); a final |intervals|-sized
+    * groupBy folds each id's ±cum pair. Left semantics for free (both
+    * probes always exist — an empty window folds to 0).
+    *
+    * This replaced the r7 bucketed explode-join (hash join on 1-hour
+    * buckets + exact re-filter): that shape still ENUMERATED every
+    * (interval, in-window point) pair to count it, and the pair mass
+    * grows with the square of per-bucket density — the ×100 replica
+    * (same wall-clock span, 100× rows on both sides) measured ×10⁴
+    * pair work, 31 s at sf10 vs 3 s at sf3. The prefix-sum form
+    * shuffles each input row exactly once, density-independent. */
+  def rangeCountKernel(intervals: DataFrame, points: DataFrame): DataFrame = {
+    val probes = intervals
+      .select(col("id"), col("s_us").as("x"), lit(-1L).as("sign"))
+      .unionAll(intervals
+        .select(col("id"), col("e_us").as("x"), lit(1L).as("sign")))
+      .select(col("id"), (col("x") * 2L - 1L).as("ord"), col("sign"),
+        lit(0L).as("v"))
+    val pts = points.select(lit(null).cast("long").as("id"),
+      (col("t_us") * 2L).as("ord"), lit(0L).as("sign"), lit(1L).as("v"))
+    DistributedRank.withGlobalPrefixSumDense(
+        probes.unionAll(pts), col("ord"), col("v"), "cum", "tot")
+      .filter(col("sign") =!= 0L)
       .groupBy(col("id"))
-      .agg(count(col("t_us")).as("n_points"))
+      .agg(sum(col("sign") * col("cum")).as("n_points"))
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -124,17 +141,19 @@ object TemporalJoins {
         |window; count the click events falling inside each window (zero
         |kept — left semantics). A raw `ON c.ts >= start AND c.ts < end`
         |join has no equi-key, so Spark plans a nested-loop over the full
-        |cross space. Instead each interval is exploded to the 1-hour
-        |time buckets it covers (at most interval/bucket + 1 = 2 rows —
-        |bounded fan-out), clicks compute their single bucket scan-side,
-        |and the join is a plain hash equi-join on the bucket followed by
-        |the exact range re-filter. A click's one bucket meets each
-        |covering interval exactly once, so no dedup is needed, and
-        |count() ignores the NULL probes of empty windows, so the
-        |left-join + single groupBy yields zero counts without a second
-        |pass over the intervals. Scale: shuffle volume is (clicks +
-        |2x intervals), a hot hour is one skewed bucket that AQE
-        |skew-split handles; nothing is quadratic.""".stripMargin,
+        |cross space; and even a bucketed equi-join (this query's r7
+        |shape) still ENUMERATES every (incident, in-window click) pair
+        |to count it — pair mass grows with the SQUARE of per-hour
+        |density, the quantity a 100-TB crawl maximizes (measured ×10⁴
+        |at the ×100 replica: 31 s at sf10 vs 3 s at sf3). Counts don't
+        |need pairs: n(s,e) = F(e) − F(s) with F(x) = clicks strictly
+        |before x, evaluated for all 2·incidents probes at once by ONE
+        |distributed prefix sum over the tagged click ∪ probe union
+        |(rangeCountKernel — per-time-bucket windows, never
+        |partition-less, probes sorted before same-instant clicks by the
+        |doubled ordinate so F stays exclusive). Shuffle volume is
+        |(clicks + 2·incidents) rows ONCE, density-independent; the
+        |only per-key state is one running long.""".stripMargin,
       """WITH inc AS (SELECT event_id AS incident_id, ts AS start_ts,
         |                    ts + INTERVAL 1 HOUR AS end_ts
         |             FROM events WHERE event_type = 'error'),
@@ -142,7 +161,7 @@ object TemporalJoins {
         |SELECT i.incident_id AS incident_id, count(c.event_id) AS n_clicks
         |FROM inc i LEFT JOIN c ON c.ts >= i.start_ts AND c.ts < i.end_ts
         |GROUP BY 1""".stripMargin) { (s, dir) =>
-      val busUs = 3600L * 1000000L // 1-hour buckets == interval length
+      val busUs = 3600L * 1000000L // the 1-hour incident window
       val ev = Tables.events(s, dir)
       val inc = ev.filter(col("event_type") === "error")
         .select(col("event_id").as("id"),
@@ -150,7 +169,7 @@ object TemporalJoins {
           (unix_micros(col("ts")) + busUs).as("e_us"))
       val clicks = ev.filter(col("event_type") === "click")
         .select(unix_micros(col("ts")).as("t_us"))
-      rangeCountKernel(inc, clicks, busUs)
+      rangeCountKernel(inc, clicks)
         .select(col("id").as("incident_id"), col("n_points").as("n_clicks"))
     },
 

@@ -88,11 +88,20 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(got.exists(_._2 > 0L), "no populated incident window in the data")
   }
 
-  test("q105 plans a hash equi-join on the bucket, not a nested loop") {
-    val plan = SparkEntry.queries("q105_range_join")(spark, sfDir)
-      .queryExecution.executedPlan.toString
-    assert(!plan.contains("NestedLoop"), s"nested loop in:\n$plan")
+  test("q105 plans the prefix-sum shape: no nested loop, no pair join") {
+    val qe = SparkEntry.queries("q105_range_join")(spark, sfDir)
+      .queryExecution
+    val plan = qe.executedPlan.toString
     assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    // the r7 bucketed shape joined points to intervals (pair
+    // enumeration — quadratic in per-hour density); the prefix-sum
+    // kernel never joins the two INPUTS at all — the only joins left
+    // are the broadcast of the |partitions|-row offset table and the
+    // 1-row grand-total cross join (the PlanGuard-sanctioned
+    // provably-small BNLJ), so any shuffled data-to-data join means
+    // pair enumeration is back
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("ShuffledHashJoin"),
+      s"a data-to-data join means pair enumeration is back:\n$plan")
   }
 
   test("q190 forward as-of with tolerance matches a brute-force recompute") {
