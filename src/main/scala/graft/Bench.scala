@@ -13,10 +13,13 @@ import org.apache.spark.sql.SparkSession
   * measured reps — robust to a single loaded-machine outlier. The
   * stdout total is the sum of medians; every raw rep is preserved in
   * bench_detail.json for audit. Suspect queries — high spread OR a
-  * median 3x past the previous run's / this run's own floor — are
-  * re-run isolated at suite end and carry `sec_isolated` in-artifact
-  * (see the adjudication comment below), and every artifact names the
-  * git SHA it measured.
+  * median 3x past the previous run's / this run's own floor, plus the
+  * suite's top-5 expensive medians — are re-run isolated at suite end,
+  * by default in a FRESH FORKED JVM (the long-lived suite JVM's heap
+  * debris pollutes even the re-measurement: sf10 read q130 643 s
+  * in-suite, 292 s same-JVM-isolated, 109 s fresh-JVM), and carry
+  * `sec_isolated` + `iso_mode` in-artifact (see the adjudication
+  * comment below). Every artifact names the git SHA it measured.
   */
 object Bench {
 
@@ -84,6 +87,30 @@ object Bench {
         b.result()
       }
     } catch { case _: Throwable => Map.empty }
+
+  /** The fork-isolated adjudication command line: same JVM binary, same
+    * JVM args (add-opens, -Xmx, -D props), same classpath, fresh
+    * process. Pure so the construction is spec-checkable without
+    * actually paying a JVM start. */
+  def forkIsoCommand(javaHome: String, jvmArgs: Seq[String],
+                     classpath: String): Seq[String] =
+    Seq(javaHome + "/bin/java") ++ jvmArgs ++
+      Seq("-cp", classpath, "graft.Bench")
+
+  /** Parse a CHILD bench run's detail file for one query's median —
+    * only if the child actually measured it (a failed child rep's wall
+    * time must never publish as "fast when isolated"; that would invert
+    * the adjudication, same rule as the in-process -1.0 sentinel). */
+  def childIsoMedian(detailPath: String, name: String): Option[Double] =
+    try {
+      val txt = java.nio.file.Files.readString(java.nio.file.Paths.get(detailPath))
+      val m = new com.fasterxml.jackson.databind.ObjectMapper()
+      val q = m.readTree(txt).get("queries").get(name)
+      val sec = q.get("sec")
+      if (q.get("measured").asBoolean(false) && sec != null && sec.isNumber)
+        Some(sec.asDouble())
+      else None
+    } catch { case _: Throwable => None }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -274,29 +301,83 @@ object Bench {
     // (spread < 2, no prev) that runs 22.4 s family-isolated. Five
     // extra isolated runs bound the cost; at the driver's sf0.1 the
     // 5 s gate means this class is usually empty.
-    val adjReasons: Map[String, String] = {
-      val base = results.flatMap(r => adjReason(r).map(r.name -> _)).toMap
-      val top = results.filter(r => r.measured && r.sec > 5.0 &&
-          !base.contains(r.name))
-        .sortBy(-_.sec).take(5).map(_.name -> "top")
-      base ++ top
-    }
-    val isolated: Map[String, Double] = results
+    // SPARK_GRAFT_BENCH_NO_ADJ=1 suppresses the isolation pass entirely:
+    // set by the PARENT of a fork-isolated child (below) — the child IS
+    // the isolated measurement, and its own "top" trigger would otherwise
+    // re-pay the full rep protocol a second time inside the fork.
+    val noAdj = sys.env.get("SPARK_GRAFT_BENCH_NO_ADJ").contains("1")
+    val adjReasons: Map[String, String] =
+      if (noAdj) Map.empty
+      else {
+        val base = results.flatMap(r => adjReason(r).map(r.name -> _)).toMap
+        val top = results.filter(r => r.measured && r.sec > 5.0 &&
+            !base.contains(r.name))
+          .sortBy(-_.sec).take(5).map(_.name -> "top")
+        base ++ top
+      }
+    // Fork isolation (default ON, SPARK_GRAFT_BENCH_FORK_ISO=0 reverts):
+    // the in-process suite-end re-run shares the long-lived JVM, and at
+    // sweep scale that JVM's heap debris pollutes the re-measurement
+    // itself — the sf10 full suite read q130 at 643 s in-suite, 292 s
+    // same-JVM-isolated, 109 s in a FRESH JVM (the number the manual
+    // SCALE.md family-isolation protocol always had to recover by hand).
+    // A fork replays the single offender through the identical Bench
+    // protocol (same JVM args, classpath, warmups/reps, family staging
+    // in the child's own warm-up) in a fresh process; its detail file
+    // lands in a temp path so the parent's is never clobbered, its
+    // stdout is discarded so the parent's contract line stays the only
+    // one. Any fork failure falls back to the in-process measurement —
+    // the artifact records which mode produced each number.
+    val forkIso = !sys.env.get("SPARK_GRAFT_BENCH_FORK_ISO").contains("0")
+    def runForkIso(name: String): Option[Double] =
+      try {
+        import scala.jdk.CollectionConverters._
+        val tmp = java.nio.file.Files.createTempFile("bench_iso_", ".json")
+        val jvmArgs = java.lang.management.ManagementFactory
+          .getRuntimeMXBean.getInputArguments.asScala.toSeq
+        val cmd = forkIsoCommand(System.getProperty("java.home"), jvmArgs,
+          System.getProperty("java.class.path"))
+        val pb = new ProcessBuilder(cmd.asJava)
+        val env = pb.environment()
+        env.put("SPARK_GRAFT_SF_DIR", sfDir)
+        env.put("SPARK_GRAFT_CPUS", cpus)
+        env.put("SPARK_GRAFT_BENCH_ONLY", name)
+        // at least one child warm-up even when the parent ran cold
+        // (warmups=0 profiling mode): the fork's JIT/codegen/scan-cache
+        // staging must not masquerade as the isolated cost
+        env.put("SPARK_GRAFT_BENCH_WARMUPS", warmups.max(1).toString)
+        env.put("SPARK_GRAFT_BENCH_REPS", reps.toString)
+        env.put("SPARK_GRAFT_BENCH_DETAIL", tmp.toString)
+        env.put("SPARK_GRAFT_BENCH_NO_ADJ", "1")
+        env.remove("SPARK_GRAFT_BENCH_STRICT")
+        pb.redirectOutput(java.lang.ProcessBuilder.Redirect.DISCARD)
+        pb.redirectError(java.lang.ProcessBuilder.Redirect.INHERIT)
+        val exit = pb.start().waitFor()
+        val res = if (exit == 0) childIsoMedian(tmp.toString, name) else None
+        java.nio.file.Files.deleteIfExists(tmp)
+        res
+      } catch { case _: Throwable => None }
+    val isolated: Map[String, (Double, String)] = results
       .filter(r => adjReasons.contains(r.name))
       .flatMap(r => ordered.find(_.name == r.name))
       .map { d =>
-        Graft.clearCaches(spark)
-        System.gc()
-        def one(): Option[Double] = {
-          val t0 = System.nanoTime()
-          val ok = try { exec(d); true } catch { case _: Throwable => false }
-          val t = (System.nanoTime() - t0) / 1e9
-          Graft.releaseStagedCheckpoints(spark)
-          if (ok) Some(t) else None
+        val forked = if (forkIso) runForkIso(d.name) else None
+        forked match {
+          case Some(sec) => d.name -> (sec, "fork")
+          case None =>
+            Graft.clearCaches(spark)
+            System.gc()
+            def one(): Option[Double] = {
+              val t0 = System.nanoTime()
+              val ok = try { exec(d); true } catch { case _: Throwable => false }
+              val t = (System.nanoTime() - t0) / 1e9
+              Graft.releaseStagedCheckpoints(spark)
+              if (ok) Some(t) else None
+            }
+            (1 to warmups).foreach(_ => one())
+            val good = (1 to reps).flatMap(_ => one())
+            d.name -> (if (good.nonEmpty) median(good) else -1.0, "inproc")
         }
-        (1 to warmups).foreach(_ => one())
-        val good = (1 to reps).flatMap(_ => one())
-        d.name -> (if (good.nonEmpty) median(good) else -1.0)
       }.toMap
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
@@ -343,7 +424,7 @@ object Bench {
     // the isolated re-measurement beside each offender's in-suite
     // median — empty when spread_gt2 is empty (the healthy case)
     val isoJson = results.filter(r => isolated.contains(r.name)).map { r =>
-      jstr(keys(r.name)) + ":" + fmt(isolated(r.name))
+      jstr(keys(r.name)) + ":" + fmt(isolated(r.name)._1)
     }.mkString("{", ",", "}")
     // queries that spilled during measured reps (MB, rounded up) — at
     // sf0.1 this should be empty; a bigger-SF A/B run reads it to see
@@ -360,8 +441,12 @@ object Bench {
     val totalMin = results.filter(_.measured).map(_.secMin).sum
     val nExcluded = results.count(!_.measured)
     val head = gitHead()
+    // SPARK_GRAFT_BENCH_DETAIL redirects the detail file — set to a temp
+    // path for a fork-isolated CHILD so the parent run's detail survives
+    val detailPath =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "bench_detail.json")
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"value_min":${fmt(totalMin)},"unit":"sec","excluded":$nExcluded,"n_queries":${results.size},"queries":$qs,"queries_omitted":$nOmitted,"detail":"bench_detail.json","err":$errs,"spread_gt2":$noisy,"sec_isolated":$isoJson,"spill_mb":$spilled,"head":"$head","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"value_min":${fmt(totalMin)},"unit":"sec","excluded":$nExcluded,"n_queries":${results.size},"queries":$qs,"queries_omitted":$nOmitted,"detail":${jstr(detailPath)},"err":$errs,"spread_gt2":$noisy,"sec_isolated":$isoJson,"spill_mb":$spilled,"head":"$head","sf":"$sfDir"}"""
     val detail = results.map { r =>
       // each rep carries its own ok flag so an auditor can tell exactly
       // which recorded wall time was the failing one
@@ -374,12 +459,13 @@ object Bench {
         ",\"spread\":" + fmt(r.spread) +
         ",\"floor_min\":" + fmt(r.floorMin) +
         ",\"adjudicated\":" + adjReasons.get(r.name).map(jstr).getOrElse("null") +
-        ",\"sec_isolated\":" + isolated.get(r.name).map(fmt).getOrElse("null") +
+        ",\"sec_isolated\":" + isolated.get(r.name).map(v => fmt(v._1)).getOrElse("null") +
+        ",\"iso_mode\":" + isolated.get(r.name).map(v => jstr(v._2)).getOrElse("null") +
         ",\"spill_bytes\":" + r.spill +
         ",\"err\":" + r.err.map(jstr).getOrElse("null") + "}"
     }.mkString("{", ",", "}")
     try {
-      val w = new java.io.PrintWriter("bench_detail.json")
+      val w = new java.io.PrintWriter(detailPath)
       try w.println(s"""{"total":$total,"total_min":$totalMin,"sf":"$sfDir","head":"$head","warmups":$warmups,"reps":$reps,"queries":$detail}""")
       finally w.close()
     } catch { case _: java.io.IOException => () } // detail file is best-effort

@@ -42,6 +42,30 @@ class BenchAdjudicationSpec extends AnyFunSuite {
     assert(Bench.prevMedians(f.toString, "sf0.1").isEmpty)
   }
 
+  test("forkIsoCommand replays the parent JVM exactly: binary, args, classpath") {
+    val cmd = Bench.forkIsoCommand("/opt/jdk",
+      Seq("--add-opens", "java.base/java.nio=ALL-UNNAMED", "-Xmx48g"),
+      "target/classes:/opt/spark/jars/*")
+    assert(cmd.head == "/opt/jdk/bin/java")
+    assert(cmd.containsSlice(Seq("--add-opens", "java.base/java.nio=ALL-UNNAMED")))
+    assert(cmd.contains("-Xmx48g"), "the child must inherit the parent's heap")
+    assert(cmd.takeRight(3) == Seq("-cp", "target/classes:/opt/spark/jars/*", "graft.Bench"))
+  }
+
+  test("childIsoMedian only trusts a MEASURED child median") {
+    val f = Files.createTempFile("bench_child", ".json")
+    Files.writeString(f,
+      """{"sf":"/tmp/sf10","queries":{
+        |"q130_triangle_count":{"sec":108.9,"measured":true},
+        |"q_failed":{"sec":0.031,"measured":false}}}""".stripMargin)
+    assert(Bench.childIsoMedian(f.toString, "q130_triangle_count").contains(108.9))
+    // a failed child rep's near-zero throw time must NOT publish as
+    // "fast when isolated" — that would invert the adjudication
+    assert(Bench.childIsoMedian(f.toString, "q_failed").isEmpty)
+    assert(Bench.childIsoMedian(f.toString, "q_absent").isEmpty)
+    assert(Bench.childIsoMedian("/nonexistent.json", "q130_triangle_count").isEmpty)
+  }
+
   test("gitHead resolves this repo's HEAD to a 40-hex sha") {
     val sha = Bench.gitHead()
     assert(sha.length == 40 && sha.forall(c => c.isDigit || ('a' to 'f').contains(c)),
