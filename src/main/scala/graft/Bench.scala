@@ -97,6 +97,15 @@ object Bench {
     Seq(javaHome + "/bin/java") ++ jvmArgs ++
       Seq("-cp", classpath, "graft.Bench")
 
+  /** Wall-clock budget for one fork-isolated child, seconds: session
+    * startup slack plus the offender's own in-suite cost replayed
+    * through warmups+reps, with 10x headroom for the very noise being
+    * adjudicated. A child past its budget is killed and the in-process
+    * fallback measures instead — a hung fork must never hang the
+    * suite. */
+  def forkIsoBudgetSec(inSuiteSec: Double, warmups: Int, reps: Int): Long =
+    120L + (10.0 * inSuiteSec * (warmups + reps)).ceil.toLong
+
   /** Parse a CHILD bench run's detail file for one query's median —
     * only if the child actually measured it (a failed child rep's wall
     * time must never publish as "fast when isolated"; that would invert
@@ -329,7 +338,7 @@ object Bench {
     // one. Any fork failure falls back to the in-process measurement —
     // the artifact records which mode produced each number.
     val forkIso = !sys.env.get("SPARK_GRAFT_BENCH_FORK_ISO").contains("0")
-    def runForkIso(name: String): Option[Double] =
+    def runForkIso(name: String, inSuiteSec: Double): Option[Double] =
       try {
         import scala.jdk.CollectionConverters._
         val tmp = java.nio.file.Files.createTempFile("bench_iso_", ".json")
@@ -352,8 +361,17 @@ object Bench {
         env.remove("SPARK_GRAFT_BENCH_STRICT")
         pb.redirectOutput(java.lang.ProcessBuilder.Redirect.DISCARD)
         pb.redirectError(java.lang.ProcessBuilder.Redirect.INHERIT)
-        val exit = pb.start().waitFor()
-        val res = if (exit == 0) childIsoMedian(tmp.toString, name) else None
+        val proc = pb.start()
+        val done = proc.waitFor(
+          forkIsoBudgetSec(inSuiteSec, warmups, reps),
+          java.util.concurrent.TimeUnit.SECONDS)
+        if (!done) { // hung fork: kill it, let the in-process path measure
+          proc.destroyForcibly()
+          proc.waitFor(30, java.util.concurrent.TimeUnit.SECONDS)
+        }
+        val res =
+          if (done && proc.exitValue() == 0) childIsoMedian(tmp.toString, name)
+          else None
         java.nio.file.Files.deleteIfExists(tmp)
         res
       } catch { case _: Throwable => None }
@@ -361,7 +379,8 @@ object Bench {
       .filter(r => adjReasons.contains(r.name))
       .flatMap(r => ordered.find(_.name == r.name))
       .map { d =>
-        val forked = if (forkIso) runForkIso(d.name) else None
+        val inSuite = results.find(_.name == d.name).map(_.sec).getOrElse(0.0)
+        val forked = if (forkIso) runForkIso(d.name, inSuite) else None
         forked match {
           case Some(sec) => d.name -> (sec, "fork")
           case None =>

@@ -52,6 +52,13 @@ class BenchAdjudicationSpec extends AnyFunSuite {
     assert(cmd.takeRight(3) == Seq("-cp", "target/classes:/opt/spark/jars/*", "graft.Bench"))
   }
 
+  test("forkIsoBudgetSec scales with the offender's replay cost, never below startup slack") {
+    // a sub-second offender still gets the 120 s session-startup slack
+    assert(Bench.forkIsoBudgetSec(0.4, 1, 2) == 120L + 12L)
+    // a 300 s offender replayed 3x with 10x noise headroom
+    assert(Bench.forkIsoBudgetSec(300.0, 1, 2) == 120L + 9000L)
+  }
+
   test("childIsoMedian only trusts a MEASURED child median") {
     val f = Files.createTempFile("bench_child", ".json")
     Files.writeString(f,
