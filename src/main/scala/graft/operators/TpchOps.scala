@@ -1158,18 +1158,32 @@ object TpchOps {
         |how much money is tied up in them): an order is open from its
         |order date until its LAST line ships (q202 measures the
         |latency distribution of exactly this interval; this query
-        |materializes the concurrency it implies). Same
-        |interval-overlap discipline as q265: each order explodes to
-        |its [order_day, last_ship_day] span — bounded by fulfillment
-        |latency in DAYS (q202's domain argument), never by line
-        |count — and the daily census is a day-keyed agg with map-side
-        |combine. The close day is clamped to >= the open day so both
-        |engines agree on degenerate spans (Spark's sequence() counts
-        |DOWN when end < start, DuckDB's generate_series returns
-        |empty — the clamp removes the divergence class). Scale
-        |shape: orders ⋈ lineitem is key-co-partitioned (one
-        |shuffle pair), the explode output is orders × avg-latency
-        |rows, the census ≤ horizon days.""".stripMargin,
+        |materializes the concurrency it implies). Unlike q265 (whose
+        |per-hour DISTINCT-user census is not decomposable into
+        |boundary marks), every output column here is a pure interval
+        |sum — so instead of exploding each order across its whole
+        |[order_day, last_ship_day] span (orders × avg-latency rows;
+        |the explode+partial-agg was 2/3 of this query's r15 cost and
+        |scales with latency), each order emits exactly TWO boundary
+        |marks (+1/cents at open_day, close marks at close_day), the
+        |day-keyed census aggregate reduces them with map-side combine
+        |to ≤ horizon-days rows, and the standing counts come back via
+        |the DistributedRank dense-pid prefix-sum discipline:
+        |n_open(d) = cumOpens(d) − cumCloses(d−1) (inclusive close).
+        |Days inside [min open, max close] that no span covers carry
+        |n_open = 0 and are filtered — exactly the days the explode
+        |never emitted. The close day is clamped to >= the open day so
+        |both engines agree on degenerate spans (Spark's sequence()
+        |counts DOWN when end < start, DuckDB's generate_series
+        |returns empty — the clamp removes the divergence class; the
+        |oracle keeps the explode formulation, so the hash match
+        |proves the boundary-mark rewrite census-invisible). Scale
+        |shape: orders ⋈ lineitem is key-co-partitioned (one shuffle
+        |pair), boundary marks are 2 rows per order (latency-
+        |independent), everything after the census is horizon-bounded
+        |(day spine ≤ horizon days; the prefix sum is the dense-pid
+        |window — npart-way parallel, never partition-less — plus the
+        |triangular offset join over npart rows).""".stripMargin,
       """WITH o AS (
         |  SELECT o.o_orderkey,
         |    epoch_us(o.o_orderdate) // 86400000000 AS open_day,
@@ -1186,25 +1200,94 @@ object TpchOps {
         |  CAST(sum(CASE WHEN day = close_day THEN 1 ELSE 0 END) AS BIGINT) AS n_closing,
         |  CAST(sum(cents) AS BIGINT) AS open_value_cents
         |FROM x GROUP BY 1""".stripMargin) { (s, dir) =>
-      Tables.orders(s, dir)
-        .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_shipdate")),
-          col("l_orderkey") === col("o_orderkey"))
-        .groupBy(col("o_orderkey"),
+      // lineitem pre-aggregates to its per-order LAST ship day BEFORE
+      // the join (map-side combine on the scan), so the join is 1:1 on
+      // the order key and nothing re-shuffles after it — the old
+      // join-then-group shape shuffled the joined fact a second time
+      val lastShip = Tables.lineitem(s, dir)
+        .select(col("l_orderkey"),
+          expr("unix_micros(CAST(l_shipdate AS TIMESTAMP)) DIV 86400000000")
+            .as("ship_day"))
+        .groupBy(col("l_orderkey"))
+        .agg(max(col("ship_day")).as("ship_day"))
+      val spans = Tables.orders(s, dir)
+        .select(col("o_orderkey"),
           expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) DIV 86400000000")
             .as("open_day"),
           expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
             .as("cents"))
-        .agg(expr("""greatest(max(unix_micros(CAST(l_shipdate AS TIMESTAMP))
-                    |  DIV 86400000000), open_day)""".stripMargin).as("close_day"))
-        .select(col("open_day"), col("close_day"), col("cents"),
-          explode(expr("sequence(open_day, close_day)")).as("day"))
+        .join(lastShip, col("l_orderkey") === col("o_orderkey"))
+        .select(col("open_day"),
+          greatest(col("ship_day"), col("open_day")).as("close_day"),
+          col("cents"))
+      // two boundary marks per order out of ONE pass (explode over a
+      // 2-struct array, not a self-union that would re-run the join),
+      // reduced to the ≤ horizon-days census with map-side combine.
+      // A single-day span contributes both marks to the same day;
+      // the n_open formula below counts it exactly once.
+      val census = spans
+        .select(explode(array(
+          struct(col("open_day").as("day"), lit(1L).as("no"),
+            col("cents").as("co"), lit(0L).as("ncl"), lit(0L).as("ccl")),
+          struct(col("close_day").as("day"), lit(0L).as("no"),
+            lit(0L).as("co"), lit(1L).as("ncl"), col("cents").as("ccl"))))
+          .as("b"))
+        .select(col("b.day").as("day"), col("b.no").as("no"),
+          col("b.co").as("co"), col("b.ncl").as("ncl"), col("b.ccl").as("ccl"))
         .groupBy(col("day"))
-        .agg(count(lit(1)).cast("bigint").as("n_open"),
-          sum(when(col("day") === col("open_day"), 1L).otherwise(0L))
-            .cast("bigint").as("n_opening"),
-          sum(when(col("day") === col("close_day"), 1L).otherwise(0L))
-            .cast("bigint").as("n_closing"),
-          sum(col("cents")).cast("bigint").as("open_value_cents"))
+        .agg(sum(col("no")).as("no"), sum(col("co")).as("co"),
+          sum(col("ncl")).as("ncl"), sum(col("ccl")).as("ccl"))
+        // two consumers below (bounds + the spine join) must not re-run
+        // the orders ⋈ lineitem lineage; the frame is horizon-bounded
+        .transform(graft.Graft.stagedCheckpoint)
+      // dense day spine over [min open_day, max close_day] (close >=
+      // open by the clamp, so min(day)/max(day) are exactly those);
+      // arithmetic pid — no range sampler, no partition-less window
+      val nPart = s.sparkContext.defaultParallelism
+      val spine = census
+        .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+        .select(explode(expr("sequence(lo, hi)")).as("day"),
+          col("lo"), col("hi"))
+        .select(col("day"),
+          expr(s"CAST((day - lo) * $nPart DIV (hi - lo + 1) AS INT)").as("pid"))
+      val filled = spine
+        .join(broadcast(census), Seq("day"), "left")
+        .select(col("day"), col("pid"),
+          coalesce(col("no"), lit(0L)).as("no"),
+          coalesce(col("co"), lit(0L)).as("co"),
+          coalesce(col("ncl"), lit(0L)).as("ncl"),
+          coalesce(col("ccl"), lit(0L)).as("ccl"))
+      // per-pid local running sums (npart-way parallel window) + the
+      // triangular per-pid offsets = global inclusive prefix sums; both
+      // branches re-derive `filled` from the checkpointed census, so
+      // the heavy lineage never re-runs
+      val w = Window.partitionBy(col("pid")).orderBy(col("day"))
+      val ptot = filled.groupBy(col("pid"))
+        .agg(sum(col("no")).as("tno"), sum(col("co")).as("tco"),
+          sum(col("ncl")).as("tncl"), sum(col("ccl")).as("tccl"))
+      val offs = ptot.as("a")
+        .join(ptot.as("b"), col("b.pid") < col("a.pid"), "left")
+        .groupBy(col("a.pid").as("pid"))
+        .agg(coalesce(sum(col("b.tno")), lit(0L)).as("ono"),
+          coalesce(sum(col("b.tco")), lit(0L)).as("oco"),
+          coalesce(sum(col("b.tncl")), lit(0L)).as("oncl"),
+          coalesce(sum(col("b.tccl")), lit(0L)).as("occl"))
+      filled
+        .withColumn("lno", sum(col("no")).over(w))
+        .withColumn("lco", sum(col("co")).over(w))
+        .withColumn("lncl", sum(col("ncl")).over(w))
+        .withColumn("lccl", sum(col("ccl")).over(w))
+        .join(broadcast(offs), Seq("pid"))
+        // open on day d: opened on or before d, closed on or after d —
+        // cumOpens(d) − (cumCloses(d) − closes(d)); value identically
+        .select(col("day"),
+          (col("ono") + col("lno") - (col("oncl") + col("lncl")) + col("ncl"))
+            .cast("bigint").as("n_open"),
+          col("no").cast("bigint").as("n_opening"),
+          col("ncl").cast("bigint").as("n_closing"),
+          (col("oco") + col("lco") - (col("occl") + col("lccl")) + col("ccl"))
+            .cast("bigint").as("open_value_cents"))
+        .filter(col("n_open") > 0L)
     },
 
     // ----------------------------------------------------------------
