@@ -33,13 +33,20 @@ object Graft {
     * share (0.09→0.55 s).
     *
     * Membership list = consumers of each SessionCache:
-    *  - knn: Similarity.exactCache/fastCache (exact + codegen top-k)
+    *  - knn: Similarity.exactCache/fastCache (exact + codegen top-k) +
+    *    pqCache (the ADC-scored PQ frame q109/q110 both cut)
     *  - lsh: Dedup shingle/sig/cand/pair caches + Curation clusterCache
     *  - simhash: Dedup.simhashCache
     *  - graph: Curation edge/deg/orient/dstEdge caches
     *  - semdedup: Similarity.semAssignCache
     *  - perceptron: TrainingOps.perceptronScoreCache (q246's trained
     *    margins, read by the ML-evaluation tier)
+    *  - bigram: TrainingOps.bigramCache (the per-doc bigram count
+    *    table the whole n-gram model tier fits on)
+    *  - span8: Dedup.span8Cache (the distinct 8-token shingle-host
+    *    table q168's novelty and q200's datasheet both roll up;
+    *    q200 left the simhash family — it never consumed
+    *    simhashCache)
     * (BPE queries share a driver-side merge memo that clearCaches does
     * not drop, so they need no family.) */
   val cacheFamilies: Map[String, Seq[String]] = Map(
@@ -48,14 +55,16 @@ object Graft {
     "lsh" -> Seq("q145_containment", "q171_minhash_calibration",
       "q197_leakage_free_split", "q249_dedup_yield", "q28_lsh_candidates",
       "q29_neardup_jaccard", "q63_curation_pipeline", "q68_dup_clusters"),
-    "simhash" -> Seq("q200_source_datasheet", "q30_simhash",
-      "q77_simhash_hamming"),
+    "simhash" -> Seq("q30_simhash", "q77_simhash_hamming"),
+    "span8" -> Seq("q168_shingle_novelty", "q200_source_datasheet"),
     "graph" -> Seq("q130_triangle_count", "q131_pagerank",
       "q223_link_prediction", "q251_degree_powerlaw"),
     "semdedup" -> Seq("q205_semdedup", "q218_prototype_pruning",
       "q232_clustering_eval"),
     "perceptron" -> Seq("q246_quality_classifier", "q284_roc_auc",
-      "q285_reliability", "q286_pr_curve"))
+      "q285_reliability", "q286_pr_curve"),
+    "bigram" -> Seq("q135_bigram_lm_score", "q248_kneser_ney",
+      "q203_importance_resampling", "q204_perplexity_buckets"))
 
   /** Family id of a query — its own name when it belongs to none. */
   private val familyOf: Map[String, String] =

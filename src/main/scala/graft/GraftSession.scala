@@ -25,6 +25,17 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // NOTE (r16, measured and rejected): lowering
+      // spark.sql.adaptive.coalescePartitions.minPartitionSize below
+      // its 1 MB default looked attractive — the stock floor coalesces
+      // every small CPU-dense reduce stage to 1-3 tasks (q67's 5M-pair
+      // aggregate: 1.73 s at 1 MB vs 1.00 s at 64 KB, isolated) — but
+      // the full-suite A/B at 64 KB was a broad NET LOSS: 61 untouched
+      // queries slower by >0.2 s (per-stage task fan-out overhead
+      // across ~10 AQE stages x 870 query-runs) and two catastrophic
+      // (q282 1.1->18.2 s, q63 0.8->15.6 s — BroadcastNestedLoopJoin
+      // streams pay per-partition passes over the broadcast side).
+      // Evidence: OPTIMIZATION_r16.md §config. The default stays.
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
       .config("spark.ui.enabled", "false")

@@ -44,10 +44,17 @@ object DataQuality {
         |count, null count, exact distinct count, and typed min/max
         |(numerics in exact BIGINT units — micros for ts, cents for
         |value; strings lexicographic, which ASCII test data keeps
-        |binary-collation-identical cross-engine). One pass: a single
-        |aggregate computes all six columns' statistics (the distinct
-        |counts share one Expand), then the 1-row result unpivots to
-        |a row per column via stack — no second scan, no window.
+        |binary-collation-identical cross-engine). Shape: SIX
+        |single-column aggregates (one per profiled column), 1-row
+        |results recombined by broadcast cross-join, then unpivoted to
+        |a row per column via stack. Deliberately NOT one aggregate
+        |with six count(DISTINCT)s: that plans as Expand x6 — every
+        |row replicated once per distinct column into one shuffle
+        |carrying all columns — while a single-distinct aggregate
+        |needs no Expand, and on columnar storage the six
+        |column-pruned scans read each column exactly once (the same
+        |total I/O as one all-column scan, 6x less shuffle, and the
+        |six independent stages run concurrently). No window.
         |Profile-before-read is the operational contract: q270 names
         |the shuffle risk, this names the content risk (nulls where
         |joins expect keys, cardinality collapse, range drift).""".stripMargin,
@@ -85,32 +92,54 @@ object DataQuality {
         |UNION ALL SELECT 'event_type', n, n - nn_t, nd_t, NULL, NULL, mns_t, mxs_t FROM s
         |UNION ALL SELECT 'value', n, n - nn_v, nd_v, mn_v, mx_v, NULL, NULL FROM s
         |UNION ALL SELECT 'props', n, n - nn_p, nd_p, NULL, NULL, mns_p, mxs_p FROM s""".stripMargin) { (s, dir) =>
-      val one = Tables.events(s, dir).agg(
+      // SIX single-column aggregates, not one 6-distinct aggregate: a
+      // multi-distinct aggregate plans as Expand x6 (every row
+      // replicated per distinct column, one 6x-row shuffle carrying
+      // every column at once), while a single-distinct aggregate needs
+      // no Expand at all. On columnar storage the six column-pruned
+      // scans read each column exactly once — the same total I/O as one
+      // scan of all six columns — and the six subtrees have no
+      // dependencies, so their stages run CONCURRENTLY (at sf0.1 the
+      // one-row-group scan task is serial per column; six parallel
+      // serial scans beat one serial 6x-Expand pass 2.9 s -> see
+      // OPTIMIZATION_r16.md). At 100 TB the win is the removed Expand:
+      // shuffle bytes drop 6x to one column's distinct values per
+      // subtree. The 1-row results recombine by broadcast cross-join.
+      val ev = Tables.events(s, dir)
+      val aId = ev.select(col("event_id")).agg(
         count(lit(1)).cast("bigint").as("n"),
         count(col("event_id")).cast("bigint").as("nn_id"),
         countDistinct(col("event_id")).cast("bigint").as("nd_id"),
         min(col("event_id")).cast("bigint").as("mn_id"),
-        max(col("event_id")).cast("bigint").as("mx_id"),
+        max(col("event_id")).cast("bigint").as("mx_id"))
+      val aTs = ev.select(col("ts")).agg(
         count(col("ts")).cast("bigint").as("nn_ts"),
         countDistinct(col("ts")).cast("bigint").as("nd_ts"),
         expr("CAST(min(unix_micros(CAST(ts AS TIMESTAMP))) AS BIGINT)").as("mn_ts"),
-        expr("CAST(max(unix_micros(CAST(ts AS TIMESTAMP))) AS BIGINT)").as("mx_ts"),
+        expr("CAST(max(unix_micros(CAST(ts AS TIMESTAMP))) AS BIGINT)").as("mx_ts"))
+      val aU = ev.select(col("user_id")).agg(
         count(col("user_id")).cast("bigint").as("nn_u"),
         countDistinct(col("user_id")).cast("bigint").as("nd_u"),
         min(col("user_id")).cast("bigint").as("mn_u"),
-        max(col("user_id")).cast("bigint").as("mx_u"),
+        max(col("user_id")).cast("bigint").as("mx_u"))
+      val aT = ev.select(col("event_type")).agg(
         count(col("event_type")).cast("bigint").as("nn_t"),
         countDistinct(col("event_type")).cast("bigint").as("nd_t"),
         min(col("event_type")).as("mns_t"),
-        max(col("event_type")).as("mxs_t"),
+        max(col("event_type")).as("mxs_t"))
+      val aV = ev.select(col("value")).agg(
         count(col("value")).cast("bigint").as("nn_v"),
         countDistinct(col("value")).cast("bigint").as("nd_v"),
         min(expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")).as("mn_v"),
-        max(expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")).as("mx_v"),
+        max(expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")).as("mx_v"))
+      val aP = ev.select(col("props")).agg(
         count(col("props")).cast("bigint").as("nn_p"),
         countDistinct(col("props")).cast("bigint").as("nd_p"),
         min(col("props")).as("mns_p"),
         max(col("props")).as("mxs_p"))
+      val one = aId.crossJoin(broadcast(aTs)).crossJoin(broadcast(aU))
+        .crossJoin(broadcast(aT)).crossJoin(broadcast(aV))
+        .crossJoin(broadcast(aP))
       one.select(expr(
         """stack(6,
           |  'event_id', n - nn_id, nd_id, mn_id, mx_id, CAST(NULL AS STRING), CAST(NULL AS STRING),

@@ -760,9 +760,15 @@ object ScaleOps {
         .transform(graft.Graft.stagedCheckpoint)
       var v = diag.select(col("i").as("j"), lit(1000L).cast("decimal(38,0)").as("v"))
       for (_ <- 1 to 3) {
+        // staged per round: w feeds BOTH the renorm max and the next
+        // iterate, and unstaged the round-k plan nested round-k-1
+        // twice over (2^rounds leaf evaluations — 58 Exchanges in the
+        // r15 plan). The checkpoint is a dim-row frame (64 rows), so
+        // staging is ~free and the plan is linear in rounds.
         val w = gram.join(v, Seq("j"))
           .groupBy(col("i"))
           .agg(sum(col("g").cast("decimal(38,0)") * col("v")).cast("decimal(38,0)").as("w"))
+          .transform(graft.Graft.stagedCheckpoint)
         val mx = w.agg(
           greatest(max(abs(col("w"))), lit(1).cast("decimal(38,0)"))
             .cast("decimal(38,0)").as("mx"))
@@ -1059,6 +1065,14 @@ object ScaleOps {
     var assigned: DataFrame = null
     for (_ <- 1 to iters) {
       val cb = cents.agg(collect_list(struct(col("cid"), col("c"))).as("cb"))
+      // staged per round: the UNSTAGED loop nested each round's plan
+      // under the next (cents_k reads assigned_k reads cents_{k-1}...),
+      // and consumers touching both returns (q144 reads cents AND
+      // assigned) re-evaluated the whole chain once per reference —
+      // doubling per iteration. The checkpoint is corpus-row-sized
+      // per round and dies with the execution (Bench frees it per
+      // rep); at 100 TB this is "materialize the assignment each
+      // sweep", which is what an iterative trainer does anyway.
       assigned = e.crossJoin(broadcast(cb))
         .withColumn("cid", expr(
           """(array_min(transform(cb, cc -> struct(
@@ -1066,6 +1080,7 @@ object ScaleOps {
             |            CAST(0 AS BIGINT), (acc, x) -> acc + x) AS dist,
             |  cc.cid AS cid)))).cid""".stripMargin))
         .select(col("vec_id"), col("vm"), col("cid"))
+        .transform(graft.Graft.stagedCheckpoint)
       cents = assigned.groupBy(col("cid"))
         .agg(call_function("vec_sum", col("vm")).as("sv"),
           count(lit(1)).as("n"))

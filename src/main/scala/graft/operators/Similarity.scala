@@ -1134,7 +1134,19 @@ private[operators] object PQ {
     * the k-bounded aggregator's descending order ranks ADC ascending).
     * The string bridge matters: a direct decimal->double cast can be
     * 1 ulp off between engines. */
-  private def adcScored(s: SparkSession, dir: String): DataFrame = {
+  /** Session-cached ADC-scored frame, shared by q109 and q110 (both sit
+    * in the knn cache family): the PQ encode (4 codes per corpus vector)
+    * and the 4x8 exact-decimal LUTs are the expensive scan-side kernels,
+    * and both queries consume the identical scored frame — q109 cuts it
+    * at top-5, q110 at the 200-deep shortlist. Staging it once per
+    * (session, sfDir) is the "encode the corpus once, serve every query
+    * depth" shape of a production ANN index build; previously each query
+    * re-encoded the whole corpus. */
+  private val pqCache = new Dedup.SessionCache
+  private def adcScored(s: SparkSession, dir: String): DataFrame =
+    pqCache.getOrElseUpdate(s, dir) { adcScoredUncached(s, dir).cache() }
+
+  private def adcScoredUncached(s: SparkSession, dir: String): DataFrame = {
     val c = corpus(s, dir)
     val cbArr = c.filter(col("vec_id") < Cells)
       .select(struct(col("vec_id").as("code"), col("qv").as("cv")).as("cw"))
