@@ -186,13 +186,18 @@ object Attribution {
       .toDF("channel", "bit")
     val v0 = v.select(col("s").as("s0"), col("val").as("val0"))
     val v1 = v.select(col("s").as("s1"), col("val").as("val1"))
+    // every join below pairs lattice-bounded frames (≤ n·2^n rows);
+    // the small side is PINNED as the broadcast build (VERDICT r16 #7:
+    // q282's BNL/HJ build sides must not depend on planner size
+    // estimates — the r16 AQE-floor experiment showed a config change
+    // flipping these plans detonates superlinearly)
     val terms = broadcast(ch)
       .join(v0, expr("(s0 & bit) = 0"))
-      .join(v1, col("s1") === col("s0") + col("bit"))
+      .join(broadcast(v1), col("s1") === col("s0") + col("bit"))
       .select(col("channel"), col("bit"),
         (expr(weightCase) * (col("val1") - col("val0"))).as("term"))
     val vTot = v.filter(col("s") === full).select(col("val").as("v15"))
-      .crossJoin(v.filter(col("s") === 0).select(col("val").as("v0x")))
+      .crossJoin(broadcast(v.filter(col("s") === 0).select(col("val").as("v0x"))))
     val solo = v.select(col("s").as("bit"), col("val").as("v_solo"))
     terms.groupBy(col("channel"), col("bit"))
       .agg(expr(s"CAST((1000000 * sum(term)) DIV ${fact(n)} AS BIGINT)")

@@ -355,15 +355,17 @@ object Curation {
         |bit-identical ranks (floats would drift in the libm-free
         |cross-engine sense long before they drifted in ranking):
         |pr'(v) = (15S) div (100 n) + (85 Σ_{u→v} pr(u) div deg(u))
-        |div 100. Scale shape: each iteration is ONE edge-sized shuffle
-        |join (pr is node-sized, broadcast of the single-row node count)
-        |plus the dst re-aggregation with map-side combine; 3 unrolled
-        |iterations form a LINEAR plan DAG (each pr_k feeds exactly one
-        |contrib join), so nothing re-evaluates and nothing needs
-        |caching. At 100 TB the edge table would be pre-partitioned by
-        |src once and reused across iterations — the plan already
-        |shuffles only edges, never grows rows, and bounds state by
-        |node count. Top-20 by rank via TakeOrdered.""".stripMargin,
+        |div 100. Scale shape: the edge table is staged src-partitioned
+        |ONCE and never sorted, broadcast or re-shuffled after that;
+        |each iteration attaches the node-sized rank frame on src
+        |(broadcast under the node-count gate, shuffled-hash build past
+        |it) and re-aggregates by dst with map-side combine, so every
+        |per-iteration exchange carries node-BOUNDED rows; the node
+        |count is a session-memoized literal (one scalar count over the
+        |cached degree table). 3 unrolled iterations form a LINEAR plan
+        |DAG (each pr_k feeds exactly one contrib join), so nothing
+        |re-evaluates and nothing needs caching. Top-20 by rank via
+        |TakeOrdered.""".stripMargin,
       """WITH e0 AS (
         |  SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y
         |  FROM lineitem a JOIN lineitem b
@@ -393,7 +395,8 @@ object Curation {
         |FROM p3 ORDER BY pr DESC, n LIMIT 20""".stripMargin) { (s, dir) =>
       pageRank(coPurchaseEdges(s, dir), iters = 3,
           degOpt = Some(coPurchaseDegrees(s, dir)),
-          stagedOpt = Some(dstStagedCoPurchase(s, dir)))
+          stagedOpt = Some(srcStagedCoPurchase(s, dir)),
+          nNodesOpt = Some(coPurchaseNodeCount(s, dir)))
         .orderBy(col("pr").desc, col("n")).limit(20)
         .select(col("n").as("node"), col("pr").as("pr_scaled"))
     },
@@ -415,7 +418,8 @@ object Curation {
         |avg-degree², independent of corpus size. Scale shape: the edge
         |and degree frames are the q130/q131 family caches (built once,
         |edge-sized shuffles); seed wedges come from ONE broadcast of
-        |the 50-seed edge slice against the dst-staged edge list; the
+        |the 50-seed edge slice against the src-staged edge list (both
+        |wedge joins key on src, so the staging co-locates them); the
         |(seed, cand) aggregate has map-side combine over a
         |seed-bounded key space; the known-edge anti join is again a
         |broadcast of the seed slice; the rank window partitions by
@@ -448,7 +452,7 @@ object Curation {
         |SELECT seed, cand, cn, ra_micro, CAST(rk AS BIGINT) AS rk
         |FROM r WHERE rk <= 10""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val e = dstStagedCoPurchase(s, dir)
+      val e = srcStagedCoPurchase(s, dir)
       val deg = coPurchaseDegrees(s, dir) // (n, deg)
       val seeds = deg.orderBy(col("deg").desc, col("n")).limit(50)
         .select(col("n").as("seed"))
@@ -459,7 +463,13 @@ object Curation {
       val wedges = e.select(col("src").as("z"), col("dst").as("cand"))
         .join(broadcast(seedEdges), Seq("z"))
         .filter(col("cand") =!= col("seed"))
-        .join(deg.select(col("n").as("z"), col("deg").as("degz")), Seq("z"))
+        // shuffled-hash build on the node-sized degree frame: the wedge
+        // side is co-partitioned with it on z (both hash-keyed from the
+        // src staging / degree aggregate), so the join is exchange-free
+        // — and the hint stops the planner from sort-merging, which
+        // would SORT the wedge-sized stream
+        .join(deg.select(col("n").as("z"), col("deg").as("degz"))
+          .hint("shuffle_hash"), Seq("z"))
         .groupBy(col("seed"), col("cand"))
         .agg(count(lit(1)).cast("bigint").as("cn"),
           sum(expr("1000000 DIV degz")).cast("bigint").as("ra_micro"))
@@ -683,20 +693,29 @@ object Curation {
       .select(col("e.x").as("x"), col("e.y").as("y"))
       .distinct()
 
-  /** dst-repartitioned directed expansion of the co-purchase edge list,
-    * persisted once per (session, dir): the PageRank contribution
-    * aggregate groups by dst every iteration, so staging the edges
-    * pre-co-located with that key means the per-iteration join ships
-    * nothing whenever AQE broadcasts the node-sized rank table. Lives
-    * in a registry-managed SessionCache (not a per-execution persist —
+  /** src-repartitioned directed expansion of the co-purchase edge list,
+    * persisted once per (session, dir): every PageRank iteration and
+    * both of q223's wedge joins attach node-sized frames ON src, so
+    * staging the edges pre-co-located with that key makes the edge side
+    * of those joins shuffle-free — the edge table (the only frame that
+    * is corpus-sized here) is shuffled ONCE at staging and never again.
+    * (r16 staged by dst instead, betting AQE would broadcast the rank
+    * table so the dst aggregation inherited the staging; the measured
+    * plan broadcast the EDGE side — accurate cache stats vs an
+    * unestimated join subtree — so the staging bought nothing locally,
+    * and at sf10 the fallback was a per-iteration edge-sorting SMJ that
+    * spilled 83 GB under a 16 GiB heap. With src staging the dst
+    * aggregate pays one partial-agg-reduced exchange per iteration —
+    * node-bounded rows, never edge-sized, no sorts.) Lives in a
+    * registry-managed SessionCache (not a per-execution persist —
     * the old shape staged a FRESH persisted copy on every pageRank call
     * and never unpersisted it, stacking one copy per bench rep until
     * the next clearCaches boundary): reps reuse one copy, and
     * Graft.clearCaches owns the lifecycle like every other helper
     * frame. */
-  private val dstEdgeCache = new Dedup.SessionCache
-  private[graft] def dstStagedCoPurchase(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
-    dstEdgeCache.getOrElseUpdate(s, dir) {
+  private val srcEdgeCache = new Dedup.SessionCache
+  private[graft] def srcStagedCoPurchase(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    srcEdgeCache.getOrElseUpdate(s, dir) {
       val und = coPurchaseEdges(s, dir)
       und.select(col("x").as("src"), col("y").as("dst"))
         .unionAll(und.select(col("y").as("src"), col("x").as("dst")))
@@ -704,49 +723,131 @@ object Curation {
         // iteration inherits, and AQE's byte-proportional coalescing
         // would otherwise stage few-task partitions for a frame whose
         // per-row cost is join+agg CPU, not bytes (same §8 lesson as
-        // q130's intersect exchanges)
-        .repartition(s.sparkContext.defaultParallelism, col("dst"))
+        // q130's intersect exchanges). N comes from the session's
+        // shuffle-partition conf (not defaultParallelism) so the
+        // staged width matches every downstream exchange — a shuffled
+        // hash join against a conf-width exchange then needs no
+        // re-shuffle — and plans stay host-independent (ADVICE r16).
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
+          col("src"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
+  /** Node count of the co-purchase graph, memoized per (session, dir)
+    * over the persisted degree table — ONE node-sized count per graph-
+    * family window (the clusterLabels precedent: a scalar driver action
+    * that sizes plans, never data on the driver). Feeds pageRank's
+    * join-strategy gate and inlines the rank recurrence's 1/n term as a
+    * literal (replacing a per-iteration broadcast-cross-join of the
+    * single-row count). */
+  private val nodeCountCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+        scala.collection.concurrent.TrieMap[String, Long]]())
+  private[graft] def coPurchaseNodeCount(
+      s: org.apache.spark.sql.SparkSession, dir: String): Long = {
+    val per = nodeCountCache.synchronized {
+      var m = nodeCountCache.get(s)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap[String, Long]()
+        nodeCountCache.put(s, m)
+      }
+      m
+    }
+    per.getOrElseUpdate(dir, coPurchaseDegrees(s, dir).count())
+  }
+
+  /** pr-side broadcast gate for [[pageRank]]: at or below this many
+    * nodes the per-iteration rank frame broadcasts (a ≤16 MB hash
+    * relation — the planner can't pick this itself because the rank
+    * subtree has no stats, and its measured fallback broadcasts the
+    * EDGE side instead); above it the rank frame attaches via a
+    * shuffled hash join with the node-sized side as build — the only
+    * shape that never sorts, shuffles or broadcasts the edge table.
+    * Overridable for tests via -Dgraft.pr.broadcastMaxNodes. */
+  private[graft] def prBroadcastMaxNodes: Long =
+    sys.props.get("graft.pr.broadcastMaxNodes").map(_.toLong)
+      .getOrElse(1L << 20)
+
   /** Fixed-point PageRank (damping 0.85, scale S = 1e12, floor divides
     * throughout so results are bit-identical across engines) over an
-    * undirected edge list (x, y); returns (n, deg, nn, pr). Each of the
-    * `iters` unrolled iterations is ONE edge-sized shuffle join plus a
-    * map-side-combined dst aggregation; pr stays node-sized and the node
-    * count rides along as a broadcast single row. The unrolled DAG is
+    * undirected edge list (x, y); returns (n, deg, nn, pr). The scale
+    * contract of each unrolled iteration: the EDGE table (the only
+    * corpus-sized frame) is never sorted, never broadcast and never
+    * re-shuffled — it streams through its staged src partitioning; the
+    * node-sized rank frame attaches ON src either as a broadcast (node
+    * count at or below [[prBroadcastMaxNodes]] — an explicit build-side
+    * pick, because the rank subtree has no stats and the planner's
+    * measured fallback was to broadcast the EDGES, or at sf10 to sort
+    * them per iteration, 83 GB of spill under a 16 GiB heap) or as a
+    * shuffled-hash build side (node-sized exchange); the dst
+    * re-aggregation is map-side-combined, so its exchange carries
+    * node-BOUNDED partials, never edge-sized rows. The unrolled DAG is
     * linear — each pr_k feeds exactly one contrib join — so nothing
     * re-evaluates and nothing needs caching. Pass `stagedOpt` (a
-    * persisted dst-partitioned directed edge list, e.g.
-    * [[dstStagedCoPurchase]]) to amortize the union across iterations
+    * persisted src-partitioned directed edge list, e.g.
+    * [[srcStagedCoPurchase]]) to amortize the union across iterations
     * AND executions; without it the directed list is derived inline,
     * unpersisted — correct, and the right shape for one-shot callers
-    * like the spec's closed-form graphs. */
+    * like the spec's closed-form graphs. Pass `nNodesOpt` (the
+    * session-memoized [[coPurchaseNodeCount]]) to inline the 1/n term
+    * as a literal; without it the single-row count rides along as a
+    * broadcast cross join exactly as before. */
   private[graft] def pageRank(und: DataFrame, iters: Int,
       degOpt: Option[DataFrame] = None,
-      stagedOpt: Option[DataFrame] = None): DataFrame = {
+      stagedOpt: Option[DataFrame] = None,
+      nNodesOpt: Option[Long] = None): DataFrame = {
     val S = 1000000000000L
     val e = stagedOpt.getOrElse(
       und.select(col("x").as("src"), col("y").as("dst"))
         .unionAll(und.select(col("y").as("src"), col("x").as("dst")))
-        .repartition(col("dst")))
+        .repartition(col("src")))
     // (n, deg) may arrive pre-built (the shared co-purchase degree
     // cache); otherwise derive it with one edge-sized aggregation.
     val deg = degOpt.map(_.select(col("n").as("src"), col("deg")))
       .getOrElse(e.groupBy(col("src")).agg(count(lit(1)).as("deg")))
-    val nn = deg.agg(count(lit(1)).as("nn"))
-    var pr = deg.select(col("src").as("n"), col("deg"))
-      .crossJoin(broadcast(nn))
-      .select(col("n"), col("deg"), col("nn"), expr(s"${S}L DIV nn").as("pr"))
+    // rank-side attachment: broadcast while the node count provably
+    // fits, shuffled-hash (build = the node-sized rank frame) past it.
+    // Callers without a known count are the spec's closed-form graphs —
+    // broadcast is always right there.
+    val prBroadcasts = nNodesOpt.forall(_ <= prBroadcastMaxNodes)
+    def prSide(c: DataFrame): DataFrame =
+      if (prBroadcasts) broadcast(c) else c.hint("shuffle_hash")
+    // the 1/n terms: plan-time literals when the caller supplied the
+    // memoized node count (Long floor division ≡ SQL DIV on these
+    // non-negative operands — both truncate toward zero), else the
+    // single-row broadcast ride-along. Identical arithmetic either way:
+    // only where the scalar comes from changes.
+    // max(n, 1): a literal divisor is CONSTANT-FOLDED, so an empty
+    // graph (n = 0) would throw DIVIDE_BY_ZERO at plan time even
+    // though no row ever evaluates it (the column form only divided
+    // lazily). With zero nodes every frame below is empty, so the
+    // clamped divisor is unobservable; for n >= 1 it is exact.
+    val nnLit = nNodesOpt.map(n => s"CAST(${math.max(n, 1L)} AS BIGINT)")
+    def attachNn(df: DataFrame): DataFrame = nnLit match {
+      case Some(l) => df.withColumn("nn", expr(l))
+      case None    => df.crossJoin(broadcast(deg.agg(count(lit(1)).as("nn"))))
+    }
+    val pr0Expr = nnLit.map(l => expr(s"${S}L DIV $l"))
+      .getOrElse(expr(s"${S}L DIV nn"))
+    val iterExpr = nnLit
+      .map(l => expr(s"(15 * ${S}L) DIV (100 * $l) + (85 * sc) DIV 100"))
+      .getOrElse(expr(s"(15 * ${S}L) DIV (100 * nn) + (85 * sc) DIV 100"))
+    var pr = attachNn(deg.select(col("src").as("n"), col("deg")))
+      .select(col("n"), col("deg"), col("nn"), pr0Expr.as("pr"))
     for (_ <- 1 to iters) {
       val contrib = e
-        .join(pr.select(col("n").as("src"), expr("pr DIV deg").as("c")), Seq("src"))
+        .join(prSide(pr.select(col("n").as("src"), expr("pr DIV deg").as("c"))),
+          Seq("src"))
         .groupBy(col("dst")).agg(sum(col("c")).as("sc"))
-      pr = deg.select(col("src").as("n"), col("deg"))
-        .join(contrib.select(col("dst").as("n"), col("sc")), Seq("n"))
-        .crossJoin(broadcast(nn))
-        .select(col("n"), col("deg"), col("nn"),
-          expr(s"(15 * ${S}L) DIV (100 * nn) + (85 * sc) DIV 100").as("pr"))
+      pr = attachNn(deg.select(col("src").as("n"), col("deg"))
+          // node-sized ⋈ node-sized, both already hash-partitioned on n
+          // (the persisted degree aggregate and the contrib aggregate):
+          // shuffled-hash instead of the default sort-merge so neither
+          // node frame sorts
+          .join(contrib.select(col("dst").as("n"), col("sc")).hint("shuffle_hash"),
+            Seq("n")))
+        .select(col("n"), col("deg"), col("nn"), iterExpr.as("pr"))
     }
     pr
   }

@@ -238,25 +238,26 @@ object Dedup {
   /** |A∩B| distinct-shingle intersection counts per LSH candidate pair —
     * the verify-stage kernel shared by q29 (Jaccard), q145 (containment),
     * q171 (calibration) and q249 (yield curve). The candidate side is
-    * size-gated per [[CandBroadcastMaxRows]]; `broadcastMaxRows` is a
-    * parameter so DedupSpec can force the shuffle path and prove both
-    * paths emit identical rows. */
-  private[graft] def candIntersections(s: SparkSession, dir: String,
-      broadcastMaxRows: Long = CandBroadcastMaxRows): DataFrame =
-    // Family-scoped cache at the DEFAULT gate only: the frame is
-    // candidate-bounded (one row per candidate pair) and every
-    // verify-tier consumer (q29 via neardupPairs, q145 directly, the
-    // q171/q249 calibration pair) re-ran the two intersection joins
-    // per rep before r16. A spec-supplied non-default gate (forcing
-    // the shuffle path) bypasses the cache so both paths stay
-    // independently measurable.
-    if (broadcastMaxRows == CandBroadcastMaxRows)
-      interCache.getOrElseUpdate(s, dir)(
-        candIntersectionsUncached(s, dir, broadcastMaxRows).cache())
-    else candIntersectionsUncached(s, dir, broadcastMaxRows)
+    * size-gated per [[CandBroadcastMaxRows]]. This no-argument entry
+    * point is the ONLY cached one: every query-path consumer goes
+    * through it and shares the family-scoped frame (candidate-bounded,
+    * one row per pair — before r16 each consumer re-ran the two
+    * intersection joins per rep). A caller that needs an independent
+    * evaluation at any gate — DedupSpec proving the broadcast and
+    * shuffle paths identical — uses [[candIntersectionsFresh]], which
+    * NEVER consults or populates the cache, even at the default gate
+    * (ADVICE r16: gating the cache on the parameter VALUE silently
+    * served the cached frame to a spec passing the default explicitly,
+    * weakening the independence the parameter exists to prove). */
+  private[graft] def candIntersections(s: SparkSession, dir: String): DataFrame =
+    interCache.getOrElseUpdate(s, dir)(
+      candIntersectionsFresh(s, dir, CandBroadcastMaxRows).cache())
 
   private val interCache = new SessionCache
-  private def candIntersectionsUncached(s: SparkSession, dir: String,
+
+  /** Uncached [[candIntersections]] at an explicit broadcast gate —
+    * always a fresh evaluation, for path-independence proofs. */
+  private[graft] def candIntersectionsFresh(s: SparkSession, dir: String,
       broadcastMaxRows: Long): DataFrame = {
     val sh = candShingles(s, dir)
     candPairs(s, dir, broadcastMaxRows)

@@ -1073,6 +1073,7 @@ object ScaleOps {
       // per round and dies with the execution (Bench frees it per
       // rep); at 100 TB this is "materialize the assignment each
       // sweep", which is what an iterative trainer does anyway.
+      val prev = assigned
       assigned = e.crossJoin(broadcast(cb))
         .withColumn("cid", expr(
           """(array_min(transform(cb, cc -> struct(
@@ -1081,6 +1082,13 @@ object ScaleOps {
             |  cc.cid AS cid)))).cid""".stripMargin))
         .select(col("vec_id"), col("vm"), col("cid"))
         .transform(graft.Graft.stagedCheckpoint)
+      // the new round's checkpoint is EAGER, so by here round k-1's
+      // frame is provably dead (this round's materialization was its
+      // last reader) — free it now instead of pinning every round's
+      // corpus-row-sized blocks until rep end (ADVICE r16: linear
+      // storage growth in iters, the staged-registry eviction class).
+      // The registry's own rep-end release re-unpersists harmlessly.
+      if (prev != null) graft.Graft.releaseCheckpoint(prev)
       cents = assigned.groupBy(col("cid"))
         .agg(call_function("vec_sum", col("vm")).as("sv"),
           count(lit(1)).as("n"))

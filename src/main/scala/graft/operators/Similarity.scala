@@ -103,8 +103,14 @@ object Similarity {
     val queries = c.filter(col("vec_id") < QueryVecs)
       .select(col("vec_id").as("query_id"), col("label").as("q_label"),
         col("qv").as("qa"), col("nrm").as("na"))
-    val targets = c.select(col("vec_id").as("neighbor_id"), col("label").as("n_label"),
-      col("qv").as("qb"), col("nrm").as("nb"))
+    // explicit-N pin on the streamed corpus side (SCALE.md §4, the
+    // semAssign rule): the embeddings parquet scans as ONE task, and
+    // without the pin the broadcast join AND every per-pair exact-
+    // decimal dot under it ran serially on that single partition
+    val targets = c
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+      .select(col("vec_id").as("neighbor_id"), col("label").as("n_label"),
+        col("qv").as("qb"), col("nrm").as("nb"))
     val joinCond =
       if (sameCell) col("query_id") =!= col("neighbor_id") && col("q_label") === col("n_label")
       else col("query_id") =!= col("neighbor_id")
@@ -432,10 +438,19 @@ object Similarity {
         "'d', aggregate(zip_with(qv, ct.cv, (x, y) -> (x - y) * (x - y)), " +
         "CAST(0 AS DECIMAL(30,8)), (acc, v) -> CAST(acc + v AS DECIMAL(30,8))), " +
         "'cid', ct.cid))"
-      val base = c.crossJoin(broadcast(centsArr)).withColumn("cds", expr(cdsExpr))
+      // explicit-N pin on the corpus (target) branch (SCALE.md §4, the
+      // semAssign rule): the embeddings parquet scans as ONE task, so
+      // the 8-centroid decimal assignment, the probed-cell join and
+      // every surviving pair's exact-decimal cosine below it all ran
+      // serially on that single partition — q90's measured plan-breadth
+      // variance (VERDICT r16 #2) was one fat task, not the probe union
+      val base = c
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+        .crossJoin(broadcast(centsArr)).withColumn("cds", expr(cdsExpr))
       val targets = base.select(col("vec_id").as("neighbor_id"), col("qv").as("qb"),
         col("nrm").as("nb"), expr("array_min(cds).cid").as("cid"))
-      val probes = base.filter(col("vec_id") < QueryVecs)
+      val probes = c.filter(col("vec_id") < QueryVecs)
+        .crossJoin(broadcast(centsArr)).withColumn("cds", expr(cdsExpr))
         .select(col("vec_id").as("query_id"), col("qv").as("qa"), col("nrm").as("na"),
           explode(expr(s"transform(slice(array_sort(cds), 1, $NProbe), x -> x.cid)")).as("pcid"))
       val scored = targets
@@ -1156,15 +1171,25 @@ private[operators] object PQ {
       s"aggregate(zip_with(slice(qv, $sVar * $SubDim + 1, $SubDim), " +
         s"slice($cwArr, $sVar * $SubDim + 1, $SubDim), (x, y) -> (x - y) * (x - y)), " +
         "CAST(0 AS DECIMAL(30,8)), (acc, v) -> CAST(acc + v AS DECIMAL(30,8)))"
-    val base = c.crossJoin(broadcast(cbArr))
+    // explicit-N pin on the corpus (target) branch BEFORE the codebook
+    // attaches (SCALE.md §4, the semAssign rule): the embeddings
+    // parquet scans as ONE task, so the PQ encode, the per-pair ADC
+    // sum below, and this frame's cached partitioning — which every
+    // q109/q110 consumer inherits for its top-k partial aggregation —
+    // were all serialized on that single partition
+    val base = c
+      .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
+      .crossJoin(broadcast(cbArr))
     // targets: 4 codes per vector, scan-side (argmin via struct-min —
     // ties break to the lower code like the oracle's ORDER BY d, code)
     val targets = base.select(col("vec_id").as("neighbor_id"),
       expr(s"transform(sequence(0, ${NSub - 1}), s -> " +
         s"array_min(transform(cb, w -> named_struct('d', ${subD2("s", "w.cv")}, " +
         "'code', w.code))).code)").as("codes"))
-    // queries: the full ADC lookup table (4 x 8 exact decimals)
-    val queries = base.filter(col("vec_id") < QueryVecs)
+    // queries: the full ADC lookup table (4 x 8 exact decimals) — a
+    // query-count-sized broadcast build, not worth a pin of its own
+    val queries = c.filter(col("vec_id") < QueryVecs)
+      .crossJoin(broadcast(cbArr))
       .select(col("vec_id").as("query_id"),
         expr(s"transform(sequence(0, ${NSub - 1}), s -> " +
           s"transform(cb, w -> ${subD2("s", "w.cv")}))").as("lut"))
@@ -1275,10 +1300,13 @@ private[operators] object PQ {
         .select(col("query_id"), col("x.k").as("neighbor_id"))
       // exact rescore of shortlisted candidates only: the shortlist is
       // tiny (queries x 200), so it broadcasts and the corpus never
-      // shuffles for the rescore join
+      // shuffles for the rescore join. Explicit-N pin on the corpus
+      // side (SCALE.md §4): one row group scans as one task, and the
+      // queries×200 exact-decimal rescore dots ran serially on it
       val queries = c.filter(col("vec_id") < QueryVecs)
         .select(col("vec_id").as("query_id"), col("qv").as("qa"), col("nrm").as("na"))
       val rescored = c
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt)
         .select(col("vec_id").as("neighbor_id"), col("qv").as("qb"), col("nrm").as("nb"))
         .join(broadcast(shortlist), Seq("neighbor_id"))
         .join(broadcast(queries), Seq("query_id"))

@@ -192,7 +192,13 @@ object TpchOps {
         |are expanded inside codegen with array HOFs; fan-out is bounded
         |by per-order line count squared, the same bounded-bucket
         |argument as LSH bands. The only other shuffle carries the pair
-        |counts.""".stripMargin,
+        |counts — at explicit conf width (REPARTITION_BY_NUM, exempt
+        |from AQE coalescing): the pair reduce is CPU-dense and
+        |byte-cheap, so AQE's byte-proportional coalescing collapsed it
+        |to 1-3 tasks (measured r16: the whole 5M-pair aggregate ran
+        |serially, 1.73 s vs 1.00 s at full width isolated; at sf10
+        |under a 16 GiB heap the same serial hash table spilled 62 GB).
+        |Same pinning rule as q130's intersect exchanges.""".stripMargin,
       """SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
         |  count(*) AS n_orders
         |FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) a
@@ -208,6 +214,8 @@ object TpchOps {
             |            y -> struct(x AS part_a, y AS part_b))))""".stripMargin))
           .as("p"))
         .select(col("p.part_a"), col("p.part_b"))
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
+          col("part_a"), col("part_b"))
         .groupBy(col("part_a"), col("part_b"))
         .agg(count(lit(1)).as("n_orders"))
         .filter(col("n_orders") >= 2)
@@ -1242,8 +1250,14 @@ object TpchOps {
         .transform(graft.Graft.stagedCheckpoint)
       // dense day spine over [min open_day, max close_day] (close >=
       // open by the clamp, so min(day)/max(day) are exactly those);
-      // arithmetic pid — no range sampler, no partition-less window
-      val nPart = s.sparkContext.defaultParallelism
+      // arithmetic pid — no range sampler, no partition-less window.
+      // nPart comes from the shuffle-partition conf, NOT
+      // defaultParallelism: results are invariant either way, but a
+      // host-CPU-derived constant bakes the machine's core count into
+      // the plan text and partition layout (ADVICE r16 — plan
+      // snapshots churned across hosts); the conf is pinned per
+      // session and scales on a real cluster.
+      val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
       val spine = census
         .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
         .select(explode(expr("sequence(lo, hi)")).as("day"),

@@ -19,12 +19,20 @@ class DedupSpec extends SparkSpec {
       .sortBy(identity).toSeq
 
   test("candIntersections: broadcast and shuffle paths emit identical rows") {
-    val viaBroadcast = Dedup.candIntersections(spark, sfDir) // default budget
-    val viaShuffle = Dedup.candIntersections(spark, sfDir, broadcastMaxRows = 0L)
+    // both sides via the FRESH entry point (ADVICE r16): the default-
+    // gate evaluation must be independent of the family cache too, or
+    // this proof would compare the shuffle path against whatever frame
+    // happened to be cached
+    val viaBroadcast =
+      Dedup.candIntersectionsFresh(spark, sfDir, Dedup.CandBroadcastMaxRows)
+    val viaShuffle = Dedup.candIntersectionsFresh(spark, sfDir, 0L)
     val a = rows(viaBroadcast)
     val b = rows(viaShuffle)
     assert(a.nonEmpty, "fixture corpus must yield candidate pairs")
     assert(a == b, "gated shuffle path diverged from the broadcast path")
+    // and the cached query-path entry point is the same relation
+    assert(rows(Dedup.candIntersections(spark, sfDir)) == a,
+      "cached entry point diverged from the fresh default-gate evaluation")
   }
 
   test("the gate controls the candidate-side broadcast hint") {
@@ -35,8 +43,9 @@ class DedupSpec extends SparkSpec {
     // bug was the unconditional plan-time hint on an unbounded side).
     def hints(df: org.apache.spark.sql.DataFrame): Int =
       df.queryExecution.analyzed.collect { case h: ResolvedHint => h }.size
-    val gatedOn = Dedup.candIntersections(spark, sfDir)
-    val gatedOff = Dedup.candIntersections(spark, sfDir, broadcastMaxRows = 0L)
+    val gatedOn =
+      Dedup.candIntersectionsFresh(spark, sfDir, Dedup.CandBroadcastMaxRows)
+    val gatedOff = Dedup.candIntersectionsFresh(spark, sfDir, 0L)
     assert(hints(gatedOn) > hints(gatedOff),
       s"expected the default budget to add a broadcast hint " +
         s"(on=${hints(gatedOn)}, off=${hints(gatedOff)})")
